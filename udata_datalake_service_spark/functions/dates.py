@@ -1,0 +1,113 @@
+"""Multi-format date/datetime parsing (F4, SURVEY §2.9).
+
+Reference: analysis/helpers.py:13-27 — dateutil strict parse, then a
+``dateparser`` NLP fallback that handles verbal dates in French/English
+("31 décembre 2022", "31st december 2022"); golden tests at
+tests/test_analysis/test_analysis_csv.py:126-168.
+
+Spark-first design: a ``coalesce`` chain of ``try_to_timestamp`` patterns
+covers the overwhelmingly common machine formats JVM-side; only rows that
+fail every pattern reach the Arrow-batched pandas UDF fallback, which
+handles month names in French/English without external deps
+(``dateparser`` isn't in this container — the verbal path is implemented
+with explicit month tables, deterministic and tested).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+# Ordered like dateutil's tolerant parse: ISO first, then common EU/US.
+_DATE_PATTERNS = (
+    "yyyy-MM-dd",
+    "yyyy/MM/dd",
+    "dd/MM/yyyy",
+    "dd-MM-yyyy",
+    "dd.MM.yyyy",
+    "yyyyMMdd",
+)
+_DATETIME_PATTERNS = (
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yyyy HH:mm",
+)
+
+_MONTHS = {
+    # French (accented + unaccented), English, common abbreviations
+    "janvier": 1, "janv": 1, "jan": 1, "january": 1,
+    "fevrier": 2, "février": 2, "fevr": 2, "fev": 2, "feb": 2, "february": 2,
+    "mars": 3, "mar": 3, "march": 3,
+    "avril": 4, "avr": 4, "apr": 4, "april": 4,
+    "mai": 5, "may": 5,
+    "juin": 6, "jun": 6, "june": 6,
+    "juillet": 7, "juil": 7, "jul": 7, "july": 7,
+    "aout": 8, "août": 8, "aug": 8, "august": 8,
+    "septembre": 9, "sept": 9, "sep": 9, "september": 9,
+    "octobre": 10, "oct": 10, "october": 10,
+    "novembre": 11, "nov": 11, "november": 11,
+    "decembre": 12, "décembre": 12, "dec": 12, "déc": 12, "december": 12,
+}
+
+_VERBAL_RE = re.compile(
+    r"^\s*(?:le\s+)?(\d{1,2})(?:st|nd|rd|th|er|e)?\s+([a-zA-Zéûô]+)\.?\s+(\d{4})\s*$"
+)
+_MONTH_FIRST_RE = re.compile(
+    r"^\s*([a-zA-Zéûô]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})\s*$"
+)
+
+
+def _parse_verbal_one(s: str) -> datetime | None:
+    if s is None:
+        return None
+    m = _VERBAL_RE.match(s)
+    if m:
+        day, month_name, year = m.group(1), m.group(2).lower(), m.group(3)
+    else:
+        m = _MONTH_FIRST_RE.match(s)
+        if not m:
+            return None
+        month_name, day, year = m.group(1).lower(), m.group(2), m.group(3)
+    month = _MONTHS.get(month_name)
+    if month is None:
+        return None
+    try:
+        return datetime(int(year), month, int(day))
+    except ValueError:
+        return None
+
+
+@F.pandas_udf(TimestampType())
+def _verbal_date_udf(s: pd.Series) -> pd.Series:
+    # Arrow-batched; only ever invoked on rows the JVM-side chain rejected.
+    return s.map(_parse_verbal_one)
+
+
+def _chain(col: Column, patterns: tuple[str, ...]) -> Column:
+    parsed = [F.try_to_timestamp(col, F.lit(p)) for p in patterns]
+    return F.coalesce(*parsed)
+
+
+def parse_datetime_multi(col: Column, verbal_fallback: bool = True) -> Column:
+    """Timestamp from the pattern chain; verbal-date UDF only on leftovers."""
+    fast = F.coalesce(
+        _chain(col, _DATETIME_PATTERNS), _chain(col, _DATE_PATTERNS)
+    )
+    if not verbal_fallback:
+        return fast
+    # The when() guard keeps the UDF from running on rows the fast path hit.
+    return F.when(fast.isNotNull(), fast).otherwise(_verbal_date_udf(col))
+
+
+def parse_date_multi(col: Column, verbal_fallback: bool = True) -> Column:
+    return parse_datetime_multi(col, verbal_fallback).cast("date")

@@ -1,0 +1,40 @@
+"""HTTP-shaped scalar helpers (F8/F10/F11, SURVEY §2.9).
+
+- ``lower_keys`` — header maps are stored with lower-cased keys
+  (crawl/helpers.py:24-35); pure ``transform_keys``.
+- ``header`` — JSONB ``headers->>'k'`` extraction (analysis/resource.py:237)
+  as plain map access on MapType columns.
+- ``split_content_type`` — 'text/csv; charset=utf-8' → 'text/csv'
+  (crawl/helpers.py:9-21).
+- ``is_valid_status`` — tri-state availability: 200≤s<400 → true,
+  429 → NULL (backoff, not availability), else false
+  (crawl/helpers.py:56-63 — the tri-state is a deliberate reference trap,
+  SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def lower_keys(map_col: Column) -> Column:
+    return F.transform_keys(map_col, lambda k, _v: F.lower(k))
+
+
+def header(headers_col: Column, name: str) -> Column:
+    return headers_col[name.lower()]
+
+
+def split_content_type(col: Column) -> Column:
+    return F.trim(F.split(col, ";")[0])
+
+
+def is_valid_status(status_col: Column) -> Column:
+    s = status_col.cast("int")
+    return (
+        F.when(s == 429, F.lit(None).cast("boolean"))
+        .when((s >= 200) & (s < 400), F.lit(True))
+        .when(s.isNotNull(), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )

@@ -1,0 +1,267 @@
+"""Deduplication family over a document corpus.
+
+Five operators, ordered by cost/recall trade-off:
+
+1. ``exact_dedup``        — hash-groupBy on a canonical fingerprint. One
+   shuffle; the 100 TB workhorse.
+2. ``ngram_jaccard_pairs``— exact n-gram Jaccard via shingle inverted
+   index (explode → self-join on shingle → per-pair intersection counts).
+   Quadratic only within shingle posting lists, not the corpus.
+3. ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash+LSH: the
+   scalable near-dup path. Hash family = lexicographic MIN of seeded md5
+   digests (a valid min-wise family, and bit-identical in any engine, so
+   the DuckDB oracle can replay it). Banding turns all-pairs into
+   equi-joins on band keys.
+4. ``simhash64`` — 64-bit SimHash from md5-derived token hashes; near-dups
+   = small Hamming distance. Pure column expressions.
+5. ``embedding_near_dups`` — cosine over an embedding column (see
+   similarity.py) above a threshold.
+
+Scale notes: every operator is shuffle-on-key only (fingerprint / shingle /
+band key); none does a cross join. Skewed shingles (ubiquitous n-grams) are
+the classic hazard — ``ngram_jaccard_pairs`` drops shingles with document
+frequency above ``max_df`` exactly like production MinHash pipelines drop
+stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.llm.text import tokens
+
+
+# ---------------------------------------------------------------- exact ----
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per canonical fingerprint.
+
+    groupBy(min) + semi-join back would scan twice; the window form is one
+    shuffle on the fingerprint and keeps all columns.
+    """
+    from udata_datalake_service_spark.llm.text import fingerprint
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup report: fingerprint, group size, canonical (min) id —
+    only groups with >1 member."""
+    from udata_datalake_service_spark.llm.text import fingerprint
+
+    return (
+        df.withColumn("fp", fingerprint(F.col(text)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles ----
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined token windows)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets via an inverted index.
+
+    explode(distinct shingles) → self-equi-join on shingle → count
+    intersections per pair → |A∪B| = |A|+|B|-∩. The ``id_a < id_b``
+    predicate halves the pair space; ``max_df`` drops stop-shingles whose
+    posting lists would explode the join (skew control at scale).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"))
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(rare.select("sh"), on="sh", how="inner")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -------------------------------------------------------------- minhash ----
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """id → array<string> MinHash signature.
+
+    Permutation *i* = lexicographic MIN over md5(i || '|' || shingle). md5
+    is uniform on hex strings, so string-min is a faithful min-wise hash;
+    using hex strings (not ints) keeps the oracle SQL trivial and
+    engine-portable.
+    """
+    sh = F.array_distinct(word_shingles(F.col(text), k))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}|"), t))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band-key).
+
+    Identical band slice ⇒ candidate pair. Returns distinct (id_a < id_b)
+    candidates; feed them to an exact verifier (``ngram_jaccard_pairs`` on
+    the candidate subset or estimate from signature overlap).
+    """
+    bands = []
+    for b in range(num_bands):
+        key = F.md5(
+            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
+        )
+        bands.append(
+            signatures.select(
+                "id", F.lit(b).alias("band"), key.alias("bkey")
+            )
+        )
+    exploded = bands[0]
+    for x in bands[1:]:
+        exploded = exploded.unionByName(x)
+
+    l = exploded.select(F.col("id").alias("id_a"), "band", "bkey")
+    r = exploded.select(F.col("id").alias("id_b"), "band", "bkey")
+    return (
+        l.join(r, on=["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = matching signature positions /
+    signature length (zip_with, no shuffle beyond the two joins)."""
+    s_a = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_b = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        pairs.join(s_a, on="id_a")
+        .join(s_b, on="id_b")
+        .withColumn("jaccard_est", F.round(matches / F.size("sig_a"), 6))
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# -------------------------------------------------------------- simhash ----
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over word tokens, md5-derived bit planes.
+
+    Token hash = first 16 hex chars of md5(token) → 64 bits. For each bit,
+    sum(+1/-1) across tokens; sign → bit. Implemented as 16 nibble lookups
+    per token (pure expressions; no UDF). Returns BIGINT (may be negative —
+    interpret as unsigned bit pattern).
+    """
+    toks = tokens(text_col)
+    h = lambda t: F.substring(F.md5(t), 1, 16)  # noqa: E731
+
+    # per-nibble signed contributions; nibble n of token = hex digit n
+    acc = F.lit(0).cast("bigint")
+    for nib in range(16):
+        digit = F.transform(
+            toks, lambda t, nib=nib: F.conv(F.substring(h(t), nib + 1, 1), 16, 10).cast("int")
+        )
+        for bit in range(4):
+            mask = 1 << (3 - bit)
+            votes = F.aggregate(
+                digit,
+                F.lit(0),
+                lambda a, d, mask=mask: a
+                + F.when(d.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1),
+            )
+            bit_pos = 63 - (nib * 4 + bit)  # MSB-first
+            acc = acc + F.when(
+                votes > 0, F.shiftleft(F.lit(1).cast("bigint"), bit_pos)
+            ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``num_blocks`` 16-bit
+    blocks; any pair within distance d < num_blocks must agree on ≥1 block →
+    equi-join per block, then exact popcount filter. No cross join.
+    """
+    with_h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text)).alias("h"))
+    block_bits = 64 // num_blocks
+
+    cands = None
+    for blk in range(num_blocks):
+        # block key via unsigned shift — avoids 64-bit literal masks
+        key = F.shiftrightunsigned(F.col("h"), blk * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+        side = with_h.select("id", "h", key.alias("bkey"))
+        l = side.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "bkey")
+        r = side.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "bkey")
+        pairs = l.join(r, on="bkey").filter(F.col("id_a") < F.col("id_b")).drop("bkey")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

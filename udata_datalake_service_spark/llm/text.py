@@ -1,0 +1,110 @@
+"""Text analysis operators over a document corpus.
+
+All pure column expressions (whole-stage codegen, no UDFs): at 100 TB these
+run at parquet-scan speed with zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+# tiny per-language function-word sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "für", "mit", "nicht"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text_col: Column) -> Column:
+    """Lowercased word tokens; the regex is replayable in ANSI SQL."""
+    arr = F.split(F.lower(text_col), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def punct_ratio(text_col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    total = F.length(text_col)
+    clean = F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", ""))
+    return F.when(total > 0, clean.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite heuristic in [0,1]: length band + low punctuation + healthy
+    stopword rate + mean word length band. Deterministic, SQL-replayable."""
+    n_tok = token_count(text_col)
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.length(F.regexp_replace(F.lower(text_col), r"[^a-z0-9]", "")).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    length_ok = (n_tok >= 5) & (n_tok <= 100000)
+    punct_ok = punct_ratio(text_col) <= 0.2
+    stop_ok = stopword_ratio(text_col) >= 0.01
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.2
+        + stop_ok.cast("double") * 0.2
+        + wlen_ok.cast("double") * 0.2
+    )
+    return F.round(score, 4)
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the core of n-gram language ID)."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text_col: Column, min_hits: int = 1) -> Column:
+    """argmax over language marker counts; 'und' when nothing matches.
+    Deterministic tie-break: language name order."""
+    scores = language_scores(text_col)
+    pairs = sorted(scores.items())  # fixed evaluation order → stable argmax
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(min_hits - 1)
+    for lang, score in pairs:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: md5 over the normalized token stream — the
+    canonical-form content hash used for exact dedup."""
+    return F.md5(F.array_join(tokens(text_col), " "))
+
+
+def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """One projection adding the full text-analysis block."""
+    c = F.col(text)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 4))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_detected", detect_language(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

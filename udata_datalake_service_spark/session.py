@@ -1,0 +1,96 @@
+"""SparkSession factory tuned for the datalake workload.
+
+Local testing runs on ``local[N]`` but every setting is chosen for the
+1000-executor / 100 TB case:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace the reference's reliance on
+  Postgres' planner (SURVEY §4).
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE ceiling; AQE
+  coalesces down using ``advisoryPartitionSizeInBytes``.
+- Arrow enabled: every Pandas-UDF boundary (date fallback, multimodal
+  decode) moves batches, not rows.
+- Session timezone pinned to UTC — the reference stores TIMESTAMPTZ and
+  always computes in UTC (udata_hydra/cli.py:113, analysis/csv.py:148).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "udata-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to 2× local cores (AQE coalesces down);
+    on a real cluster you'd size it to ~2-3× total executor cores.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    cores = int(DEFAULT_CPUS) if "local" in master else 2000
+    shuffle = shuffle_partitions or max(int(cores) * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale workhorse -------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # --- scans ----------------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- python boundary -------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- joins ------------------------------------------------------
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # local-mode niceties; harmless on a cluster
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Register the driver's synthetic tables as temp views and return them.
+
+    Plain ``spark.read.parquet`` — scans stay columnar/vectorized and
+    Catalyst gets pushdown + pruning for free.
+    """
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,207 @@
+"""S6 — the schema-inference engine (csv_detective replacement).
+
+Reference behavior (analysis/csv.py:152-154, csv_detective 0.7.3 with
+``output_profile=True, num_rows=-1``): detect encoding/separator/header
+row, then infer a ``python_type`` per column from the 7-type system, plus a
+per-column profile. SURVEY §7.3 calls this the hardest, most
+behavior-laden piece; golden tests pin the semantics
+(tests/test_analysis/test_analysis_csv.py:89-168).
+
+Two-phase Spark-first design:
+
+1. **Driver-side sniff** (small sample bytes): encoding (BOM + utf-8 trial,
+   latin-1 fallback — chardet-free), separator (csv.Sniffer over candidate
+   set), header row heuristic (first row whose cells are non-numeric and
+   distinct). Cheap, bounded, never touches the cluster.
+2. **Distributed type vote**: read everything as strings, ONE aggregate
+   pass computes per column the success-rate of each candidate caster
+   (bool/int/float/date/datetime/json) using the same null-on-failure
+   expressions that later cast the data (functions/casting.py) — inference
+   and casting can't drift apart. Most specific type with 100% parse rate
+   on non-null cells wins, with the reference's priority
+   bool > int > float > date > datetime > json > string.
+
+At 100 TB the vote is still one scan + one reduce row; for quick looks a
+``sample_rows`` cap bounds the scan.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.functions.casting import smart_cast
+from udata_datalake_service_spark.schemas import PYTHON_TYPE_TO_SPARK, renamed
+
+CANDIDATE_SEPARATORS = (",", ";", "\t", "|")
+# priority: most specific first (reference tries bool/int/float before text)
+TYPE_PRIORITY = ("bool", "int", "float", "date", "datetime", "json", "string")
+
+
+@dataclass
+class Inspection:
+    """The inspection report (csv_detective dict equivalent)."""
+
+    encoding: str = "utf-8"
+    separator: str = ","
+    header_row_idx: int = 0
+    header: list[str] = field(default_factory=list)
+    total_lines: int = 0
+    columns: dict[str, dict] = field(default_factory=dict)  # name → {python_type, score}
+    profile: dict[str, dict] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "encoding": self.encoding,
+            "separator": self.separator,
+            "header_row_idx": self.header_row_idx,
+            "header": self.header,
+            "total_lines": self.total_lines,
+            "columns": self.columns,
+            "profile": self.profile,
+        }
+
+
+# ------------------------------------------------------------ phase 1 ------
+def sniff_bytes(sample: bytes) -> tuple[str, str, int]:
+    """(encoding, separator, header_row_idx) from a byte sample."""
+    if sample.startswith(b"\xef\xbb\xbf"):
+        encoding = "utf-8-sig"
+    else:
+        try:
+            sample.decode("utf-8")
+            encoding = "utf-8"
+        except UnicodeDecodeError:
+            encoding = "latin-1"
+    text = sample.decode(encoding, errors="replace")
+
+    try:
+        dialect = _csv.Sniffer().sniff(text[:8192], delimiters="".join(CANDIDATE_SEPARATORS))
+        separator = dialect.delimiter
+    except _csv.Error:
+        counts = {s: text.count(s) for s in CANDIDATE_SEPARATORS}
+        separator = max(counts, key=counts.get) if any(counts.values()) else ","
+
+    header_row_idx = 0
+    rows = list(_csv.reader(io.StringIO(text), delimiter=separator))[:10]
+    for i, row in enumerate(rows):
+        cells = [c.strip() for c in row if c.strip()]
+        if len(cells) >= 2 and len(set(cells)) == len(cells) and not any(
+            _looks_numeric(c) for c in cells
+        ):
+            header_row_idx = i
+            break
+    return encoding, separator, header_row_idx
+
+
+def _looks_numeric(s: str) -> bool:
+    try:
+        float(s.replace(",", "."))
+        return True
+    except ValueError:
+        return False
+
+
+# ------------------------------------------------------------ phase 2 ------
+_JSON_RE = r"^\s*(\{.*\}|\[.*\])\s*$"
+
+
+def _candidate_ok(python_type: str, col: F.Column) -> F.Column:
+    """1 when the cell is NULL/empty OR casts cleanly under ``python_type``."""
+    trimmed = F.trim(col)
+    is_blank = col.isNull() | (trimmed == "")
+    if python_type == "json":
+        parsed = trimmed.rlike(_JSON_RE)
+        return (is_blank | parsed).cast("int")
+    cast_ok = smart_cast(python_type, col).isNotNull()
+    if python_type == "date":
+        # a bare date must not carry a time component (datetime wins those)
+        cast_ok = cast_ok & ~trimmed.rlike(r"\d[:hH]\d")
+    return (is_blank | cast_ok).cast("int")
+
+
+def infer_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
+    """Distributed type vote: one aggregate pass over an all-strings frame.
+
+    For every column × candidate type we sum the clean-cast indicator; a
+    candidate with zero failures (and at least one non-blank success) wins
+    by priority order.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        blank = (col.isNull() | (F.trim(col) == "")).cast("int")
+        aggs.append(F.sum(blank).alias(f"{c}__blank"))
+        for t in TYPE_PRIORITY[:-1]:  # string always succeeds
+            aggs.append(F.sum(_candidate_ok(t, col)).alias(f"{c}__{t}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    n = row["__n"]
+    out: dict[str, str] = {}
+    for c in cols:
+        blanks = row[f"{c}__blank"]
+        chosen = "string"
+        if blanks < n:  # at least one real value
+            for t in TYPE_PRIORITY[:-1]:
+                if row[f"{c}__{t}"] == n:
+                    chosen = t
+                    break
+        out[c] = chosen
+    return out
+
+
+def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Cast an all-strings frame to its inferred schema with smart_cast
+    (null-on-failure) + the reference's reserved-name renames and the
+    synthetic ``__id`` column (analysis/csv.py:228,356-360)."""
+    cols = [
+        smart_cast(types[c], F.col(c)).alias(renamed(c)) for c in df.columns
+    ]
+    out = df.select(*cols)
+    return out.withColumn("__id", F.monotonically_increasing_id() + 1)
+
+
+def inspect_csv(
+    spark,
+    path: str,
+    sample_bytes: int = 1 << 20,
+) -> tuple[DataFrame, Inspection]:
+    """Full inspection pipeline: sniff → all-strings read → type vote →
+    typed frame + report. Returns (typed_df, inspection)."""
+    from udata_datalake_service_spark.operators.profile import profile
+    from udata_datalake_service_spark.sources.csv_reader import read_csv_with_dialect
+
+    with open(path, "rb") as fh:
+        encoding, separator, header_row_idx = sniff_bytes(fh.read(sample_bytes))
+
+    raw = read_csv_with_dialect(
+        spark,
+        path,
+        separator=separator,
+        encoding=encoding,
+        header_row_idx=header_row_idx,
+        all_strings=True,
+    )
+    types = infer_types(raw)
+    typed = apply_types(raw, types)
+
+    insp = Inspection(
+        encoding=encoding,
+        separator=separator,
+        header_row_idx=header_row_idx,
+        header=list(raw.columns),
+        total_lines=raw.count(),
+        columns={
+            renamed(c): {
+                "python_type": types[c],
+                "spark_type": PYTHON_TYPE_TO_SPARK[types[c]].simpleString(),
+            }
+            for c in raw.columns
+        },
+    )
+    return typed, insp
