@@ -1,0 +1,74 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full collect-free materialization
+(``df.write.format("noop")``): every row is produced and shipped through
+the plan, but driver-side materialization cost (irrelevant at cluster
+scale) is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from udata_datalake_service_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    t_warm = time.time()
+    from udata_datalake_service_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+    warm_sec = time.time() - t_warm
+
+    timings: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "warm_sec": round(warm_sec, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,166 @@
+"""Golden tests for the scalar surface — values pinned to the reference's
+test suite (tests/test_analysis/test_analysis_csv.py:89-168 and
+crawl/helpers.py semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.functions.casting import (
+    normalize_number,
+    smart_cast,
+    str2bool_col,
+)
+from udata_datalake_service_spark.functions.dates import (
+    parse_date_multi,
+    parse_datetime_multi,
+)
+from udata_datalake_service_spark.functions.hashing import hash64, md5_table_name
+from udata_datalake_service_spark.functions.http import (
+    header,
+    is_valid_status,
+    lower_keys,
+    split_content_type,
+)
+from udata_datalake_service_spark.functions.urls import domain_of
+
+
+def _vals(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(expr(F.col("v"))).collect()]
+
+
+# ---------------------------------------------------------------- casting --
+def test_smart_cast_int_accepts_float_strings(spark):
+    # reference: "2.0" → 2 (test_analysis_csv.py:97)
+    out = _vals(spark, ["2", "2.0", "x", "", "3.5"], lambda c: smart_cast("int", c))
+    assert out == [2, 2, None, None, None]
+
+
+def test_smart_cast_float_french_format(spark):
+    # reference str2float: "1 020,20" → 1020.2 (analysis/csv.py:41-50)
+    out = _vals(
+        spark,
+        ["1 020,20", "1020.2", "1,5", "abc", ""],
+        lambda c: smart_cast("float", c),
+    )
+    assert out == [1020.2, 1020.2, 1.5, None, None]
+
+
+def test_smart_cast_bool(spark):
+    out = _vals(
+        spark,
+        ["true", "False", "oui", "non", "1", "0", "maybe", ""],
+        lambda c: str2bool_col(c),
+    )
+    assert out == [True, False, True, False, True, False, None, None]
+
+
+def test_smart_cast_empty_is_null_for_every_type(spark):
+    for t in ("string", "int", "float", "bool", "date", "datetime", "json"):
+        out = _vals(spark, ["", "   "], lambda c, t=t: smart_cast(t, c))
+        assert out == [None, None], t
+
+
+def test_normalize_number_mixed_separators(spark):
+    out = _vals(spark, ["1,234.56", "1 234,56"], lambda c: normalize_number(c))
+    assert out == ["1234.56", "1234.56"]
+
+
+# ------------------------------------------------------------------ dates --
+def test_date_parse_machine_formats(spark):
+    out = _vals(
+        spark,
+        ["2022-12-31", "31/12/2022", "20221231"],
+        lambda c: parse_date_multi(c),
+    )
+    assert out == [dt.date(2022, 12, 31)] * 3
+
+
+def test_date_parse_verbal_french_and_english(spark):
+    # reference golden: "31 décembre 2022", "31st december 2022"
+    # (test_analysis_csv.py:126-168 via dateparser)
+    out = _vals(
+        spark,
+        ["31 décembre 2022", "31st december 2022", "le 1er janvier 2023",
+         "December 31, 2022", "not a date"],
+        lambda c: parse_date_multi(c),
+    )
+    assert out == [
+        dt.date(2022, 12, 31),
+        dt.date(2022, 12, 31),
+        dt.date(2023, 1, 1),
+        dt.date(2022, 12, 31),
+        None,
+    ]
+
+
+def test_datetime_parse_iso(spark):
+    out = _vals(
+        spark,
+        ["2022-12-31T23:59:58", "2022-12-31 23:59:58", "31/12/2022 23:59:58"],
+        lambda c: parse_datetime_multi(c),
+    )
+    assert out == [dt.datetime(2022, 12, 31, 23, 59, 58)] * 3
+
+
+# ------------------------------------------------------------------- http --
+def test_is_valid_status_tristate(spark):
+    df = spark.createDataFrame(
+        [(200,), (302,), (404,), (429,), (500,), (None,)], "v int"
+    )
+    out = [r[0] for r in df.select(is_valid_status(F.col("v"))).collect()]
+    # 429 → NULL is the reference's deliberate tri-state (crawl/helpers.py:56-63)
+    assert out == [True, True, False, None, False, None]
+
+
+def test_split_content_type(spark):
+    out = _vals(
+        spark,
+        ["text/csv; charset=utf-8", "application/json", " text/html ;x=1"],
+        lambda c: split_content_type(c),
+    )
+    assert out == ["text/csv", "application/json", "text/html"]
+
+
+def test_header_map_access_lower_keys(spark):
+    df = spark.createDataFrame(
+        [({"Content-Type": "text/csv", "X-Foo": "1"},)], "h map<string,string>"
+    )
+    low = df.select(lower_keys(F.col("h")).alias("h"))
+    assert low.select(header(F.col("h"), "Content-Type")).collect()[0][0] == "text/csv"
+
+
+# ------------------------------------------------------------------- urls --
+def test_domain_of_matches_parse_url(spark):
+    urls = [
+        "https://www.data.gouv.fr/fr/datasets/x?y=1",
+        "http://static.data.gouv.fr/a/b.csv",
+        "https://a.org/f.csv#frag",
+    ]
+    portable = _vals(spark, urls, lambda c: domain_of(c, portable=True))
+    native = _vals(spark, urls, lambda c: domain_of(c, portable=False))
+    assert portable == native == [
+        "www.data.gouv.fr", "static.data.gouv.fr", "a.org",
+    ]
+
+
+# ---------------------------------------------------------------- hashing --
+def test_md5_table_name_matches_python_hashlib(spark):
+    import hashlib
+
+    url = "https://a.org/f.csv"
+    out = _vals(spark, [url], lambda c: md5_table_name(c))
+    assert out == [hashlib.md5(url.encode()).hexdigest()]
+
+
+def test_hash64_deterministic_and_spread(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "v string")
+    a = [r[0] for r in df.select(hash64(F.col("v"))).collect()]
+    b = [r[0] for r in df.select(hash64(F.col("v"))).collect()]
+    assert a == b
+    assert len(set(a)) == 100
+    assert all(isinstance(x, int) and x >= 0 for x in a)

@@ -1,0 +1,102 @@
+"""S6 inference-engine golden tests — the reference's hardest piece
+(SURVEY §7.3), pinned to csv_detective behavior
+(tests/test_analysis/test_analysis_csv.py:20-123)."""
+
+from __future__ import annotations
+
+import pytest
+
+from udata_datalake_service_spark.sources.inference import (
+    infer_types,
+    inspect_csv,
+    sniff_bytes,
+)
+
+
+def test_sniff_encoding_and_separator():
+    enc, sep, hdr = sniff_bytes(b"a;b;c\n1;2;3\n4;5;6\n")
+    assert enc == "utf-8" and sep == ";" and hdr == 0
+
+    enc, sep, hdr = sniff_bytes("nom,prénom\nDupont,José\n".encode("utf-8"))
+    assert enc == "utf-8" and sep == ","
+
+    enc, sep, hdr = sniff_bytes("col1;café\nx;y\n".encode("latin-1"))
+    assert enc == "latin-1" and sep == ";"
+
+
+def test_sniff_bom():
+    enc, _, _ = sniff_bytes(b"\xef\xbb\xbfa,b\n1,2\n")
+    assert enc == "utf-8-sig"
+
+
+def test_infer_types_seven_type_system(spark):
+    rows = [
+        ("1", "1.5", "true", "2022-12-31", "2022-12-31 10:00:00", '{"a":1}', "hello"),
+        ("2", "2,5", "false", "2023-01-01", "2023-01-01 11:30:00", "[1,2]", "world"),
+        ("2.0", "1 020,20", "oui", "31/12/2022", "2023-02-02T08:00:00", '{"b":2}', "x"),
+        ("", "", "", "", "", "", ""),  # blanks must not break inference
+    ]
+    cols = "c_int c_float c_bool c_date c_datetime c_json c_str".split()
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    types = infer_types(df)
+    assert types == {
+        "c_int": "int",
+        "c_float": "float",
+        "c_bool": "bool",
+        "c_date": "date",
+        "c_datetime": "datetime",
+        "c_json": "json",
+        "c_str": "string",
+    }
+
+
+def test_infer_all_blank_column_is_string(spark):
+    df = spark.createDataFrame([("",), ("",)], "c string")
+    assert infer_types(df) == {"c": "string"}
+
+
+def test_inspect_csv_end_to_end(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "id;montant;valide;date_maj;commentaire\n"
+        "1;1 020,20;oui;2022-12-31;premier\n"
+        "2;35,5;non;2023-01-15;deuxième\n"
+        "3;;;;\n",
+        encoding="utf-8",
+    )
+    typed, insp = inspect_csv(spark, str(p))
+    assert insp.separator == ";"
+    assert insp.total_lines == 3
+    assert insp.columns["id"]["python_type"] == "int"
+    assert insp.columns["montant"]["python_type"] == "float"
+    assert insp.columns["valide"]["python_type"] == "bool"
+    assert insp.columns["date_maj"]["python_type"] == "date"
+    assert insp.columns["commentaire"]["python_type"] == "string"
+
+    rows = {r["id"]: r for r in typed.collect()}
+    assert rows[1]["montant"] == 1020.2  # French number format golden
+    assert rows[1]["valide"] is True and rows[2]["valide"] is False
+    assert rows[3]["montant"] is None
+    # synthetic __id column injected (analysis/csv.py:228)
+    assert "__id" in typed.columns
+
+
+def test_reserved_column_renamed(spark, tmp_path):
+    # reference renames Postgres system column names (analysis/csv.py:356-360)
+    p = tmp_path / "res.csv"
+    p.write_text("xmin,normal\n1,2\n3,4\n", encoding="utf-8")
+    typed, insp = inspect_csv(spark, str(p))
+    assert "xmin__hydra_renamed" in typed.columns
+    assert "normal" in typed.columns
+
+
+def test_header_offset_rows(spark, tmp_path):
+    p = tmp_path / "junk.csv"
+    p.write_text(
+        "exported by tool v3\n\nname,amount\nalice,10\nbob,20\n", encoding="utf-8"
+    )
+    typed, insp = inspect_csv(spark, str(p))
+    assert insp.header_row_idx == 2
+    assert set(["name", "amount"]) <= set(c.replace("__hydra_renamed", "") for c in typed.columns)
+    got = {r["name"]: r["amount"] for r in typed.collect()}
+    assert got == {"alice": 10, "bob": 20}

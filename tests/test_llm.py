@@ -1,0 +1,191 @@
+"""Tests for the training-data-pipeline plane: dedup, similarity, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.llm.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+    word_shingles,
+)
+from udata_datalake_service_spark.llm.multimodal import (
+    extract_image_features,
+    fake_media_from_documents,
+    frame_sample_plan,
+)
+from udata_datalake_service_spark.llm.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+    lsh_bucketed_topk,
+)
+from udata_datalake_service_spark.llm.text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "The quick brown fox jumps over the lazy dog!", "en"),  # dup of 1 mod punct
+        (3, "le chat est sur la table et il dort pour le moment", "fr"),
+        (4, "el gato es grande y la casa es bonita para todos", "es"),
+        (5, "the quick brown fox jumps over the sleepy dog", "en"),  # near-dup of 1
+        (6, "completely different content about spark query engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------------------------- text --
+def test_fingerprint_invariant_under_case_and_punct(spark, docs):
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[5]
+
+
+def test_token_count(spark, docs):
+    n = docs.filter(F.col("doc_id") == 1).select(token_count(F.col("text"))).collect()[0][0]
+    assert n == 9
+
+
+def test_detect_language(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", detect_language(F.col("text")).alias("l")).collect()}
+    assert got[1] == "en" and got[3] == "fr" and got[4] == "es"
+
+
+def test_quality_score_range(spark, docs):
+    scores = [r[0] for r in docs.select(quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert max(scores) >= 0.8  # clean english sentences score high
+
+
+def test_with_text_stats_block(spark, docs):
+    out = with_text_stats(docs)
+    assert {"n_tokens", "punct_ratio", "stopword_ratio", "quality",
+            "lang_detected", "fingerprint"} <= set(out.columns)
+    assert out.count() == 6
+
+
+# ------------------------------------------------------------------ dedup --
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5, 6]  # 2 collapsed into 1
+
+
+def test_duplicate_groups(spark, docs):
+    rows = duplicate_groups(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["canonical_id"] == 1
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "id long, text string")
+    sh = df.select(word_shingles(F.col("text"), k=3).alias("s")).collect()[0]["s"]
+    assert sh == ["one two"]  # shorter than k → single joined shingle
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, k=2, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16, k=2)
+    assert sigs.select(F.size("sig")).distinct().collect()[0][0] == 16
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, rows_per_band=4)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # identical token streams
+
+
+def test_simhash_identical_and_near(spark, docs):
+    h = {r["doc_id"]: r["h"] for r in docs.select("doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    assert h[1] == h[2]  # same normalized tokens → same simhash
+    ham_15 = bin(h[1] ^ h[5]).count("1")
+    ham_16 = bin(h[1] ^ h[6]).count("1")
+    assert ham_15 < ham_16  # near-dup closer than unrelated doc
+
+
+def test_simhash_near_dups_blocking(spark, docs):
+    out = simhash_near_dups(docs, max_hamming=16, num_blocks=4)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+
+
+# ------------------------------------------------------------- similarity --
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>")
+    val = df.select(cosine(F.col("a"), F.col("b"))).collect()[0][0]
+    assert abs(val - 1.0) < 1e-12
+
+
+def test_brute_force_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(e, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        cosines = [r["cos"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=5)
+    approx = lsh_bucketed_topk(e, q, k=5, num_planes=6, num_tables=8)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dups_vs_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    out = embedding_near_dups(e, threshold=0.9, num_planes=4, num_tables=6)
+    for r in out.collect():
+        assert r["cos"] >= 0.9 and r["id_a"] < r["id_b"]
+
+
+# -------------------------------------------------------------- multimodal --
+def test_multimodal_plumbing(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = fake_media_from_documents(d)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_bytes"] > 0 and r["width"] >= 64 and r["height"] >= 64
+        assert abs(sum(r["histogram"]) - 1.0) < 1e-9
+        assert len(r["sha"]) == 40
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), "video/mp4", {"duration_s": "12"})],
+        "media_id long, kind string, content binary, mime_type string, meta map<string,string>",
+    )
+    ts = [r["frame_ts"] for r in frame_sample_plan(media, every_n_seconds=5).collect()]
+    assert ts == [0, 5, 10]

@@ -1,0 +1,173 @@
+"""Operator-shape tests over synthetic frames + the testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.operators.checks import (
+    aggregate_for_date,
+    all_checks,
+    crawler_status,
+    latest_check,
+    stats,
+    worker_status,
+)
+from udata_datalake_service_spark.operators.core import (
+    count_over_all,
+    deterministic_sample,
+    latest_per_key,
+    pct_histogram,
+    snapshot_diff_load,
+    top_k_groups,
+    top_n_per_key,
+    union_tiers,
+    upsert,
+)
+from udata_datalake_service_spark.operators.gc import (
+    orphan_converted_tables,
+    purged_count,
+    retention_filter,
+)
+from udata_datalake_service_spark.operators.profile import profile
+
+
+def test_top_k_groups_accepts_expression(spark, checks_df):
+    out = top_k_groups(checks_df, "headers['content-type']", k=2).collect()
+    assert out[0]["value"] == "text/csv" and out[0]["count"] == 3
+
+
+def test_latest_per_key(spark, checks_df):
+    out = latest_per_key(
+        checks_df, ["resource_id"], [F.desc("created_at"), F.desc("id")]
+    )
+    got = {r["resource_id"]: r["id"] for r in out.collect()}
+    assert got == {"r1": 3, "r2": 5, "r3": 6}
+
+
+def test_top_n_per_key(spark, checks_df):
+    out = top_n_per_key(
+        checks_df, ["resource_id"], [F.desc("created_at"), F.desc("id")], 2
+    )
+    r1 = sorted(r["id"] for r in out.filter(F.col("resource_id") == "r1").collect())
+    assert r1 == [2, 3]
+
+
+def test_pct_histogram_sums_to_100(spark, checks_df):
+    rows = pct_histogram(checks_df, "status").collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.01
+
+
+def test_count_over_all(spark, checks_df):
+    rows = count_over_all(checks_df.select("id")).collect()
+    assert all(r["count"] == 6 for r in rows)
+
+
+def test_deterministic_sample_reproducible(spark, checks_df):
+    a = [r["id"] for r in deterministic_sample(checks_df, 3, ["id"]).collect()]
+    b = [r["id"] for r in deterministic_sample(checks_df, 3, ["id"]).collect()]
+    c = [r["id"] for r in deterministic_sample(checks_df, 3, ["id"], seed="zz").collect()]
+    assert a == b and len(a) == 3
+    assert set(a) != set(c) or a != c  # different seed → (almost surely) different order
+
+
+def test_union_tiers(spark, checks_df):
+    t1 = checks_df.filter(F.col("id") <= 2)
+    t2 = checks_df.filter(F.col("id") > 4)
+    assert union_tiers(t1, t2).count() == 4
+
+
+def test_upsert_updates_and_inserts(spark, catalog_df):
+    updates = spark.createDataFrame(
+        [("r1", "https://a.org/NEW.csv"), ("r9", "https://new.org/n.csv")],
+        "resource_id string, url string",
+    )
+    out = upsert(catalog_df, updates, key="resource_id", update_cols=["url"])
+    rows = {r["resource_id"]: r["url"] for r in out.collect()}
+    assert rows["r1"] == "https://a.org/NEW.csv"
+    assert rows["r9"] == "https://new.org/n.csv"
+    assert rows["r2"] == "https://b.org/g.csv"
+    assert out.count() == catalog_df.count() + 1
+
+
+def test_snapshot_diff_load_marks_missing_deleted(spark, catalog_df):
+    snap = catalog_df.filter(F.col("resource_id").isin("r1", "r2")).select(
+        "resource_id", "url", "dataset_id"
+    )
+    out = snapshot_diff_load(catalog_df, snap, key="resource_id")
+    got = {r["resource_id"]: r["deleted"] for r in out.collect()}
+    # r1/r2 survive (un-deleted), everything absent from snapshot is deleted
+    assert got["r1"] is False and got["r2"] is False
+    assert got["r3"] is True and got["r4"] is True and got["r5"] is True
+
+
+# ------------------------------------------------------- checks API plane --
+def test_latest_check_by_resource(spark, catalog_df, checks_df):
+    out = latest_check(catalog_df, checks_df, resource_id="r1")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["checksum"] == "bbb"
+
+
+def test_all_checks_by_url(spark, catalog_df, checks_df):
+    out = all_checks(catalog_df, checks_df, url="https://a.org/f.csv")
+    ids = [r["id"] for r in out.collect()]
+    assert ids == [3, 2, 1]  # newest first
+
+
+def test_aggregate_for_date(spark, checks_df):
+    out = aggregate_for_date(checks_df, "domain", "2024-01-02")
+    got = {r["value"]: r["count"] for r in out.collect()}
+    assert got == {"a.org": 1, "b.org": 1, "c.org": 1}
+
+
+def test_crawler_status(spark, catalog_df, checks_df):
+    row = crawler_status(catalog_df, checks_df).collect()[0]
+    # live catalog: r1, r2, r4, r5 (r3 deleted); r4/r5 never checked
+    assert row["total"] == 4
+    assert row["never_checked"] == 2
+    assert row["checked"] == 2
+
+
+def test_worker_status_folds_null(spark, catalog_df):
+    got = {r["status"]: r["count"] for r in worker_status(catalog_df).collect()}
+    assert got == {"NULL": 5}
+
+
+def test_stats_histogram(spark, catalog_df, checks_df):
+    rows = stats(catalog_df, checks_df).collect()
+    got = {r["value"]: r["count"] for r in rows}
+    assert got == {"200": 2}  # r1→check3 (200), r2→check5 (200); r3 deleted
+
+
+# ----------------------------------------------------------------- gc/ret --
+def test_orphan_converted_tables(spark, catalog_df, checks_df):
+    import hashlib
+
+    # make check 6's parsing_table the md5 of the *deleted* r3 url so the
+    # J4 semantics (deleted → orphan) are exercised on the derived key
+    url = "https://c.org/h.csv"
+    checks = checks_df.withColumn(
+        "parsing_table",
+        F.when(
+            F.col("id") == 6, F.lit(hashlib.md5(url.encode()).hexdigest())
+        ).otherwise(F.col("parsing_table")),
+    )
+    out = [r["parsing_table"] for r in orphan_converted_tables(checks, catalog_df).collect()]
+    # t1 belongs to live r1 url? t1 != md5(url) → cat_id NULL → orphan too
+    assert hashlib.md5(url.encode()).hexdigest() in out
+    assert "t1" in out  # not a valid md5(url) of any live row → orphan
+
+
+def test_retention_filter_and_count(spark, checks_df):
+    # all fixture rows are from 2024 → far older than 60 days from now
+    assert retention_filter(checks_df, retention_days=60).count() == 0
+    assert purged_count(checks_df, retention_days=60).collect()[0]["purged"] == 6
+
+
+# ---------------------------------------------------------------- profile --
+def test_profile_dict(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    p = profile(df, exact_distinct=True)
+    assert p["n_nationkey"]["nb_distinct"] == 25
+    assert p["n_nationkey"]["nb_missing_values"] == 0
+    assert p["n_nationkey"]["min"] == 0 and p["n_nationkey"]["max"] == 24
+    assert len(p["n_name"]["tops"]) == 10

@@ -1,0 +1,84 @@
+"""Structured Streaming plane: file-source checks stream, windowed
+per-domain rate counts, stateful change detection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.schemas import CHECKS_SCHEMA
+from udata_datalake_service_spark.streaming.checks_stream import (
+    change_detection_stream,
+    domain_rate_windows,
+    stream_checks,
+)
+
+
+def _write_checks_batch(spark, checks_df, path):
+    # align to the canonical schema (fill missing nullable columns)
+    cols = []
+    for f in CHECKS_SCHEMA.fields:
+        if f.name in checks_df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    checks_df.select(*cols).write.mode("append").parquet(path)
+
+
+@pytest.mark.slow
+def test_change_detection_stream_matches_batch(spark, checks_df, tmp_path):
+    src = str(tmp_path / "checks_lake")
+    _write_checks_batch(spark, checks_df, src)
+
+    stream = stream_checks(spark, src)
+    out = change_detection_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["check_id"]: r for r in spark.sql("SELECT * FROM chg").collect()}
+    assert rows[2]["change_status"] == "HAS_CHANGED"
+    assert rows[2]["change_method"] == "last_modified"
+    assert rows[3]["change_status"] == "HAS_NOT_CHANGED"
+    assert rows[1]["is_first_check"] is True
+    assert rows[1]["change_status"] == "NO_GUESS"
+
+
+@pytest.mark.slow
+def test_domain_rate_windows(spark, tmp_path):
+    src = str(tmp_path / "checks_rate")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, f"r{i}", "u", "hot.org", base + dt.timedelta(seconds=10 * i), 200)
+        for i in range(6)
+    ] + [(99, "r99", "u", "cold.org", base, 429)]
+    df = spark.createDataFrame(
+        rows, "id long, resource_id string, url string, domain string, created_at timestamp, status int"
+    )
+    _write_checks_batch(spark, df, src)
+
+    stream = stream_checks(spark, src)
+    # update mode: the backoff decision reads the *latest* per-window counts;
+    # append mode would withhold rows until the watermark closes each window,
+    # which a single availableNow run never reaches.
+    out = domain_rate_windows(stream, period_s=360, slide_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "SELECT domain, max(n_checks) AS mx, max(n_429) AS m429 FROM rates GROUP BY domain"
+    ).collect()
+    got = {r["domain"]: (r["mx"], r["m429"]) for r in res}
+    assert got["hot.org"][0] == 6
+    assert got["cold.org"][1] == 1

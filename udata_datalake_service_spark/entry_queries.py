@@ -1,0 +1,1025 @@
+"""The driver-facing query catalog: every SURVEY §2 operator bound to the
+synthetic testdata tables, each with a DuckDB-replayable ANSI-SQL oracle.
+
+Cross-engine determinism rules (validated empirically — cosine dot products
+are bitwise identical between Spark and DuckDB when both accumulate doubles
+in list order):
+
+- counts / min / max / string ops / md5: exact in both engines.
+- SUM over doubles: cast to DECIMAL(18,2) inside the sum (exact decimal
+  arithmetic in both), cast the result back to DOUBLE.
+- AVG / STDDEV: round(…, 4).
+- ratios & cosines: round(…, 6) (or 4), identical expression trees.
+- timestamps in outputs: emitted as unix microseconds (BIGINT) to dodge
+  datetime unit mismatches between arrow bridges.
+- every ORDER BY feeding a LIMIT carries a full deterministic tie-break.
+- computed integers are BIGINT on both sides.
+
+Each Spark callable takes (spark, sf_dir) per the driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.functions.urls import DOMAIN_REGEX, domain_of
+from udata_datalake_service_spark.functions.http import is_valid_status, split_content_type
+from udata_datalake_service_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+from udata_datalake_service_spark.llm.multimodal import (
+    extract_image_features,
+    fake_media_from_documents,
+)
+from udata_datalake_service_spark.llm.similarity import (
+    _as_double,
+    brute_force_topk,
+    cosine,
+    lsh_bucketed_topk,
+)
+from udata_datalake_service_spark.llm.text import (
+    LANG_MARKERS,
+    detect_language,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from udata_datalake_service_spark.operators.core import (
+    count_over_all,
+    deterministic_sample,
+    latest_per_key,
+    pct_histogram,
+    top_k_groups,
+    top_n_per_key,
+    union_tiers,
+    upsert,
+)
+from udata_datalake_service_spark.operators.profile import profile_df
+from udata_datalake_service_spark.plans.change_detection import _verdict
+from udata_datalake_service_spark.plans.next_check import CHECK_DELAYS_HOURS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from udata_datalake_service_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _us(col) -> F.Column:
+    """timestamp(_ntz) → unix microseconds (engine-portable output)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _dsum(col) -> F.Column:
+    """Exact decimal sum emitted as double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+# SQL fragments shared by the text oracles
+_SQL_TOKS = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+
+def _sql_shingles(k: int) -> str:
+    return (
+        f"case when len(t) >= {k} then list_distinct(list_transform("
+        f"range(1, len(t)-{k}+2), i -> array_to_string(t[i:i+{k}-1],' ')))"
+        f" else [array_to_string(t,' ')] end"
+    )
+
+
+# =========================================================================
+# Relational plane
+# =========================================================================
+def q_flagship_pricing_summary(spark, sf_dir):
+    """A2/A9 flagship: grouped pricing summary over lineitem (the headline
+    aggregate; exercises decimal-exact sums, conditional expressions)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    )
+    # multiply in exact decimal domain: casting a *computed* double product
+    # to decimal rounds differently across engines (Spark casts via Java's
+    # shortest-string repr, DuckDB via the binary value); casting the raw
+    # 2-decimal gridpoint inputs is engine-stable.
+    e_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    d_dec = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(e_dec * (F.lit(1).cast("decimal(18,2)") - d_dec))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_FLAGSHIP = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_p1_point_lookup(spark, sf_dir):
+    """P1 — point lookup by key with projection (db/resource.py:22-26)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+_SQL_P1 = "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42"
+
+
+def q_p3_exclusion_filter(spark, sf_dir):
+    """P3 — conjunction of NOT LIKE exclusions (db/resource.py:116-129)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        ~F.col("o_orderpriority").like("1-%")
+        & ~F.col("o_orderpriority").like("2-%")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+_SQL_P3 = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+WHERE o_orderpriority NOT LIKE '1-%' AND o_orderpriority NOT LIKE '2-%' AND o_orderstatus = 'F'
+"""
+
+
+def q_p4_date_cast_filter(spark, sf_dir):
+    """P4 — ``created_at::date = $1`` (db/check.py:93)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.to_date("ts") == F.lit("2024-01-15")).select(
+        "event_id", "event_type", _us(F.col("ts")).alias("ts_us")
+    )
+
+
+_SQL_P4 = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+"""
+
+
+def q_p5_json_extract(spark, sf_dir):
+    """P5 — JSON field extraction (headers->>'k', analysis/resource.py:234-244)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k_val"))
+        .filter(F.col("k_val") > 50)
+    )
+
+
+_SQL_P5 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+def q_p6_range_predicate(spark, sf_dir):
+    """P6 — range predicates + casted comparison (cli.py:196-197)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & (F.col("l_discount") <= 0.05)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+_SQL_P6 = """
+SELECT COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount <= 0.05
+"""
+
+
+def q_p9_time_window(spark, sf_dir):
+    """P9 — ``created_at >= now() - PERIOD`` (crawl/helpers.py:80-93); the
+    anchor is max(ts) so the query is reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_P9 = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type
+"""
+
+
+def q_j1_current_state_join(spark, sf_dir):
+    """J1 — current-state equi-join, small side broadcast (db/check.py:20-42)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+_SQL_J1 = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_j2_history_join(spark, sf_dir):
+    """J2 — full history of one entity through a join chain (db/check.py:76-84)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 7)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+_SQL_J2 = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_custkey = 7
+"""
+
+
+def q_j4_orphan_left_join(spark, sf_dir):
+    """J4 — left join + agg subquery, null-extension as anti-join
+    (cli.py:297-308): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o_agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderkey").alias("max_ok"))
+    )
+    return (
+        c.join(o_agg, c.c_custkey == o_agg.o_custkey, "left")
+        .filter(F.col("max_ok").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+_SQL_J4 = """
+SELECT c_custkey, c_name
+FROM customer LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS max_ok FROM orders GROUP BY o_custkey) o
+ON c_custkey = o.o_custkey
+WHERE max_ok IS NULL
+"""
+
+
+def q_j5_latest_per_key(spark, sf_dir):
+    """J5/O2 — newest row per key (dedup window idiom replacing the
+    reference's self theta-join migration)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = latest_per_key(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return latest.select("user_id", "event_id", _us(F.col("ts")).alias("ts_us"))
+
+
+_SQL_J5 = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_a1_group_topk(spark, sf_dir):
+    """A1 — `/api/checks/aggregate` group-by-expression top-k."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_groups(ev, "event_type", k=20)
+
+
+_SQL_A1 = """
+SELECT event_type AS value, COUNT(*) AS count FROM events
+GROUP BY event_type ORDER BY count DESC, value ASC LIMIT 20
+"""
+
+
+def q_a1_group_topk_json(spark, sf_dir):
+    """A1 (json variant) — group by a JSON *expression*, the reference's
+    headers->>'content-type' aggregate (db/check.py:87-98)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_groups(ev, F.get_json_object("props", "$.k"), k=20)
+
+
+_SQL_A1J = """
+WITH g AS (
+  SELECT json_extract_string(props, '$.k') AS value, COUNT(*) AS count
+  FROM events GROUP BY json_extract_string(props, '$.k')
+)
+SELECT * FROM g ORDER BY count DESC, value ASC LIMIT 20
+"""
+
+
+def q_a2_conditional_agg(spark, sf_dir):
+    """A2 — SUM(CASE WHEN …) pivots (routes/status.py:12-31)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_f"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_o"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+    )
+
+
+_SQL_A2 = """
+SELECT COUNT(*) AS total,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big
+FROM orders
+"""
+
+
+def q_a3_coalesce_group(spark, sf_dir):
+    """A3 — GROUP BY COALESCE(status,'NULL') (routes/status.py:49-53)."""
+    ev = _t(spark, sf_dir, "events")
+    g = F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("NULL"))
+    return ev.groupBy(g.alias("status")).agg(F.count(F.lit(1)).alias("count"))
+
+
+_SQL_A3 = """
+SELECT COALESCE(NULLIF(event_type, 'click'), 'NULL') AS status, COUNT(*) AS count
+FROM events GROUP BY 1
+"""
+
+
+def q_a4_pct_histogram(spark, sf_dir):
+    """A4 — histogram + percentage over total (routes/status.py:106-139)."""
+    o = _t(spark, sf_dir, "orders")
+    return pct_histogram(o, "o_orderstatus")
+
+
+_SQL_A4 = """
+SELECT o_orderstatus AS value, COUNT(*) AS count,
+  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_a5_st2_backoff_table(spark, sf_dir):
+    """A5+ST2 — sliding-window rate limiting per key: events in the trailing
+    3 days per user vs a threshold, plus the 429-analogue flag
+    (crawl/helpers.py:66-139 on the events stand-in)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    recent = ev.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 3 DAYS")
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        (F.count_if(F.col("event_type") == "error") > 0).alias("saw_error"),
+        (
+            (F.count(F.lit(1)) >= 5)
+            | (F.count_if(F.col("event_type") == "error") > 0)
+        ).alias("backoff"),
+    )
+
+
+_SQL_A5 = """
+SELECT user_id, COUNT(*) AS n_recent,
+  COUNT(*) FILTER (WHERE event_type = 'error') > 0 AS saw_error,
+  (COUNT(*) >= 5 OR COUNT(*) FILTER (WHERE event_type = 'error') > 0) AS backoff
+FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 3 DAY
+GROUP BY user_id
+"""
+
+
+def q_a6_max_booland(spark, sf_dir):
+    """A6 — MAX + BOOL_AND per group (cli.py:300-303)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1000"),
+    )
+
+
+_SQL_A6 = """
+SELECT o_custkey, MAX(o_orderkey) AS max_orderkey, BOOL_AND(o_totalprice > 1000) AS all_above_1000
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_a7_count_over_all(spark, sf_dir):
+    """A7 — count(*) OVER () alongside rows."""
+    n = _t(spark, sf_dir, "nation")
+    return count_over_all(n.select("n_nationkey", "n_name"), "total")
+
+
+_SQL_A7 = "SELECT n_nationkey, n_name, COUNT(*) OVER () AS total FROM nation"
+
+
+def q_a9_profile_numeric(spark, sf_dir):
+    """A9 — per-column profiling in one pass per column (csv_detective
+    profile replacement)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_df(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+_SQL_A9 = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column, COUNT({c}) AS n, COUNT(*) FILTER (WHERE {c} IS NULL) AS nulls,
+  COUNT(DISTINCT {c}) AS nb_distinct,
+  ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_v, ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_v,
+  ROUND(AVG({c}), 4) AS mean_v, ROUND(STDDEV({c}), 4) AS std_v
+FROM lineitem"""
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
+
+def q_o1_top2_per_key(spark, sf_dir):
+    """O1 — top-2 history probe per key (current vs previous check,
+    analysis/resource.py:234-247)."""
+    ev = _t(spark, sf_dir, "events")
+    top2 = top_n_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")], 2)
+    return top2.select("user_id", "event_id", "rn", _us(F.col("ts")).alias("ts_us"))
+
+
+_SQL_O1 = """
+SELECT user_id, event_id, rn, epoch_us(ts) AS ts_us FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def q_o3_deterministic_sample(spark, sf_dir):
+    """O3 — batch sampling; ORDER BY random() re-expressed as md5-keyed
+    pseudo-random order (reproducible + TakeOrderedAndProject at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return deterministic_sample(o, 40, ["o_orderkey"], seed="s0").select("o_orderkey")
+
+
+_SQL_O3 = """
+SELECT o_orderkey FROM orders
+ORDER BY md5('s0' || '|' || CAST(o_orderkey AS VARCHAR)) LIMIT 40
+"""
+
+
+def q_u1_union_tiers(spark, sf_dir):
+    """U1 — disjoint tier union (crawl/select_batch.py:56-89)."""
+    o = _t(spark, sf_dir, "orders")
+    t1 = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn("tier", F.lit("priority"))
+    t2 = o.filter(F.col("o_orderpriority") == "2-HIGH").withColumn("tier", F.lit("high"))
+    t3 = o.filter(F.col("o_orderpriority") == "5-LOW").withColumn("tier", F.lit("low"))
+    return union_tiers(t1, t2, t3).select("o_orderkey", "tier")
+
+
+_SQL_U1 = """
+SELECT o_orderkey, 'priority' AS tier FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL SELECT o_orderkey, 'high' FROM orders WHERE o_orderpriority = '2-HIGH'
+UNION ALL SELECT o_orderkey, 'low' FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_u2_upsert_merge(spark, sf_dir):
+    """U2 — INSERT..ON CONFLICT DO UPDATE as a full-outer merge
+    (db/resource.py:43-53 → Delta MERGE semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    updated = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_name", F.lit("UPDATED"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    inserted = c.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        F.col("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    updates = updated.unionByName(inserted)
+    return upsert(c, updates, key="c_custkey")
+
+
+_SQL_U2 = """
+WITH u AS (
+  SELECT c_custkey, 'UPDATED' AS c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', c_nationkey, 0.0, 'NEW' FROM customer WHERE c_custkey % 25 = 0
+)
+SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+  COALESCE(u.c_name, c.c_name) AS c_name,
+  COALESCE(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+  COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+  COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey
+"""
+
+
+def q_st3_next_check_ladder(spark, sf_dir):
+    """ST3 — adaptive re-check ladder (crawl/calculate_next_check.py:6-44)
+    applied over consecutive events: changed value → earliest rung, else
+    first rung ≥ hours since previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    prev_val = F.lag("value").over(w)
+    age_h = (_us(F.col("ts")) - _us(prev_ts)) / F.lit(3600000000.0)
+    changed = F.col("value") != prev_val
+
+    delays = CHECK_DELAYS_HOURS
+    ladder = F.lit(delays[-1])
+    for d in reversed(delays[:-1]):
+        ladder = F.when(age_h <= F.lit(float(d)), F.lit(d)).otherwise(ladder)
+    chosen = F.when(changed | prev_ts.isNull(), F.lit(delays[0])).otherwise(ladder)
+    return ev.select(
+        "event_id",
+        (_us(F.col("ts")) + chosen.cast("bigint") * F.lit(3600000000).cast("bigint")).alias(
+            "next_check_us"
+        ),
+    )
+
+
+_SQL_ST3 = """
+WITH x AS (
+  SELECT event_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,
+    LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_val
+  FROM events
+), y AS (
+  SELECT event_id, ts,
+    (epoch_us(ts) - epoch_us(prev_ts)) / 3600000000.0 AS age_h,
+    (value <> prev_val) AS changed, prev_ts
+  FROM x
+)
+SELECT event_id, epoch_us(ts) + CAST(CASE
+    WHEN changed OR prev_ts IS NULL THEN 12
+    WHEN age_h <= 12.0 THEN 12
+    WHEN age_h <= 24.0 THEN 24
+    WHEN age_h <= 168.0 THEN 168
+    ELSE 720 END AS BIGINT) * 3600000000 AS next_check_us
+FROM y
+"""
+
+
+def q_st4_change_detection(spark, sf_dir):
+    """ST4 — the change-detection cascade as a lag window over events:
+    method 1 = JSON payload delta, method 2 = value delta; first conclusive
+    verdict wins (analysis/resource.py:216-267 re-expressed set-oriented)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = ev.withColumn("__k", k)
+    prev_k = F.lag("__k").over(w)
+    prev_v = F.lag("value").over(w)
+    v1 = _verdict(F.col("__k"), prev_k)
+    v2 = _verdict(F.col("value"), prev_v)
+    status = F.when(v1 != "NO_GUESS", v1).otherwise(
+        F.when(v2 != "NO_GUESS", v2).otherwise(F.lit("NO_GUESS"))
+    )
+    method = F.when(v1 != "NO_GUESS", F.lit("payload")).otherwise(
+        F.when(v2 != "NO_GUESS", F.lit("value"))
+    )
+    return ev.select(
+        "event_id", status.alias("change_status"), method.alias("change_method")
+    )
+
+
+_SQL_ST4 = """
+WITH x AS (
+  SELECT event_id,
+    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+    value,
+    LAG(CAST(json_extract_string(props,'$.k') AS BIGINT)) OVER w AS prev_k,
+    LAG(value) OVER w AS prev_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), v AS (
+  SELECT event_id,
+    CASE WHEN k IS NULL OR prev_k IS NULL THEN 'NO_GUESS'
+         WHEN k <> prev_k THEN 'HAS_CHANGED' ELSE 'HAS_NOT_CHANGED' END AS v1,
+    CASE WHEN value IS NULL OR prev_v IS NULL THEN 'NO_GUESS'
+         WHEN value <> prev_v THEN 'HAS_CHANGED' ELSE 'HAS_NOT_CHANGED' END AS v2
+  FROM x
+)
+SELECT event_id,
+  CASE WHEN v1 <> 'NO_GUESS' THEN v1 WHEN v2 <> 'NO_GUESS' THEN v2 ELSE 'NO_GUESS' END AS change_status,
+  CASE WHEN v1 <> 'NO_GUESS' THEN 'payload' WHEN v2 <> 'NO_GUESS' THEN 'value' ELSE NULL END AS change_method
+FROM v
+"""
+
+
+def q_f_scalar_surface(spark, sf_dir):
+    """F1/F8/F9/F11 — scalar surface showcase: md5 naming, domain
+    extraction, content-type split, tri-state HTTP validity."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://"), F.col("event_type"), F.lit(".example.org/p?x=1"))
+    ct = F.concat(F.col("event_type"), F.lit("; charset=utf-8"))
+    status = (F.lit(200) + F.col("event_id") % 300).cast("int")
+    return ev.select(
+        "event_id",
+        F.md5("event_type").alias("et_md5"),
+        domain_of(url).alias("domain"),
+        split_content_type(ct).alias("content_type"),
+        status.cast("long").alias("status"),
+        is_valid_status(status).alias("is_valid"),
+    )
+
+
+_SQL_FSC = f"""
+SELECT event_id, md5(event_type) AS et_md5,
+  regexp_extract('https://' || event_type || '.example.org/p?x=1', '{DOMAIN_REGEX}', 1) AS domain,
+  trim(string_split(event_type || '; charset=utf-8', ';')[1]) AS content_type,
+  200 + event_id % 300 AS status,
+  CASE WHEN 200 + event_id % 300 = 429 THEN NULL
+       WHEN 200 + event_id % 300 >= 200 AND 200 + event_id % 300 < 400 THEN TRUE
+       ELSE FALSE END AS is_valid
+FROM events
+"""
+
+
+# =========================================================================
+# Text / LLM plane
+# =========================================================================
+def q_tx_stats(spark, sf_dir):
+    """Text quality block: token count, punctuation/stopword ratios,
+    composite quality score."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+    )
+
+
+_SQL_TX_STATS = f"""
+WITH x AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS npunct,
+    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS nalpha
+  FROM documents
+), y AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    CASE WHEN nc > 0 THEN npunct / nc ELSE 0.0 END AS praw,
+    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS DOUBLE) / len(t) ELSE 0.0 END AS sraw,
+    CASE WHEN len(t) > 0 THEN nalpha / len(t) ELSE 0.0 END AS mean_wlen
+  FROM x
+)
+SELECT doc_id, n_tokens, ROUND(praw, 4) AS punct_ratio, ROUND(sraw, 4) AS stopword_ratio,
+  ROUND(CAST(
+    CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+    + CASE WHEN praw <= 0.2 THEN 0.2 ELSE 0.0 END
+    + CASE WHEN sraw >= 0.01 THEN 0.2 ELSE 0.0 END
+    + CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.2 ELSE 0.0 END AS DOUBLE), 4) AS quality
+FROM y
+"""
+
+
+def q_tx_langid(spark, sf_dir):
+    """Language ID: argmax over per-language marker-token hits."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_declared"),
+        detect_language(F.col("text")).alias("lang_detected"),
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> x IN ({markers})))"
+
+
+_SQL_TX_LANGID = f"""
+WITH x AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+h AS (
+  SELECT doc_id, lang,
+    {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('en')} AS h_en,
+    {_sql_lang_hits('es')} AS h_es, {_sql_lang_hits('fr')} AS h_fr
+  FROM x
+)
+SELECT doc_id, lang AS lang_declared,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) < 1 THEN 'und'
+       WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_detected
+FROM h
+"""
+
+
+def q_tx_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint (normalized-token md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_TX_FP = f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents"
+
+
+def q_dd_exact_prefix_groups(spark, sf_dir):
+    """Exact dedup via hash-groupBy on a canonical key (5-token prefix —
+    catches the planted near-identical docs); emits dup groups."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(tokens(F.col("text")), 1, 5), " "))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SQL_DD_EXACT = f"""
+SELECT md5(array_to_string({_SQL_TOKS}[1:5], ' ')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+_MINHASH_N = 8
+_MINHASH_K = 2
+_LSH_BANDS = 2
+_LSH_ROWS = 4
+
+
+def q_dd_minhash_signature(spark, sf_dir):
+    """MinHash signatures (md5-min family, k=2 shingles), emitted as one
+    joined string for portable comparison."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K)
+    return sigs.select(
+        F.col("id").alias("doc_id"), F.array_join("sig", "|").alias("signature")
+    )
+
+
+def _sql_minhash_mins() -> list[str]:
+    return [
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        for i in range(_MINHASH_N)
+    ]
+
+
+_SQL_DD_MINHASH = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x)
+SELECT doc_id, concat_ws('|', {', '.join(_sql_minhash_mins())}) AS signature FROM s
+"""
+
+
+def q_dd_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs with signature-overlap Jaccard estimate
+    — the scalable near-dup pipeline end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return minhash_jaccard_estimate(sigs, pairs)
+
+
+def _sql_band_key(b: int) -> str:
+    mins = _sql_minhash_mins()[b * _LSH_ROWS : (b + 1) * _LSH_ROWS]
+    return f"md5(concat_ws('|', {', '.join(mins)}))"
+
+
+_SQL_DD_LSH = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x),
+sigs AS (SELECT doc_id, [{', '.join(_sql_minhash_mins())}] AS sig FROM s),
+buckets AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS bkey FROM s" for b in range(_LSH_BANDS))}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  ROUND(CAST(len(list_filter(range(1, {_MINHASH_N + 1}), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS DOUBLE) / {_MINHASH_N}, 6) AS jaccard_est
+FROM pairs p JOIN sigs sa ON p.id_a = sa.doc_id JOIN sigs sb ON p.id_b = sb.doc_id
+"""
+
+
+def q_dd_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=2, threshold=0.35)
+
+
+_SQL_DD_NGRAM = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest({_sql_shingles(2)}) AS s FROM x),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
+"""
+
+
+def q_dd_simhash(spark, sf_dir):
+    """SimHash64 per document (no SQL oracle — bit-plane math; verified by
+    unit tests + the Hamming-blocked near-dup tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors vec_id < 5 (broadcast cross
+    join + per-query window top-k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    res = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return res.withColumnRenamed("rank", "rnk")
+
+
+_SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.v, e.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+def q_ann_near_dups_exact(spark, sf_dir):
+    """Embedding near-dup pairs (cos ≥ 0.42) — exact all-pairs baseline
+    (the LSH-bucketed variant is the scale path; this is its verifier)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.42)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+_SQL_ANN_NEAR = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate (sign-LSH bucketed) top-k — the 100 TB candidate path.
+    No SQL oracle (approximate recall by construction); the brute-force
+    query above is its ground truth."""
+    e = _t(spark, sf_dir, "embeddings")
+    res = lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return res.withColumnRenamed("rank", "rnk")
+
+
+def q_mm_image_meta(spark, sf_dir):
+    """Multimodal plumbing: binary content → mapInPandas feature extraction
+    (stub decode kernel, deterministic) — the Arrow batch path itself is
+    what's being verified against the SQL replay of the stub math."""
+    d = _t(spark, sf_dir, "documents")
+    media = fake_media_from_documents(d)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+    )
+
+
+_SQL_MM = """
+SELECT doc_id AS media_id,
+  64 + (strlen(text) % 512) AS width,
+  64 + ((strlen(text) // 7) % 512) AS height,
+  strlen(text) AS n_bytes
+FROM documents
+"""
+
+
+# =========================================================================
+# The contract
+# =========================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_pricing_summary": q_flagship_pricing_summary,
+    "p1_point_lookup": q_p1_point_lookup,
+    "p3_exclusion_filter": q_p3_exclusion_filter,
+    "p4_date_cast_filter": q_p4_date_cast_filter,
+    "p5_json_extract": q_p5_json_extract,
+    "p6_range_predicate": q_p6_range_predicate,
+    "p9_time_window": q_p9_time_window,
+    "j1_current_state_join": q_j1_current_state_join,
+    "j2_history_join": q_j2_history_join,
+    "j4_orphan_left_join": q_j4_orphan_left_join,
+    "j5_latest_per_key": q_j5_latest_per_key,
+    "a1_group_topk": q_a1_group_topk,
+    "a1_group_topk_json": q_a1_group_topk_json,
+    "a2_conditional_agg": q_a2_conditional_agg,
+    "a3_coalesce_group": q_a3_coalesce_group,
+    "a4_pct_histogram": q_a4_pct_histogram,
+    "a5_st2_backoff_table": q_a5_st2_backoff_table,
+    "a6_max_booland": q_a6_max_booland,
+    "a7_count_over_all": q_a7_count_over_all,
+    "a9_profile_numeric": q_a9_profile_numeric,
+    "o1_top2_per_key": q_o1_top2_per_key,
+    "o3_deterministic_sample": q_o3_deterministic_sample,
+    "u1_union_tiers": q_u1_union_tiers,
+    "u2_upsert_merge": q_u2_upsert_merge,
+    "st3_next_check_ladder": q_st3_next_check_ladder,
+    "st4_change_detection": q_st4_change_detection,
+    "f_scalar_surface": q_f_scalar_surface,
+    "tx_stats": q_tx_stats,
+    "tx_langid": q_tx_langid,
+    "tx_fingerprint": q_tx_fingerprint,
+    "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
+    "dd_minhash_signature": q_dd_minhash_signature,
+    "dd_lsh_pairs": q_dd_lsh_pairs,
+    "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "dd_simhash": q_dd_simhash,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_near_dups_exact": q_ann_near_dups_exact,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "mm_image_meta": q_mm_image_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_pricing_summary": _SQL_FLAGSHIP,
+    "p1_point_lookup": _SQL_P1,
+    "p3_exclusion_filter": _SQL_P3,
+    "p4_date_cast_filter": _SQL_P4,
+    "p5_json_extract": _SQL_P5,
+    "p6_range_predicate": _SQL_P6,
+    "p9_time_window": _SQL_P9,
+    "j1_current_state_join": _SQL_J1,
+    "j2_history_join": _SQL_J2,
+    "j4_orphan_left_join": _SQL_J4,
+    "j5_latest_per_key": _SQL_J5,
+    "a1_group_topk": _SQL_A1,
+    "a1_group_topk_json": _SQL_A1J,
+    "a2_conditional_agg": _SQL_A2,
+    "a3_coalesce_group": _SQL_A3,
+    "a4_pct_histogram": _SQL_A4,
+    "a5_st2_backoff_table": _SQL_A5,
+    "a6_max_booland": _SQL_A6,
+    "a7_count_over_all": _SQL_A7,
+    "a9_profile_numeric": _SQL_A9,
+    "o1_top2_per_key": _SQL_O1,
+    "o3_deterministic_sample": _SQL_O3,
+    "u1_union_tiers": _SQL_U1,
+    "u2_upsert_merge": _SQL_U2,
+    "st3_next_check_ladder": _SQL_ST3,
+    "st4_change_detection": _SQL_ST4,
+    "f_scalar_surface": _SQL_FSC,
+    "tx_stats": _SQL_TX_STATS,
+    "tx_langid": _SQL_TX_LANGID,
+    "tx_fingerprint": _SQL_TX_FP,
+    "dd_exact_prefix_groups": _SQL_DD_EXACT,
+    "dd_minhash_signature": _SQL_DD_MINHASH,
+    "dd_lsh_pairs": _SQL_DD_LSH,
+    "dd_ngram_jaccard": _SQL_DD_NGRAM,
+    # dd_simhash / ann_topk_lsh: deliberately no oracle (non-SQL / approximate)
+    "ann_topk_bruteforce": _SQL_ANN_TOPK,
+    "ann_near_dups_exact": _SQL_ANN_NEAR,
+    "mm_image_meta": _SQL_MM,
+}

@@ -137,12 +137,15 @@ def minhash_signatures(
     engine-portable.
     """
     sh = F.array_distinct(word_shingles(F.col(text), k))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}|"), t))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def min_for_seed(seed: int) -> Column:
+        # closure (not default-arg lambda: pyspark reads extra params as the
+        # higher-order function's index argument)
+        return F.array_min(
+            F.transform(sh, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
+        )
+
+    sig = F.array(*[min_for_seed(i) for i in range(num_hashes)])
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -209,20 +212,25 @@ def simhash64(text_col: Column) -> Column:
     toks = tokens(text_col)
     h = lambda t: F.substring(F.md5(t), 1, 16)  # noqa: E731
 
+    def digits_at(nib: int) -> Column:
+        return F.transform(
+            toks, lambda t: F.conv(F.substring(h(t), nib + 1, 1), 16, 10).cast("int")
+        )
+
+    def votes_for(digit: Column, mask: int) -> Column:
+        return F.aggregate(
+            digit,
+            F.lit(0),
+            lambda a, d: a + F.when(d.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1),
+        )
+
     # per-nibble signed contributions; nibble n of token = hex digit n
     acc = F.lit(0).cast("bigint")
     for nib in range(16):
-        digit = F.transform(
-            toks, lambda t, nib=nib: F.conv(F.substring(h(t), nib + 1, 1), 16, 10).cast("int")
-        )
+        digit = digits_at(nib)
         for bit in range(4):
             mask = 1 << (3 - bit)
-            votes = F.aggregate(
-                digit,
-                F.lit(0),
-                lambda a, d, mask=mask: a
-                + F.when(d.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1),
-            )
+            votes = votes_for(digit, mask)
             bit_pos = 63 - (nib * 4 + bit)  # MSB-first
             acc = acc + F.when(
                 votes > 0, F.shiftleft(F.lit(1).cast("bigint"), bit_pos)

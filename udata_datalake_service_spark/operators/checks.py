@@ -94,8 +94,13 @@ def stats(catalog: DataFrame, checks: DataFrame) -> DataFrame:
 
     live = catalog.filter(~F.col("deleted") & F.col("last_check").isNotNull())
     cur = live.join(
-        checks.select(F.col("id").alias("__chk_id"), "status", "error", "timeout"),
+        checks.select(
+            F.col("id").alias("__chk_id"),
+            F.col("status").alias("__chk_status"),
+            "error",
+            "timeout",
+        ),
         live.last_check == F.col("__chk_id"),
         "inner",
     )
-    return pct_histogram(cur, F.col("status").cast("string"))
+    return pct_histogram(cur, F.col("__chk_status").cast("string"))

@@ -82,6 +82,23 @@ TESTDATA_TABLES = (
 )
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table, normalizing schema quirks.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark refuses
+    by default; read it as a long (legacy conf) and rebuild a proper
+    TimestampType from integer microseconds (values are µs-exact, verified
+    — and integer DIV avoids any double-precision detour).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Register the driver's synthetic tables as temp views and return them.
 
@@ -90,7 +107,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """
     out = {}
     for name in TESTDATA_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

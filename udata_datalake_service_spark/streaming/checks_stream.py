@@ -95,6 +95,8 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         pdf = pdf.sort_values(["created_at", "id"])
         for r in pdf.itertuples(index=False):
             cur_lm = r.detected_last_modified_at
+            if cur_lm is not None and pd.isna(cur_lm):  # NaT → None (state-safe)
+                cur_lm = None
             cur_cl = (
                 int(r.headers["content-length"])
                 if isinstance(r.headers, dict) and r.headers.get("content-length")
