@@ -123,6 +123,17 @@ def test_simhash_identical_and_near(spark, docs):
     assert ham_15 < ham_16  # near-dup closer than unrelated doc
 
 
+def test_simhash_table_matches_column_form(spark, docs):
+    from udata_datalake_service_spark.llm.dedup import simhash_table
+
+    col_form = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    }
+    tbl_form = {r["id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert col_form == tbl_form
+
+
 def test_simhash_near_dups_blocking(spark, docs):
     out = simhash_near_dups(docs, max_hamming=16, num_blocks=4)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}

@@ -32,7 +32,7 @@ from udata_datalake_service_spark.llm.dedup import (
     minhash_jaccard_estimate,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash_table,
     word_shingles,
 )
 from udata_datalake_service_spark.llm.multimodal import (
@@ -42,8 +42,9 @@ from udata_datalake_service_spark.llm.multimodal import (
 from udata_datalake_service_spark.llm.similarity import (
     _as_double,
     brute_force_topk,
-    cosine,
+    dot,
     lsh_bucketed_topk,
+    norm,
 )
 from udata_datalake_service_spark.llm.text import (
     LANG_MARKERS,
@@ -74,6 +75,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from udata_datalake_service_spark.session import read_table
 
     return read_table(spark, sf_dir, name)
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + round-robin repartition to full parallelism.
+
+    The synthetic tables are single-row-group parquet files → 1-partition
+    scans. For the compute-heavy per-row paths (tokenize/shingle/hash/dot)
+    a ~1 MB shuffle buys N-way parallelism; on a real lake the scan itself
+    is already split and this repartition would be dropped.
+    """
+    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _us(col) -> F.Column:
@@ -670,7 +682,7 @@ FROM events
 def q_tx_stats(spark, sf_dir):
     """Text quality block: token count, punctuation/stopword ratios,
     composite quality score."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -707,7 +719,7 @@ FROM y
 
 def q_tx_langid(spark, sf_dir):
     """Language ID: argmax over per-language marker-token hits."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.col("lang").alias("lang_declared"),
         detect_language(F.col("text")).alias("lang_detected"),
@@ -739,7 +751,7 @@ FROM h
 
 def q_tx_fingerprint(spark, sf_dir):
     """Canonical content fingerprint (normalized-token md5)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -749,7 +761,7 @@ _SQL_TX_FP = f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM 
 def q_dd_exact_prefix_groups(spark, sf_dir):
     """Exact dedup via hash-groupBy on a canonical key (5-token prefix —
     catches the planted near-identical docs); emits dup groups."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     fp = F.md5(F.array_join(F.slice(tokens(F.col("text")), 1, 5), " "))
     return (
         d.withColumn("fp", fp)
@@ -775,7 +787,7 @@ _LSH_ROWS = 4
 def q_dd_minhash_signature(spark, sf_dir):
     """MinHash signatures (md5-min family, k=2 shingles), emitted as one
     joined string for portable comparison."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K)
     return sigs.select(
         F.col("id").alias("doc_id"), F.array_join("sig", "|").alias("signature")
@@ -798,9 +810,11 @@ SELECT doc_id, concat_ws('|', {', '.join(_sql_minhash_mins())}) AS signature FRO
 
 def q_dd_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs with signature-overlap Jaccard estimate
-    — the scalable near-dup pipeline end-to-end."""
-    d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K)
+    — the scalable near-dup pipeline end-to-end. The signature table is
+    persisted: banding + the two estimate joins read it three times (at
+    production scale this is the materialized signatures table)."""
+    d = _tw(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
     pairs = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
     return minhash_jaccard_estimate(sigs, pairs)
 
@@ -829,7 +843,7 @@ FROM pairs p JOIN sigs sa ON p.id_a = sa.doc_id JOIN sigs sb ON p.id_b = sb.doc_
 
 def q_dd_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, k=2, threshold=0.35)
 
 
@@ -850,16 +864,17 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash64 per document (no SQL oracle — bit-plane math; verified by
-    unit tests + the Hamming-blocked near-dup tests)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    unit tests + the Hamming-blocked near-dup tests + the
+    simhash_table≡simhash64 equivalence test)."""
+    d = _tw(spark, sf_dir, "documents")
+    return simhash_table(d).select(F.col("id").alias("doc_id"), "simhash")
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for query vectors vec_id < 5 (broadcast cross
     join + per-query window top-k)."""
-    e = _t(spark, sf_dir, "embeddings")
-    res = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    e = _tw(spark, sf_dir, "embeddings")
+    res = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10, dim=64)
     return res.withColumnRenamed("rank", "rnk")
 
 
@@ -882,13 +897,20 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 def q_ann_near_dups_exact(spark, sf_dir):
     """Embedding near-dup pairs (cos ≥ 0.42) — exact all-pairs baseline
     (the LSH-bucketed variant is the scale path; this is its verifier)."""
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb"))
+    e = _tw(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va")
+    ).withColumn("na", norm(F.col("va"), 64))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb")
+    ).withColumn("nb", norm(F.col("vb"), 64))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos") >= 0.42)
         .select("id_a", "id_b", "cos")
     )
@@ -909,7 +931,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     """Approximate (sign-LSH bucketed) top-k — the 100 TB candidate path.
     No SQL oracle (approximate recall by construction); the brute-force
     query above is its ground truth."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     res = lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
     return res.withColumnRenamed("rank", "rnk")
 
@@ -918,6 +940,8 @@ def q_mm_image_meta(spark, sf_dir):
     """Multimodal plumbing: binary content → mapInPandas feature extraction
     (stub decode kernel, deterministic) — the Arrow batch path itself is
     what's being verified against the SQL replay of the stub math."""
+    # plain read: the stub decode is trivial per row, so a wide fan-out only
+    # multiplies python-worker cold starts; real scans split on their own
     d = _t(spark, sf_dir, "documents")
     media = fake_media_from_documents(d)
     feats = extract_image_features(media)

@@ -98,6 +98,10 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(rare.select("sh"), on="sh", how="inner")
+    # the inverted index is read 3× (sizes + both join sides); persist it so
+    # shingling runs once (the production analogue is a materialized
+    # shingle-index table)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("id").alias("id_a"), "sh")
@@ -135,18 +139,28 @@ def minhash_signatures(
     is uniform on hex strings, so string-min is a faithful min-wise hash;
     using hex strings (not ints) keeps the oracle SQL trivial and
     engine-portable.
+
+    Physical shape: explode(distinct shingles) → groupBy(id).agg(num_hashes
+    MINs). All md5/min work runs in whole-stage codegen with map-side
+    partial aggregation (each task emits one row per doc) — the shuffle
+    carries only signatures, and nothing is evaluated through interpreted
+    higher-order functions.
     """
-    sh = F.array_distinct(word_shingles(F.col(text), k))
-
-    def min_for_seed(seed: int) -> Column:
-        # closure (not default-arg lambda: pyspark reads extra params as the
-        # higher-order function's index argument)
-        return F.array_min(
-            F.transform(sh, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
         )
-
-    sig = F.array(*[min_for_seed(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -159,20 +173,21 @@ def lsh_candidate_pairs(
     Identical band slice ⇒ candidate pair. Returns distinct (id_a < id_b)
     candidates; feed them to an exact verifier (``ngram_jaccard_pairs`` on
     the candidate subset or estimate from signature overlap).
+
+    All band keys are derived in ONE pass over the signatures (posexplode),
+    not one re-read of the upstream per band.
     """
-    bands = []
-    for b in range(num_bands):
-        key = F.md5(
-            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
-        )
-        bands.append(
-            signatures.select(
-                "id", F.lit(b).alias("band"), key.alias("bkey")
+    keys = F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                )
             )
-        )
-    exploded = bands[0]
-    for x in bands[1:]:
-        exploded = exploded.unionByName(x)
+            for b in range(num_bands)
+        ]
+    )
+    exploded = signatures.select("id", F.posexplode(keys).alias("band", "bkey"))
 
     l = exploded.select(F.col("id").alias("id_a"), "band", "bkey")
     r = exploded.select(F.col("id").alias("id_b"), "band", "bkey")
@@ -238,6 +253,49 @@ def simhash64(text_col: Column) -> Column:
     return acc
 
 
+def simhash_table(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", out: str = "simhash"
+) -> DataFrame:
+    """Corpus-scale SimHash64: one md5 per token, bit votes as 64
+    conditional sums in a single groupBy.
+
+    Same bits as ``simhash64`` (asserted by tests), different physical
+    shape: explode(tokens) computes each token hash exactly once (the
+    column-expression form re-evaluates md5 per bit plane through
+    interpreted lambdas — 64× the hashing). The bit tests are integer
+    shift/mask ops in whole-stage codegen, and groupBy(id) partial-aggregates
+    map-side, so the shuffle carries 64 small ints per doc.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t")
+    )
+    hx = F.md5(F.col("t"))
+    tok = tok.select(
+        "id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    votes = []
+    for bit in range(64):  # bit 0 = MSB of the 64-bit token hash
+        src, pos = (F.col("hi"), 31 - bit) if bit < 32 else (F.col("lo"), 63 - bit)
+        is_set = F.shiftrightunsigned(src, pos).bitwiseAND(F.lit(1)) == 1
+        votes.append(F.sum(F.when(is_set, 1).otherwise(-1)).alias(f"__v{bit}"))
+    g = tok.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("bigint")
+    for bit in range(64):
+        acc = acc + F.when(
+            F.col(f"__v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), 63 - bit)
+        ).otherwise(F.lit(0).cast("bigint"))
+    sim = g.select("id", acc.alias(out))
+    # token-less docs vanish in the explode; restore them with simhash 0
+    # (what the vote loop yields for an empty token list)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sim, on="id", how="left")
+        .select("id", F.coalesce(F.col(out), F.lit(0).cast("bigint")).alias(out))
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text: str = "text",
@@ -251,20 +309,27 @@ def simhash_near_dups(
     blocks; any pair within distance d < num_blocks must agree on ≥1 block →
     equi-join per block, then exact popcount filter. No cross join.
     """
-    with_h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text)).alias("h"))
+    with_h = simhash_table(df, text=text, id_col=id_col, out="h")
     block_bits = 64 // num_blocks
 
-    cands = None
-    for blk in range(num_blocks):
-        # block key via unsigned shift — avoids 64-bit literal masks
-        key = F.shiftrightunsigned(F.col("h"), blk * block_bits).bitwiseAND(
-            F.lit((1 << block_bits) - 1)
-        )
-        side = with_h.select("id", "h", key.alias("bkey"))
-        l = side.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "bkey")
-        r = side.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "bkey")
-        pairs = l.join(r, on="bkey").filter(F.col("id_a") < F.col("id_b")).drop("bkey")
-        cands = pairs if cands is None else cands.unionByName(pairs)
+    # one pass: every block key via posexplode; block index joins with the
+    # key so different blocks never collide
+    keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("h"), blk * block_bits).bitwiseAND(
+                F.lit((1 << block_bits) - 1)
+            )
+            for blk in range(num_blocks)
+        ]
+    )
+    side = with_h.select("id", "h", F.posexplode(keys).alias("blk", "bkey"))
+    l = side.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "blk", "bkey")
+    r = side.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "blk", "bkey")
+    cands = (
+        l.join(r, on=["blk", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+    )
 
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

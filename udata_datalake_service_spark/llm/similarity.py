@@ -27,7 +27,22 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-order dot product.
+
+    With ``dim`` known, unrolls to ``a[0]*b[0] + a[1]*b[1] + …`` — plain
+    expressions inside whole-stage codegen, ~2 orders of magnitude faster
+    than the interpreted higher-order-function path, and bit-identical to
+    it (left-associated IEEE adds in list order, the same order DuckDB's
+    ``list_dot_product`` uses). Without ``dim``, falls back to
+    ``aggregate`` (works for any length, interpreted).
+    """
+    if dim is not None:
+        terms = [a.getItem(i) * b.getItem(i) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -35,12 +50,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -49,25 +64,30 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query.
 
     ``queries`` is expected small (broadcast); the corpus is scanned once.
-    Result: (query_id, neighbor_id, cos) with rank ≤ k, self-matches
-    excluded, ties broken by neighbor id for determinism.
+    Norms are computed once per row *before* the pair blow-up (1 dot per
+    pair instead of 3). Result: (query_id, neighbor_id, cos) with rank ≤ k,
+    self-matches excluded, ties broken by neighbor id for determinism.
     """
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
+        ).withColumn("qn", norm(F.col("qv"), dim))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"), dim))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -98,7 +118,15 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit string ('1'/'0' per plane) — the LSH bucket key."""
+    """Sign-bit string ('1'/'0' per plane) — the LSH bucket key.
+
+    Deliberately uses the interpreted ``aggregate`` dot: unrolling
+    num_planes × num_tables × dim terms into one projection overflows
+    janino's method-size limit (ANSI array-bounds checks per getItem) and
+    degrades to a far slower interpreted giant-tree fallback. Key
+    computation is once per row — not the hot path; the per-pair scoring
+    dot is the unrolled one.
+    """
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
@@ -127,24 +155,40 @@ def lsh_bucketed_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv"), dim))
+
+    # all tables' bucket keys in ONE pass over each side (posexplode), not
+    # num_tables re-reads of the corpus
+    def keys(vec: Column) -> Column:
+        return F.array(
+            *[
+                signature_bits(vec, _hyperplanes(dim, num_planes, seed=7 + t))
+                for t in range(num_tables)
+            ]
+        )
+
+    cb = c.select(
+        "neighbor_id", F.posexplode(keys(F.col("cv"))).alias("table", "bkey")
     )
-
-    cand = None
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed=7 + t)
-        cb = c.select("neighbor_id", signature_bits(F.col("cv"), planes).alias("bkey"))
-        qb = q.select("query_id", signature_bits(F.col("qv"), planes).alias("bkey"))
-        pairs = qb.join(cb, on="bkey").select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-
-    cand = cand.distinct().filter(F.col("query_id") != F.col("neighbor_id"))
+    qb = q.select(
+        "query_id", F.posexplode(keys(F.col("qv"))).alias("table", "bkey")
+    )
+    cand = (
+        qb.join(cb, on=["table", "bkey"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     scored = (
         cand.join(q, on="query_id")
         .join(c, on="neighbor_id")
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -166,22 +210,30 @@ def embedding_near_dups(
     """Near-duplicate vectors (cos ≥ threshold) via LSH self-join."""
     c = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v"), dim))
+    bkeys = F.array(
+        *[
+            signature_bits(F.col("v"), _hyperplanes(dim, num_planes, seed=101 + t))
+            for t in range(num_tables)
+        ]
     )
-    cand = None
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed=101 + t)
-        b = c.select("id", "v", signature_bits(F.col("v"), planes).alias("bkey"))
-        l = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkey")
-        r = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkey")
-        pairs = (
-            l.join(r, on="bkey")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    b = c.select("id", "v", "nrm", F.posexplode(bkeys).alias("table", "bkey"))
+    l = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+        "table", "bkey",
+    )
+    r = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        "table", "bkey",
+    )
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        l.join(r, on=["table", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
