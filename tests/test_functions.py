@@ -35,9 +35,13 @@ def _vals(spark, values, expr):
 
 # ---------------------------------------------------------------- casting --
 def test_smart_cast_int_accepts_float_strings(spark):
-    # reference: "2.0" → 2 (test_analysis_csv.py:97)
-    out = _vals(spark, ["2", "2.0", "x", "", "3.5"], lambda c: smart_cast("int", c))
-    assert out == [2, 2, None, None, None]
+    # reference: "2.0" → 2 (test_analysis_csv.py:97); the int fallback is
+    # int(str2float(v)) which TRUNCATES "3.5" → 3 (analysis/csv.py:210-213),
+    # and its `if _value:` guard maps float-zero "0.0" → NULL (quirk)
+    out = _vals(
+        spark, ["2", "2.0", "x", "", "3.5", "0.0"], lambda c: smart_cast("int", c)
+    )
+    assert out == [2, 2, None, None, 3, None]
 
 
 def test_smart_cast_float_french_format(spark):

@@ -676,6 +676,444 @@ FROM events
 """
 
 
+def q_p7_like_contains(spark, sf_dir):
+    """P7 — LIKE '%x%' / contains / <> predicates (cli.py:195,204-218)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%AND%")
+        & F.col("p_name").contains("a")
+        & (F.col("p_brand") != "Brand#45")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+_SQL_P7 = """
+SELECT p_partkey, p_name, p_type, p_brand FROM part
+WHERE p_type LIKE '%AND%' AND p_name LIKE '%a%' AND p_brand <> 'Brand#45'
+"""
+
+
+def q_p8_null_bool_predicates(spark, sf_dir):
+    """P8 — IS NULL / boolean-column predicates (crawl/select_batch.py:47-89:
+    ``last_check IS NULL``, ``priority = True``). The nullable column is
+    derived (the synthetic tables have no NULLs)."""
+    ev = _t(spark, sf_dir, "events")
+    last_check = F.when(F.col("event_id") % 7 != 0, F.col("event_id"))
+    priority = F.col("event_type") == "signup"
+    return (
+        ev.select("event_id", last_check.alias("last_check"), priority.alias("priority"))
+        .filter(F.col("last_check").isNull() | F.col("priority"))
+    )
+
+
+_SQL_P8 = """
+SELECT event_id,
+  CASE WHEN event_id % 7 <> 0 THEN event_id END AS last_check,
+  event_type = 'signup' AS priority
+FROM events
+WHERE (event_id % 7 = 0) OR event_type = 'signup'
+"""
+
+
+def q_p10_retention_survivors(spark, sf_dir):
+    """P10/ST7 — retention purge: rows that survive a 30-day cutoff
+    (cli.py:272-283), anchored at max(ts) for reproducibility. On a
+    date-partitioned lake the purge is pure partition drops."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 30 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_SQL_P10 = """
+SELECT event_type, COUNT(*) AS n_kept FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 30 DAY
+GROUP BY event_type
+"""
+
+
+def q_a8_purge_returning_count(spark, sf_dir):
+    """A8 — WITH deleted AS (DELETE … RETURNING *) SELECT count(*)
+    (cli.py:279-281): count what the purge would remove."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") < F.col("__mx") - F.expr("INTERVAL 30 DAYS"))
+        .agg(F.count(F.lit(1)).alias("purged"))
+    )
+
+
+_SQL_A8 = """
+SELECT COUNT(*) AS purged FROM events
+WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 30 DAY
+"""
+
+
+def _catalog_from_orders(spark, sf_dir):
+    """Catalog/checks stand-ins for the crawl-plane queries, derived
+    deterministically from orders."""
+    o = _t(spark, sf_dir, "orders")
+    catalog = o.select(
+        F.col("o_orderkey").cast("string").alias("resource_id"),
+        F.concat(F.lit("https://data.example.org/r/"), F.col("o_orderkey")).alias("url"),
+        (F.col("o_orderstatus") == "F").alias("deleted"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("priority"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderkey")).alias("last_check"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    checks = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.col("o_orderdate") + F.expr("INTERVAL 12 HOURS"),
+        ).alias("next_check_at"),
+    )
+    return catalog, checks
+
+
+def q_j3_u7_batch_select_claim(spark, sf_dir):
+    """J3+O3/O4+U1+U7 — the full crawl batch selection pipeline: tiered
+    sampling behind the exclusion clause, batch-selection join on
+    last_check, deterministic fill in tier order, then the claim update
+    (crawl/select_batch.py:9-91). Returns the claimed rows."""
+    from udata_datalake_service_spark.plans.select_batch import claim_batch, select_batch
+
+    catalog, checks = _catalog_from_orders(spark, sf_dir)
+    now = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    batch = select_batch(catalog, checks, batch_size=40, now=now, seed="s0")
+    claimed = claim_batch(catalog, batch).filter(F.col("status") == "CRAWLING_URL")
+    return claimed.select("resource_id", "url", "priority", "status")
+
+
+_SQL_J3U7 = """
+WITH cat AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS resource_id,
+         'https://data.example.org/r/' || o_orderkey AS url,
+         (o_orderstatus = 'F') AS deleted,
+         (o_orderpriority = '1-URGENT') AS priority,
+         CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey END AS last_check
+  FROM orders
+), chk AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 5 <> 0 THEN o_orderdate + INTERVAL 12 HOUR END AS next_check_at
+  FROM orders
+), live AS (
+  SELECT *, md5('s0|' || resource_id) AS rk FROM cat
+  WHERE NOT deleted AND url NOT LIKE '%format=shp%'
+), t1 AS (
+  SELECT resource_id, url, priority, 0 AS tier_rank, rk FROM live WHERE priority
+  ORDER BY rk LIMIT 40
+), t2 AS (
+  SELECT resource_id, url, priority, 1 AS tier_rank, rk FROM live
+  WHERE NOT priority AND last_check IS NULL ORDER BY rk LIMIT 40
+), t3 AS (
+  SELECT l.resource_id, l.url, l.priority, 2 AS tier_rank, l.rk
+  FROM live l JOIN chk ON l.last_check = chk.id
+  WHERE NOT l.priority AND l.last_check IS NOT NULL
+    AND (chk.next_check_at IS NULL OR chk.next_check_at <= TIMESTAMP '2024-06-01 00:00:00')
+  ORDER BY l.rk LIMIT 40
+), batch AS (
+  SELECT resource_id, url, priority FROM (
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+  ) ORDER BY tier_rank, rk LIMIT 40
+)
+SELECT resource_id, url, priority, 'CRAWLING_URL' AS status FROM batch
+"""
+
+
+def q_o5_ordered_scan(spark, sf_dir):
+    """O5 — full ordered history scan of one key (db/check.py:48-53); the
+    rank column encodes the ordering so the order-insensitive hash still
+    validates it."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    w = Window.partitionBy().orderBy(F.desc("ts"), F.desc("event_id"))
+    return ev.select(
+        "event_id",
+        _us(F.col("ts")).alias("ts_us"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+_SQL_O5 = """
+SELECT event_id, epoch_us(ts) AS ts_us,
+  ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) AS pos
+FROM events WHERE user_id = 3
+"""
+
+
+def q_u3_snapshot_diff(spark, sf_dir):
+    """U3 — full-snapshot diff load (cli.py:86-116): one full-outer pass
+    marks absentees deleted, refreshes survivors, inserts newcomers —
+    Delta's WHEN NOT MATCHED BY SOURCE pattern."""
+    from udata_datalake_service_spark.operators.core import snapshot_diff_load
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.withColumn("deleted", F.lit(False))
+    snapshot = (
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("refreshed-"), F.col("c_name")).alias("c_name"),
+            "c_acctbal",
+        )
+    )
+    out = snapshot_diff_load(target, snapshot, key="c_custkey")
+    return out.select("c_custkey", "c_name", "c_acctbal", "deleted")
+
+
+_SQL_U3 = """
+WITH snap AS (
+  SELECT c_custkey, 'refreshed-' || c_name AS c_name, c_acctbal
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c.c_custkey,
+  COALESCE(s.c_name, c.c_name) AS c_name,
+  COALESCE(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+  (s.c_custkey IS NULL) AS deleted
+FROM customer c LEFT JOIN snap s ON c.c_custkey = s.c_custkey
+"""
+
+
+def q_u45_point_updates(spark, sf_dir):
+    """U4+U5 — point update w/ RETURNING and soft delete
+    (db/resource.py:56-69,106-114): rename one row, soft-delete every
+    100th, return the touched rows."""
+    c = _t(spark, sf_dir, "customer")
+    updated = c.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 42, F.lit("RENAMED")).otherwise(F.col("c_name")),
+    ).withColumn("deleted", F.col("c_custkey") % 100 == 0)
+    return updated.filter(
+        (F.col("c_custkey") == 42) | F.col("deleted")
+    ).select("c_custkey", "c_name", "deleted")
+
+
+_SQL_U45 = """
+SELECT c_custkey,
+  CASE WHEN c_custkey = 42 THEN 'RENAMED' ELSE c_name END AS c_name,
+  (c_custkey % 100 = 0) AS deleted
+FROM customer
+WHERE c_custkey = 42 OR c_custkey % 100 = 0
+"""
+
+
+def q_u6_hard_delete(spark, sf_dir):
+    """U6 — hard delete by key set (db/check.py:129-133) as a left-anti
+    join against the doomed keys (broadcast — the delete batch is small)."""
+    c = _t(spark, sf_dir, "customer")
+    doomed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    kept = c.join(F.broadcast(doomed), on="c_custkey", how="left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+_SQL_U6 = """
+SELECT COUNT(*) AS n_kept, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+
+def q_j6_status_dashboard(spark, sf_dir):
+    """J6/A2 — dashboard join + conditional aggregation
+    (routes/status.py:23-31,89-115): join current state, pivot counts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cur = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+    return cur.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(
+            (F.col("o_orderstatus") == "F") & (F.col("c_mktsegment") == "BUILDING")
+        ).alias("n_finished_building"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative_bal"),
+    )
+
+
+_SQL_J6 = """
+SELECT COUNT(*) AS total,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING') AS n_finished_building,
+  COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative_bal
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_st5_check_delta_trigger(spark, sf_dir):
+    """ST5 — check-delta notification derivation
+    (crawl/preprocess_check_data.py:69-105): per key, fire on first
+    event / type change / value sign flip; first matching reason wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_type = F.lag("event_type").over(w)
+    prev_val = F.lag("value").over(w)
+    reason = (
+        F.when(prev_type.isNull(), F.lit("first_check"))
+        .when(F.col("event_type") != prev_type, F.lit("status_changed"))
+        .when(
+            (F.col("value") >= 200) != (prev_val >= 200), F.lit("threshold_crossed")
+        )
+    )
+    return (
+        ev.select("event_id", "user_id", reason.alias("reason"))
+        .filter(F.col("reason").isNotNull())
+    )
+
+
+_SQL_ST5 = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, value,
+    LAG(event_type) OVER w AS prev_type,
+    LAG(value) OVER w AS prev_val
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+  CASE WHEN prev_type IS NULL THEN 'first_check'
+       WHEN event_type <> prev_type THEN 'status_changed'
+       WHEN (value >= 200) <> (prev_val >= 200) THEN 'threshold_crossed'
+  END AS reason
+FROM x
+WHERE prev_type IS NULL OR event_type <> prev_type
+   OR (value >= 200) <> (prev_val >= 200)
+"""
+
+
+_F3_INPUTS = ("1 020,20", "2.0", "oui", "", "n/a", "-3")
+
+
+def q_f3_smart_cast(spark, sf_dir):
+    """F3 — smart_cast golden semantics at scale: French number format,
+    float-string-to-int, locale booleans, empty→NULL, failsafe→NULL
+    (analysis/csv.py:202-219; goldens tests/test_analysis_csv.py:89-123).
+    The oracle states the *expected values* directly, so this validates
+    behavior, not implementation."""
+    from udata_datalake_service_spark.functions.casting import smart_cast
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.element_at(F.array(*[F.lit(s) for s in _F3_INPUTS]), (F.col("event_id") % 6 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        smart_cast("float", raw).alias("as_float"),
+        smart_cast("int", raw).alias("as_int"),
+        smart_cast("bool", raw).alias("as_bool"),
+    )
+
+
+_SQL_F3 = """
+SELECT event_id,
+  CASE event_id % 6 WHEN 0 THEN '1 020,20' WHEN 1 THEN '2.0' WHEN 2 THEN 'oui'
+                    WHEN 3 THEN '' WHEN 4 THEN 'n/a' ELSE '-3' END AS raw,
+  CAST(CASE event_id % 6 WHEN 0 THEN 1020.2 WHEN 1 THEN 2.0 WHEN 5 THEN -3.0
+                    ELSE NULL END AS DOUBLE) AS as_float,
+  CASE event_id % 6 WHEN 0 THEN 1020 WHEN 1 THEN 2 WHEN 5 THEN -3
+                    ELSE NULL END AS as_int,
+  CASE event_id % 6 WHEN 2 THEN TRUE ELSE NULL END AS as_bool
+FROM events
+"""
+
+
+_F4_INPUTS = (
+    "2024-01-15",
+    "15/01/2024",
+    "2024-01-15T10:30:00",
+    "31 décembre 2022",
+    "31st december 2022",
+)
+_F4_EXPECT_US = (
+    1705276800000000,  # 2024-01-15 UTC
+    1705276800000000,
+    1705314600000000,  # 2024-01-15T10:30:00
+    1672444800000000,  # 2022-12-31
+    1672444800000000,
+)
+
+
+def q_f4_date_parse_multi(spark, sf_dir):
+    """F4 — multi-format date parsing incl. the verbal French/English
+    fallback (analysis/helpers.py:13-27; goldens test_analysis_csv.py:126-168).
+    The JVM pattern chain handles machine formats; only leftovers reach the
+    Arrow-batched pandas UDF. Oracle = expected timestamps as literals."""
+    from udata_datalake_service_spark.functions.dates import parse_datetime_multi
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.element_at(
+        F.array(*[F.lit(s) for s in _F4_INPUTS]), (F.col("event_id") % 5 + 1).cast("int")
+    )
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        F.unix_micros(parse_datetime_multi(raw)).alias("parsed_us"),
+    )
+
+
+_SQL_F4 = f"""
+SELECT event_id,
+  CASE event_id % 5 WHEN 0 THEN '{_F4_INPUTS[0]}' WHEN 1 THEN '{_F4_INPUTS[1]}'
+                    WHEN 2 THEN '{_F4_INPUTS[2]}' WHEN 3 THEN '{_F4_INPUTS[3]}'
+                    ELSE '{_F4_INPUTS[4]}' END AS raw,
+  CASE event_id % 5 WHEN 0 THEN {_F4_EXPECT_US[0]} WHEN 1 THEN {_F4_EXPECT_US[1]}
+                    WHEN 2 THEN {_F4_EXPECT_US[2]} WHEN 3 THEN {_F4_EXPECT_US[3]}
+                    ELSE {_F4_EXPECT_US[4]} END AS parsed_us
+FROM events
+"""
+
+
+def q_f_scalar_surface2(spark, sf_dir):
+    """F12/F13 — UUID validation (routes/resources.py:19,37) and ISO-8601
+    offset parsing with UTC coercion (cli.py:112-115)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    # corrupt every 3rd id so the validator has negatives
+    uuid = F.when(F.col("event_id") % 3 == 0, F.regexp_replace(uuid, "-", "_")).otherwise(uuid)
+    is_valid = uuid.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+02:00"))
+    reparsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    return ev.select(
+        "event_id",
+        uuid.alias("uuid"),
+        is_valid.alias("uuid_valid"),
+        F.unix_micros(reparsed).alias("utc_us"),
+    )
+
+
+_SQL_FSC2 = """
+WITH x AS (
+  SELECT event_id, ts, md5(CAST(event_id AS VARCHAR)) AS h FROM events
+), u AS (
+  SELECT event_id, ts,
+    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+    substr(h,17,4) || '-' || substr(h,21,12) AS uuid0
+  FROM x
+)
+SELECT event_id,
+  CASE WHEN event_id % 3 = 0 THEN replace(uuid0, '-', '_') ELSE uuid0 END AS uuid,
+  regexp_matches(
+    CASE WHEN event_id % 3 = 0 THEN replace(uuid0, '-', '_') ELSE uuid0 END,
+    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$') AS uuid_valid,
+  epoch_us(CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+02:00' AS TIMESTAMPTZ)) AS utc_us
+FROM u
+"""
+
+
 # =========================================================================
 # Text / LLM plane
 # =========================================================================
@@ -993,6 +1431,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st3_next_check_ladder": q_st3_next_check_ladder,
     "st4_change_detection": q_st4_change_detection,
     "f_scalar_surface": q_f_scalar_surface,
+    "p7_like_contains": q_p7_like_contains,
+    "p8_null_bool_predicates": q_p8_null_bool_predicates,
+    "p10_retention_survivors": q_p10_retention_survivors,
+    "a8_purge_returning_count": q_a8_purge_returning_count,
+    "j3_u7_batch_select_claim": q_j3_u7_batch_select_claim,
+    "o5_ordered_scan": q_o5_ordered_scan,
+    "u3_snapshot_diff": q_u3_snapshot_diff,
+    "u45_point_updates": q_u45_point_updates,
+    "u6_hard_delete": q_u6_hard_delete,
+    "j6_status_dashboard": q_j6_status_dashboard,
+    "st5_check_delta_trigger": q_st5_check_delta_trigger,
+    "f3_smart_cast": q_f3_smart_cast,
+    "f4_date_parse_multi": q_f4_date_parse_multi,
+    "f_scalar_surface2": q_f_scalar_surface2,
     "tx_stats": q_tx_stats,
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
@@ -1035,6 +1487,20 @@ ORACLES: dict[str, str] = {
     "st3_next_check_ladder": _SQL_ST3,
     "st4_change_detection": _SQL_ST4,
     "f_scalar_surface": _SQL_FSC,
+    "p7_like_contains": _SQL_P7,
+    "p8_null_bool_predicates": _SQL_P8,
+    "p10_retention_survivors": _SQL_P10,
+    "a8_purge_returning_count": _SQL_A8,
+    "j3_u7_batch_select_claim": _SQL_J3U7,
+    "o5_ordered_scan": _SQL_O5,
+    "u3_snapshot_diff": _SQL_U3,
+    "u45_point_updates": _SQL_U45,
+    "u6_hard_delete": _SQL_U6,
+    "j6_status_dashboard": _SQL_J6,
+    "st5_check_delta_trigger": _SQL_ST5,
+    "f3_smart_cast": _SQL_F3,
+    "f4_date_parse_multi": _SQL_F4,
+    "f_scalar_surface2": _SQL_FSC2,
     "tx_stats": _SQL_TX_STATS,
     "tx_langid": _SQL_TX_LANGID,
     "tx_fingerprint": _SQL_TX_FP,

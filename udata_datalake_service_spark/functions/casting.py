@@ -8,7 +8,8 @@ golden tests tests/test_analysis/test_analysis_csv.py:89-123):
 - bool: {"true","t","yes","y","1"} → True, {"false","f","no","n","0"} → False,
   anything else → NULL (failsafe)
 - int: plain int strings; NUMBER-FORMAT FALLBACK accepts "2.0" → 2 and
-  French formats "1 020,20" → 1020 (space thousands sep, comma decimal sep);
+  French formats "1 020,20" → 1020 — int(str2float(v)) truncates — with the
+  reference's ``if _value:`` quirk mapping float-zero strings to NULL;
   non-numeric → NULL
 - float: same normalization, "1 020,20" → 1020.2
 - date/datetime: multi-format chain (see dates.py)
@@ -72,13 +73,15 @@ def smart_cast(python_type: str, col: Column) -> Column:
         return str2bool_col(c)
     if python_type == "int":
         n = normalize_number(c)
-        # direct int, then the "2.0" → 2 fallback (reference casts via float)
+        # direct int, then the reference's fallback ``int(str2float(v))``
+        # which TRUNCATES ("1 020,20" → 1020, analysis/csv.py:210-213);
+        # its ``if _value:`` guard also swallows 0.0 → NULL (quirk kept)
         as_long = n.try_cast("long")
         via_double = n.try_cast("double")
         return F.when(as_long.isNotNull(), as_long).otherwise(
             F.when(
-                via_double.isNotNull() & (via_double == F.floor(via_double)),
-                via_double.cast("long"),
+                via_double.isNotNull() & (via_double != 0.0),
+                via_double.try_cast("long"),
             )
         )
     if python_type == "float":

@@ -71,9 +71,19 @@ def select_batch(
 
     sampled = [
         deterministic_sample(t, batch_size, salt_cols=["resource_id"], seed=seed)
-        for t in (t1, t2, t3)
+        .withColumn("__tier_rank", F.lit(rank))
+        for rank, t in enumerate((t1, t2, t3))
     ]
-    return union_tiers(*sampled).limit(batch_size)
+    # the final cut fills priority first, then never-checked, then outdated —
+    # the reference's tier fill order (crawl/select_batch.py:56-89) — with
+    # the sample key as tie-break so the batch is fully deterministic
+    rk = F.md5(F.concat_ws("|", F.lit(seed), F.col("resource_id").cast("string")))
+    return (
+        union_tiers(*sampled)
+        .orderBy(F.asc("__tier_rank"), rk.asc())
+        .limit(batch_size)
+        .drop("__tier_rank")
+    )
 
 
 def claim_batch(catalog: DataFrame, batch: DataFrame) -> DataFrame:

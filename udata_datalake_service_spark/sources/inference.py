@@ -111,12 +111,29 @@ _JSON_RE = r"^\s*(\{.*\}|\[.*\])\s*$"
 
 
 def _candidate_ok(python_type: str, col: F.Column) -> F.Column:
-    """1 when the cell is NULL/empty OR casts cleanly under ``python_type``."""
+    """1 when the cell is NULL/empty OR casts cleanly under ``python_type``.
+
+    The int candidate is STRICTER than ``smart_cast("int", …)``: casting
+    truncates float strings per the reference's ``int(str2float(v))``
+    fallback (analysis/csv.py:210-213), but a column of "3.5"s must
+    *infer* as float — inference tests integral values only.
+    """
     trimmed = F.trim(col)
     is_blank = col.isNull() | (trimmed == "")
     if python_type == "json":
         parsed = trimmed.rlike(_JSON_RE)
         return (is_blank | parsed).cast("int")
+    if python_type == "int":
+        from udata_datalake_service_spark.functions.casting import normalize_number
+
+        # integral values only: "2" and "2.0" infer int (csv_detective
+        # goldens), "3.5" / "1 020,20" infer float
+        n = normalize_number(trimmed)
+        d = n.try_cast("double")
+        cast_ok = n.try_cast("long").isNotNull() | (
+            d.isNotNull() & (d == F.floor(d))
+        )
+        return (is_blank | cast_ok).cast("int")
     cast_ok = smart_cast(python_type, col).isNotNull()
     if python_type == "date":
         # a bare date must not carry a time component (datetime wins those)
