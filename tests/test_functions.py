@@ -168,3 +168,28 @@ def test_hash64_deterministic_and_spread(spark):
     assert a == b
     assert len(set(a)) == 100
     assert all(isinstance(x, int) and x >= 0 for x in a)
+
+
+def test_fix_surrogates(spark):
+    from udata_datalake_service_spark.functions.http import fix_surrogates
+
+    bad = "TREMI_2017-R\udce9sultats"
+    df = spark.createDataFrame([(bad,), ("clean.csv",), (None,)], "v string")
+    out = [r["f"] for r in df.select(fix_surrogates(F.col("v")).alias("f")).collect()]
+    assert out[0] == "TREMI_2017-R�sultats"
+    assert out[1] == "clean.csv" and out[2] is None
+
+
+def test_excel_reader_gated():
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.sources.excel_reader import (
+        HAS_OPENPYXL,
+        iter_excel_rows,
+    )
+
+    if not HAS_OPENPYXL:
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            list(iter_excel_rows("x.xlsx"))
+    with _pytest.raises(ValueError, match="not an excel"):
+        list(iter_excel_rows("x.ods"))

@@ -1114,6 +1114,151 @@ FROM u
 """
 
 
+def q_a9_profile_tops(spark, sf_dir):
+    """A9 (tops) — csv_detective's per-column top-values block: top-10
+    (value, count) per profiled column, emitted long-form. Each column's
+    tops is one groupBy + TakeOrderedAndProject over the aggregated frame."""
+    ev = _t(spark, sf_dir, "events")
+    pieces = []
+    for name in ("event_type", "user_id"):
+        pieces.append(
+            ev.groupBy(F.col(name).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc_nulls_last("value"))
+            .limit(10)
+            .withColumn("column", F.lit(name))
+        )
+    return union_tiers(*pieces)
+
+
+_SQL_A9T = """
+(SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS count, 'event_type' AS column
+ FROM events GROUP BY event_type ORDER BY count DESC, value ASC LIMIT 10)
+UNION ALL
+(SELECT CAST(user_id AS VARCHAR), COUNT(*), 'user_id'
+ FROM events GROUP BY user_id ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC LIMIT 10)
+"""
+
+
+def q_dd_ngram_jaccard_maxdf(spark, sf_dir):
+    """n-gram Jaccard with stop-shingle dropping (max_df=100) — the skew
+    control that makes the inverted-index join survive hot shingles at
+    scale; Jaccard is computed on the filtered shingle space on BOTH sides
+    (sizes too), exactly as the oracle replays it."""
+    d = _tw(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=2, threshold=0.35, max_df=100)
+
+
+_SQL_DD_NGRAM_MAXDF = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id AS id, unnest({_sql_shingles(2)}) AS s FROM x),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100),
+sh AS (SELECT id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
+"""
+
+
+def _gen_ingest_csv(sf_dir: str) -> str:
+    """Deterministic ';'-separated French-locale CSV derived from the
+    documents table — the ingest fixture for the S3/S6/K-plane queries.
+    Columns: int id, string lang, float with decimal comma, dd/MM/yyyy date.
+    """
+    import hashlib
+    import os
+    from datetime import date, timedelta
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_hydra_ingest_{tag}.csv"
+    if os.path.exists(path):
+        return path
+    rows = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pylist()
+    rows.sort(key=lambda r: r["doc_id"])
+    with open(path + ".tmp", "w", encoding="utf-8") as fh:
+        fh.write("doc_id;langue;montant;maj\n")
+        for r in rows[:400]:
+            amount = f"{r['n_chars'] // 2},{r['doc_id'] % 10}"
+            d = date(2024, 1, 1) + timedelta(days=r["doc_id"] % 300)
+            fh.write(f"{r['doc_id']};{r['lang']};{amount};{d.strftime('%d/%m/%Y')}\n")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+_SQL_INGEST_EXPECTED = """
+SELECT doc_id,
+  lang AS langue,
+  CAST(CAST(n_chars // 2 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS montant,
+  CAST(DATE '2024-01-01' + INTERVAL (doc_id % 300) DAY AS DATE) AS maj
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 400)
+"""
+
+
+def q_s6_csv_ingest_inference(spark, sf_dir):
+    """S3+S6+F3+F4 end-to-end: sniff encoding/separator/header, distributed
+    type vote over an all-strings read, smart_cast to the inferred schema
+    (int / string / French-decimal float / dd-MM-yyyy date). The oracle
+    states the expected typed values from the source table — the whole
+    ingest pipeline must reproduce them."""
+    from udata_datalake_service_spark.sources.inference import inspect_csv
+
+    typed, insp = inspect_csv(spark, _gen_ingest_csv(sf_dir))
+    assert insp.separator == ";" and insp.header_row_idx == 0
+    return typed.select(
+        "doc_id", "langue", "montant", F.col("maj").cast("date").alias("maj")
+    )
+
+
+def q_k_lake_roundtrip(spark, sf_dir):
+    """K1+K2+K4+K5+K7 — the converted-table sink: write the typed frame as
+    the md5(url)-named lake table (sorted on the requested index column for
+    row-group stat skipping), append the tables_index registry row, then
+    read both back. The roundtrip must preserve every typed value."""
+    import hashlib
+    import tempfile
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.sources.inference import inspect_csv
+
+    typed, insp = inspect_csv(spark, _gen_ingest_csv(sf_dir))
+    url = "https://data.example.org/ingest.csv"
+    name = hashlib.md5(url.encode()).hexdigest()
+
+    root = tempfile.mkdtemp(prefix="spark_hydra_lake_")
+    lake = Lake(spark, root)
+    lake.write_table(
+        typed.drop("__id"), name, index_columns=["doc_id"], min_lines_for_parquet=200
+    )
+    lake.register(name, insp.to_dict(), resource_id="res-1", url=url)
+
+    back = lake.read_table(name)
+    reg = (
+        lake.registry()
+        .filter(F.col("parsing_table") == name)
+        .select("parsing_table", F.col("url").alias("resource_url"))
+    )
+    return back.select(
+        "doc_id", "langue", "montant", F.col("maj").cast("date").alias("maj")
+    ).crossJoin(F.broadcast(reg))
+
+
+_SQL_K_LAKE = f"""
+SELECT x.*, md5('https://data.example.org/ingest.csv') AS parsing_table,
+       'https://data.example.org/ingest.csv' AS resource_url
+FROM ({_SQL_INGEST_EXPECTED}) x
+"""
+
+
 # =========================================================================
 # Text / LLM plane
 # =========================================================================
@@ -1445,6 +1590,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_smart_cast": q_f3_smart_cast,
     "f4_date_parse_multi": q_f4_date_parse_multi,
     "f_scalar_surface2": q_f_scalar_surface2,
+    "s6_csv_ingest_inference": q_s6_csv_ingest_inference,
+    "k_lake_roundtrip": q_k_lake_roundtrip,
+    "a9_profile_tops": q_a9_profile_tops,
+    "dd_ngram_jaccard_maxdf": q_dd_ngram_jaccard_maxdf,
     "tx_stats": q_tx_stats,
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
@@ -1501,6 +1650,10 @@ ORACLES: dict[str, str] = {
     "f3_smart_cast": _SQL_F3,
     "f4_date_parse_multi": _SQL_F4,
     "f_scalar_surface2": _SQL_FSC2,
+    "s6_csv_ingest_inference": _SQL_INGEST_EXPECTED,
+    "k_lake_roundtrip": _SQL_K_LAKE,
+    "a9_profile_tops": _SQL_A9T,
+    "dd_ngram_jaccard_maxdf": _SQL_DD_NGRAM_MAXDF,
     "tx_stats": _SQL_TX_STATS,
     "tx_langid": _SQL_TX_LANGID,
     "tx_fingerprint": _SQL_TX_FP,

@@ -14,8 +14,10 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 def lower_keys(map_col: Column) -> Column:
@@ -38,3 +40,21 @@ def is_valid_status(status_col: Column) -> Column:
         .when(s.isNotNull(), F.lit(False))
         .otherwise(F.lit(None).cast("boolean"))
     )
+
+
+@F.pandas_udf(StringType())
+def _fix_surrogates_udf(s: pd.Series) -> pd.Series:
+    def one(v):
+        if v is None:
+            return None
+        return str(v).encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+
+    return s.map(one)
+
+
+def fix_surrogates(col: Column) -> Column:
+    """F7 — unicode surrogate repair (crawl/helpers.py:38-44): lone/low
+    surrogates from mis-decoded headers become U+FFFD. Inherently a Python
+    codec operation → Arrow-batched pandas UDF, applied only to header
+    columns at ingest (never in a query hot path)."""
+    return _fix_surrogates_udf(col)
