@@ -1225,7 +1225,7 @@ def q_k_lake_roundtrip(spark, sf_dir):
     row-group stat skipping), append the tables_index registry row, then
     read both back. The roundtrip must preserve every typed value."""
     import hashlib
-    import tempfile
+    import shutil
 
     from udata_datalake_service_spark.sinks.lake import Lake
     from udata_datalake_service_spark.sources.inference import inspect_csv
@@ -1234,7 +1234,10 @@ def q_k_lake_roundtrip(spark, sf_dir):
     url = "https://data.example.org/ingest.csv"
     name = hashlib.md5(url.encode()).hexdigest()
 
-    root = tempfile.mkdtemp(prefix="spark_hydra_lake_")
+    # fixed per-sf path, recreated per run (no tempdir leak, registry can't
+    # accumulate appends across invocations)
+    root = f"/tmp/spark_hydra_lake_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
     lake = Lake(spark, root)
     lake.write_table(
         typed.drop("__id"), name, index_columns=["doc_id"], min_lines_for_parquet=200
