@@ -173,6 +173,19 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from udata_datalake_service_spark.llm.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=5)
+    approx = ivf_topk(e, q, k=5, num_lists=8, num_probes=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_embedding_near_dups_vs_exact(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
     out = embedding_near_dups(e, threshold=0.9, num_planes=4, num_tables=6)

@@ -38,11 +38,13 @@ from udata_datalake_service_spark.llm.dedup import (
 from udata_datalake_service_spark.llm.multimodal import (
     extract_image_features,
     fake_media_from_documents,
+    frame_sample_plan,
 )
 from udata_datalake_service_spark.llm.similarity import (
     _as_double,
     brute_force_topk,
     dot,
+    ivf_topk,
     lsh_bucketed_topk,
     norm,
 )
@@ -1522,6 +1524,72 @@ def q_ann_topk_lsh(spark, sf_dir):
     return res.withColumnRenamed("rank", "rnk")
 
 
+def q_k9_webhook_payload(spark, sf_dir):
+    """K9 — the webhook's ``check:*`` document as a typed row projection
+    (crawl/preprocess_check_data.py:36-55): availability tri-state, status,
+    timeout, error, split content-type, content-length with the reference's
+    ``int(...) or None`` zero→NULL quirk. Serialization to JSON is
+    transport; the payload semantics are the columns."""
+    ev = _t(spark, sf_dir, "events")
+    status = (F.lit(200) + F.col("event_id") % 300).cast("int")
+    clen = (F.col("event_id") % 5000).cast("long")
+    return ev.select(
+        "event_id",
+        is_valid_status(status).alias("check_available"),
+        status.cast("long").alias("check_status"),
+        (F.col("event_type") == "error").alias("check_timeout"),
+        F.when(F.col("event_type") == "error", F.lit("crawl failed")).alias("check_error"),
+        split_content_type(
+            F.concat(F.col("event_type"), F.lit("; charset=utf-8"))
+        ).alias("content_type"),
+        F.when(clen != 0, clen).alias("content_length"),  # `int(x) or None`
+    )
+
+
+_SQL_K9 = """
+SELECT event_id,
+  CASE WHEN 200 + event_id % 300 = 429 THEN NULL
+       WHEN 200 + event_id % 300 < 400 THEN TRUE ELSE FALSE END AS check_available,
+  200 + event_id % 300 AS check_status,
+  event_type = 'error' AS check_timeout,
+  CASE WHEN event_type = 'error' THEN 'crawl failed' END AS check_error,
+  trim(string_split(event_type || '; charset=utf-8', ';')[1]) AS content_type,
+  CASE WHEN event_id % 5000 <> 0 THEN event_id % 5000 END AS content_length
+FROM events
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plan: video duration metadata →
+    (media_id, frame_ts) rows via sequence+explode — pure JVM row
+    generation, no Python in the path."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("video/mp4").alias("mime_type"),
+        F.create_map(
+            F.lit("duration_s"), (F.col("n_chars") % 60).cast("string")
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n_seconds=5)
+
+
+_SQL_MM_FRAMES = """
+SELECT doc_id AS media_id, unnest(range(0, CAST(n_chars % 60 AS BIGINT) + 1, 5)) AS frame_ts
+FROM documents
+"""
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-style approximate top-k (data-dependent inverted lists; no SQL
+    oracle — approximate path, ground truth = ann_topk_bruteforce)."""
+    e = _tw(spark, sf_dir, "embeddings")
+    res = ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, num_lists=16, num_probes=4)
+    return res.withColumnRenamed("rank", "rnk")
+
+
 def q_mm_image_meta(spark, sf_dir):
     """Multimodal plumbing: binary content → mapInPandas feature extraction
     (stub decode kernel, deterministic) — the Arrow batch path itself is
@@ -1608,7 +1676,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_near_dups_exact": q_ann_near_dups_exact,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "mm_image_meta": q_mm_image_meta,
+    "k9_webhook_payload": q_k9_webhook_payload,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1668,4 +1739,6 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": _SQL_ANN_TOPK,
     "ann_near_dups_exact": _SQL_ANN_NEAR,
     "mm_image_meta": _SQL_MM,
+    "k9_webhook_payload": _SQL_K9,
+    "mm_frame_sample": _SQL_MM_FRAMES,
 }
