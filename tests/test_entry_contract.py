@@ -12,7 +12,7 @@ def test_contract_shapes():
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
     # only the documented non-SQL ops lack an oracle
-    assert set(qs) - set(oracles) == {"dd_simhash", "ann_topk_lsh"}
+    assert set(qs) - set(oracles) == {"dd_simhash", "ann_topk_lsh", "ann_topk_ivf"}
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
 

@@ -193,3 +193,26 @@ def test_excel_reader_gated():
             list(iter_excel_rows("x.xlsx"))
     with _pytest.raises(ValueError, match="not an excel"):
         list(iter_excel_rows("x.ods"))
+
+
+def test_sniff_tabular_matrix(spark):
+    from udata_datalake_service_spark.functions.http import sniff_tabular
+
+    cases = [
+        ("text/csv; charset=utf-8", "https://a.org/f.csv", True, "csv"),
+        ("application/octet-stream", "https://a.org/f.csv.gz", True, "csvgz"),
+        ("application/octet-stream", "https://a.org/f.bin", False, "csv"),
+        ("application/vnd.ms-excel", "https://a.org/f.xls", True, "xls"),
+        (
+            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+            "https://a.org/f.xlsx", True, "xlsx",
+        ),
+        ("application/json", "https://a.org/f.json", False, "csv"),
+        (None, "https://a.org/x", False, "csv"),
+    ]
+    df = spark.createDataFrame(
+        [(ct, u) for ct, u, *_ in cases], "ct string, url string"
+    )
+    out = df.select(sniff_tabular(F.col("ct"), F.col("url")).alias("s")).collect()
+    got = [(r["s"]["is_tabular"], r["s"]["format"]) for r in out]
+    assert got == [(t, f) for *_, t, f in cases]

@@ -129,3 +129,41 @@ def test_check_events_triggers(spark, checks_df):
     # r2: 404 → 200 = availability regained + status changed
     assert got[5]["evt_status_changed"] is True
     assert got[5]["evt_availability_regained"] is True
+
+
+# ----------------------------------------------------------------- fetch --
+def test_check_batch_head_get_fallback_and_errors(spark):
+    from udata_datalake_service_spark.plans.fetch import check_batch
+
+    # closure, not module-level: cloudpickle ships it by value to executors
+    def _fake_transport(url, method):
+        if "timeout" in url:
+            raise TimeoutError
+        if "nohead" in url and method == "head":
+            return 200, {}, None  # HEAD without useful headers → GET fallback
+        if "err" in url:
+            return None, {}, "connection refused"
+        if "missing" in url:
+            return 404, {"Content-Length": "10"}, None
+        return 200, {"Content-Length": "123", "Last-Modified": "x"}, None
+
+    batch = spark.createDataFrame(
+        [
+            ("r1", "https://a.org/ok.csv"),
+            ("r2", "https://a.org/nohead.csv"),
+            ("r3", "https://b.org/timeout.csv"),
+            ("r4", "https://b.org/err.csv"),
+            ("r5", "https://c.org/missing.csv"),
+        ],
+        "resource_id string, url string",
+    )
+    rows = {r["resource_id"]: r for r in check_batch(batch, _fake_transport, fan_out=2).collect()}
+    assert rows["r1"]["method"] == "head" and rows["r1"]["status"] == 200
+    assert rows["r1"]["headers"]["content-length"] == "123"  # lowered keys
+    assert rows["r2"]["method"] == "get"  # HEAD lacked useful headers
+    assert rows["r3"]["timeout"] is True and rows["r3"]["status"] is None
+    assert rows["r4"]["error"] == "connection refused"
+    # invalid HEAD status → GET retry, mirroring has_nice_head
+    # (crawl/helpers.py:47-53): 404 HEADs are re-tried as GET
+    assert rows["r5"]["status"] == 404 and rows["r5"]["method"] == "get"
+    assert rows["r1"]["domain"] == "a.org"

@@ -42,6 +42,38 @@ def is_valid_status(status_col: Column) -> Column:
     )
 
 
+_CSV_CT = ("application/csv", "text/plain", "text/csv")
+_GZ_CT = ("application/octet-stream", "application/x-gzip", "application/gzip")
+_XLS_CT = ("application/vnd.ms-excel",)
+_XLSX_CT = ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",)
+
+
+def _starts_any(col: Column, prefixes: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | col.startswith(p)
+    return cond
+
+
+def sniff_tabular(content_type: Column, url: Column) -> Column:
+    """S9 — (is_tabular, format) from content-type (+ url for csv.gz)
+    — the when-cascade form of utils/csv.py:4-43. Returns a struct
+    ``(is_tabular boolean, format string)``; the reference's fallthrough
+    is (False, 'csv')."""
+    ct = F.lower(F.coalesce(content_type, F.lit("")))
+    fmt = (
+        F.when(_starts_any(ct, _CSV_CT), F.struct(F.lit(True).alias("is_tabular"), F.lit("csv").alias("format")))
+        .when(
+            _starts_any(ct, _GZ_CT) & F.coalesce(url, F.lit("")).contains("csv.gz"),
+            F.struct(F.lit(True).alias("is_tabular"), F.lit("csvgz").alias("format")),
+        )
+        .when(_starts_any(ct, _XLS_CT), F.struct(F.lit(True).alias("is_tabular"), F.lit("xls").alias("format")))
+        .when(_starts_any(ct, _XLSX_CT), F.struct(F.lit(True).alias("is_tabular"), F.lit("xlsx").alias("format")))
+        .otherwise(F.struct(F.lit(False).alias("is_tabular"), F.lit("csv").alias("format")))
+    )
+    return fmt
+
+
 @F.pandas_udf(StringType())
 def _fix_surrogates_udf(s: pd.Series) -> pd.Series:
     def one(v):
