@@ -47,3 +47,55 @@ def test_index_columns_sort_within_partitions(spark, tmp_path):
     lake.write_table(df.repartition(2), "sorted", index_columns=["k"])
     back = lake.read_table("sorted")
     assert back.count() == 100
+
+
+# ----------------------------------------------------------------- service --
+def test_service_route_surface(spark, tmp_path, catalog_df, checks_df):
+    """Every reference route's data contract through HydraService."""
+    from udata_datalake_service_spark.service import HydraService
+
+    lake = Lake(spark, str(tmp_path / "svc_lake"))
+    lake.write_app_table(catalog_df, "catalog")
+    lake.write_app_table(checks_df, "checks")
+    svc = HydraService(spark, lake)
+
+    # GET /api/checks/latest + /all — assert on check-side fields (the
+    # joined row carries both tables' columns; "status" by name would pick
+    # the catalog's)
+    latest = svc.latest_check(resource_id="r1").collect()
+    assert len(latest) == 1 and latest[0]["mime_type"] == "text/csv"
+    assert svc.all_checks(resource_id="r1").count() >= 1
+
+    # GET /api/checks/aggregate (expression group_by)
+    agg = svc.checks_aggregate("status", "2024-01-02").collect()
+    assert all(set(r.asDict()) == {"value", "count"} for r in agg)
+
+    # resources CRUD
+    assert svc.get_resource("r1").count() == 1
+    assert svc.resource_status("r1").collect()[0]["deleted"] is False
+    svc.delete_resource("r1")
+    assert svc.get_resource("r1").collect()[0]["deleted"] is True
+
+    upd = spark.createDataFrame(
+        [("d9", "r9", "https://n.org/new.csv", False, None, True, None, None, None)],
+        "dataset_id string, resource_id string, url string, deleted boolean, "
+        "last_check long, priority boolean, harvest_modified_at timestamp, "
+        "status string, id long",
+    ).select(*[F.col(c) for c in catalog_df.columns])
+    svc.upsert_resource(upd)
+    assert svc.get_resource("r9").count() == 1
+
+    # dashboards + health
+    assert svc.crawler_status().count() == 1
+    assert svc.worker_status().count() >= 1
+    assert svc.stats().count() >= 1
+    assert svc.health()["ok"] is True
+
+    # POST /api/checks with injected transport
+    def t(url, method):
+        return 200, {"Content-Length": "5", "Last-Modified": "x"}, None
+
+    batch = spark.createDataFrame([("r9", "https://n.org/new.csv")],
+                                  "resource_id string, url string")
+    out = svc.run_checks(batch, transport=t).collect()
+    assert out[0]["status"] == 200 and out[0]["domain"] == "n.org"

@@ -99,14 +99,21 @@ def _chain(col: Column, patterns: tuple[str, ...]) -> Column:
 
 
 def parse_datetime_multi(col: Column, verbal_fallback: bool = True) -> Column:
-    """Timestamp from the pattern chain; verbal-date UDF only on leftovers."""
+    """Timestamp from the pattern chain; verbal-date UDF fed only leftovers.
+
+    Spark extracts pandas UDFs into an ArrowEvalPython node that runs for
+    EVERY row regardless of the surrounding ``when()`` — so the fallback's
+    *input* is masked to NULL for rows the JVM chain already parsed: the
+    Arrow transfer still happens, but the Python side does no regex work
+    for covered rows (None short-circuits in the UDF).
+    """
     fast = F.coalesce(
         _chain(col, _DATETIME_PATTERNS), _chain(col, _DATE_PATTERNS)
     )
     if not verbal_fallback:
         return fast
-    # The when() guard keeps the UDF from running on rows the fast path hit.
-    return F.when(fast.isNotNull(), fast).otherwise(_verbal_date_udf(col))
+    masked = F.when(fast.isNull(), col)
+    return F.coalesce(fast, _verbal_date_udf(masked))
 
 
 def parse_date_multi(col: Column, verbal_fallback: bool = True) -> Column:

@@ -1,0 +1,119 @@
+r"""The serving plane: the reference's HTTP API surface, route for route,
+over the lake (routes/__init__.py:51-77 → methods here).
+
+The aiohttp/auth/marshmallow layers are transport, not query semantics —
+what this binds is every route's *data contract*: same parameters, same
+result shape, computed by the Spark plans in ``operators``/``plans``. A
+deployment would wrap this class with any HTTP framework (or expose the
+registered temp views through Spark Connect / Thrift).
+
+| reference route | method here |
+|---|---|
+| GET /api/checks/latest?url\|resource_id     | latest_check |
+| GET /api/checks/all?url\|resource_id        | all_checks |
+| GET /api/checks/aggregate?group_by&created_at | checks_aggregate |
+| POST /api/checks (on-demand check)          | run_checks (fetch plane) |
+| GET/POST/PUT/DELETE /api/resources          | get/upsert/delete_resource |
+| GET /api/resources/<id>/status              | resource_status |
+| GET /api/status/crawler                     | crawler_status |
+| GET /api/status/worker                      | worker_status |
+| GET /api/stats                              | stats |
+| GET /api/health                             | health |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.operators import checks as checks_ops
+from udata_datalake_service_spark.sinks.lake import Lake
+
+
+class HydraService:
+    """Route-shaped facade over a :class:`Lake` holding the ``catalog`` and
+    ``checks`` app tables."""
+
+    def __init__(self, spark: SparkSession, lake: Lake):
+        self.spark = spark
+        self.lake = lake
+
+    # -------------------------------------------------------------- tables --
+    @property
+    def catalog(self) -> DataFrame:
+        return self.lake.read_app_table("catalog")
+
+    @property
+    def checks(self) -> DataFrame:
+        return self.lake.read_app_table("checks")
+
+    # --------------------------------------------------------------- checks --
+    def latest_check(self, **key) -> DataFrame:
+        """GET /api/checks/latest?url=… or ?resource_id=… (J1)."""
+        return checks_ops.latest_check(self.catalog, self.checks, **key)
+
+    def all_checks(self, **key) -> DataFrame:
+        """GET /api/checks/all (J2), newest first."""
+        return checks_ops.all_checks(self.catalog, self.checks, **key)
+
+    def checks_aggregate(self, group_by: str, created_at) -> DataFrame:
+        """GET /api/checks/aggregate — ``group_by`` is an EXPRESSION (the
+        reference interpolates it into SQL, db/check.py:87-98; same surface,
+        same injection caveat → allowlist in any public deployment)."""
+        return checks_ops.aggregate_for_date(self.checks, group_by, created_at)
+
+    def run_checks(self, batch: DataFrame, transport=None, fan_out: int | None = None) -> DataFrame:
+        """POST /api/checks — on-demand check execution (S1 fetch plane)."""
+        from udata_datalake_service_spark.plans.fetch import check_batch, urllib_transport
+
+        return check_batch(batch, transport or urllib_transport, fan_out=fan_out)
+
+    # ------------------------------------------------------------ resources --
+    def get_resource(self, resource_id: str) -> DataFrame:
+        """GET /api/resources/<id> (P1)."""
+        return self.catalog.filter(F.col("resource_id") == resource_id)
+
+    def resource_status(self, resource_id: str) -> DataFrame:
+        """GET /api/resources/<id>/status — status + last check pointer."""
+        return self.get_resource(resource_id).select(
+            "resource_id", "status", "last_check", "priority", "deleted"
+        )
+
+    def upsert_resource(self, rows: DataFrame) -> None:
+        """POST/PUT /api/resources (U2) — merge by resource_id, rewrite the
+        catalog table (Delta MERGE in a transactional deployment)."""
+        from udata_datalake_service_spark.operators.core import upsert
+
+        merged = upsert(self.catalog, rows, key="resource_id")
+        self.lake.rewrite_app_table(merged, "catalog")
+
+    def delete_resource(self, resource_id: str) -> None:
+        """DELETE /api/resources/<id> (U5 soft delete)."""
+        updated = self.catalog.withColumn(
+            "deleted",
+            F.when(F.col("resource_id") == resource_id, F.lit(True)).otherwise(
+                F.col("deleted")
+            ),
+        )
+        self.lake.rewrite_app_table(updated, "catalog")
+
+    # -------------------------------------------------------------- status --
+    def crawler_status(self) -> DataFrame:
+        """GET /api/status/crawler (A2)."""
+        return checks_ops.crawler_status(self.catalog, self.checks)
+
+    def worker_status(self) -> DataFrame:
+        """GET /api/status/worker (A3)."""
+        return checks_ops.worker_status(self.catalog)
+
+    def stats(self) -> DataFrame:
+        """GET /api/stats (A4)."""
+        return checks_ops.stats(self.catalog, self.checks)
+
+    def health(self) -> dict:
+        """GET /api/health — storage reachable + spark alive."""
+        try:
+            n = self.catalog.limit(1).count()
+            return {"ok": True, "catalog_reachable": True, "sample_rows": n}
+        except Exception as e:  # noqa: BLE001
+            return {"ok": False, "error": str(e)}

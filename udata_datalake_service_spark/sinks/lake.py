@@ -140,3 +140,14 @@ class Lake:
 
     def read_app_table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.app_table_path(name))
+
+    def rewrite_app_table(self, df: DataFrame, name: str) -> None:
+        """Read-modify-write of an app table. ``df`` may (and usually does)
+        read from the table itself, so a direct overwrite would delete its
+        own input mid-scan — write to a temp path, then atomically swap
+        (the vanilla-parquet stand-in for Delta's transactional rewrite)."""
+        tmp = str(self.root / f"_{name}_rewrite_tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        target = Path(self.app_table_path(name))
+        shutil.rmtree(target, ignore_errors=True)
+        Path(tmp).rename(target)
