@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -38,6 +40,19 @@ def main() -> int:
     tables = load_tables(spark, sf_dir)
     for df in tables.values():
         df.limit(1).write.format("noop").mode("overwrite").save()
+    # spin up the Python UDF workers once (lazy by default): otherwise the
+    # first pandas-UDF query is charged ~3 s of worker startup that every
+    # later UDF stage reuses (spark.python.worker.reuse).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _noop_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).repartition(int(cpus)).select(
+        _noop_udf("id")
+    ).write.format("noop").mode("overwrite").save()
     warm_sec = time.time() - t_warm
 
     timings: dict[str, float] = {}
