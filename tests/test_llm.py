@@ -134,6 +134,16 @@ def test_simhash_table_matches_column_form(spark, docs):
     assert col_form == tbl_form
 
 
+def test_simhash_map_matches_table_form(spark, docs, sf_dir):
+    from udata_datalake_service_spark.llm.dedup import simhash_map, simhash_table
+
+    # fixture docs (edge cases incl. empty/token-less) AND a real corpus
+    for frame in (docs, spark.read.parquet(f"{sf_dir}/documents.parquet")):
+        tbl = {r["id"]: r["simhash"] for r in simhash_table(frame).collect()}
+        mapped = {r["id"]: r["simhash"] for r in simhash_map(frame).collect()}
+        assert tbl == mapped
+
+
 def test_simhash_near_dups_blocking(spark, docs):
     out = simhash_near_dups(docs, max_hamming=16, num_blocks=4)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}

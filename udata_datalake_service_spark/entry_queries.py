@@ -32,6 +32,7 @@ from udata_datalake_service_spark.llm.dedup import (
     minhash_jaccard_estimate,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_map,
     simhash_table,
     word_shingles,
 )
@@ -1452,10 +1453,11 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash64 per document (no SQL oracle — bit-plane math; verified by
-    unit tests + the Hamming-blocked near-dup tests + the
-    simhash_table≡simhash64 equivalence test)."""
+    unit tests + the Hamming-blocked near-dup tests + the three-way
+    simhash_map≡simhash_table≡simhash64 equivalence tests). Uses the
+    map-only pandas-UDF form — zero shuffles at any scale."""
     d = _tw(spark, sf_dir, "documents")
-    return simhash_table(d).select(F.col("id").alias("doc_id"), "simhash")
+    return simhash_map(d).select(F.col("id").alias("doc_id"), "simhash")
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):

@@ -26,10 +26,17 @@ stop-shingles.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# pd/np at module level: pandas_udf resolves PEP 563 type hints here.
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from udata_datalake_service_spark.llm.text import tokens
+from udata_datalake_service_spark.llm.text import TOKEN_SPLIT_RE, tokens
 
 
 # ---------------------------------------------------------------- exact ----
@@ -296,6 +303,45 @@ def simhash_table(
     )
 
 
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
+
+
+def simhash_map(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", out: str = "simhash"
+) -> DataFrame:
+    """Map-only SimHash64: one Arrow-batched pandas UDF, bit-identical to
+    ``simhash_table`` (asserted by tests).
+
+    The production path. ``simhash_table``'s 64 conditional sums are the
+    pure-SQL formulation, but they cost an explode (tokens × docs rows), a
+    64-counter shuffle, a repair join for token-less docs, and several
+    seconds of codegen for the 64-wide aggregate. This form is a pure map:
+    simhash computes inside the scan stage with NO shuffle at any scale.
+    Python-side work is hashlib.md5 (C) + numpy bit math; tokenization
+    replays ``text.tokens``'s split regex exactly.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        msb_first = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+        res = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = [x for x in _TOKEN_RE.split(t.lower()) if x]
+            if not toks:
+                continue
+            buf = b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks)
+            bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8)).reshape(len(toks), 64)
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+            packed = ((votes > 0).astype(np.uint64) * msb_first).sum(dtype=np.uint64)
+            res[i] = packed.astype(np.int64)  # reinterpret, 2^63.. wraps negative
+        return pd.Series(res)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text)).alias(out))
+
+
 def simhash_near_dups(
     df: DataFrame,
     text: str = "text",
@@ -309,7 +355,7 @@ def simhash_near_dups(
     blocks; any pair within distance d < num_blocks must agree on ≥1 block →
     equi-join per block, then exact popcount filter. No cross join.
     """
-    with_h = simhash_table(df, text=text, id_col=id_col, out="h")
+    with_h = simhash_map(df, text=text, id_col=id_col, out="h")
     block_bits = 64 // num_blocks
 
     # one pass: every block key via posexplode; block index joins with the
