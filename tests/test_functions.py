@@ -84,6 +84,24 @@ def test_date_parse_machine_formats(spark):
     assert out == [dt.date(2022, 12, 31)] * 3
 
 
+def test_verbal_rlike_agrees_with_verbal_parser(spark):
+    # the vote-time JVM regex must say yes wherever the casting-time UDF
+    # parses (drift allowed only on calendar-invalid days like 30 février)
+    from udata_datalake_service_spark.functions.dates import (
+        _parse_verbal_one,
+        verbal_date_rlike,
+    )
+
+    cases = [
+        "31 décembre 2022", "31st december 2022", "le 1er janvier 2023",
+        "December 31, 2022", "aout 15 1999", "3 mar 2001", "not a date",
+        "2024-01-15", "15/01/2024", "", "32 janvier 2022", "janvier 2022",
+    ]
+    got = _vals(spark, cases, verbal_date_rlike)
+    for s, rlike_yes in zip(cases, got):
+        assert rlike_yes == (_parse_verbal_one(s) is not None), s
+
+
 def test_date_parse_verbal_french_and_english(spark):
     # reference golden: "31 décembre 2022", "31st december 2022"
     # (test_analysis_csv.py:126-168 via dateparser)

@@ -126,3 +126,22 @@ def parse_datetime_multi(col: Column, verbal_fallback: bool = True) -> Column:
 
 def parse_date_multi(col: Column, verbal_fallback: bool = True) -> Column:
     return parse_datetime_multi(col, verbal_fallback).cast("date")
+
+
+_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+_DAY = r"(?:0?[1-9]|[12][0-9]|3[01])"
+
+
+def verbal_date_rlike(col: Column) -> Column:
+    """JVM-side would-a-verbal-date-parse indicator (no UDF).
+
+    Used by the type-inference vote, where routing every cell through the
+    ArrowEvalPython fallback costs seconds of per-query overhead for a
+    yes/no answer. Matches the same day/month-name/year shapes as
+    ``_parse_verbal_one``; day validity is approximated as 1–31 (a
+    "30 février" votes yes here but still casts to NULL — the reference's
+    sampling-based csv_detective has the same class of drift).
+    """
+    day_first = rf"(?i)^\s*(?:le\s+)?{_DAY}(?:st|nd|rd|th|er|e)?\s+(?:{_MONTH_ALT})\.?\s+\d{{4}}\s*$"
+    month_first = rf"(?i)^\s*(?:{_MONTH_ALT})\.?\s+{_DAY}(?:st|nd|rd|th)?,?\s+\d{{4}}\s*$"
+    return col.rlike(day_first) | col.rlike(month_first)

@@ -110,53 +110,78 @@ def _looks_numeric(s: str) -> bool:
 _JSON_RE = r"^\s*(\{.*\}|\[.*\])\s*$"
 
 
-def _candidate_ok(python_type: str, col: F.Column) -> F.Column:
-    """1 when the cell is NULL/empty OR casts cleanly under ``python_type``.
+def _indicator_columns(c: str) -> list[F.Column]:
+    """Per-column candidate indicators as one flat projection.
 
-    The int candidate is STRICTER than ``smart_cast("int", …)``: casting
-    truncates float strings per the reference's ``int(str2float(v))``
-    fallback (analysis/csv.py:210-213), but a column of "3.5"s must
-    *infer* as float — inference tests integral values only.
+    Semantically identical to summing ``_candidate_ok`` per candidate, but
+    the expensive subtrees are built ONCE per column — in particular the
+    timestamp chain (shared by the date and datetime candidates, and the
+    single pandas-UDF fallback instance per column instead of two). The
+    downstream aggregate then sums plain ints, so the agg's expression
+    tree stays tiny (large per-agg trees measured seconds of driver-side
+    analysis + codegen on their own).
     """
-    trimmed = F.trim(col)
-    is_blank = col.isNull() | (trimmed == "")
-    if python_type == "json":
-        parsed = trimmed.rlike(_JSON_RE)
-        return (is_blank | parsed).cast("int")
-    if python_type == "int":
-        from udata_datalake_service_spark.functions.casting import normalize_number
+    from udata_datalake_service_spark.functions.casting import (
+        _FALSE_VALUES,
+        _TRUE_VALUES,
+        normalize_number,
+    )
+    from udata_datalake_service_spark.functions.dates import (
+        parse_datetime_multi,
+        verbal_date_rlike,
+    )
 
-        # integral values only: "2" and "2.0" infer int (csv_detective
-        # goldens), "3.5" / "1 020,20" infer float
-        n = normalize_number(trimmed)
-        d = n.try_cast("double")
-        cast_ok = n.try_cast("long").isNotNull() | (
-            d.isNotNull() & (d == F.floor(d))
-        )
-        return (is_blank | cast_ok).cast("int")
-    cast_ok = smart_cast(python_type, col).isNotNull()
-    if python_type == "date":
-        # a bare date must not carry a time component (datetime wins those)
-        cast_ok = cast_ok & ~trimmed.rlike(r"\d[:hH]\d")
-    return (is_blank | cast_ok).cast("int")
+    col = F.col(c)
+    trimmed = F.trim(col)
+    blank = col.isNull() | (trimmed == "")
+    low = F.lower(trimmed)
+    n = normalize_number(trimmed)
+    d = n.try_cast("double")
+    # int is STRICTER than smart_cast("int", …): casting truncates float
+    # strings per the reference's int(str2float(v)) fallback
+    # (analysis/csv.py:210-213), but "2.0" infers int while "3.5" must
+    # infer float — inference accepts integral values only
+    int_ok = n.try_cast("long").isNotNull() | (d.isNotNull() & (d == F.floor(d)))
+    # vote-time timestamp check stays pure-JVM: pattern chain + verbal
+    # regex, NOT the pandas-UDF fallback the actual cast uses (an
+    # ArrowEvalPython node here measured ~4 s of overhead per inspection
+    # for a boolean answer)
+    ts_ok = (
+        parse_datetime_multi(trimmed, verbal_fallback=False).isNotNull()
+        | verbal_date_rlike(trimmed)
+    )
+    has_time = trimmed.rlike(r"\d[:hH]\d")
+    ok = {
+        "bool": low.isin(*(_TRUE_VALUES + _FALSE_VALUES)),
+        "int": int_ok,
+        "float": d.isNotNull(),
+        "date": ts_ok & ~has_time,
+        "datetime": ts_ok,
+        "json": trimmed.rlike(_JSON_RE),
+    }
+    out = [blank.cast("int").alias(f"{c}__blank")]
+    for t in TYPE_PRIORITY[:-1]:
+        out.append((blank | ok[t]).cast("int").alias(f"{c}__{t}"))
+    return out
 
 
 def infer_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
-    """Distributed type vote: one aggregate pass over an all-strings frame.
+    """Distributed type vote: one indicator projection + one aggregate pass
+    over an all-strings frame.
 
     For every column × candidate type we sum the clean-cast indicator; a
     candidate with zero failures (and at least one non-blank success) wins
     by priority order.
     """
     cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    proj = []
     for c in cols:
-        col = F.col(c)
-        blank = (col.isNull() | (F.trim(col) == "")).cast("int")
-        aggs.append(F.sum(blank).alias(f"{c}__blank"))
-        for t in TYPE_PRIORITY[:-1]:  # string always succeeds
-            aggs.append(F.sum(_candidate_ok(t, col)).alias(f"{c}__{t}"))
-    row = df.agg(*aggs).collect()[0].asDict()
+        proj.extend(_indicator_columns(c))
+    ind = df.select(*proj)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(c).alias(c) for c in ind.columns
+    ]
+    row = ind.agg(*aggs).collect()[0].asDict()
 
     n = row["__n"]
     out: dict[str, str] = {}
