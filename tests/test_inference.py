@@ -81,6 +81,22 @@ def test_inspect_csv_end_to_end(spark, tmp_path):
     assert "__id" in typed.columns
 
 
+def test_inspect_csv_gz(spark, tmp_path):
+    # S2: .csv.gz — sniff inflates the sample; Spark's reader inflates the
+    # file itself by extension (format matrix, test_analysis_other_formats.py)
+    import gzip
+
+    p = tmp_path / "data.csv.gz"
+    p.write_bytes(
+        gzip.compress("id;montant\n1;1 020,20\n2;35,5\n".encode("utf-8"))
+    )
+    typed, insp = inspect_csv(spark, str(p))
+    assert insp.separator == ";"
+    assert insp.columns["montant"]["python_type"] == "float"
+    got = {r["id"]: r["montant"] for r in typed.collect()}
+    assert got == {1: 1020.2, 2: 35.5}
+
+
 def test_reserved_column_renamed(spark, tmp_path):
     # reference renames Postgres system column names (analysis/csv.py:356-360)
     p = tmp_path / "res.csv"

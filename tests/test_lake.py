@@ -30,6 +30,29 @@ def test_write_read_register_drop(spark, tmp_path):
     assert lake.registry().count() == 0
 
 
+def test_hostile_column_names_roundtrip(spark, tmp_path):
+    """Reference goldens (tests/test_analysis/test_analysis_csv.py:171-215):
+    a SQL-injection header and a '%'-with-spaces header must survive the
+    full inspect → write → read roundtrip with names and values intact.
+    The reference needs quoting + a %%-escape hack for its SQL DDL; Spark
+    has no string DDL in this path, so the names pass through untouched."""
+    from udata_datalake_service_spark.sources.inference import inspect_csv
+
+    injection = 'col_name" text);DROP TABLE toto;--'
+    p = tmp_path / "hostile.csv"
+    p.write_text(f"int,{injection},% mon pourcent\n1,test,pct\n", encoding="utf-8")
+    typed, insp = inspect_csv(spark, str(p))
+
+    lake = Lake(spark, str(tmp_path / "lake_hostile"))
+    lake.write_table(typed, "hostile")
+    back = lake.read_table("hostile")
+    assert injection in back.columns and "% mon pourcent" in back.columns
+    row = back.collect()[0]
+    assert row["int"] == 1
+    assert row[injection] == "test"
+    assert row["% mon pourcent"] == "pct"
+
+
 def test_min_lines_floor(spark, tmp_path):
     # reference MIN_LINES_FOR_PARQUET=200 floor (config_default.toml:74-75)
     lake = Lake(spark, str(tmp_path / "lake2"))

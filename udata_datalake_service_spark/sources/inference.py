@@ -219,7 +219,18 @@ def inspect_csv(
     from udata_datalake_service_spark.sources.csv_reader import read_csv_with_dialect
 
     with open(path, "rb") as fh:
-        encoding, separator, header_row_idx = sniff_bytes(fh.read(sample_bytes))
+        sample = fh.read(sample_bytes)
+    if sample.startswith(b"\x1f\x8b"):
+        # S2 (utils/file.py:27-31): the reference inflates .csv.gz before
+        # analysis. Spark's csv reader inflates by extension on its own;
+        # only the sniff needs inflated bytes. decompressobj tolerates the
+        # truncated member a bounded sample produces.
+        import zlib
+
+        sample = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS).decompress(
+            sample, sample_bytes
+        )
+    encoding, separator, header_row_idx = sniff_bytes(sample)
 
     raw = read_csv_with_dialect(
         spark,
