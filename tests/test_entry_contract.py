@@ -11,8 +11,8 @@ def test_contract_shapes():
     assert len(qs) >= 30
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # only the documented non-SQL ops lack an oracle
-    assert set(qs) - set(oracles) == {"dd_simhash", "ann_topk_lsh", "ann_topk_ivf"}
+    # only the documented approximate ops lack an oracle
+    assert set(qs) - set(oracles) == {"ann_topk_lsh", "ann_topk_ivf"}
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
 

@@ -1452,10 +1452,10 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
 
 
 def q_dd_simhash(spark, sf_dir):
-    """SimHash64 per document (no SQL oracle — bit-plane math; verified by
-    unit tests + the Hamming-blocked near-dup tests + the three-way
-    simhash_map≡simhash_table≡simhash64 equivalence tests). Uses the
-    map-only pandas-UDF form — zero shuffles at any scale."""
+    """SimHash64 per document, map-only pandas-UDF form (zero shuffles at
+    any scale). Verified three ways: the generated DuckDB bit-plane oracle,
+    the Hamming-blocked near-dup tests, and the
+    simhash_map≡simhash_table≡simhash64 equivalence tests."""
     d = _tw(spark, sf_dir, "documents")
     return simhash_map(d).select(F.col("id").alias("doc_id"), "simhash")
 
@@ -1514,6 +1514,35 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) /
     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+"""
+
+
+# dd_simhash oracle: the exact bit-plane math replayed in DuckDB — token
+# split regex, md5-prefix 64-bit hash, per-bit ±1 votes, MSB-first packing
+# with signed-int64 wraparound. Generated (64 vote terms) but fully ANSI.
+_SQL_DD_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (hv >> {63 - b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SQL_DD_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << (63 - b)}::HUGEINT ELSE 0::HUGEINT END"
+    for b in range(64)
+)
+_SQL_DD_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+h AS (SELECT id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+v AS (SELECT id, {_SQL_DD_SIMHASH_VOTES} FROM h GROUP BY id),
+p AS (SELECT id, ({_SQL_DD_SIMHASH_PACK}) AS u FROM v)
+SELECT d.doc_id,
+  COALESCE(CAST(CASE WHEN p.u >= 9223372036854775808::HUGEINT
+                     THEN p.u - 18446744073709551616::HUGEINT
+                     ELSE p.u END AS BIGINT), 0) AS simhash
+FROM documents d LEFT JOIN p ON d.doc_id = p.id
 """
 
 
@@ -1737,7 +1766,8 @@ ORACLES: dict[str, str] = {
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,
     "dd_ngram_jaccard": _SQL_DD_NGRAM,
-    # dd_simhash / ann_topk_lsh: deliberately no oracle (non-SQL / approximate)
+    "dd_simhash": _SQL_DD_SIMHASH,
+    # ann_topk_lsh / ann_topk_ivf: deliberately no oracle (approximate by construction)
     "ann_topk_bruteforce": _SQL_ANN_TOPK,
     "ann_near_dups_exact": _SQL_ANN_NEAR,
     "mm_image_meta": _SQL_MM,
