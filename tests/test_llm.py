@@ -216,6 +216,42 @@ def test_multimodal_plumbing(spark, sf_dir):
         assert len(r["sha"]) == 40
 
 
+def test_audio_features_and_resize(spark, sf_dir):
+    from udata_datalake_service_spark.llm.multimodal import (
+        extract_audio_features,
+        resize_image_stub,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = fake_media_from_documents(d)
+    audio = extract_audio_features(
+        media.withColumn("kind", F.lit("audio")), target_rate=16000
+    )
+    for r in audio.collect():
+        assert r["n_samples"] == r["n_bytes"] // 2
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 16000
+        assert r["sample_rate"] == 16000
+
+    resized = resize_image_stub(media, 224, 224)
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r["width"], r["height"]) == (224, 224)
+        assert bytes(r["content"]).startswith(b"RESIZED:224x224:")
+
+
+def test_bpe_token_count_goldens(spark):
+    from udata_datalake_service_spark.llm.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world! It's 42 degrees.",), ("",), ("l'été à Paris — 2024?",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(bpe_token_count(F.col("t"))).collect()]
+    # pieces: [Hello][,][ world][!][ It]['s][ 42][ degrees][.] = 9
+    assert got == [9, 0, 8]
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", bytearray(b"x"), "video/mp4", {"duration_s": "12"})],

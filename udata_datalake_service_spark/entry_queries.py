@@ -1647,6 +1647,57 @@ FROM documents
 """
 
 
+def q_mm_audio_meta(spark, sf_dir):
+    """Audio decode/resample plumbing: mapInPandas stub kernel treating the
+    payload as 16-bit PCM mono resampled to 16 kHz — integer-exact byte
+    arithmetic the oracle replays (float rounding would diverge across
+    engines; durations are integer milliseconds)."""
+    from udata_datalake_service_spark.llm.multimodal import extract_audio_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = fake_media_from_documents(d).withColumn("kind", F.lit("audio"))
+    return extract_audio_features(media, target_rate=16000)
+
+
+_SQL_MM_AUDIO = """
+SELECT doc_id AS media_id,
+  strlen(text) AS n_bytes,
+  strlen(text) // 2 AS n_samples,
+  16000 AS sample_rate,
+  (strlen(text) // 2) * 1000 // 16000 AS duration_ms
+FROM documents
+"""
+
+
+def q_tx_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: GPT-2-style pre-tokenizer piece count next
+    to the whitespace-word count (LLM-pipeline token budgeting). The same
+    RE2-portable pattern runs on both engines (llm/text.BPE_SPLIT_RE)."""
+    from udata_datalake_service_spark.llm.text import bpe_token_count, token_count
+
+    d = _tw(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_token_count(F.col("text")).alias("n_bpe_pieces"),
+    )
+
+
+def _sql_tx_bpe() -> str:
+    from udata_datalake_service_spark.llm.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_words,
+  len(regexp_extract_all(text, '{pat}')) AS n_bpe_pieces
+FROM documents
+"""
+
+
+_SQL_TX_BPE = _sql_tx_bpe()
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -1709,6 +1760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "mm_image_meta": q_mm_image_meta,
+    "mm_audio_meta": q_mm_audio_meta,
+    "tx_bpe_tokens": q_tx_bpe_tokens,
     "k9_webhook_payload": q_k9_webhook_payload,
     "mm_frame_sample": q_mm_frame_sample,
 }
@@ -1771,6 +1824,8 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": _SQL_ANN_TOPK,
     "ann_near_dups_exact": _SQL_ANN_NEAR,
     "mm_image_meta": _SQL_MM,
+    "mm_audio_meta": _SQL_MM_AUDIO,
+    "tx_bpe_tokens": _SQL_TX_BPE,
     "k9_webhook_payload": _SQL_K9,
     "mm_frame_sample": _SQL_MM_FRAMES,
 }

@@ -94,6 +94,93 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        # integer ms: float rounding differs across engines (Python bankers
+        # vs DuckDB half-away) — integer math keeps the oracle exact
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def _decode_audio_stub(content: bytes, target_rate: int) -> tuple[int, int, int]:
+    """STUB — a real implementation would be soundfile/torchaudio decode +
+    resample to ``target_rate``. Deterministic fake: treats the payload as
+    16-bit PCM mono, so every derived number is plain byte arithmetic the
+    DuckDB oracle can replay. Replace with a real decoder in production."""
+    if content is None:
+        raise NotImplementedError("real decoder required for NULL-content media")
+    n_samples = len(content) // 2
+    return n_samples, target_rate, n_samples * 1000 // target_rate
+
+
+def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """``mapInPandas`` audio decode/resample plumbing (same shape as the
+    image path: one Arrow batch per Python call, fixed typed output)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                n_samples, rate, dur_ms = _decode_audio_stub(raw, target_rate)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(raw),
+                        "n_samples": n_samples,
+                        "sample_rate": rate,
+                        "duration_ms": dur_ms,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "content").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resize_image_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """``mapInPandas`` binary→binary transform signature (resize kernel).
+
+    STUB body: a real kernel decodes, resizes, re-encodes. The fake emits a
+    deterministic payload (target dims + content sha1) so batch shape,
+    binary output schema, and downstream writes are exercised for real."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                digest = hashlib.sha1(bytes(content)).digest()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content": b"RESIZED:%dx%d:" % (width, height) + digest,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "content").mapInPandas(
+        batches, out_schema
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     """Video frame-sampling *plan*: emits (media_id, frame_ts) rows from the
     duration metadata — the real frame grab is the stubbed decode kernel.

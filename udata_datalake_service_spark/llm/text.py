@@ -32,6 +32,17 @@ def token_count(text_col: Column) -> Column:
     return F.size(tokens(text_col))
 
 
+# GPT-2-style pre-tokenizer, minus the `\s+(?!\S)` lookahead (RE2-portable;
+# Java and RE2 agree on \p{L}/\p{N}, verified Spark≡DuckDB on goldens)
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Pre-tokenizer piece count — the cheap proxy for LLM token budgeting
+    (a real BPE merge table only subdivides these pieces further)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 def punct_ratio(text_col: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     total = F.length(text_col)
