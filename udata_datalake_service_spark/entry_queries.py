@@ -1347,6 +1347,26 @@ def q_tx_fingerprint(spark, sf_dir):
 _SQL_TX_FP = f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents"
 
 
+def q_tx_rolling_fingerprint(spark, sf_dir):
+    """Karp-Rabin polynomial fingerprint (ordered fold over token hashes)
+    — the rolling-hash fingerprint next to the stream-md5 one."""
+    from udata_datalake_service_spark.llm.text import rolling_fingerprint
+
+    d = _tw(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
+_SQL_TX_RFP = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform({_SQL_TOKS},
+        t -> (('0x' || substr(md5(t), 1, 8))::UBIGINT)::BIGINT)),
+    (acc, x) -> (acc * 257 + x) % 2147483647) AS rfp
+FROM documents
+"""
+
+
 def q_dd_exact_prefix_groups(spark, sf_dir):
     """Exact dedup via hash-groupBy on a canonical key (5-token prefix —
     catches the planted near-identical docs); emits dup groups."""
@@ -1750,6 +1770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stats": q_tx_stats,
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
+    "tx_rolling_fingerprint": q_tx_rolling_fingerprint,
     "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
     "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -1815,6 +1836,7 @@ ORACLES: dict[str, str] = {
     "tx_stats": _SQL_TX_STATS,
     "tx_langid": _SQL_TX_LANGID,
     "tx_fingerprint": _SQL_TX_FP,
+    "tx_rolling_fingerprint": _SQL_TX_RFP,
     "dd_exact_prefix_groups": _SQL_DD_EXACT,
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,

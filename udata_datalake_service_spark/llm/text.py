@@ -108,6 +108,27 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(F.array_join(tokens(text_col), " "))
 
 
+def rolling_fingerprint(
+    text_col: Column, base: int = 257, mod: int = 2_147_483_647
+) -> Column:
+    """Karp-Rabin polynomial fingerprint over the token stream.
+
+    Ordered fold h ← (h·base + hash(tokenᵢ)) mod m, token hash = first 32
+    md5 bits. Order-sensitive where ``fingerprint`` is stream-exact:
+    prefix hashes of a sliding variant extend it to substring matching.
+    Int64-safe (m·base + 2³² ≪ 2⁶³) and replayable as DuckDB
+    ``list_reduce`` for the oracle."""
+    th = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+    )
+
+
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """One projection adding the full text-analysis block."""
     c = F.col(text)
