@@ -57,6 +57,12 @@ class Lake:
         if n < min_lines_for_parquet:
             return n
         out = df
+        # small tables → one file: 32 near-empty part files cost more to
+        # open than to scan, and the index sort becomes a global sort so
+        # row-group stats actually bound the key range. Large tables keep
+        # their partitioning (the 100 TB path never hits this branch).
+        if n <= 1_000_000:
+            out = out.coalesce(1)
         if index_columns:
             out = out.sortWithinPartitions(*index_columns)
         out.write.mode("overwrite").parquet(self.table_path(name))
