@@ -51,6 +51,40 @@ def test_change_detection_stream_matches_batch(spark, checks_df, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_matches_batch_change_detection(spark, checks_df, tmp_path):
+    """The stateful stream and the batch lag-window must compute the SAME
+    cascade (both model analysis/resource.py:216-267: compare against the
+    previous check row; a missing signal is NO_GUESS for that method)."""
+    from udata_datalake_service_spark.plans.change_detection import (
+        with_change_detection,
+    )
+
+    src = str(tmp_path / "checks_eq")
+    # one file → one micro-batch: file-listing order must not interleave a
+    # resource's history across triggers
+    _write_checks_batch(spark, checks_df.coalesce(1), src)
+
+    q = (
+        change_detection_stream(stream_checks(spark, src))
+        .writeStream.format("memory")
+        .queryName("chg_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        r["check_id"]: (r["change_status"], r["change_method"], r["is_first_check"])
+        for r in spark.sql("SELECT * FROM chg_eq").collect()
+    }
+    batch_rows = {
+        r["id"]: (r["change_status"], r["change_method"], r["__is_first"])
+        for r in with_change_detection(spark.read.parquet(src)).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+@pytest.mark.slow
 def test_domain_rate_windows(spark, tmp_path):
     src = str(tmp_path / "checks_rate")
     base = dt.datetime(2024, 1, 1, 10, 0, 0)

@@ -126,9 +126,13 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
                     "is_first_check": not seen,
                 }
             )
-            last_modified = cur_lm if cur_lm is not None else last_modified
-            content_length = cur_cl if cur_cl is not None else content_length
-            checksum = cur_ck if cur_ck is not None else checksum
+            # overwrite (not coalesce) the carried signals: the reference
+            # compares against the previous check ROW (ORDER BY created_at
+            # DESC LIMIT 2, analysis/resource.py:216-267) — a missing
+            # signal there means NO_GUESS for that method, not "compare
+            # with an older check". Keeps stream ≡ batch lag-window
+            # (asserted by test_stream_matches_batch_change_detection).
+            last_modified, content_length, checksum = cur_lm, cur_cl, cur_ck
             seen = True
 
     state.update((last_modified, content_length, checksum, seen))
