@@ -82,6 +82,16 @@ RESOURCES_EXCEPTIONS_SCHEMA = T.StructType(
     ]
 )
 
+# resources_exceptions: allowlist of oversized resources + requested
+# per-table indexes (migrations/main/20240827_add_resources_exceptions_table.sql:5-10)
+RESOURCES_EXCEPTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType()),  # UUID, unique
+        T.StructField("table_indexes", T.StringType()),  # JSON {col: "index"}
+        T.StructField("comment", T.StringType()),  # VARCHAR(255)
+    ]
+)
+
 # tables_index: registry of converted tables (analysis/csv.py:398-408)
 TABLES_INDEX_SCHEMA = T.StructType(
     [

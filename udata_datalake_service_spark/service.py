@@ -97,6 +97,17 @@ class HydraService:
         )
         self.lake.rewrite_app_table(updated, "catalog")
 
+    # ------------------------------------------------------------ exceptions --
+    @property
+    def exceptions(self):
+        """GET/POST/PUT/DELETE /api/resources-exceptions
+        (routes/resources_exceptions.py:14-55) — see operators/exceptions."""
+        from udata_datalake_service_spark.operators.exceptions import (
+            ResourceExceptions,
+        )
+
+        return ResourceExceptions(self.spark, self.lake)
+
     # -------------------------------------------------------------- status --
     def crawler_status(self) -> DataFrame:
         """GET /api/status/crawler (A2)."""
