@@ -778,6 +778,78 @@ def _catalog_from_orders(spark, sf_dir):
     return catalog, checks
 
 
+def q_o4_csv_sample(spark, sf_dir):
+    """O4 — the csv-sample report (cli.py:181-219): latest-check join,
+    content-type/status/size predicate stack, ODS + own-domain exclusions,
+    two deterministically-sampled strata unioned."""
+    from udata_datalake_service_spark.plans.csv_sample import csv_sample
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    catalog = o.select(
+        k.cast("string").alias("resource_id"),
+        F.concat(F.lit("ds-"), F.col("o_custkey")).alias("dataset_id"),
+        k.alias("last_check"),
+    )
+    checks = o.select(
+        k.alias("id"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit("https://ods.example.org/explore/dataset/"), k),
+        )
+        .otherwise(F.concat(F.lit("https://files.example.org/r/"), k))
+        .alias("url"),
+        F.when(k % 5 == 0, F.lit("static.data.gouv.fr"))
+        .otherwise(F.concat(F.lit("ext"), (k % 50), F.lit(".example.org")))
+        .alias("domain"),
+        (F.lit(200) + k % 300).cast("int").alias("status"),
+        F.create_map(
+            F.lit("content-type"),
+            F.when(k % 3 == 0, F.lit("text/csv"))
+            .when(k % 3 == 1, F.lit("application/csv; charset=utf-8"))
+            .otherwise(F.lit("application/json")),
+            F.lit("content-length"),
+            (k % 200000).cast("string"),
+        ).alias("headers"),
+    )
+    return csv_sample(catalog, checks, size=100, max_size=150_000, seed="o4")
+
+
+_SQL_O4 = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS resource_id,
+    'ds-' || o_custkey AS dataset_id,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN 'https://ods.example.org/explore/dataset/' || o_orderkey
+         ELSE 'https://files.example.org/r/' || o_orderkey END AS url,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'static.data.gouv.fr'
+         ELSE 'ext' || (o_orderkey % 50) || '.example.org' END AS domain,
+    200 + o_orderkey % 300 AS status,
+    CASE o_orderkey % 3 WHEN 0 THEN 'text/csv'
+         WHEN 1 THEN 'application/csv; charset=utf-8'
+         ELSE 'application/json' END AS content_type,
+    o_orderkey % 200000 AS content_length
+  FROM orders
+),
+f AS (
+  SELECT * FROM base
+  WHERE content_type LIKE '%csv%' AND status >= 200 AND status < 400
+    AND content_length <= 150000
+)
+SELECT resource_id, dataset_id, url, content_type, content_length FROM (
+  SELECT * FROM f
+  WHERE url NOT LIKE '%/explore/dataset/%' AND url NOT LIKE '%/api/datasets/1.0/%'
+    AND domain <> 'static.data.gouv.fr'
+  ORDER BY md5('o4' || resource_id) LIMIT 50
+)
+UNION ALL
+SELECT resource_id, dataset_id, url, content_type, content_length FROM (
+  SELECT * FROM f WHERE domain = 'static.data.gouv.fr'
+  ORDER BY md5('o4' || resource_id) LIMIT 50
+)
+"""
+
+
 def q_j3_u7_batch_select_claim(spark, sf_dir):
     """J3+O3/O4+U1+U7 — the full crawl batch selection pipeline: tiered
     sampling behind the exclusion clause, batch-selection join on
@@ -1754,6 +1826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p10_retention_survivors": q_p10_retention_survivors,
     "a8_purge_returning_count": q_a8_purge_returning_count,
     "j3_u7_batch_select_claim": q_j3_u7_batch_select_claim,
+    "o4_csv_sample": q_o4_csv_sample,
     "o5_ordered_scan": q_o5_ordered_scan,
     "u3_snapshot_diff": q_u3_snapshot_diff,
     "u45_point_updates": q_u45_point_updates,
@@ -1820,6 +1893,7 @@ ORACLES: dict[str, str] = {
     "p10_retention_survivors": _SQL_P10,
     "a8_purge_returning_count": _SQL_A8,
     "j3_u7_batch_select_claim": _SQL_J3U7,
+    "o4_csv_sample": _SQL_O4,
     "o5_ordered_scan": _SQL_O5,
     "u3_snapshot_diff": _SQL_U3,
     "u45_point_updates": _SQL_U45,
