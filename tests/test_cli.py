@@ -1,0 +1,85 @@
+"""CLI verb bindings (reference cli.py:50-381 → cli.py here), exercised as
+functions against a temp lake (reference tests/test_cli.py:27-148 model:
+purge shared-URL edge cases, catalog reload semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.cli import (
+    analyse_csv,
+    insert_resource,
+    load_catalog,
+    purge_checks,
+    purge_csv_tables,
+)
+from udata_datalake_service_spark.sinks.lake import Lake
+
+
+def test_load_catalog_then_reload_marks_leavers_deleted(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    p1 = tmp_path / "cat1.csv"
+    p1.write_text(
+        "dataset.id;resource_id;url;dataset.archived\n"
+        "d1;r1;https://a.org/1.csv;False\n"
+        "d1;r2;https://a.org/2.csv;False\n",
+        encoding="utf-8",
+    )
+    assert load_catalog(spark, lake, str(p1)) == 2
+
+    # reload without r2 → r2 soft-deleted, r1 survives un-deleted
+    p2 = tmp_path / "cat2.csv"
+    p2.write_text(
+        "dataset.id;resource_id;url;dataset.archived\n"
+        "d1;r1;https://a.org/1.csv;False\n",
+        encoding="utf-8",
+    )
+    load_catalog(spark, lake, str(p2))
+    got = {r["resource_id"]: r["deleted"] for r in lake.read_app_table("catalog").collect()}
+    assert got == {"r1": False, "r2": True}
+
+    insert_resource(spark, lake, "d2", "r3", "https://b.org/3.csv")
+    assert lake.read_app_table("catalog").filter(F.col("resource_id") == "r3").count() == 1
+
+
+def test_analyse_csv_and_orphan_purge(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake2"))
+    csv = tmp_path / "data.csv"
+    csv.write_text("id;v\n1;a\n2;b\n", encoding="utf-8")
+    url = "https://a.org/data.csv"
+    name = analyse_csv(spark, lake, str(csv), url=url, resource_id="r1")
+    assert name == hashlib.md5(url.encode()).hexdigest()
+    assert lake.read_table(name).count() == 2
+    assert lake.registry().filter(F.col("parsing_table") == name).count() == 1
+
+    # catalog WITHOUT that url + a check row pointing at the table → orphan
+    catalog = spark.createDataFrame(
+        [(1, "r9", "https://other.org/x.csv", False)],
+        "id long, resource_id string, url string, deleted boolean",
+    )
+    checks = spark.createDataFrame(
+        [(1, url, name)], "id long, url string, parsing_table string"
+    )
+    lake.write_app_table(catalog, "catalog")
+    lake.write_app_table(checks, "checks")
+    dropped = purge_csv_tables(spark, lake)
+    assert dropped == [name]
+    assert lake.registry().filter(F.col("parsing_table") == name).count() == 0
+
+
+def test_purge_checks_retention(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake3"))
+    now = dt.datetime.utcnow()
+    rows = [
+        (1, "r1", now - dt.timedelta(days=100)),
+        (2, "r1", now - dt.timedelta(days=1)),
+    ]
+    lake.write_app_table(
+        spark.createDataFrame(rows, "id long, resource_id string, created_at timestamp"),
+        "checks",
+    )
+    assert purge_checks(spark, lake, retention_days=60) == 1
+    assert [r["id"] for r in lake.read_app_table("checks").collect()] == [2]

@@ -1,0 +1,178 @@
+"""CLI verbs (reference cli.py:50-381), bound to the Spark components.
+
+| reference verb               | here                                   |
+|------------------------------|----------------------------------------|
+| load-catalog                 | ``load_catalog``  (S5 + U3 diff load)  |
+| check-resource / crawl-url   | ``check_urls``    (S1 fetch plane)     |
+| analyse-csv                  | ``analyse_csv``   (S6 + K1-K7)         |
+| csv-sample                   | ``csv_sample_report`` (O4)             |
+| purge-checks                 | ``purge_checks``  (P10/ST7)            |
+| purge-csv-tables             | ``purge_csv_tables`` (J4/ST8 GC)       |
+| insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
+| drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
+
+Each verb is a plain function (driver-side orchestration of lazy Spark
+plans) plus an argparse front end: ``python -m
+udata_datalake_service_spark.cli <verb> …``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from udata_datalake_service_spark.session import get_spark
+from udata_datalake_service_spark.sinks.lake import Lake
+
+
+# ------------------------------------------------------------------ verbs --
+def load_catalog(spark: SparkSession, lake: Lake, csv_path: str) -> int:
+    """cli.py:86-116 — full-snapshot diff load: survivors un-deleted,
+    leavers soft-deleted, newcomers inserted."""
+    from udata_datalake_service_spark.operators.core import snapshot_diff_load
+    from udata_datalake_service_spark.sources.csv_reader import read_catalog_csv
+
+    from pyspark.sql import functions as F
+
+    snap = read_catalog_csv(spark, csv_path)
+    cols = {c: c.replace("dataset.", "dataset_") for c in snap.columns}
+    for old, new in cols.items():
+        snap = snap.withColumnRenamed(old, new)
+    try:
+        current = lake.read_app_table("catalog")
+    except Exception:  # first load: no existing table
+        current = None
+    if current is None:
+        lake.write_app_table(snap.withColumn("deleted", F.lit(False)), "catalog")
+    else:
+        lake.rewrite_app_table(
+            snapshot_diff_load(current, snap, key="resource_id"), "catalog"
+        )
+    # count from the fresh table — the merged plan's input files were just
+    # replaced, so counting the pre-rewrite frame would re-read dead paths
+    return lake.read_app_table("catalog").count()
+
+
+def check_urls(spark: SparkSession, urls: list[str], transport=None):
+    """cli.py:120-139 check-resource / crawl-url — run the fetch plane on
+    explicit URLs; returns the check rows DataFrame."""
+    from udata_datalake_service_spark.plans.fetch import check_batch, urllib_transport
+
+    batch = spark.createDataFrame(
+        [(str(i), u) for i, u in enumerate(urls)], "resource_id string, url string"
+    )
+    return check_batch(batch, transport or urllib_transport)
+
+
+def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = None,
+                resource_id: str = "", index_columns: list[str] | None = None) -> str:
+    """analysis/csv.py:108-199 — inspect, cast, write the md5(url)-named
+    lake table, register. Returns the table name."""
+    from udata_datalake_service_spark.sources.inference import inspect_csv
+
+    url = url or f"file://{path}"
+    name = hashlib.md5(url.encode()).hexdigest()
+    typed, insp = inspect_csv(spark, path)
+    lake.write_table(
+        typed, name, index_columns=index_columns, min_lines_for_parquet=0
+    )
+    lake.register(name, insp.to_dict(), resource_id=resource_id, url=url)
+    return name
+
+
+def csv_sample_report(spark: SparkSession, lake: Lake, size: int = 1000,
+                      max_size: int = 104_857_600, seed: str = "s0"):
+    """cli.py:181-219 csv-sample."""
+    from udata_datalake_service_spark.plans.csv_sample import csv_sample
+
+    return csv_sample(
+        lake.read_app_table("catalog"), lake.read_app_table("checks"),
+        size=size, max_size=max_size, seed=seed,
+    )
+
+
+def purge_checks(spark: SparkSession, lake: Lake, retention_days: int = 60) -> int:
+    """cli.py:272-283 — delete checks older than the retention window;
+    returns the purged-row count (the DELETE … RETURNING count)."""
+    from udata_datalake_service_spark.operators.gc import retention_filter
+
+    checks = lake.read_app_table("checks")
+    before = checks.count()
+    kept = retention_filter(checks, retention_days=retention_days)
+    lake.rewrite_app_table(kept, "checks")
+    return before - lake.read_app_table("checks").count()
+
+
+def purge_csv_tables(spark: SparkSession, lake: Lake) -> list[str]:
+    """cli.py:287-334 — drop converted tables whose URL left the catalog."""
+    from udata_datalake_service_spark.operators.gc import orphan_converted_tables
+
+    orphans = orphan_converted_tables(
+        lake.read_app_table("checks"), lake.read_app_table("catalog")
+    )
+    names = [r["parsing_table"] for r in orphans.select("parsing_table").distinct().collect()]
+    for name in names:
+        lake.drop_table(name)
+    return names
+
+
+def insert_resource(spark: SparkSession, lake: Lake, dataset_id: str,
+                    resource_id: str, url: str) -> None:
+    """cli.py:357-381 insert-resource-into-catalog (U2 upsert)."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.core import upsert
+
+    catalog = lake.read_app_table("catalog")
+    row = spark.createDataFrame(
+        [(dataset_id, resource_id, url, False)],
+        "dataset_id string, resource_id string, url string, deleted boolean",
+    )
+    for c in catalog.columns:
+        if c not in row.columns:
+            row = row.withColumn(c, F.lit(None).cast(dict(catalog.dtypes)[c]))
+    lake.rewrite_app_table(upsert(catalog, row.select(*catalog.columns), key="resource_id"), "catalog")
+
+
+# ------------------------------------------------------------------- main --
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="udata-datalake-spark")
+    p.add_argument("--lake-root", default="./lake")
+    sub = p.add_subparsers(dest="verb", required=True)
+    sp = sub.add_parser("load-catalog"); sp.add_argument("csv_path")
+    sp = sub.add_parser("check-url"); sp.add_argument("urls", nargs="+")
+    sp = sub.add_parser("analyse-csv"); sp.add_argument("path"); sp.add_argument("--url"); sp.add_argument("--resource-id", default="")
+    sp = sub.add_parser("csv-sample"); sp.add_argument("--size", type=int, default=1000)
+    sp = sub.add_parser("purge-checks"); sp.add_argument("--retention-days", type=int, default=60)
+    sub.add_parser("purge-csv-tables")
+    sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name=f"udata-cli-{args.verb}")
+    lake = Lake(spark, args.lake_root)
+    if args.verb == "load-catalog":
+        print(json.dumps({"rows": load_catalog(spark, lake, args.csv_path)}))
+    elif args.verb == "check-url":
+        for r in check_urls(spark, args.urls).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.verb == "analyse-csv":
+        print(json.dumps({"table": analyse_csv(spark, lake, args.path, args.url, args.resource_id)}))
+    elif args.verb == "csv-sample":
+        for r in csv_sample_report(spark, lake, size=args.size).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.verb == "purge-checks":
+        print(json.dumps({"purged": purge_checks(spark, lake, args.retention_days)}))
+    elif args.verb == "purge-csv-tables":
+        print(json.dumps({"dropped": purge_csv_tables(spark, lake)}))
+    elif args.verb == "insert-resource":
+        insert_resource(spark, lake, args.dataset_id, args.resource_id, args.url)
+        print(json.dumps({"ok": True}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
