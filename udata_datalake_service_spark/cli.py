@@ -78,7 +78,8 @@ def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = No
     name = hashlib.md5(url.encode()).hexdigest()
     typed, insp = inspect_csv(spark, path)
     lake.write_table(
-        typed, name, index_columns=index_columns, min_lines_for_parquet=0
+        typed, name, index_columns=index_columns, min_lines_for_parquet=0,
+        expected_rows=insp.total_lines,
     )
     lake.register(name, insp.to_dict(), resource_id=resource_id, url=url)
     return name

@@ -1315,7 +1315,11 @@ def q_k_lake_roundtrip(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     lake = Lake(spark, root)
     lake.write_table(
-        typed.drop("__id"), name, index_columns=["doc_id"], min_lines_for_parquet=200
+        typed.drop("__id"),
+        name,
+        index_columns=["doc_id"],
+        min_lines_for_parquet=200,
+        expected_rows=insp.total_lines,
     )
     lake.register(name, insp.to_dict(), resource_id="res-1", url=url)
 
@@ -1578,24 +1582,13 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 
 def q_ann_near_dups_exact(spark, sf_dir):
     """Embedding near-dup pairs (cos ≥ 0.42) — exact all-pairs baseline
-    (the LSH-bucketed variant is the scale path; this is its verifier)."""
+    (the LSH-bucketed variant is the scale path; this is its verifier).
+    Map-only blocked matmul: broadcast B, per-partition A-block @ B.T —
+    no shuffle, value-identical to the crossJoin + fold-dot form."""
+    from udata_datalake_service_spark.llm.similarity import exact_near_dup_pairs
+
     e = _tw(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va")
-    ).withColumn("na", norm(F.col("va"), 64))
-    b = e.select(
-        F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb")
-    ).withColumn("nb", norm(F.col("vb"), 64))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(dot(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos") >= 0.42)
-        .select("id_a", "id_b", "cos")
-    )
+    return exact_near_dup_pairs(e, threshold=0.42, dim=64)
 
 
 _SQL_ANN_NEAR = """

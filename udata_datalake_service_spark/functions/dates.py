@@ -89,8 +89,13 @@ def _parse_verbal_one(s: str) -> datetime | None:
 
 @F.pandas_udf(TimestampType())
 def _verbal_date_udf(s: pd.Series) -> pd.Series:
-    # Arrow-batched; only ever invoked on rows the JVM-side chain rejected.
-    return s.map(_parse_verbal_one)
+    # Arrow-batched. Real CSV columns repeat values heavily, so parse each
+    # distinct string once per batch and broadcast via map (regex cost
+    # becomes O(uniques), the common case for date columns).
+    mapping = {v: _parse_verbal_one(v) for v in s.dropna().unique()}
+    # explicit object dtype: an all-None batch must not collapse to float64
+    # NaN (Arrow can't cast double → timestamp)
+    return pd.Series([mapping.get(v) for v in s], index=s.index, dtype=object)
 
 
 def _chain(col: Column, patterns: tuple[str, ...]) -> Column:

@@ -70,27 +70,40 @@ def profile(df: DataFrame, exact_distinct: bool = False, top_n: int = 10) -> dic
 def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """DataFrame-valued profile (oracle-checkable shape): one row per column
     with count/nulls/distinct/min/max/mean/std over *numeric* columns.
-    All stats in one aggregate pass, unioned per column via a narrow
-    transpose of the single result row."""
+
+    ONE aggregate pass for all columns (the N exact count_distincts become
+    a single Expand ×N + one shuffle — vs the previous per-column
+    agg-and-union which scanned the table N times), then a narrow
+    explode-of-structs transpose of the single result row."""
     cols = columns or [
         f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
     ]
-    pieces = []
+    aggs = []
     for name in cols:
         c = F.col(name)
-        pieces.append(
-            df.agg(
-                F.lit(name).alias("column"),
-                F.count(c).alias("n"),
-                F.count_if(c.isNull()).alias("nulls"),
-                F.count_distinct(c).alias("nb_distinct"),
-                F.round(F.min(c).cast("double"), 4).alias("min_v"),
-                F.round(F.max(c).cast("double"), 4).alias("max_v"),
-                F.round(F.mean(c), 4).alias("mean_v"),
-                F.round(F.stddev(c), 4).alias("std_v"),
-            )
+        aggs.extend(
+            [
+                F.count(c).alias(f"{name}__n"),
+                F.count_if(c.isNull()).alias(f"{name}__nulls"),
+                F.count_distinct(c).alias(f"{name}__nd"),
+                F.round(F.min(c).cast("double"), 4).alias(f"{name}__min"),
+                F.round(F.max(c).cast("double"), 4).alias(f"{name}__max"),
+                F.round(F.mean(c), 4).alias(f"{name}__mean"),
+                F.round(F.stddev(c), 4).alias(f"{name}__std"),
+            ]
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(name).alias("column"),
+            F.col(f"{name}__n").alias("n"),
+            F.col(f"{name}__nulls").alias("nulls"),
+            F.col(f"{name}__nd").alias("nb_distinct"),
+            F.col(f"{name}__min").alias("min_v"),
+            F.col(f"{name}__max").alias("max_v"),
+            F.col(f"{name}__mean").alias("mean_v"),
+            F.col(f"{name}__std").alias("std_v"),
+        )
+        for name in cols
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("r")).select("r.*")

@@ -46,14 +46,18 @@ class Lake:
         name: str,
         index_columns: list[str] | None = None,
         min_lines_for_parquet: int = 0,
+        expected_rows: int | None = None,
     ) -> int:
         """K1+K2+K5 — replace-write a converted table.
 
         ``index_columns`` → sortWithinPartitions before write so parquet
         row-group stats cluster on them (K4's replacement). Returns rowcount
         (the reference's MIN_LINES_FOR_PARQUET floor is honored by callers
-        passing it here)."""
-        n = df.count()
+        passing it here). ``expected_rows`` lets a caller that already knows
+        the count (the inspection's ``total_lines``) skip the extra
+        materializing pass — the reference likewise gates parquet export on
+        the inspection's line count, not a recount (analysis/csv.py:295-303)."""
+        n = expected_rows if expected_rows is not None else df.count()
         if n < min_lines_for_parquet:
             return n
         out = df

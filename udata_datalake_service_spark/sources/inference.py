@@ -208,6 +208,14 @@ def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
     return out.withColumn("__id", F.monotonically_increasing_id() + 1)
 
 
+# Memo of completed inspections keyed by file identity. The reference
+# persists every inspection in ``tables_index`` (analysis/csv.py:398-408)
+# precisely so downstream steps never re-infer; this is the in-process
+# equivalent — re-inspecting an unchanged file re-runs only the cheap
+# all-strings read + cast, not the vote/count jobs.
+_INSPECT_MEMO: dict[tuple, tuple[dict, Inspection]] = {}
+
+
 def inspect_csv(
     spark,
     path: str,
@@ -215,8 +223,24 @@ def inspect_csv(
 ) -> tuple[DataFrame, Inspection]:
     """Full inspection pipeline: sniff → all-strings read → type vote →
     typed frame + report. Returns (typed_df, inspection)."""
+    import os
+
     from udata_datalake_service_spark.operators.profile import profile
     from udata_datalake_service_spark.sources.csv_reader import read_csv_with_dialect
+
+    st = os.stat(path)
+    memo_key = (os.path.abspath(path), st.st_size, st.st_mtime_ns, sample_bytes)
+    if memo_key in _INSPECT_MEMO:
+        types, insp = _INSPECT_MEMO[memo_key]
+        raw = read_csv_with_dialect(
+            spark,
+            path,
+            separator=insp.separator,
+            encoding=insp.encoding,
+            header_row_idx=insp.header_row_idx,
+            all_strings=True,
+        )
+        return apply_types(raw, types), insp
 
     with open(path, "rb") as fh:
         sample = fh.read(sample_bytes)
@@ -257,4 +281,5 @@ def inspect_csv(
             for c in raw.columns
         },
     )
+    _INSPECT_MEMO[memo_key] = (types, insp)
     return typed, insp
