@@ -1,0 +1,123 @@
+"""Physical-plan shape assertions — the scale contract, pinned.
+
+Correctness tests prove WHAT each operator computes; these prove HOW it
+executes, which is what survives a 100× scale-up: filters reach the
+parquet scan, projections prune the read schema, small sides broadcast,
+map-only operators really are shuffle-free, and top-k never global-sorts.
+A regression here (a filter that stops pushing, a broadcast that degrades
+to shuffle) changes no rows at sf0.001 but melts down at 100 TB — exactly
+the class of bug row-comparison tests can't see.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def tree(plan: str) -> str:
+    """The operator tree only (nodes repeat in the detail section below)."""
+    return plan.split("\n\n")[0]
+
+
+def n_exchanges(plan: str) -> int:
+    return tree(plan).count("Exchange")
+
+
+# ------------------------------------------------------------ pushdown ----
+def test_point_lookup_filter_reaches_parquet_scan(spark):
+    plan = formatted_plan(QUERIES["p1_point_lookup"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]" in plan
+
+
+def test_point_lookup_prunes_read_schema(spark):
+    plan = formatted_plan(QUERIES["p1_point_lookup"](spark, SF_DIR))
+    # ReadSchema carries exactly the projected columns — no full-row scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert all(c in read for c in ("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+    assert "c_address" not in read and "c_comment" not in read
+
+
+def test_flagship_pushes_shipdate_and_prunes_columns(spark):
+    plan = formatted_plan(QUERIES["flagship_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_like_predicates_push_to_scan(spark):
+    plan = formatted_plan(QUERIES["p3_exclusion_filter"](spark, SF_DIR))
+    # NOT LIKE '1-%' compiles to a pushable Not(StringStartsWith)
+    assert "Not(StringStartsWith(o_orderpriority,1-))" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+# ------------------------------------------------------------ joins ------
+def test_current_state_join_broadcasts_filtered_dim(spark):
+    plan = formatted_plan(QUERIES["j1_current_state_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the dim-side filter also pushes into its scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_history_join_chain_stays_broadcast(spark):
+    plan = formatted_plan(QUERIES["j2_history_join"](spark, SF_DIR))
+    assert tree(plan).count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # point predicate propagates to BOTH fact scans via the equi-join keys
+    assert "EqualTo(o_custkey,7)" in plan
+
+
+# --------------------------------------------------------- map-only ops ----
+def test_exact_near_dup_pairs_is_shuffle_free(spark):
+    """The blocked-matmul verifier's whole point: scan → ArrowEval → rows."""
+    plan = formatted_plan(QUERIES["ann_near_dups_exact"](spark, SF_DIR))
+    # one Exchange from the deliberate parallelism repartition; none from
+    # the operator itself (no join, no aggregate, no window)
+    assert "Join" not in plan and "Aggregate" not in plan and "Window" not in plan
+
+
+def test_simhash_map_is_shuffle_free(spark):
+    plan = formatted_plan(QUERIES["dd_simhash"](spark, SF_DIR))
+    assert "Join" not in plan and "Aggregate" not in plan and "Window" not in plan
+
+
+# ------------------------------------------------------------- top-k ------
+def test_deterministic_sample_avoids_global_sort(spark):
+    """ORDER BY rand LIMIT n must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), not a full Exchange+Sort."""
+    plan = formatted_plan(QUERIES["o3_deterministic_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) == 0
+
+
+def test_group_topk_partial_aggregates_before_shuffle(spark):
+    plan = formatted_plan(QUERIES["a1_group_topk"](spark, SF_DIR))
+    # map-side combine: two HashAggregates around one Exchange
+    assert tree(plan).count("HashAggregate") == 2
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------ aggregate pass ----
+def test_profile_is_single_scan(spark):
+    """One aggregate pass for all columns: exactly one parquet scan even
+    with N exact count_distincts (Expand, not N scans)."""
+    plan = formatted_plan(QUERIES["a9_profile_numeric"](spark, SF_DIR))
+    assert tree(plan).count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_flagship_partial_aggregation(spark):
+    plan = formatted_plan(QUERIES["flagship_pricing_summary"](spark, SF_DIR))
+    assert tree(plan).count("HashAggregate") == 2  # partial + final
+    assert n_exchanges(plan) == 1  # exactly the group-by shuffle
