@@ -1,0 +1,106 @@
+"""Skew salting + bucketed co-located joins: result identity and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.operators.core import salted_count, salted_join
+from udata_datalake_service_spark.sinks.lake import Lake
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 90% of rows share one hot key — the shape that melts a plain shuffle
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.range(50).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+    plain = sorted(map(tuple, skewed.join(dim, on="k").select("k", "payload", "name").collect()))
+    salted = sorted(map(tuple, salted_join(skewed, dim, on="k").select("k", "payload", "name").collect()))
+    assert salted == plain
+    assert len(plain) > 0
+
+
+def test_salted_join_left_outer_matches(spark, skewed):
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    plain = sorted(
+        map(tuple, skewed.join(dim, on="k", how="left").select("k", "payload", "name").collect()),
+        key=str,
+    )
+    salted = sorted(
+        map(tuple, salted_join(skewed, dim, on="k", how="left").select("k", "payload", "name").collect()),
+        key=str,
+    )
+    assert salted == plain
+
+
+def test_salted_count_matches_direct_groupby(spark, skewed):
+    direct = {r["k"]: r["count"] for r in skewed.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"] for r in salted_count(skewed, ["k"]).collect()}
+    assert salted == direct
+
+
+def test_salted_count_splits_hot_key_into_partials(spark, skewed):
+    # the pre-aggregation really splits the hot key: >1 partial group for k=7
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in skewed.columns])), F.lit(8))
+    partials = (
+        skewed.withColumn("__salt", salt).groupBy("k", "__salt").count()
+        .filter(F.col("k") == 7).count()
+    )
+    assert partials > 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain no
+    Exchange on either side — the write-time bucketing IS the shuffle."""
+    lake = Lake(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    t_o = lake.write_bucketed_table(orders, "orders_b", ["o_custkey"], 8)
+    t_c = lake.write_bucketed_table(customer, "cust_b", ["c_custkey"], 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table(t_o)
+            .join(spark.table(t_c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_name")
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree
+        assert "SortMergeJoin" in tree
+        # and it still returns the right rows
+        expect = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert j.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
+    """groupBy on the bucket key aggregates map-side only."""
+    lake = Lake(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    t_o = lake.write_bucketed_table(orders, "orders_b2", ["o_custkey"], 8)
+    try:
+        g = spark.table(t_o).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        plan = g._sc._jvm.PythonSQLUtils.explainString(
+            g._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan.split("\n\n")[0]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")

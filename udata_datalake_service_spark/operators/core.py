@@ -123,6 +123,50 @@ def deterministic_sample(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: hot keys stop serializing on one reducer.
+
+    Left rows get a deterministic salt in [0, num_salts) (hash of the whole
+    row tuple — uniform, reproducible, no rand()); right rows are replicated
+    once per salt via a small ``explode(sequence)``. Joining on
+    (key, salt) splits each hot key's row group across ``num_salts``
+    reducers. Results are row-identical to the plain join (asserted by
+    tests); cost is num_salts× the (smaller) right side's shuffle volume —
+    the standard trade when AQE's skew splitting can't kick in (e.g. the
+    skewed side feeds a window, or stats hide the skew).
+    """
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(num_salts))
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = l_s.join(r_s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_count(
+    df: DataFrame, key_cols: Sequence[str], num_salts: int = 8
+) -> DataFrame:
+    """Two-phase skew-safe ``groupBy(key).count()``: pre-aggregate on
+    (key, salt) so a hot key combines map-side across ``num_salts``
+    partial groups, then sum partials per key. Identical counts to the
+    direct groupBy (asserted by tests); the second shuffle carries one row
+    per (key, salt) instead of every raw row of the hot key."""
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(num_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__partial").alias("count"))
+
+
 def union_tiers(*tiers: DataFrame) -> DataFrame:
     """U1 — concat of disjoint selection tiers (priority / never-checked /
     outdated). ``unionByName`` is a no-shuffle narrow op."""

@@ -75,6 +75,35 @@ class Lake:
     def read_table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
+    def write_bucketed_table(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+    ) -> str:
+        """Bucketed catalog table for co-located joins on hot join keys.
+
+        ``bucketBy`` pre-shuffles ONCE at write time: two tables bucketed
+        the same way join with NO Exchange on either side (asserted by the
+        physical-plan tests) — at 100 TB that turns every recurring
+        join/groupBy on the bucket key into a map-side operation. This is
+        the Spark-native replacement for the reference's secondary B-tree
+        indexes on join columns (K4, migrations/main/20240926_add_indexes).
+        Returns the catalog table name (``saveAsTable`` is required —
+        bucket metadata lives in the session catalog, not the files).
+        """
+        table = f"lake_{name}"
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.table_path(name))
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(table)
+        )
+        return table
+
     def drop_table(self, name: str) -> None:
         """K8 — drop table + registry row."""
         p = Path(self.table_path(name))
