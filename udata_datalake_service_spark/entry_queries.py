@@ -1547,6 +1547,22 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
 """
 
 
+def q_skew_salted_count(spark, sf_dir):
+    """Skew-safe two-phase aggregation over the hot ``lang`` key (a handful
+    of values across the whole corpus — the canonical hot-key shape). The
+    salted pre-aggregation splits each hot key across reducers; the oracle
+    is the plain GROUP BY, proving count identity."""
+    from udata_datalake_service_spark.operators.core import salted_count
+
+    d = _t(spark, sf_dir, "documents")
+    return salted_count(d.select("doc_id", "lang"), ["lang"]).select(
+        "lang", F.col("count").cast("long").alias("n")
+    )
+
+
+_SQL_SKEW_SALTED = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
 def q_dd_simhash(spark, sf_dir):
     """SimHash64 per document, map-only pandas-UDF form (zero shuffles at
     any scale). Verified three ways: the generated DuckDB bit-plane oracle,
@@ -1841,6 +1857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "skew_salted_count": q_skew_salted_count,
     "dd_simhash": q_dd_simhash,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_near_dups_exact": q_ann_near_dups_exact,
@@ -1908,6 +1925,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,
     "dd_ngram_jaccard": _SQL_DD_NGRAM,
+    "skew_salted_count": _SQL_SKEW_SALTED,
     "dd_simhash": _SQL_DD_SIMHASH,
     # ann_topk_lsh / ann_topk_ivf: deliberately no oracle (approximate by construction)
     "ann_topk_bruteforce": _SQL_ANN_TOPK,
