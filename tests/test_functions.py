@@ -198,17 +198,17 @@ def test_fix_surrogates(spark):
     assert out[1] == "clean.csv" and out[2] is None
 
 
-def test_excel_reader_gated():
+def test_excel_reader_xls_gated_and_bad_ext():
     import pytest as _pytest
 
     from udata_datalake_service_spark.sources.excel_reader import (
-        HAS_OPENPYXL,
+        HAS_XLRD,
         iter_excel_rows,
     )
 
-    if not HAS_OPENPYXL:
-        with _pytest.raises(NotImplementedError, match="openpyxl"):
-            list(iter_excel_rows("x.xlsx"))
+    if not HAS_XLRD:
+        with _pytest.raises(NotImplementedError, match="xlrd"):
+            list(iter_excel_rows("x.xls"))
     with _pytest.raises(ValueError, match="not an excel"):
         list(iter_excel_rows("x.ods"))
 

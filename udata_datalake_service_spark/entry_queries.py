@@ -1547,6 +1547,39 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
 """
 
 
+def q_s7_mime_sniff(spark, sf_dir):
+    """S7 — MIME detection from content magic bytes as pure column
+    expressions (the libmagic call at analysis/resource.py:92, Spark-
+    native). Content = deterministic magic prefix by doc_id class + the
+    document's text bytes; the prefixless class must fall through the
+    signature cascade into the printable-text heuristic. The oracle states
+    the expected mime per class (behavior validation, like F3)."""
+    from udata_datalake_service_spark.functions.mime import detect_mime
+
+    d = _t(spark, sf_dir, "documents")
+    prefixes = [
+        b"\x1f\x8b\x08",  # gzip
+        b"PK\x03\x04",  # zip (xlsx container)
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",  # OLE compound (xls)
+        b"",  # raw text → text/plain
+    ]
+    content = F.concat(
+        F.element_at(
+            F.array(*[F.lit(p) for p in prefixes]), (F.col("doc_id") % 4 + 1).cast("int")
+        ),
+        F.encode("text", "utf-8"),
+    )
+    return d.select("doc_id", detect_mime(content).alias("mime"))
+
+
+_SQL_S7 = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'application/gzip' WHEN 1 THEN 'application/zip'
+       WHEN 2 THEN 'application/vnd.ms-excel' ELSE 'text/plain' END AS mime
+FROM documents
+"""
+
+
 def q_skew_salted_count(spark, sf_dir):
     """Skew-safe two-phase aggregation over the hot ``lang`` key (a handful
     of values across the whole corpus — the canonical hot-key shape). The
@@ -1857,6 +1890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "s7_mime_sniff": q_s7_mime_sniff,
     "skew_salted_count": q_skew_salted_count,
     "dd_simhash": q_dd_simhash,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1925,6 +1959,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,
     "dd_ngram_jaccard": _SQL_DD_NGRAM,
+    "s7_mime_sniff": _SQL_S7,
     "skew_salted_count": _SQL_SKEW_SALTED,
     "dd_simhash": _SQL_DD_SIMHASH,
     # ann_topk_lsh / ann_topk_ivf: deliberately no oracle (approximate by construction)

@@ -1,0 +1,57 @@
+"""S7 — MIME detection from content magic bytes (SURVEY §2.1).
+
+Reference: ``magic.from_file(..., mime=True)`` (analysis/resource.py:92)
+via libmagic, which inspects leading bytes. python-magic is not in this
+container — and at scale a per-file driver call is wrong anyway — so this
+is the Spark-native form: a pure column-expression cascade over the hex
+prefix of a ``binary`` column, covering every signature the reference's
+pipeline actually dispatches on (gzip / zip-xlsx / OLE-xls / pdf /
+jpeg / png) plus a printable-text heuristic for the csv/plain family.
+Runs inside whole-stage codegen over parquet-resident binaries; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (hex prefix of leading bytes, mime) — order matters: longest/most
+# specific first where prefixes could overlap.
+MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),  # xlsx/ods/docx are zip containers
+    ("D0CF11E0A1B11AE1", "application/vnd.ms-excel"),  # OLE compound (xls)
+    ("25504446", "application/pdf"),
+    ("FFD8FF", "image/jpeg"),
+    ("89504E47", "image/png"),
+    ("474946383", "image/gif"),  # GIF87a/GIF89a
+    ("494433", "audio/mpeg"),  # ID3
+    ("52494646", "audio/x-wav"),  # RIFF (wav/avi; wav dominates open data)
+)
+
+# control bytes that never appear in text files (tab/newline/CR excluded)
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def detect_mime(content: Column, sniff_bytes: int = 64) -> Column:
+    """binary column → mime string.
+
+    Magic-signature cascade first; otherwise, if the leading bytes decode
+    as control-character-free UTF-8, ``text/plain`` (what libmagic reports
+    for CSV, which is exactly how the reference routes csv analysis);
+    else ``application/octet-stream``.
+    """
+    head = F.substring(content, 1, sniff_bytes)
+    hx = F.hex(F.substring(content, 1, 8))
+    out = None
+    for prefix, mime in MAGIC_SIGNATURES:
+        cond = hx.startswith(prefix)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    # decode() yields U+FFFD for malformed UTF-8 → rejected alongside
+    # control bytes. A multi-byte char cut at the boundary would wrongly
+    # fail; restrict the check to sniff_bytes-4 so a trailing partial
+    # sequence is never included.
+    txt = F.decode(F.substring(head, 1, sniff_bytes - 4), "UTF-8")
+    is_text = ~txt.rlike(_CONTROL_RE) & ~txt.contains("�")
+    cascade = out.when(is_text, "text/plain").otherwise("application/octet-stream")
+    return F.when(content.isNull(), F.lit(None).cast("string")).otherwise(cascade)

@@ -1,4 +1,4 @@
-"""S4 — Excel readers (xlsx via openpyxl, xls via xlrd).
+"""S4 — Excel readers (xlsx: openpyxl or a stdlib fallback; xls via xlrd).
 
 Reference: utils/reader.py:31-41,60-66 iterates ``openpyxl`` /
 ``xlrd`` rows on ``sheet_name``, skipping ``header_row_idx`` rows; the
@@ -7,12 +7,18 @@ driver-side read → ``spark.createDataFrame`` is the honest mapping — the
 parallel path at scale is converting the workbook to CSV/parquet once and
 scanning that.
 
-Both libraries are optional (not in the test container): the import is
-gated and ``read_excel`` raises a clear error when unavailable, exactly
-like the reference degrades when a format is not supported.
+Both libraries are optional. For ``.xlsx`` there is a dependency-free
+fallback: the format is a zip of XML parts, and the subset the open-data
+pipeline needs (shared strings, inline strings, numbers, booleans, sheet
+selection by name) parses fine with stdlib ``zipfile`` + ElementTree.
+``.xls`` (binary BIFF) genuinely needs xlrd and stays gated.
 """
 
 from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,17 +39,81 @@ except ImportError:
     HAS_XLRD = False
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_CELL_COL_RE = re.compile(r"([A-Z]+)\d+$")
+
+
+def _col_index(cell_ref: str) -> int:
+    """'C7' → 2 (zero-based column)."""
+    letters = _CELL_COL_RE.match(cell_ref).group(1)
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def iter_xlsx_rows_stdlib(path: str, sheet_name: str | None = None):
+    """Minimal xlsx row iterator on stdlib zipfile + ElementTree.
+
+    Handles the cell types real open-data workbooks use: shared strings
+    (t="s"), inline strings (t="inlineStr"), booleans (t="b" → True/False),
+    numbers/dates-as-serials (raw <v> text), and blank cells (positional
+    gaps filled with None via the cell reference). Formulas yield their
+    cached <v> value — same behavior as openpyxl ``data_only=True``.
+    """
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {r.get("Id"): r.get("Target") for r in rels}
+        target = None
+        for s in wb.find(f"{_XLSX_NS}sheets"):
+            t = rel_target[s.get(f"{_REL_NS}id")]
+            t = t if t.startswith("xl/") else f"xl/{t.lstrip('/')}"
+            if sheet_name is None or s.get("name") == sheet_name:
+                target = t
+                break
+        if target is None:
+            raise ValueError(f"sheet {sheet_name!r} not found in {path}")
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                for si in sst.iter(f"{_XLSX_NS}si")
+            ]
+
+        ws = ET.fromstring(z.read(target))
+        for row in ws.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, object] = {}
+            for c in row.iter(f"{_XLSX_NS}c"):
+                idx = _col_index(c.get("r"))
+                ctype = c.get("t", "n")
+                v = c.find(f"{_XLSX_NS}v")
+                if ctype == "s":
+                    cells[idx] = shared[int(v.text)]
+                elif ctype == "inlineStr":
+                    cells[idx] = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
+                elif ctype == "b":
+                    cells[idx] = v is not None and v.text == "1"
+                else:
+                    cells[idx] = None if v is None else v.text
+            width = max(cells) + 1 if cells else 0
+            yield [cells.get(i) for i in range(width)]
+
+
 def iter_excel_rows(path: str, sheet_name: str | None = None, header_row_idx: int = 0):
     """Yield rows (lists of cell values) past the header offset —
     utils/reader.py:31-41 semantics. Dispatches on extension."""
     if path.endswith(".xlsx"):
-        if not HAS_OPENPYXL:
-            raise NotImplementedError(
-                "xlsx reading needs openpyxl (not installed in this environment)"
-            )
-        wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
-        ws = wb[sheet_name] if sheet_name else wb.active
-        for i, row in enumerate(ws.iter_rows(values_only=True)):
+        if HAS_OPENPYXL:
+            wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
+            ws = wb[sheet_name] if sheet_name else wb.active
+            rows = (list(row) for row in ws.iter_rows(values_only=True))
+        else:
+            rows = iter_xlsx_rows_stdlib(path, sheet_name=sheet_name)
+        for i, row in enumerate(rows):
             if i < header_row_idx:
                 continue
             yield list(row)
@@ -70,8 +140,9 @@ def read_excel(
     for the same infer_types/apply_types pipeline the CSV path uses."""
     rows = iter_excel_rows(path, sheet_name=sheet_name, header_row_idx=header_row_idx)
     header = [str(c) if c is not None else f"col_{i}" for i, c in enumerate(next(rows))]
+    w = len(header)
     data = [
-        tuple(None if c is None else str(c) for c in row)
+        tuple(None if c is None else str(c) for c in (list(row) + [None] * w)[:w])
         for row in rows
     ]
     return spark.createDataFrame(data, ", ".join(f"`{h}` string" for h in header))
