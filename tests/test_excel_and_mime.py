@@ -139,3 +139,30 @@ def test_detect_mime_agrees_with_reference_routing(spark):
         "c.xls": "application/vnd.ms-excel",
         "d.csv": "text/plain",
     }
+
+
+def test_excel_flows_through_inference_pipeline(spark, xlsx_path):
+    """S4 → S6: the workbook rides the same type-vote/apply pipeline as CSV
+    (reference format matrix, tests/test_analysis/test_analysis_other_formats.py)."""
+    from udata_datalake_service_spark.sources.inference import inspect_tabular
+
+    typed, insp = inspect_tabular(spark, xlsx_path)
+    assert insp.engine in ("openpyxl", "stdlib-xlsx")
+    assert insp.total_lines == 3
+    assert insp.columns["nom"]["python_type"] == "string"
+    assert insp.columns["montant"]["python_type"] == "float"
+    rows = {r["nom"]: r for r in typed.collect()}
+    assert rows["Aurélie"]["montant"] == 1020.5
+    assert rows["Benoît"]["montant"] == 7.0
+
+
+def test_analyse_cli_ingests_xlsx(spark, xlsx_path, tmp_path):
+    from udata_datalake_service_spark.cli import analyse_csv
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    name = analyse_csv(spark, lake, xlsx_path, url="https://x.org/f.xlsx")
+    back = lake.read_table(name)
+    assert back.count() == 3
+    reg = lake.registry().filter(F.col("parsing_table") == name).collect()
+    assert len(reg) == 1 and '"engine":' in reg[0]["csv_detective"]

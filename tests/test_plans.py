@@ -167,3 +167,41 @@ def test_check_batch_head_get_fallback_and_errors(spark):
     # (crawl/helpers.py:47-53): 404 HEADs are re-tried as GET
     assert rows["r5"]["status"] == 404 and rows["r5"]["method"] == "get"
     assert rows["r1"]["domain"] == "a.org"
+
+
+def test_wrong_url_repairs_and_apply(spark):
+    """404 → stable-redirect discovery → catalog URL rewrite
+    (check_resources.py:173-231)."""
+    from udata_datalake_service_spark.plans.fetch import (
+        apply_url_repairs,
+        wrong_url_repairs,
+    )
+
+    def _fake_transport(url, method):
+        assert method == "head" and url.startswith("https://portal/datasets/r/")
+        rid = url.rsplit("/", 1)[1]
+        if rid == "r1":  # moved
+            return 302, {"Location": "https://new.org/r1.csv"}, None
+        if rid == "r2":  # redirect target unchanged
+            return 302, {"location": "https://a.org/r2.csv"}, None
+        return None, {}, "unreachable"  # r3: portal down → no repair
+
+    checks = spark.createDataFrame(
+        [
+            ("r1", "https://a.org/r1.csv", 404),
+            ("r2", "https://a.org/r2.csv", 404),
+            ("r3", "https://a.org/r3.csv", 404),
+            ("r4", "https://a.org/r4.csv", 200),  # not a 404 → ignored
+        ],
+        "resource_id string, url string, status int",
+    )
+    repairs = wrong_url_repairs(checks, "https://portal", _fake_transport)
+    got = [tuple(r) for r in repairs.collect()]
+    assert got == [("r1", "https://a.org/r1.csv", "https://new.org/r1.csv")]
+
+    catalog = spark.createDataFrame(
+        [("r1", "https://a.org/r1.csv", False), ("r9", "https://a.org/r9.csv", False)],
+        "resource_id string, url string, deleted boolean",
+    )
+    fixed = {r["resource_id"]: r["url"] for r in apply_url_repairs(catalog, repairs).collect()}
+    assert fixed == {"r1": "https://new.org/r1.csv", "r9": "https://a.org/r9.csv"}

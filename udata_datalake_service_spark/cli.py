@@ -69,14 +69,17 @@ def check_urls(spark: SparkSession, urls: list[str], transport=None):
 
 
 def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = None,
-                resource_id: str = "", index_columns: list[str] | None = None) -> str:
+                resource_id: str = "", index_columns: list[str] | None = None,
+                sheet_name: str | None = None) -> str:
     """analysis/csv.py:108-199 — inspect, cast, write the md5(url)-named
-    lake table, register. Returns the table name."""
-    from udata_datalake_service_spark.sources.inference import inspect_csv
+    lake table, register. Returns the table name. Handles csv / csv.gz /
+    xlsx (and xls where xlrd exists) via the format dispatch, like the
+    reference's analyse flow."""
+    from udata_datalake_service_spark.sources.inference import inspect_tabular
 
     url = url or f"file://{path}"
     name = hashlib.md5(url.encode()).hexdigest()
-    typed, insp = inspect_csv(spark, path)
+    typed, insp = inspect_tabular(spark, path, sheet_name=sheet_name)
     lake.write_table(
         typed, name, index_columns=index_columns, min_lines_for_parquet=0,
         expected_rows=insp.total_lines,

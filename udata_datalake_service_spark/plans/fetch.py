@@ -139,3 +139,64 @@ def check_batch(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, CHECK_RESULT_SCHEMA)
+
+
+URL_REPAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType()),
+        T.StructField("old_url", T.StringType()),
+        T.StructField("actual_url", T.StringType()),
+    ]
+)
+
+
+def wrong_url_repairs(
+    check_results: DataFrame,
+    portal_base: str,
+    transport: Transport = urllib_transport,
+) -> DataFrame:
+    """404 → current-URL discovery (check_resources.py:173-231).
+
+    The reference, on a 404, HEADs the portal's stable redirect
+    ``{portal}/datasets/r/{resource_id}`` and reads the ``location``
+    header — the resource's *current* URL — then rewrites the catalog row
+    and re-checks. This is the discovery step as a batch transform: one
+    repair row per 404'd resource whose stable redirect points somewhere
+    new. Same pluggable-transport ``mapInPandas`` shape as ``check_batch``;
+    feed the result to ``apply_url_repairs`` (U4) and re-run the repaired
+    rows through ``check_batch``.
+    """
+    src = check_results.filter(check_results.status == 404).select(
+        "resource_id", "url"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in URL_REPAIR_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for rid, url in zip(pdf["resource_id"], pdf["url"]):
+                stable = f"{portal_base.rstrip('/')}/datasets/r/{rid}"
+                _status, headers, err = transport(stable, "head")
+                if err:
+                    continue
+                loc = {k.lower(): v for k, v in headers.items()}.get("location")
+                if loc and loc != url:
+                    rows.append(
+                        {"resource_id": str(rid), "old_url": url, "actual_url": loc}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, URL_REPAIR_SCHEMA)
+
+
+def apply_url_repairs(catalog: DataFrame, repairs: DataFrame) -> DataFrame:
+    """U4 — rewrite repaired catalog URLs (Resource.update at
+    check_resources.py:222). Broadcast left join (repairs are tiny);
+    untouched rows pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    r = F.broadcast(repairs.select("resource_id", "actual_url"))
+    out = catalog.join(r, on="resource_id", how="left")
+    return out.withColumn(
+        "url", F.coalesce(F.col("actual_url"), F.col("url"))
+    ).drop("actual_url")

@@ -44,7 +44,10 @@ TYPE_PRIORITY = ("bool", "int", "float", "date", "datetime", "json", "string")
 
 @dataclass
 class Inspection:
-    """The inspection report (csv_detective dict equivalent)."""
+    """The inspection report (csv_detective dict equivalent).
+
+    ``engine``/``sheet_name`` mirror the reference inspection's Excel
+    fields (None for CSV; reader name + sheet for workbooks)."""
 
     encoding: str = "utf-8"
     separator: str = ","
@@ -53,6 +56,8 @@ class Inspection:
     total_lines: int = 0
     columns: dict[str, dict] = field(default_factory=dict)  # name → {python_type, score}
     profile: dict[str, dict] = field(default_factory=dict)
+    engine: str | None = None
+    sheet_name: str | None = None
 
     def to_dict(self) -> dict:
         return {
@@ -63,6 +68,8 @@ class Inspection:
             "total_lines": self.total_lines,
             "columns": self.columns,
             "profile": self.profile,
+            "engine": self.engine,
+            "sheet_name": self.sheet_name,
         }
 
 
@@ -283,3 +290,53 @@ def inspect_csv(
     )
     _INSPECT_MEMO[memo_key] = (types, insp)
     return typed, insp
+
+
+def inspect_excel(
+    spark,
+    path: str,
+    sheet_name: str | None = None,
+    header_row_idx: int = 0,
+) -> tuple[DataFrame, Inspection]:
+    """Workbook → same inference pipeline as CSV (the reference routes
+    xls/xlsx through csv_detective with an ``engine`` field —
+    analysis/csv.py:152-154, utils/reader.py:31-41)."""
+    from udata_datalake_service_spark.sources.excel_reader import (
+        HAS_OPENPYXL,
+        read_excel,
+    )
+
+    raw = read_excel(spark, path, sheet_name=sheet_name, header_row_idx=header_row_idx)
+    types = infer_types(raw)
+    typed = apply_types(raw, types)
+    insp = Inspection(
+        encoding="binary",
+        separator="",
+        header_row_idx=header_row_idx,
+        header=list(raw.columns),
+        total_lines=raw.count(),
+        columns={
+            renamed(c): {
+                "python_type": types[c],
+                "spark_type": PYTHON_TYPE_TO_SPARK[types[c]].simpleString(),
+            }
+            for c in raw.columns
+        },
+        engine="openpyxl" if HAS_OPENPYXL else "stdlib-xlsx",
+        sheet_name=sheet_name,
+    )
+    return typed, insp
+
+
+def inspect_tabular(
+    spark,
+    path: str,
+    sheet_name: str | None = None,
+) -> tuple[DataFrame, Inspection]:
+    """Format dispatch, as the reference's analyse flow does by detected
+    format (utils/csv.py:4-43): csv / csv.gz → sniff+vote pipeline;
+    xlsx / xls → workbook reader into the same vote pipeline."""
+    low = path.lower()
+    if low.endswith((".xlsx", ".xls")):
+        return inspect_excel(spark, path, sheet_name=sheet_name)
+    return inspect_csv(spark, path)
