@@ -104,3 +104,23 @@ def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
         assert "Exchange" not in plan.split("\n\n")[0]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+
+
+def test_date_partitioned_checks_prune_on_date_filter(spark, tmp_path):
+    """checks is partitioned by check_date (SURVEY §1.5): a date-filtered
+    aggregate must prune to the matching partition at planning time —
+    retention and per-date dashboards never scan the full history."""
+    lake = Lake(spark, str(tmp_path))
+    checks = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", 200) for i in range(100)],
+        "check_id long, check_date string, status int",
+    )
+    lake.write_app_table(checks, "checks", partition_by=["check_date"])
+    df = lake.read_app_table("checks").filter(F.col("check_date") == "2024-01-03")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # the predicate lands in PartitionFilters (pruned listing), not in
+    # PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "check_date" in pf_line
+    assert df.count() == 20
