@@ -1443,6 +1443,89 @@ FROM documents
 """
 
 
+def q_tx_curate_pipeline(spark, sf_dir):
+    """The composed corpus-curation flow these operators exist for — one
+    declarative plan, end to end: (1) language gate (a detected language,
+    not 'und'), (2) quality gate (score ≥ 0.55 — a non-grid threshold, so
+    float epsilon on the 0.2-step score can't flip membership), (3) exact
+    dedup keeping the lowest doc_id per canonical fingerprint, (4) near-dup
+    removal: for every exact-Jaccard pair ≥ 0.35 among survivors, the
+    higher id drops. Survivors emit (doc_id, lang_detected, quality).
+
+    Physical shape: two scans of documents (gate+dedup window, then the
+    shingle inverted index on the gated survivors) + an anti-join — every
+    stage is the same operator the standalone queries pin, composed."""
+    from udata_datalake_service_spark.llm.dedup import exact_dedup, ngram_jaccard_pairs
+
+    d = _tw(spark, sf_dir, "documents")
+    gated = (
+        d.select(
+            "doc_id",
+            "text",
+            detect_language(F.col("text")).alias("lang_detected"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("lang_detected") != "und") & (F.col("quality") >= 0.55))
+    )
+    deduped = exact_dedup(gated, text="text", id_col="doc_id")
+    pairs = ngram_jaccard_pairs(deduped, k=2, threshold=0.35)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return deduped.join(drops, on="doc_id", how="left_anti").select(
+        "doc_id", "lang_detected", F.round("quality", 4).alias("quality")
+    )
+
+
+_SQL_TX_CURATE = f"""
+WITH x AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS npunct,
+    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS nalpha
+  FROM documents
+), feats AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+    CASE WHEN nc > 0 THEN npunct / nc ELSE 0.0 END AS praw,
+    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS DOUBLE) / len(t) ELSE 0.0 END AS sraw,
+    CASE WHEN len(t) > 0 THEN nalpha / len(t) ELSE 0.0 END AS mean_wlen,
+    {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('en')} AS h_en,
+    {_sql_lang_hits('es')} AS h_es, {_sql_lang_hits('fr')} AS h_fr
+  FROM x
+), scored AS (
+  SELECT doc_id, t,
+    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) < 1 THEN 'und'
+         WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_detected,
+    CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+      + CASE WHEN praw <= 0.2 THEN 0.2 ELSE 0.0 END
+      + CASE WHEN sraw >= 0.01 THEN 0.2 ELSE 0.0 END
+      + CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality
+  FROM feats
+), gated AS (
+  SELECT doc_id, t, lang_detected, quality FROM scored
+  WHERE lang_detected <> 'und' AND quality >= 0.55
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(array_to_string(t, ' ')) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), sh AS (SELECT doc_id AS id, unnest({_sql_shingles(2)}) AS s FROM deduped),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+), drops AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
+)
+SELECT doc_id, lang_detected, ROUND(quality, 4) AS quality
+FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM drops)
+"""
+
+
 def q_dd_exact_prefix_groups(spark, sf_dir):
     """Exact dedup via hash-groupBy on a canonical key (5-token prefix —
     catches the planted near-identical docs); emits dup groups."""
@@ -1887,6 +1970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_fingerprint": q_tx_fingerprint,
     "tx_rolling_fingerprint": q_tx_rolling_fingerprint,
     "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
+    "tx_curate_pipeline": q_tx_curate_pipeline,
     "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1956,6 +2040,7 @@ ORACLES: dict[str, str] = {
     "tx_fingerprint": _SQL_TX_FP,
     "tx_rolling_fingerprint": _SQL_TX_RFP,
     "dd_exact_prefix_groups": _SQL_DD_EXACT,
+    "tx_curate_pipeline": _SQL_TX_CURATE,
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,
     "dd_ngram_jaccard": _SQL_DD_NGRAM,
