@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (keys without an oracle —
-    dd_simhash, ann_topk_lsh — get the driver's rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query — every query has one
+    (the approximate ANN paths are deterministic, so their oracles replay
+    the same bucketing/probing math in SQL)."""
     return dict(ORACLES)

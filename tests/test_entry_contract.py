@@ -11,8 +11,9 @@ def test_contract_shapes():
     assert len(qs) >= 30
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # only the documented approximate ops lack an oracle
-    assert set(qs) - set(oracles) == {"ann_topk_lsh", "ann_topk_ivf"}
+    # every query has an oracle (the approximate ANN paths are
+    # deterministic, so their oracles replay the same math in SQL)
+    assert set(qs) == set(oracles)
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
 

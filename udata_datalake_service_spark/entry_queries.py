@@ -1734,6 +1734,110 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
 """
 
 
+def _lsh_planes_values_sql(
+    dim: int = 64, num_planes: int = 8, num_tables: int = 4, seed_base: int = 7
+) -> str:
+    """The LSH hyperplanes as DuckDB VALUES rows ``(tbl, p, DOUBLE[])``.
+
+    The planes are splitmix64-derived constants (similarity._hyperplanes)
+    — not random state — so embedding their exact float64 reprs in the
+    oracle text replays the SAME approximation DuckDB-side. ``repr``
+    round-trips doubles exactly."""
+    from udata_datalake_service_spark.llm.similarity import _hyperplanes
+
+    rows = []
+    for t in range(num_tables):
+        for p, plane in enumerate(_hyperplanes(dim, num_planes, seed=seed_base + t)):
+            lit = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {p}, {lit})")
+    return ",\n".join(rows)
+
+
+# ann_topk_lsh oracle: the SAME sign-LSH bucketing replayed in SQL —
+# bucket key = bits packed little-endian over planes (1<<p iff dot ≥ 0),
+# candidates share (table, key), exact round-6 cosine re-rank. Approximate
+# ≠ nondeterministic: the planes are constants, so the full result is
+# value-checkable. (Sign flips would need |dot| ≲ 1e-13 — BLAS-vs-
+# sequential summation noise on O(1) dots; never observed.)
+_SQL_ANN_LSH = f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+planes(tbl, p, w) AS (VALUES {_lsh_planes_values_sql()}),
+cb AS (
+  SELECT neighbor_id, tbl,
+         SUM(CASE WHEN list_dot_product(cv, w) >= 0 THEN 1 << p ELSE 0 END) AS bkey
+  FROM c CROSS JOIN planes GROUP BY neighbor_id, tbl
+),
+qb AS (
+  SELECT query_id, tbl,
+         SUM(CASE WHEN list_dot_product(qv, w) >= 0 THEN 1 << p ELSE 0 END) AS bkey
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (tbl, bkey)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_dot_product(qv, cv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+# ann_topk_ivf oracle: centroids = first 16 corpus vectors by id (list_id
+# = position); assignment/probing rank by dot/centroid-norm (row norms
+# cancel) with ties to the lower list id — exactly ivf_topk's stable
+# argsort. Queries probe 4 lists; round-6 cosine re-rank on candidates.
+_SQL_ANN_IVF = """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+cent AS (
+  SELECT cv AS w, ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS list_id
+  FROM c QUALIFY ROW_NUMBER() OVER (ORDER BY neighbor_id) <= 16
+),
+cassign AS (
+  SELECT neighbor_id, list_id FROM (
+    SELECT c.neighbor_id, cent.list_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY list_dot_product(c.cv, cent.w) / sqrt(list_dot_product(cent.w, cent.w)) DESC,
+                 cent.list_id ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, cent.list_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, cent.w) / sqrt(list_dot_product(cent.w, cent.w)) DESC,
+                 cent.list_id ASC) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qprobe JOIN cassign USING (list_id)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_dot_product(qv, cv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
 # dd_simhash oracle: the exact bit-plane math replayed in DuckDB — token
 # split regex, md5-prefix 64-bit hash, per-bit ±1 votes, MSB-first packing
 # with signed-int64 wraparound. Generated (64 vote terms) but fully ANSI.
@@ -2047,7 +2151,8 @@ ORACLES: dict[str, str] = {
     "s7_mime_sniff": _SQL_S7,
     "skew_salted_count": _SQL_SKEW_SALTED,
     "dd_simhash": _SQL_DD_SIMHASH,
-    # ann_topk_lsh / ann_topk_ivf: deliberately no oracle (approximate by construction)
+    "ann_topk_lsh": _SQL_ANN_LSH,
+    "ann_topk_ivf": _SQL_ANN_IVF,
     "ann_topk_bruteforce": _SQL_ANN_TOPK,
     "ann_near_dups_exact": _SQL_ANN_NEAR,
     "mm_image_meta": _SQL_MM,
