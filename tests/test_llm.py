@@ -12,6 +12,7 @@ from udata_datalake_service_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_jaccard_estimate,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_dups,
@@ -104,6 +105,35 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 5) in got
     assert all(a < b for a, b in got)
+
+
+def test_near_dup_clusters_resolves_chains(spark):
+    """A chain a-b, b-c (no direct a-c pair) must collapse into ONE
+    cluster labeled by the min id — the case pairwise drop-id_b logic
+    cannot express. Singletons keep their own id as cluster."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(ids, pairs, id_col="doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 10-node path graph needs several propagation rounds; the loop
+    must run to convergence, not a fixed round count."""
+    n = 10
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = near_dup_clusters(ids, pairs).agg(
+        F.count_distinct("cluster_id").alias("k"), F.min("cluster_id").alias("m")
+    ).collect()[0]
+    assert (got["k"], got["m"]) == (1, 0)
 
 
 def test_minhash_lsh_pipeline(spark, docs):

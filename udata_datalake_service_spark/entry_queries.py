@@ -31,6 +31,7 @@ from udata_datalake_service_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_jaccard_estimate,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_map,
     simhash_table,
@@ -1609,6 +1610,51 @@ FROM pairs p JOIN sigs sa ON p.id_a = sa.doc_id JOIN sigs sb ON p.id_b = sb.doc_
 """
 
 
+def q_dd_dup_clusters(spark, sf_dir):
+    """The dedup capstone: MinHash+LSH pairs (estimate ≥ 0.5) resolved
+    into duplicate CLUSTERS via distributed connected components —
+    cluster_id = min doc_id reachable through the pair graph, singletons
+    included. Pairwise dropping can't express chains (a-b, b-c keeps c);
+    cluster resolution is what production MinHash dedup actually ships.
+    The iterative min-label propagation converges in diameter rounds; the
+    oracle replays it as a recursive CTE."""
+    d = _tw(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    cand = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    # est = round(matches/8, 6); 0.5 is exactly representable, so the
+    # filter is the integer predicate matches >= 4 on both engines
+    pairs = minhash_jaccard_estimate(sigs, cand).filter(F.col("jaccard_est") >= 0.5)
+    return near_dup_clusters(d, pairs, id_col="doc_id")
+
+
+_SQL_DD_CLUSTERS = f"""
+WITH RECURSIVE x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x),
+sigs AS (SELECT doc_id, [{', '.join(_sql_minhash_mins())}] AS sig FROM s),
+buckets AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS bkey FROM s" for b in range(_LSH_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id
+  WHERE len(list_filter(range(1, {_MINHASH_N + 1}),
+        i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) * 2 >= {_MINHASH_N}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+cc(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.id = e.a
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+"""
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
     d = _tw(spark, sf_dir, "documents")
@@ -2077,6 +2123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_curate_pipeline": q_tx_curate_pipeline,
     "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
+    "dd_dup_clusters": q_dd_dup_clusters,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "s7_mime_sniff": q_s7_mime_sniff,
     "skew_salted_count": q_skew_salted_count,
@@ -2147,6 +2194,7 @@ ORACLES: dict[str, str] = {
     "tx_curate_pipeline": _SQL_TX_CURATE,
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,
+    "dd_dup_clusters": _SQL_DD_CLUSTERS,
     "dd_ngram_jaccard": _SQL_DD_NGRAM,
     "s7_mime_sniff": _SQL_S7,
     "skew_salted_count": _SQL_SKEW_SALTED,

@@ -391,3 +391,74 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- cluster resolution ----
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS — the capstone every
+    pair-producing operator above feeds: connected components over the
+    pair graph, cluster id = MIN reachable doc id. A curation pipeline
+    then keeps exactly one document per cluster (the canonical min), which
+    pairwise dropping (drop id_b per pair) cannot express for chains like
+    a-b, b-c.
+
+    Iterative min-label propagation: each round every node takes the min
+    label over itself and its neighbors; converges in graph-diameter
+    rounds (near-dup components are overwhelmingly tiny — diameter ≤ a
+    few hops — so 3-4 rounds in practice). Each round is one equi-join +
+    one groupBy on the node id; the driver loop only reads a single
+    changed-count per round (no data collected). At extreme scale swap
+    the propagation body for the alternating large-star/small-star
+    rounds of Kiveris et al. "Connected Components in MapReduce" — the
+    loop harness, convergence check, and output contract stay the same.
+
+    Returns (id_col, cluster_id) for EVERY input id; non-duplicated
+    documents are singleton clusters of themselves.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the edge set is re-joined every round — materialize it once.
+    # (localCheckpoint, not persist: iterative algorithms MUST truncate
+    # lineage each round or the plan re-analyzed at round N contains all
+    # N-1 previous rounds — exponential planning, then stack overflow.)
+    sym = sym.localCheckpoint(eager=True)
+    # only nodes with ≥1 edge take part in propagation — in a dedup
+    # workload that's a tiny fraction of the corpus; everyone else is a
+    # singleton and joins back at the end, never entering the loop
+    labels = sym.select("a").distinct().withColumn("label", F.col("a")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("a").alias("b"), F.col("label").alias("nlabel")),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="a", how="left")
+            .select(
+                "a",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    resolved = labels.select(F.col("a").alias(id_col), F.col("label").alias("__cc"))
+    return (
+        ids.select(id_col)
+        .distinct()
+        .join(resolved, on=id_col, how="left")
+        .select(id_col, F.coalesce("__cc", F.col(id_col)).alias("cluster_id"))
+    )
