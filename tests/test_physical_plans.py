@@ -121,3 +121,38 @@ def test_flagship_partial_aggregation(spark):
     plan = formatted_plan(QUERIES["flagship_pricing_summary"](spark, SF_DIR))
     assert tree(plan).count("HashAggregate") == 2  # partial + final
     assert n_exchanges(plan) == 1  # exactly the group-by shuffle
+
+
+# ------------------------------------------------------- global sweep ----
+# Joins that legitimately compile to BroadcastNestedLoopJoin:
+#   - scalar-anchor pattern: crossJoin(broadcast(1-row aggregate)) — how
+#     scalar subqueries execute; the broadcast side is a single row, so
+#     the "nested loop" is one comparison per row at any scale;
+#   - ann_topk_bruteforce: the documented broadcast cross join of a tiny
+#     query set against the corpus (the exact baseline the approximate
+#     ANN paths are verified against).
+_NESTED_LOOP_OK = {
+    "p9_time_window",
+    "a5_st2_backoff_table",
+    "p10_retention_survivors",
+    "a8_purge_returning_count",
+    "k_lake_roundtrip",
+    "ann_topk_bruteforce",
+}
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Every declared query, one contract: no CartesianProduct anywhere,
+    and no nested-loop join outside the documented scalar-anchor /
+    broadcast-baseline set. A cartesian slipping into any plan changes no
+    rows at sf0.001 and melts down at 100 TB — this is the sweep that
+    catches it the day it regresses."""
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        t = tree(formatted_plan(fn(spark, SF_DIR)))
+        marks = [m for m in ("CartesianProduct",) if m in t]
+        if "BroadcastNestedLoopJoin" in t and name not in _NESTED_LOOP_OK:
+            marks.append("BroadcastNestedLoopJoin")
+        if marks:
+            bad[name] = marks
+    assert not bad, f"scale-hostile join shapes: {bad}"
