@@ -89,3 +89,81 @@ def test_deterministic_sample_laws(spark, n, seed_num):
     assert a == b
     assert len(a) == min(n, 40)
     assert set(a) <= set(range(40))
+
+
+# ------------------------------------------------- inference vote laws ----
+from udata_datalake_service_spark.sources.inference import infer_types  # noqa: E402
+
+
+def _infer_one(spark, values: list[str | None]) -> str:
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    return infer_types(df)["c"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=20))
+def test_infer_int_for_any_int_column_even_with_blanks(spark, ints):
+    """Rendered ints vote int; interleaved blanks/NULLs never flip the
+    vote (blanks count for every candidate, like csv_detective). The "7"
+    sentinel keeps the column out of bool territory — hypothesis found
+    that an all-0/1 column correctly infers bool (higher priority)."""
+    vals = [str(n) for n in ints] + ["7", "", None]
+    assert _infer_one(spark, vals) == "int"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**30), max_value=2**30), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_infer_float_once_a_fractional_value_appears(spark, ints, frac):
+    """One non-integral value demotes an int column to float — never to
+    string (int is a strict subset of float in the priority vote)."""
+    vals = [str(n) for n in ints] + [f"0.{frac}5"]
+    assert _infer_one(spark, vals) == "float"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**30), max_value=2**30), min_size=1, max_size=20),
+    st.text(alphabet="zqxkw", min_size=3, max_size=8),
+)
+def test_infer_one_junk_value_demotes_to_string(spark, ints, junk):
+    """A single unparseable token anywhere forces string — the vote
+    requires zero failures, exactly like csv_detective's full-file pass
+    (no sampling shortcuts that would mistype row N)."""
+    vals = [str(n) for n in ints] + [junk]
+    assert _infer_one(spark, vals) == "string"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["true", "false", "YES", "No", "vrai", "faux", "OK"]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_infer_bool_wins_over_string_for_marker_values(spark, bools):
+    assert _infer_one(spark, bools) == "bool"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.dates(min_value=__import__("datetime").date(1971, 1, 1),
+                 max_value=__import__("datetime").date(2099, 12, 31)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.booleans(),
+)
+def test_infer_date_vs_datetime_split_on_time_component(spark, dates, with_time):
+    """ISO dates infer date; appending a clock component to every value
+    flips the column to datetime (the reference's date/datetime split)."""
+    if with_time:
+        vals = [f"{d.isoformat()} 12:30:00" for d in dates]
+        assert _infer_one(spark, vals) == "datetime"
+    else:
+        vals = [d.isoformat() for d in dates]
+        assert _infer_one(spark, vals) == "date"
