@@ -136,6 +136,18 @@ def test_near_dup_clusters_long_chain_converges(spark):
     assert (got["k"], got["m"]) == (1, 0)
 
 
+def test_near_dup_clusters_raises_on_exhausted_budget(spark):
+    """Exhausting max_iterations with labels still changing must raise,
+    not silently split one component into several clusters."""
+    n = 10
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(ids, pairs, max_iterations=2)
+
+
 def test_minhash_lsh_pipeline(spark, docs):
     sigs = minhash_signatures(docs, num_hashes=16, k=2)
     assert sigs.select(F.size("sig")).distinct().collect()[0][0] == 16

@@ -146,7 +146,13 @@ def test_no_query_plans_a_cartesian_product(spark):
     and no nested-loop join outside the documented scalar-anchor /
     broadcast-baseline set. A cartesian slipping into any plan changes no
     rows at sf0.001 and melts down at 100 TB — this is the sweep that
-    catches it the day it regresses."""
+    catches it the day it regresses.
+
+    Honest limits: builders that execute eagerly during construction
+    (k_lake writes, dd_dup_clusters' checkpointed propagation rounds,
+    the toPandas-collecting ANN baselines) only expose their FINAL plan
+    here — their inner joins are equi-joins by construction and are
+    pinned by their own unit tests, not this sweep."""
     bad: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         t = tree(formatted_plan(fn(spark, SF_DIR)))

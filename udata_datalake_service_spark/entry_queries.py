@@ -1915,8 +1915,9 @@ FROM documents d LEFT JOIN p ON d.doc_id = p.id
 
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate (sign-LSH bucketed) top-k — the 100 TB candidate path.
-    No SQL oracle (approximate recall by construction); the brute-force
-    query above is its ground truth."""
+    Deterministic (splitmix64-derived hyperplanes), so its DuckDB oracle
+    replays the same bucketing with the plane literals embedded; the
+    brute-force query above is the recall ground truth."""
     e = _tw(spark, sf_dir, "embeddings")
     res = lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
     return res.withColumnRenamed("rank", "rnk")
@@ -1981,8 +1982,10 @@ FROM documents
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF-style approximate top-k (data-dependent inverted lists; no SQL
-    oracle — approximate path, ground truth = ann_topk_bruteforce)."""
+    """IVF-style approximate top-k (data-dependent inverted lists).
+    Deterministic (first-N centroids, stable tie-breaks), so its DuckDB
+    oracle replays the same assignment/probing; recall ground truth =
+    ann_topk_bruteforce."""
     e = _tw(spark, sf_dir, "embeddings")
     res = ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, num_lists=16, num_probes=4)
     return res.withColumnRenamed("rank", "rnk")

@@ -455,6 +455,16 @@ def near_dup_clusters(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # exhausting the budget with changes still flowing means some
+        # component's diameter exceeds max_iterations — returning the
+        # intermediate labels would silently split one duplicate cluster
+        # into several. Fail loudly instead.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iterations} "
+            "rounds; a component's diameter exceeds the budget — raise "
+            "max_iterations or switch the loop body to large-star/small-star"
+        )
     resolved = labels.select(F.col("a").alias(id_col), F.col("label").alias("__cc"))
     return (
         ids.select(id_col)
