@@ -1342,6 +1342,61 @@ FROM ({_SQL_INGEST_EXPECTED}) x
 """
 
 
+def q_s5_catalog_load(spark, sf_dir):
+    """S5 — national catalog CSV load (cli.py:89-116): ';' dialect with
+    quoted separators, doubled quotes, and quoted newlines (multiLine),
+    plus the archived-dataset skip. The query GENERATES the catalog
+    export deterministically from orders (archived ⇔ o_orderkey % 3 = 0),
+    loads it via read_catalog_csv, and returns the surviving rows; the
+    oracle restates the expected survivors straight from orders — a
+    behavior validation of the reader, like F3's."""
+    import csv as _csv
+    import hashlib
+
+    from udata_datalake_service_spark.sources.csv_reader import read_catalog_csv
+
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .collect()
+    )
+    path = f"/tmp/spark_hydra_catalog_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        w = _csv.writer(fh, delimiter=";", quotechar='"')
+        w.writerow(
+            ["dataset.id", "dataset.archived", "resource.id", "resource.url", "resource.title"]
+        )
+        for r in rows:
+            archived = "True" if r["o_orderkey"] % 3 == 0 else "False"
+            w.writerow(
+                [
+                    r["o_custkey"],
+                    archived,
+                    r["o_orderkey"],
+                    f"https://data.example.org/r/{r['o_orderkey']}",
+                    f'order; "{r["o_orderpriority"]}"\nline2',
+                ]
+            )
+    cat = read_catalog_csv(spark, path)
+    return cat.select(
+        F.col("`dataset.id`").cast("long").alias("dataset_id"),
+        F.col("`resource.id`").cast("long").alias("resource_id"),
+        F.col("`resource.url`").alias("url"),
+        F.col("`resource.title`").alias("title"),
+    )
+
+
+_SQL_S5 = """
+SELECT CAST(o_custkey AS BIGINT) AS dataset_id,
+       CAST(o_orderkey AS BIGINT) AS resource_id,
+       'https://data.example.org/r/' || CAST(o_orderkey AS VARCHAR) AS url,
+       'order; "' || o_orderpriority || '"' || chr(10) || 'line2' AS title
+FROM orders
+WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 <> 0
+"""
+
+
 # =========================================================================
 # Text / LLM plane
 # =========================================================================
@@ -2116,6 +2171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_scalar_surface2": q_f_scalar_surface2,
     "s6_csv_ingest_inference": q_s6_csv_ingest_inference,
     "k_lake_roundtrip": q_k_lake_roundtrip,
+    "s5_catalog_load": q_s5_catalog_load,
     "a9_profile_tops": q_a9_profile_tops,
     "dd_ngram_jaccard_maxdf": q_dd_ngram_jaccard_maxdf,
     "tx_stats": q_tx_stats,
@@ -2187,6 +2243,7 @@ ORACLES: dict[str, str] = {
     "f_scalar_surface2": _SQL_FSC2,
     "s6_csv_ingest_inference": _SQL_INGEST_EXPECTED,
     "k_lake_roundtrip": _SQL_K_LAKE,
+    "s5_catalog_load": _SQL_S5,
     "a9_profile_tops": _SQL_A9T,
     "dd_ngram_jaccard_maxdf": _SQL_DD_NGRAM_MAXDF,
     "tx_stats": _SQL_TX_STATS,
