@@ -1397,6 +1397,81 @@ WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 <> 0
 """
 
 
+def q_s4_excel_load(spark, sf_dir):
+    """S4 — Excel workbook load (utils/reader.py:31-41): the query
+    GENERATES a minimal real xlsx (zip + sheet XML: inline strings,
+    numeric cells, XML-escaped text) deterministically from orders, loads
+    it through the stdlib reader (read_excel → all-strings frame, the
+    same path the inference pipeline consumes), and returns typed rows;
+    the oracle restates them from orders. Floats ride ``repr`` → cast,
+    which round-trips doubles exactly."""
+    import hashlib
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from udata_datalake_service_spark.sources.excel_reader import read_excel
+
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 131 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("tp"),
+        )
+        .collect()
+    )
+    path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.xlsx"
+    cells = [
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>resource.id</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>priority</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>total</t></is></c></row>'
+    ]
+    for i, r in enumerate(rows, start=2):
+        cells.append(
+            f'<row r="{i}"><c r="A{i}"><v>{r["o_orderkey"]}</v></c>'
+            f'<c r="B{i}" t="inlineStr"><is><t>{escape(r["o_orderpriority"])}</t></is></c>'
+            f'<c r="C{i}"><v>{r["tp"]!r}</v></c></row>'
+        )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        + "".join(cells)
+        + "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Feuille1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_excel(spark, path, sheet_name="Feuille1")
+    return df.select(
+        F.col("`resource.id`").cast("long").alias("resource_id"),
+        F.col("priority"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+_SQL_S4 = """
+SELECT CAST(o_orderkey AS BIGINT) AS resource_id,
+       o_orderpriority AS priority,
+       o_totalprice AS total
+FROM orders WHERE o_orderkey % 131 = 0
+"""
+
+
 # =========================================================================
 # Text / LLM plane
 # =========================================================================
@@ -2172,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_csv_ingest_inference": q_s6_csv_ingest_inference,
     "k_lake_roundtrip": q_k_lake_roundtrip,
     "s5_catalog_load": q_s5_catalog_load,
+    "s4_excel_load": q_s4_excel_load,
     "a9_profile_tops": q_a9_profile_tops,
     "dd_ngram_jaccard_maxdf": q_dd_ngram_jaccard_maxdf,
     "tx_stats": q_tx_stats,
@@ -2244,6 +2320,7 @@ ORACLES: dict[str, str] = {
     "s6_csv_ingest_inference": _SQL_INGEST_EXPECTED,
     "k_lake_roundtrip": _SQL_K_LAKE,
     "s5_catalog_load": _SQL_S5,
+    "s4_excel_load": _SQL_S4,
     "a9_profile_tops": _SQL_A9T,
     "dd_ngram_jaccard_maxdf": _SQL_DD_NGRAM_MAXDF,
     "tx_stats": _SQL_TX_STATS,
