@@ -1472,6 +1472,60 @@ FROM orders WHERE o_orderkey % 131 = 0
 """
 
 
+def q_k8_drop_table(spark, sf_dir):
+    """K8 — table + registry delete in one transaction-equivalent
+    (analysis/csv.py:411-416): build a two-table lake from orders slices,
+    drop one, and report BOTH tables' post-state — registry survival,
+    physical existence, surviving row count. The oracle restates the
+    expected post-state (kept table intact with its orders slice count,
+    dropped table gone from registry and disk)."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    root = f"/tmp/spark_hydra_k8_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    o = _t(spark, sf_dir, "orders")
+    urls = {
+        "keep": "https://data.example.org/keep.csv",
+        "drop": "https://data.example.org/drop.csv",
+    }
+    names = {k: hashlib.md5(u.encode()).hexdigest() for k, u in urls.items()}
+    for k, rem in (("keep", 0), ("drop", 1)):
+        df = o.filter(F.col("o_orderkey") % 5 == rem).select(
+            "o_orderkey", "o_totalprice"
+        )
+        n = lake.write_table(df, names[k], min_lines_for_parquet=1)
+        lake.register(names[k], {"total_lines": n}, resource_id=f"res-{k}", url=urls[k])
+    lake.drop_table(names["drop"])
+
+    reg = {
+        r["parsing_table"]: r["url"]
+        for r in lake.registry().select("parsing_table", "url").collect()
+    }
+    rows = []
+    for k in ("keep", "drop"):
+        name = names[k]
+        exists = Path(lake.table_path(name)).exists()
+        n_rows = lake.read_table(name).count() if exists else None
+        rows.append((name, reg.get(name), exists, n_rows))
+    return spark.createDataFrame(
+        rows, "parsing_table string, url string, table_exists boolean, n_rows long"
+    )
+
+
+_SQL_K8 = """
+SELECT md5('https://data.example.org/keep.csv') AS parsing_table,
+       'https://data.example.org/keep.csv' AS url, TRUE AS table_exists,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0) AS n_rows
+UNION ALL
+SELECT md5('https://data.example.org/drop.csv'), NULL, FALSE, NULL
+"""
+
+
 # =========================================================================
 # Text / LLM plane
 # =========================================================================
@@ -2248,6 +2302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_lake_roundtrip": q_k_lake_roundtrip,
     "s5_catalog_load": q_s5_catalog_load,
     "s4_excel_load": q_s4_excel_load,
+    "k8_drop_table": q_k8_drop_table,
     "a9_profile_tops": q_a9_profile_tops,
     "dd_ngram_jaccard_maxdf": q_dd_ngram_jaccard_maxdf,
     "tx_stats": q_tx_stats,
@@ -2321,6 +2376,7 @@ ORACLES: dict[str, str] = {
     "k_lake_roundtrip": _SQL_K_LAKE,
     "s5_catalog_load": _SQL_S5,
     "s4_excel_load": _SQL_S4,
+    "k8_drop_table": _SQL_K8,
     "a9_profile_tops": _SQL_A9T,
     "dd_ngram_jaccard_maxdf": _SQL_DD_NGRAM_MAXDF,
     "tx_stats": _SQL_TX_STATS,
