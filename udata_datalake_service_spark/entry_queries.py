@@ -1495,7 +1495,7 @@ def q_k8_drop_table(spark, sf_dir):
     }
     names = {k: hashlib.md5(u.encode()).hexdigest() for k, u in urls.items()}
     for k, rem in (("keep", 0), ("drop", 1)):
-        df = o.filter(F.col("o_orderkey") % 5 == rem).select(
+        df = o.filter(F.col("o_orderkey") % 50 == rem).select(
             "o_orderkey", "o_totalprice"
         )
         n = lake.write_table(df, names[k], min_lines_for_parquet=1)
@@ -1520,7 +1520,7 @@ def q_k8_drop_table(spark, sf_dir):
 _SQL_K8 = """
 SELECT md5('https://data.example.org/keep.csv') AS parsing_table,
        'https://data.example.org/keep.csv' AS url, TRUE AS table_exists,
-       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0) AS n_rows
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 50 = 0) AS n_rows
 UNION ALL
 SELECT md5('https://data.example.org/drop.csv'), NULL, FALSE, NULL
 """
