@@ -48,10 +48,16 @@ def detect_mime(content: Column, sniff_bytes: int = 64) -> Column:
         cond = hx.startswith(prefix)
         out = F.when(cond, mime) if out is None else out.when(cond, mime)
     # decode() yields U+FFFD for malformed UTF-8 → rejected alongside
-    # control bytes. A multi-byte char cut at the boundary would wrongly
-    # fail; restrict the check to sniff_bytes-4 so a trailing partial
-    # sequence is never included.
-    txt = F.decode(F.substring(head, 1, sniff_bytes - 4), "UTF-8")
-    is_text = ~txt.rlike(_CONTROL_RE) & ~txt.contains("�")
+    # control bytes. A multi-byte char cut at the sniff boundary decodes
+    # as exactly one trailing U+FFFD (the JVM decoder reports one malformed
+    # unit for an incomplete trailing sequence); tolerate that single
+    # trailing replacement ONLY when the head was actually truncated at
+    # sniff_bytes — a short (complete) payload with U+FFFD is malformed.
+    txt = F.decode(head, "UTF-8")
+    truncated = F.length(head) == sniff_bytes
+    txt_body = F.when(
+        truncated & txt.endswith("�"), txt.substr(F.lit(1), F.length(txt) - 1)
+    ).otherwise(txt)
+    is_text = ~txt_body.rlike(_CONTROL_RE) & ~txt_body.contains("�")
     cascade = out.when(is_text, "text/plain").otherwise("application/octet-stream")
     return F.when(content.isNull(), F.lit(None).cast("string")).otherwise(cascade)

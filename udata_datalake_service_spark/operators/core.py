@@ -136,11 +136,26 @@ def salted_join(
     row tuple — uniform, reproducible, no rand()); right rows are replicated
     once per salt via a small ``explode(sequence)``. Joining on
     (key, salt) splits each hot key's row group across ``num_salts``
-    reducers. Results are row-identical to the plain join (asserted by
-    tests); cost is num_salts× the (smaller) right side's shuffle volume —
-    the standard trade when AQE's skew splitting can't kick in (e.g. the
-    skewed side feeds a window, or stats hide the skew).
+    reducers. For the supported join types the results are row-identical to
+    the plain join (asserted by tests); cost is num_salts× the (smaller)
+    right side's shuffle volume — the standard trade when AQE's skew
+    splitting can't kick in (e.g. the skewed side feeds a window, or stats
+    hide the skew).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported:
+    right/full outer joins would emit every unmatched right row once per
+    salt replica (num_salts copies), which is NOT equivalent to the plain
+    join, so those types are rejected loudly rather than silently wrong.
     """
+    _SALTED_HOW = {"inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "semi",
+                   "left_anti", "leftanti", "anti"}
+    if how.lower() not in _SALTED_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer would "
+            f"duplicate unmatched right rows once per salt; use one of "
+            f"{sorted(_SALTED_HOW)}"
+        )
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(num_salts))
     l_s = left.withColumn("__salt", salt)
     r_s = right.withColumn(

@@ -87,8 +87,11 @@ def iter_xlsx_rows_stdlib(path: str, sheet_name: str | None = None):
         ws = ET.fromstring(z.read(target))
         for row in ws.iter(f"{_XLSX_NS}row"):
             cells: dict[int, object] = {}
+            next_idx = 0  # cells may legally omit r= — fall back to position
             for c in row.iter(f"{_XLSX_NS}c"):
-                idx = _col_index(c.get("r"))
+                ref = c.get("r")
+                idx = _col_index(ref) if ref is not None else next_idx
+                next_idx = idx + 1
                 ctype = c.get("t", "n")
                 v = c.find(f"{_XLSX_NS}v")
                 if ctype == "s":
@@ -105,8 +108,10 @@ def iter_xlsx_rows_stdlib(path: str, sheet_name: str | None = None):
 
 def iter_excel_rows(path: str, sheet_name: str | None = None, header_row_idx: int = 0):
     """Yield rows (lists of cell values) past the header offset —
-    utils/reader.py:31-41 semantics. Dispatches on extension."""
-    if path.endswith(".xlsx"):
+    utils/reader.py:31-41 semantics. Dispatches on extension
+    (case-insensitive, matching inspect_tabular's routing)."""
+    lower = path.lower()
+    if lower.endswith(".xlsx"):
         if HAS_OPENPYXL:
             wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
             ws = wb[sheet_name] if sheet_name else wb.active
@@ -117,7 +122,7 @@ def iter_excel_rows(path: str, sheet_name: str | None = None, header_row_idx: in
             if i < header_row_idx:
                 continue
             yield list(row)
-    elif path.endswith(".xls"):
+    elif lower.endswith(".xls"):
         if not HAS_XLRD:
             raise NotImplementedError(
                 "xls reading needs xlrd (not installed in this environment)"

@@ -27,8 +27,10 @@ At 100 TB the vote is still one scan + one reduce row; for quick looks a
 
 from __future__ import annotations
 
+import copy
 import csv as _csv
 import io
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -219,8 +221,26 @@ def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
 # persists every inspection in ``tables_index`` (analysis/csv.py:398-408)
 # precisely so downstream steps never re-infer; this is the in-process
 # equivalent — re-inspecting an unchanged file re-runs only the cheap
-# all-strings read + cast, not the vote/count jobs.
-_INSPECT_MEMO: dict[tuple, tuple[dict, Inspection]] = {}
+# all-strings read + cast, not the vote/count jobs. Entries are stored and
+# returned as deep copies (callers mutate Inspection.profile freely) and
+# the memo is LRU-bounded so a long-lived session can't grow it unbounded.
+_INSPECT_MEMO: "OrderedDict[tuple, tuple[dict, Inspection]]" = OrderedDict()
+_INSPECT_MEMO_MAX = 256
+
+
+def _memo_get(key: tuple):
+    hit = _INSPECT_MEMO.get(key)
+    if hit is None:
+        return None
+    _INSPECT_MEMO.move_to_end(key)
+    return copy.deepcopy(hit)
+
+
+def _memo_put(key: tuple, value: tuple) -> None:
+    _INSPECT_MEMO[key] = copy.deepcopy(value)
+    _INSPECT_MEMO.move_to_end(key)
+    while len(_INSPECT_MEMO) > _INSPECT_MEMO_MAX:
+        _INSPECT_MEMO.popitem(last=False)
 
 
 def inspect_csv(
@@ -237,8 +257,9 @@ def inspect_csv(
 
     st = os.stat(path)
     memo_key = (os.path.abspath(path), st.st_size, st.st_mtime_ns, sample_bytes)
-    if memo_key in _INSPECT_MEMO:
-        types, insp = _INSPECT_MEMO[memo_key]
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        types, insp = hit
         raw = read_csv_with_dialect(
             spark,
             path,
@@ -288,7 +309,7 @@ def inspect_csv(
             for c in raw.columns
         },
     )
-    _INSPECT_MEMO[memo_key] = (types, insp)
+    _memo_put(memo_key, (types, insp))
     return typed, insp
 
 
