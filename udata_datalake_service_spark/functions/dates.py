@@ -120,9 +120,24 @@ def parse_datetime_multi(col: Column, verbal_fallback: bool = True) -> Column:
       time (measured 9 s vs 3 s on 100 k rows). The verbal regex rejects
       machine-format strings in sub-µs, so unmasked input is cheaper.
     """
+    # Guard: Spark's try_to_timestamp catches parse errors but NOT the
+    # java.lang.ArithmeticException thrown by Iso8601TimestampFormatter
+    # .extractMicros for absurd years — a greedy yyyy can swallow a 12+
+    # digit integer string ("797210530501") and abort the whole job
+    # (hypothesis-found, pinned in tests/test_properties.py). No valid
+    # match of any pattern above contains a run of 5+ digits except the
+    # fractional seconds (dot-prefixed) and the bare 8-digit yyyyMMdd
+    # form, so strings with any other 5+ digit run short-circuit to NULL
+    # before reaching the JVM formatter.
+    huge_digits = col.rlike(r"(?<![0-9.])[0-9]{5,}") & ~col.rlike(
+        r"^\s*[0-9]{8}\s*$"
+    )
     has_time = col.rlike(r"\d:\d")
-    fast = F.when(has_time, _chain(col, _DATETIME_PATTERNS)).otherwise(
-        _chain(col, _DATE_PATTERNS)
+    fast = F.when(
+        ~huge_digits,
+        F.when(has_time, _chain(col, _DATETIME_PATTERNS)).otherwise(
+            _chain(col, _DATE_PATTERNS)
+        ),
     )
     if not verbal_fallback:
         return fast
