@@ -104,6 +104,17 @@ MAGIC_CASES = [
     (b"RIFF\x00\x00WAVE", "audio/x-wav"),
     ("nom;montant\nAurélie;1020,50\n".encode(), "text/plain"),
     (b"\x00\x01\x02binary junk", "application/octet-stream"),
+    # invalid UTF-8 mid-stream: must classify, never crash the job
+    # (Spark 4's decode() raises MALFORMED_CHARACTER_CODING — regression
+    # guard for the make_valid_utf8 repair path)
+    (b"plain text\xff", "application/octet-stream"),
+    # exactly-sniff_bytes payload with malformed trailing byte: NOT
+    # truncated (nothing follows the head), so the single trailing U+FFFD
+    # tolerance must not apply
+    (b"x" * 63 + b"\xff", "application/octet-stream"),
+    # multi-byte char genuinely cut at the sniff boundary (payload
+    # continues past 64 bytes): one trailing replacement is tolerated
+    (b"y" * 63 + "é".encode()[:1] + b"tail beyond the sniff window", "text/plain"),
     (None, None),
 ]
 

@@ -47,14 +47,18 @@ def detect_mime(content: Column, sniff_bytes: int = 64) -> Column:
     for prefix, mime in MAGIC_SIGNATURES:
         cond = hx.startswith(prefix)
         out = F.when(cond, mime) if out is None else out.when(cond, mime)
-    # decode() yields U+FFFD for malformed UTF-8 → rejected alongside
-    # control bytes. A multi-byte char cut at the sniff boundary decodes
-    # as exactly one trailing U+FFFD (the JVM decoder reports one malformed
-    # unit for an incomplete trailing sequence); tolerate that single
-    # trailing replacement ONLY when the head was actually truncated at
-    # sniff_bytes — a short (complete) payload with U+FFFD is malformed.
-    txt = F.decode(head, "UTF-8")
-    truncated = F.length(head) == sniff_bytes
+    # Spark 4 removed decode()'s replacement-char behavior — F.decode now
+    # RAISES [MALFORMED_CHARACTER_CODING] on any invalid byte. Reinterpret
+    # the bytes via cast (no validation) and repair with make_valid_utf8,
+    # which substitutes U+FFFD per invalid sequence → rejected alongside
+    # control bytes below. A multi-byte char cut at the sniff boundary
+    # yields exactly one trailing U+FFFD (one incomplete trailing
+    # sequence); tolerate that single trailing replacement ONLY when the
+    # head was actually cut at sniff_bytes — i.e. the payload continues
+    # past it; an exactly-sniff_bytes payload with a malformed tail is
+    # genuinely malformed.
+    txt = F.make_valid_utf8(head.cast("string"))
+    truncated = F.octet_length(content) > sniff_bytes
     txt_body = F.when(
         truncated & txt.endswith("�"), txt.substr(F.lit(1), F.length(txt) - 1)
     ).otherwise(txt)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import copy
 import csv as _csv
 import io
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
 
@@ -226,21 +227,26 @@ def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
 # the memo is LRU-bounded so a long-lived session can't grow it unbounded.
 _INSPECT_MEMO: "OrderedDict[tuple, tuple[dict, Inspection]]" = OrderedDict()
 _INSPECT_MEMO_MAX = 256
+# Driver apps routinely run inspections from a thread pool (one per file);
+# OrderedDict move_to_end/popitem are not atomic together.
+_INSPECT_MEMO_LOCK = threading.Lock()
 
 
 def _memo_get(key: tuple):
-    hit = _INSPECT_MEMO.get(key)
-    if hit is None:
-        return None
-    _INSPECT_MEMO.move_to_end(key)
-    return copy.deepcopy(hit)
+    with _INSPECT_MEMO_LOCK:
+        hit = _INSPECT_MEMO.get(key)
+        if hit is None:
+            return None
+        _INSPECT_MEMO.move_to_end(key)
+        return copy.deepcopy(hit)
 
 
 def _memo_put(key: tuple, value: tuple) -> None:
-    _INSPECT_MEMO[key] = copy.deepcopy(value)
-    _INSPECT_MEMO.move_to_end(key)
-    while len(_INSPECT_MEMO) > _INSPECT_MEMO_MAX:
-        _INSPECT_MEMO.popitem(last=False)
+    with _INSPECT_MEMO_LOCK:
+        _INSPECT_MEMO[key] = copy.deepcopy(value)
+        _INSPECT_MEMO.move_to_end(key)
+        while len(_INSPECT_MEMO) > _INSPECT_MEMO_MAX:
+            _INSPECT_MEMO.popitem(last=False)
 
 
 def inspect_csv(
