@@ -102,7 +102,11 @@ def test_deterministic_sample_avoids_global_sort(spark):
 
 
 def test_group_topk_partial_aggregates_before_shuffle(spark):
-    plan = formatted_plan(QUERIES["a1_group_topk"](spark, SF_DIR))
+    # the registry entry is the folded both-variants union; the per-operator
+    # shape contract lives on the plain builder
+    from udata_datalake_service_spark.entry_queries import q_a1_group_topk
+
+    plan = formatted_plan(q_a1_group_topk(spark, SF_DIR))
     # map-side combine: two HashAggregates around one Exchange
     assert tree(plan).count("HashAggregate") == 2
     assert "TakeOrderedAndProject" in plan
@@ -112,7 +116,9 @@ def test_group_topk_partial_aggregates_before_shuffle(spark):
 def test_profile_is_single_scan(spark):
     """One aggregate pass for all columns: exactly one parquet scan even
     with N exact count_distincts (Expand, not N scans)."""
-    plan = formatted_plan(QUERIES["a9_profile_numeric"](spark, SF_DIR))
+    from udata_datalake_service_spark.entry_queries import q_a9_profile_numeric
+
+    plan = formatted_plan(q_a9_profile_numeric(spark, SF_DIR))
     assert tree(plan).count("Scan parquet") == 1
     assert "Expand" in plan
 
@@ -137,7 +143,7 @@ _NESTED_LOOP_OK = {
     "p10_retention_survivors",
     "a8_purge_returning_count",
     "k_lake_roundtrip",
-    "ann_topk_bruteforce",
+    "ann_topk",  # folded entry includes the broadcast brute-force baseline
 }
 
 
