@@ -85,17 +85,23 @@ TESTDATA_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table, normalizing schema quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark refuses
-    by default; read it as a long (legacy conf) and rebuild a proper
-    TimestampType from integer microseconds (values are µs-exact, verified
-    — and integer DIV avoids any double-precision detour).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (read as a
+    long via the legacy conf, then rebuilt from integer microseconds) and
+    plain TIMESTAMP(MICROS) (which Spark 4 surfaces as TIMESTAMP_NTZ).
+    Normalize either to session-TZ TimestampType (UTC) so every downstream
+    plan and oracle sees one type.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanos-as-long: integer DIV, no double detour
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type and ts_type != "timestamp":  # timestamp_ntz et al.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
