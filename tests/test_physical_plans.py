@@ -79,12 +79,16 @@ def test_history_join_chain_stays_broadcast(spark):
 
 
 # --------------------------------------------------------- map-only ops ----
-def test_exact_near_dup_pairs_is_shuffle_free(spark):
-    """The blocked-matmul verifier's whole point: scan → ArrowEval → rows."""
+def test_exact_near_dup_pairs_is_distributed_block_nlj(spark):
+    """The exact verifier's contract: NO driver materialization (the old
+    toPandas+broadcast form died at scale), one hash Exchange on the block
+    pair id feeding FlatMapGroupsInPandas — no join, no window."""
     plan = formatted_plan(QUERIES["ann_near_dups_exact"](spark, SF_DIR))
-    # one Exchange from the deliberate parallelism repartition; none from
-    # the operator itself (no join, no aggregate, no window)
-    assert "Join" not in plan and "Aggregate" not in plan and "Window" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # one hash Exchange on pid + the _tw parallelism repartition; on a real
+    # (already-split) lake scan only the pid Exchange remains
+    assert n_exchanges(plan) == 2
 
 
 def test_simhash_map_is_shuffle_free(spark):

@@ -297,39 +297,79 @@ def ivf_topk(
     )
 
 
+def _round_half_up(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Round half AWAY FROM ZERO — the semantics of both DuckDB ``ROUND``
+    and Spark's ``F.round`` (BigDecimal HALF_UP), unlike ``np.round``'s
+    banker's rounding which ties-to-even and can hash-mismatch the oracle
+    on exact .5e-6 ties."""
+    f = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def exact_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    block_rows: int = 8192,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-dups as a map-only blocked matmul.
+    """Exact all-pairs cosine near-dups as a DISTRIBUTED block nested-loop.
 
-    The right side (full id/vector matrix) is broadcast once; each corpus
-    partition computes ``A_block @ B.T`` in one numpy call and emits pairs
-    above the threshold with ``id_a < id_b``. No shuffle at all — the plan
-    is scan → ArrowEvalPython → rows, and wall-clock scales linearly with
-    partitions. Replaces the crossJoin + per-pair fold-``dot`` form
-    (measured 13× faster at 2 k × 2 k with identical round-6 values —
-    asserted against the fold form by tests).
+    Rows are hashed into ``B = ceil(N / block_rows)`` blocks; every
+    unordered block pair ``(i, j), i <= j`` becomes one shuffle group, and
+    each group computes its ``A_i @ A_j.T`` in a single numpy matmul inside
+    ``applyInPandas``. Nothing is ever materialized on the driver (the old
+    form ``toPandas()``-ed the whole corpus to build a broadcast matrix —
+    a scale-killer at 100 TB); per-task memory is bounded by two blocks of
+    ``block_rows`` vectors regardless of corpus size.
 
-    All-pairs exact is inherently O(N²): this is the *verifier/baseline*
-    for ``embedding_near_dups`` (the LSH path). The broadcast side must fit
-    executor memory — beyond that, chunk B and union the per-chunk runs,
-    or switch to the LSH operator.
+    Cost model: each row is replicated exactly ``B`` times (once per block
+    pair it participates in), so shuffle volume is ``N * B`` rows ≈
+    ``N² / block_rows`` — the inherent O(N²) of exact all-pairs, spread
+    across the cluster instead of the driver. This remains the
+    *verifier/baseline* for ``embedding_near_dups`` (the LSH path is the
+    production 100 TB operator).
+
+    Values are identical to the crossJoin + fold-``dot`` form at round-6
+    (ties rounded HALF_UP to match the DuckDB oracle and ``F.round``).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_type = corpus.schema[id_col].dataType
-    pdf = corpus.select(
+    src = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    sc = corpus.sparkSession.sparkContext
-    b_ids, b_mat, b_nrm = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(nrm)
+    )
+    if num_blocks is None:
+        n = corpus.count()  # cheap: parquet metadata count after pruning
+        num_blocks = max(1, -(-n // block_rows))
+    nb = int(num_blocks)
+
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+    # A-side: block i participates in pairs (i, j) for j in i..nb-1.
+    a_pids = F.transform(
+        F.sequence(F.col("blk"), F.lit(nb - 1)),
+        lambda j: F.struct(
+            (F.col("blk") * nb + j).alias("pid"), F.lit(0).alias("side")
+        ),
+    )
+    # B-side: block j participates in pairs (i, j) for i in 0..j-1 (the
+    # diagonal (j, j) is covered by the A-side alone).  sequence(0, blk)
+    # then filter < blk — sequence(0, -1) would count DOWN, not be empty.
+    b_pids = F.transform(
+        F.filter(
+            F.sequence(F.lit(0), F.col("blk")), lambda i: i < F.col("blk")
+        ),
+        lambda i: F.struct(
+            (i * nb + F.col("blk")).alias("pid"), F.lit(1).alias("side")
+        ),
+    )
+    exploded = (
+        src.withColumn("blk", blk)
+        .select("id", "v", F.explode(F.concat(a_pids, b_pids)).alias("ps"))
+        .select("id", "v", F.col("ps.pid").alias("pid"), F.col("ps.side").alias("side"))
+    )
 
     schema = StructType(
         [
@@ -338,24 +378,38 @@ def exact_near_dup_pairs(
             StructField("cos", DoubleType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
 
-    def blocks(batches):
-        B, Bn, Bid = b_mat.value, b_nrm.value, b_ids.value
-        for pb in batches:
-            if not len(pb):
-                continue
-            A = np.stack(pb["v"].to_numpy()).astype(np.float64)
-            An = np.sqrt((A * A).sum(axis=1))
-            aid = pb["id"].to_numpy()
-            cos = np.round((A @ B.T) / np.outer(An, Bn), 6)
-            keep = (aid[:, None] < Bid[None, :]) & (cos >= threshold)
+    def compute(key, pdf):
+        pid = key[0]
+        diagonal = (pid // nb) == (pid % nb)
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if not len(a) or (not diagonal and not len(b)):
+            return empty
+        A = np.stack(a["v"].to_numpy()).astype(np.float64)
+        aid = a["id"].to_numpy()
+        if diagonal:
+            Bm, bid = A, aid
+        else:
+            Bm = np.stack(b["v"].to_numpy()).astype(np.float64)
+            bid = b["id"].to_numpy()
+        An = np.sqrt((A * A).sum(axis=1))
+        Bn = np.sqrt((Bm * Bm).sum(axis=1))
+        cos = _round_half_up((A @ Bm.T) / np.outer(An, Bn))
+        if diagonal:
+            keep = (aid[:, None] < bid[None, :]) & (cos >= threshold)
             i, j = np.nonzero(keep)
-            yield pd.DataFrame({"id_a": aid[i], "id_b": Bid[j], "cos": cos[i, j]})
+            ia, ib = aid[i], bid[j]
+        else:
+            i, j = np.nonzero(cos >= threshold)
+            ia, ib = aid[i], bid[j]
+            lo = np.minimum(ia, ib)
+            ib = np.maximum(ia, ib)
+            ia = lo
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": cos[i, j]})
 
-    return (
-        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .mapInPandas(blocks, schema)
-    )
+    return exploded.groupBy("pid").applyInPandas(compute, schema)
 
 
 def embedding_near_dups(
