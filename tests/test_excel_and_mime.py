@@ -177,3 +177,191 @@ def test_analyse_cli_ingests_xlsx(spark, xlsx_path, tmp_path):
     assert back.count() == 3
     reg = lake.registry().filter(F.col("parsing_table") == name).collect()
     assert len(reg) == 1 and '"engine":' in reg[0]["csv_detective"]
+
+
+# ---------------------------------------------------------------- .xls ----
+import struct
+
+from udata_datalake_service_spark.sources import biff
+from udata_datalake_service_spark.sources.biff import (
+    iter_xls_rows_stdlib,
+    write_xls,
+)
+
+
+@pytest.fixture()
+def xls_path(tmp_path):
+    p = str(tmp_path / "fixture.xls")
+    write_xls(
+        p,
+        [
+            ["nom", "montant", "ok"],
+            ["Aurélie", 1020.5, True],
+            ["Benoît", 7.0, False],
+            [None, None, "gap"],
+            ["unicode € ✓", -0.25, None],
+        ],
+        sheet_name="Feuille1",
+    )
+    return p
+
+
+def test_stdlib_xls_roundtrip(xls_path):
+    rows = list(iter_xls_rows_stdlib(xls_path, sheet_name="Feuille1"))
+    assert rows[0] == ["nom", "montant", "ok"]
+    assert rows[1] == ["Aurélie", 1020.5, True]
+    assert rows[2] == ["Benoît", 7.0, False]
+    assert rows[3] == [None, None, "gap"]
+    assert rows[4] == ["unicode € ✓", -0.25]  # trailing None not materialized
+    # default sheet = first sheet; unknown name raises
+    assert list(iter_xls_rows_stdlib(xls_path))[0] == rows[0]
+    with pytest.raises(ValueError, match="not found"):
+        list(iter_xls_rows_stdlib(xls_path, sheet_name="nope"))
+
+
+def test_iter_excel_rows_dispatches_xls(xls_path):
+    rows = list(iter_excel_rows(xls_path, sheet_name="Feuille1", header_row_idx=1))
+    assert rows[0] == ["Aurélie", 1020.5, True]
+
+
+def test_read_excel_xls_to_dataframe(spark, xls_path):
+    df = read_excel(spark, xls_path, sheet_name="Feuille1")
+    assert df.columns == ["nom", "montant", "ok"]
+    got = [tuple(r) for r in df.collect()]
+    assert ("Aurélie", "1020.5", "True") in got
+    assert df.count() == 4
+
+
+def _glob_and_sheet(sheet_body: bytes, sst_payload: bytes | None = None):
+    """Assemble a one-sheet BIFF stream from raw record bytes."""
+    bof_g = biff._rec(0x0809, struct.pack("<HHHHII", 0x600, 0x5, 0, 0, 0, 0x600))
+    bof_s = biff._rec(0x0809, struct.pack("<HHHHII", 0x600, 0x10, 0, 0, 0, 0x600))
+    name = biff._xl_string("S", short=True)
+    sst = b"" if sst_payload is None else sst_payload
+    glob_len = (
+        len(bof_g) + len(biff._rec(0x0085, struct.pack("<IBB", 0, 0, 0) + name))
+        + len(sst) + 4
+    )
+    glob = (
+        bof_g
+        + biff._rec(0x0085, struct.pack("<IBB", glob_len, 0, 0) + name)
+        + sst
+        + biff._rec(0x000A, b"")
+    )
+    return glob + bof_s + sheet_body + biff._rec(0x000A, b"")
+
+
+def test_xls_rk_mulrk_label_formula_cells(tmp_path):
+    """Record types real-world BIFF8 files use that the fixture writer
+    doesn't emit: RK (all 4 encodings), MULRK, inline LABEL, FORMULA with
+    cached numeric / bool / string (via STRING) results, BOOLERR errors."""
+
+    def rk_int(v, div100=False):
+        return ((v & 0x3FFFFFFF) << 2) | 0x02 | (0x01 if div100 else 0)
+
+    def rk_dbl(v, div100=False):
+        bits = struct.unpack("<Q", struct.pack("<d", v))[0]
+        return ((bits >> 32) & 0xFFFFFFFC) | (0x01 if div100 else 0)
+
+    body = (
+        biff._rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int(42)))
+        + biff._rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_int(-4200, True)))
+        + biff._rec(0x027E, struct.pack("<HHHI", 0, 2, 0, rk_dbl(2.5)))
+        + biff._rec(0x027E, struct.pack("<HHHI", 0, 3, 0, rk_dbl(250.0, True)))
+        + biff._rec(
+            0x00BD,
+            struct.pack("<HH", 1, 0)
+            + struct.pack("<HI", 0, rk_int(7))
+            + struct.pack("<HI", 0, rk_int(8))
+            + struct.pack("<H", 1),
+        )
+        + biff._rec(0x0204, struct.pack("<HHH", 2, 0, 0) + biff._xl_string("inline é"))
+        + biff._rec(0x0006, struct.pack("<HHHd", 3, 0, 0, 99.5) + b"\0" * 6)
+        + biff._rec(
+            0x0006,
+            struct.pack("<HHH", 3, 1, 0) + b"\x01\0\x01\0\0\0\xff\xff" + b"\0" * 6,
+        )
+        + biff._rec(
+            0x0006,
+            struct.pack("<HHH", 3, 2, 0) + b"\x00\0\0\0\0\0\xff\xff" + b"\0" * 6,
+        )
+        + biff._rec(0x0207, biff._xl_string("cached"))
+        + biff._rec(0x0205, struct.pack("<HHHBB", 4, 0, 0, 0x07, 1))  # #DIV/0!
+    )
+    p = str(tmp_path / "records.xls")
+    biff._write_cfb(p, "Workbook", _glob_and_sheet(body) + b"\0" * 4096)
+    rows = list(iter_xls_rows_stdlib(p))
+    assert rows[0] == [42, -42.0, 2.5, 2.5]
+    assert rows[1] == [7, 8]
+    assert rows[2] == ["inline é"]
+    assert rows[3] == [99.5, True, "cached"]
+    assert rows[4] == [None]
+
+
+def test_xls_sst_continue_split(tmp_path):
+    """SST character data split across a CONTINUE record: the grbit byte
+    restates itself at the split, and may switch compressed → utf16."""
+    # string 0: "abcdef" split 3/3, both halves compressed
+    # string 1: "xé€" split after 1 char, second half utf16
+    first = (
+        struct.pack("<II", 2, 2)
+        + struct.pack("<H", 6) + b"\x00" + b"abc"
+    )
+    second = b"\x00" + b"def" + struct.pack("<H", 3) + b"\x00" + b"x"
+    third = b"\x01" + "é€".encode("utf-16-le")
+    sst = biff._rec(0x00FC, first) + biff._rec(0x003C, second) + biff._rec(0x003C, third)
+    body = biff._rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)) + biff._rec(
+        0x00FD, struct.pack("<HHHI", 0, 1, 0, 1)
+    )
+    p = str(tmp_path / "continue.xls")
+    biff._write_cfb(p, "Workbook", _glob_and_sheet(body, sst_payload=sst) + b"\0" * 4096)
+    assert list(iter_xls_rows_stdlib(p)) == [["abcdef", "xé€"]]
+
+
+def test_xls_ministream(tmp_path):
+    """Streams under the 4096-byte cutoff live in the ministream addressed
+    by the miniFAT — how every small real-world .xls is laid out."""
+    body = biff._rec(0x0204, struct.pack("<HHH", 0, 0, 0) + biff._xl_string("mini"))
+    payload = _glob_and_sheet(body)
+    assert len(payload) < 4096
+    msz, ssz = 64, 512
+    mini = payload + b"\0" * ((-len(payload)) % msz)
+    nmini = len(mini) // msz
+    mini += b"\0" * ((-len(mini)) % ssz)
+    ncont = len(mini) // ssz
+    # sectors: 0=FAT, 1=dir, 2=miniFAT, 3.. = ministream container
+    fat = [biff._FATSECT, biff._ENDOFCHAIN, biff._ENDOFCHAIN]
+    fat += [4 + i for i in range(ncont - 1)] + [biff._ENDOFCHAIN]
+    fat += [biff._FREESECT] * (128 - len(fat))
+    minifat = [i + 1 for i in range(nmini - 1)] + [biff._ENDOFCHAIN]
+    minifat += [biff._FREESECT] * (128 - len(minifat))
+
+    def direntry(name, etype, child, start, size):
+        nb = name.encode("utf-16-le") + b"\0\0"
+        e = nb + b"\0" * (64 - len(nb))
+        e += struct.pack("<H", len(nb)) + bytes([etype, 1])
+        e += struct.pack("<iii", -1, -1, child) + b"\0" * 36
+        e += struct.pack("<IQ", start, size)
+        return e
+
+    dirsec = (
+        direntry("Root Entry", 5, 1, 3, len(mini))
+        + direntry("Workbook", 2, -1, 0, len(payload))
+        + b"\0" * 256
+    )
+    hdr = bytearray(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 16)
+    hdr += struct.pack("<HHHHH", 0x3E, 0x3, 0xFFFE, 9, 6) + b"\0" * 6
+    hdr += struct.pack("<IIII", 0, 1, 1, 0)
+    hdr += struct.pack("<III", 4096, 2, 1)  # cutoff, miniFAT start, count
+    hdr += struct.pack("<II", biff._ENDOFCHAIN, 0)
+    hdr += struct.pack("<I", 0) + struct.pack("<I", biff._FREESECT) * 108
+    p = str(tmp_path / "mini.xls")
+    with open(p, "wb") as f:
+        f.write(
+            bytes(hdr)
+            + struct.pack("<128I", *fat)
+            + dirsec
+            + struct.pack("<128I", *minifat)
+            + mini
+        )
+    assert list(iter_xls_rows_stdlib(p)) == [["mini"]]

@@ -1398,17 +1398,20 @@ WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 <> 0
 
 
 def q_s4_excel_load(spark, sf_dir):
-    """S4 — Excel workbook load (utils/reader.py:31-41): the query
-    GENERATES a minimal real xlsx (zip + sheet XML: inline strings,
-    numeric cells, XML-escaped text) deterministically from orders, loads
-    it through the stdlib reader (read_excel → all-strings frame, the
-    same path the inference pipeline consumes), and returns typed rows;
-    the oracle restates them from orders. Floats ride ``repr`` → cast,
-    which round-trips doubles exactly."""
+    """S4 — Excel workbook load, BOTH formats (utils/reader.py:31-41 for
+    xlsx, :60-66 for xls): the query GENERATES a minimal real xlsx (zip +
+    sheet XML: inline strings, numeric cells, XML-escaped text) AND a real
+    binary ``.xls`` (OLE2 container + BIFF8 SST/LABELSST/NUMBER records,
+    sources/biff.py) deterministically from orders, loads each through the
+    stdlib readers (read_excel → all-strings frame, the same path the
+    inference pipeline consumes), and unions the typed rows tagged by
+    format; the oracle restates both slices from orders. Floats ride
+    ``repr`` → cast, which round-trips doubles exactly."""
     import hashlib
     import zipfile
     from xml.sax.saxutils import escape
 
+    from udata_datalake_service_spark.sources.biff import write_xls
     from udata_datalake_service_spark.sources.excel_reader import read_excel
 
     rows = (
@@ -1457,18 +1460,53 @@ def q_s4_excel_load(spark, sf_dir):
         z.writestr("xl/_rels/workbook.xml.rels", rels)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     df = read_excel(spark, path, sheet_name="Feuille1")
-    return df.select(
+    xlsx_leg = df.select(
         F.col("`resource.id`").cast("long").alias("resource_id"),
         F.col("priority"),
         F.col("total").cast("double").alias("total"),
+        F.lit("xlsx").alias("fmt"),
     )
+
+    xls_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 137 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("tp"),
+        )
+        .collect()
+    )
+    xls_path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.xls"
+    write_xls(
+        xls_path,
+        [["resource.id", "priority", "total"]]
+        + [[float(r["o_orderkey"]), r["o_orderpriority"], r["tp"]] for r in xls_rows],
+        sheet_name="Feuille1",
+    )
+    xdf = read_excel(spark, xls_path, sheet_name="Feuille1")
+    # BIFF NUMBER cells are doubles: "1310.0" needs the double hop to long
+    xls_leg = xdf.select(
+        F.col("`resource.id`").cast("double").cast("long").alias("resource_id"),
+        F.col("priority"),
+        F.col("total").cast("double").alias("total"),
+        F.lit("xls").alias("fmt"),
+    )
+    return xlsx_leg.unionByName(xls_leg)
 
 
 _SQL_S4 = """
 SELECT CAST(o_orderkey AS BIGINT) AS resource_id,
        o_orderpriority AS priority,
-       o_totalprice AS total
+       o_totalprice AS total,
+       'xlsx' AS fmt
 FROM orders WHERE o_orderkey % 131 = 0
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT) AS resource_id,
+       o_orderpriority AS priority,
+       o_totalprice AS total,
+       'xls' AS fmt
+FROM orders WHERE o_orderkey % 137 = 0
 """
 
 
@@ -1945,8 +1983,9 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 def q_ann_near_dups_exact(spark, sf_dir):
     """Embedding near-dup pairs (cos ≥ 0.42) — exact all-pairs baseline
     (the LSH-bucketed variant is the scale path; this is its verifier).
-    Map-only blocked matmul: broadcast B, per-partition A-block @ B.T —
-    no shuffle, value-identical to the crossJoin + fold-dot form."""
+    Distributed block nested-loop: hash-blocked rows, one numpy matmul per
+    block pair inside applyInPandas — per-task memory bounded by two
+    blocks, nothing materialized on the driver."""
     from udata_datalake_service_spark.llm.similarity import exact_near_dup_pairs
 
     e = _tw(spark, sf_dir, "embeddings")

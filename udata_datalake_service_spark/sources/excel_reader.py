@@ -1,4 +1,4 @@
-"""S4 — Excel readers (xlsx: openpyxl or a stdlib fallback; xls via xlrd).
+"""S4 — Excel readers (xlsx and xls, each with a stdlib fallback).
 
 Reference: utils/reader.py:31-41,60-66 iterates ``openpyxl`` /
 ``xlrd`` rows on ``sheet_name``, skipping ``header_row_idx`` rows; the
@@ -11,7 +11,8 @@ Both libraries are optional. For ``.xlsx`` there is a dependency-free
 fallback: the format is a zip of XML parts, and the subset the open-data
 pipeline needs (shared strings, inline strings, numbers, booleans, sheet
 selection by name) parses fine with stdlib ``zipfile`` + ElementTree.
-``.xls`` (binary BIFF) genuinely needs xlrd and stays gated.
+``.xls`` (binary BIFF8) prefers xlrd when installed and otherwise uses the
+stdlib OLE2+BIFF parser in ``sources/biff.py``.
 """
 
 from __future__ import annotations
@@ -123,14 +124,22 @@ def iter_excel_rows(path: str, sheet_name: str | None = None, header_row_idx: in
                 continue
             yield list(row)
     elif lower.endswith(".xls"):
-        if not HAS_XLRD:
-            raise NotImplementedError(
-                "xls reading needs xlrd (not installed in this environment)"
+        if HAS_XLRD:
+            book = xlrd.open_workbook(path)
+            sheet = (
+                book.sheet_by_name(sheet_name) if sheet_name else book.sheet_by_index(0)
             )
-        book = xlrd.open_workbook(path)
-        sheet = book.sheet_by_name(sheet_name) if sheet_name else book.sheet_by_index(0)
-        for i in range(header_row_idx, sheet.nrows):
-            yield sheet.row_values(i)
+            for i in range(header_row_idx, sheet.nrows):
+                yield sheet.row_values(i)
+        else:
+            from udata_datalake_service_spark.sources.biff import (
+                iter_xls_rows_stdlib,
+            )
+
+            for i, row in enumerate(iter_xls_rows_stdlib(path, sheet_name=sheet_name)):
+                if i < header_row_idx:
+                    continue
+                yield list(row)
     else:
         raise ValueError(f"not an excel file: {path}")
 
