@@ -122,3 +122,82 @@ def test_service_route_surface(spark, tmp_path, catalog_df, checks_df):
                                   "resource_id string, url string")
     out = svc.run_checks(batch, transport=t).collect()
     assert out[0]["status"] == 200 and out[0]["domain"] == "n.org"
+
+
+# ------------------------------------------------- crash-safe commits ----
+def test_versioned_commit_readers_see_old_or_new(spark, tmp_path):
+    """Every intermediate state of a rewrite must leave the table readable:
+    (a) new version written but manifest not yet flipped → old data;
+    (b) manifest flipped → new data. No state where the table is gone."""
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    lake.write_app_table(df1, "catalog")
+    base = Path(lake.app_table_path("catalog"))
+
+    # simulate the crash window: a fully-written but uncommitted version
+    ver = lake._new_version()
+    spark.createDataFrame([(9, "z")], "id long, v string").write.parquet(
+        str(base / ver)
+    )
+    assert sorted(r["id"] for r in lake.read_app_table("catalog").collect()) == [1, 2]
+
+    # commit completes → readers flip to the new version atomically
+    lake._commit_version(base, ver)
+    assert [r["id"] for r in lake.read_app_table("catalog").collect()] == [9]
+
+
+def test_rewrite_app_table_never_leaves_gap(spark, tmp_path):
+    """rewrite_app_table reads its own table as input; the old version must
+    stay on disk until the manifest flips (the rmtree+rename swap it
+    replaced had a window with NO table on disk)."""
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_app_table(
+        spark.createDataFrame([(i,) for i in range(10)], "id long"), "t"
+    )
+    base = Path(lake.app_table_path("t"))
+    v1 = lake._current_dir(base)
+    kept = lake.read_app_table("t").filter(F.col("id") % 2 == 0)
+    lake.rewrite_app_table(kept, "t")
+    assert lake.read_app_table("t").count() == 5
+    # previous version retained one commit for in-flight readers
+    assert v1.exists()
+    # ...and GC'd after the next commit
+    lake.rewrite_app_table(lake.read_app_table("t").limit(3), "t")
+    assert not v1.exists()
+    assert lake.read_app_table("t").count() == 3
+
+
+def test_drop_table_crash_order_leaves_orphan_not_dangling_row(spark, tmp_path):
+    """Registry row is deleted BEFORE the data dir: a crash in between
+    leaves an orphan dir for the GC, never a row pointing at nothing."""
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id long")
+    lake.write_table(df, "tbl_a")
+    lake.register("tbl_a", {"n": 1}, resource_id="r1", url="u1")
+
+    # crash simulation: registry delete succeeded, rmtree never ran
+    lake._delete_registry_rows("tbl_a")
+    assert lake.registry().filter(F.col("parsing_table") == "tbl_a").count() == 0
+    assert Path(lake.table_path("tbl_a")).exists()  # orphan, GC's job
+
+    # a completed drop removes the dir too (idempotent on the registry)
+    lake.drop_table("tbl_a")
+    assert not Path(lake.table_path("tbl_a")).exists()
+
+
+def test_append_lands_in_current_version(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.append_app_table(spark.createDataFrame([(1,)], "id long"), "ch")
+    lake.append_app_table(spark.createDataFrame([(2,)], "id long"), "ch")
+    assert sorted(r["id"] for r in lake.read_app_table("ch").collect()) == [1, 2]
+    # a replace after appends folds everything into one new version
+    lake.rewrite_app_table(
+        lake.read_app_table("ch").filter(F.col("id") == 2), "ch"
+    )
+    assert [r["id"] for r in lake.read_app_table("ch").collect()] == [2]

@@ -8,7 +8,7 @@ MinIO (utils/parquet.py, utils/minio.py).
 Spark-native: the lake IS the table store. ``df.write.parquet`` replaces
 DDL+COPY (K1/K2) *and* the parquet export (K5/K6) in one partitioned,
 streamed write; the registry is an append-only parquet table (K7); delete
-= path removal + registry delete (K8). Secondary indexes (K4) have no
+= registry delete then path removal (K8). Secondary indexes (K4) have no
 Spark equivalent — requested index columns become the write's
 ``sortWithinPartitions`` order so min/max page stats give scan-time skipping
 (the Delta ZORDER analogue available with vanilla parquet).
@@ -20,7 +20,9 @@ On a real deployment this class fronts Delta/Iceberg; the public surface
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import uuid
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -31,10 +33,93 @@ from udata_datalake_service_spark.schemas import TABLES_INDEX_SCHEMA
 
 
 class Lake:
+    """Crash-safety model (the vanilla-parquet stand-in for a Delta/Iceberg
+    commit log): every REPLACE-style write lands in a fresh ``v-*``
+    directory under the logical table path, then a one-line ``MANIFEST``
+    file is fsynced and atomically ``os.replace``d to point at it. A crash
+    at ANY step leaves readers on the previous manifest — old-or-new, never
+    a half-deleted directory (the old rmtree+rename swap had exactly that
+    window). The previous version is retained one commit for in-flight
+    readers; older versions are garbage-collected best-effort at the next
+    commit. Appends add files inside the current version (Spark stages them
+    under ``_temporary``, which readers ignore, so a torn append is
+    invisible). ``drop_table`` deletes the registry row BEFORE the data so
+    a crash in between leaves only an orphan directory — reclaimed by the
+    orphan GC (J4/ST8) — not a registry row pointing at nothing."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------- versioned commits ----
+    @staticmethod
+    def _new_version() -> str:
+        ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
+        return f"v-{ts}-{uuid.uuid4().hex[:8]}"
+
+    @staticmethod
+    def _current_dir(base: Path) -> Path | None:
+        """Resolve a logical table path to its current data directory:
+        MANIFEST-pointed version dir, or the base itself for legacy/plain
+        layouts (pre-versioning data, externally-written dirs)."""
+        try:
+            ver = (base / "MANIFEST").read_text().strip()
+        except OSError:
+            return base if base.exists() else None
+        p = base / ver
+        return p if p.exists() else None
+
+    @staticmethod
+    def _commit_version(base: Path, ver: str) -> None:
+        """Atomically repoint MANIFEST at ``ver``; keep the immediately
+        previous version for in-flight readers, GC anything older."""
+        prev = None
+        try:
+            prev = (base / "MANIFEST").read_text().strip()
+        except OSError:
+            pass
+        tmp = base / f"_manifest-{ver}.tmp"
+        with open(tmp, "w") as f:
+            f.write(ver)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, base / "MANIFEST")
+        dirfd = os.open(base, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+        for d in base.iterdir():
+            if (
+                d.is_dir()
+                and d.name.startswith("v-")
+                and d.name not in (ver, prev)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _replace_write(
+        self, df: DataFrame, base: Path, partition_by: list[str] | None = None
+    ) -> None:
+        """Replace-write ``df`` as a new committed version of ``base``.
+        The input may read from the table's current version — it is never
+        touched until the manifest flips."""
+        ver = self._new_version()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(base / ver))
+        self._commit_version(base, ver)
+
+    def _read_dir(self, base: Path, schema=None) -> DataFrame:
+        cur = self._current_dir(base)
+        if cur is None or not any(
+            f for f in cur.iterdir() if not f.name.startswith(("_", "."))
+        ):
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            raise FileNotFoundError(f"lake table has no data: {base}")
+        return self.spark.read.parquet(str(cur))
 
     # ---------------------------------------------------------- tables ----
     def table_path(self, name: str) -> str:
@@ -69,11 +154,11 @@ class Lake:
             out = out.coalesce(1)
         if index_columns:
             out = out.sortWithinPartitions(*index_columns)
-        out.write.mode("overwrite").parquet(self.table_path(name))
+        self._replace_write(out, Path(self.table_path(name)))
         return n
 
     def read_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(name))
+        return self._read_dir(Path(self.table_path(name)))
 
     def write_bucketed_table(
         self,
@@ -105,11 +190,13 @@ class Lake:
         return table
 
     def drop_table(self, name: str) -> None:
-        """K8 — drop table + registry row."""
+        """K8 — drop table + registry row. Registry first: a crash in
+        between leaves an orphan data dir (reclaimed by the orphan GC),
+        never a registry row pointing at deleted data."""
+        self._delete_registry_rows(name)
         p = Path(self.table_path(name))
         if p.exists():
             shutil.rmtree(p)
-        self._delete_registry_rows(name)
 
     # -------------------------------------------------------- registry ----
     @property
@@ -117,10 +204,7 @@ class Lake:
         return str(self.root / "tables_index")
 
     def registry(self) -> DataFrame:
-        p = Path(self.registry_path)
-        if not p.exists() or not any(p.iterdir()):
-            return self.spark.createDataFrame([], TABLES_INDEX_SCHEMA)
-        return self.spark.read.parquet(self.registry_path)
+        return self._read_dir(Path(self.registry_path), schema=TABLES_INDEX_SCHEMA)
 
     def register(
         self,
@@ -141,18 +225,31 @@ class Lake:
                 json.dumps(indexes or {}),
             )
         ]
-        self.spark.createDataFrame(row, TABLES_INDEX_SCHEMA).write.mode(
-            "append"
-        ).parquet(self.registry_path)
+        self._append_write(
+            self.spark.createDataFrame(row, TABLES_INDEX_SCHEMA),
+            Path(self.registry_path),
+        )
 
     def _delete_registry_rows(self, parsing_table: str) -> None:
         reg = self.registry()
         remaining = reg.filter(F.col("parsing_table") != parsing_table)
-        # rewrite-style delete (Delta would do this transactionally)
-        tmp = str(self.root / "_tables_index_tmp")
-        remaining.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.registry_path, ignore_errors=True)
-        Path(tmp).rename(self.registry_path)
+        # rewrite-style delete: new version, then atomic manifest flip
+        self._replace_write(remaining, Path(self.registry_path))
+
+    def _append_write(
+        self, df: DataFrame, base: Path, partition_by: list[str] | None = None
+    ) -> None:
+        cur = self._current_dir(base)
+        if cur is None:
+            # first write: land in a version dir, commit the pointer
+            self._replace_write(df, base, partition_by=partition_by)
+            return
+        # versioned or legacy-plain: add files in place — Spark stages the
+        # new files under _temporary, so a torn append is never visible
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(cur))
 
     # ------------------------------------------------------- app tables ----
     def app_table_path(self, name: str) -> str:
@@ -164,29 +261,23 @@ class Lake:
         """catalog / checks / exceptions storage. ``checks`` callers pass
         partition_by=['check_date'] so retention is partition drops and
         per-date aggregates prune (SURVEY §1.5)."""
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.app_table_path(name))
+        self._replace_write(
+            df, Path(self.app_table_path(name)), partition_by=partition_by
+        )
 
     def append_app_table(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
     ) -> None:
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.app_table_path(name))
+        self._append_write(
+            df, Path(self.app_table_path(name)), partition_by=partition_by
+        )
 
     def read_app_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.app_table_path(name))
+        return self._read_dir(Path(self.app_table_path(name)))
 
     def rewrite_app_table(self, df: DataFrame, name: str) -> None:
         """Read-modify-write of an app table. ``df`` may (and usually does)
-        read from the table itself, so a direct overwrite would delete its
-        own input mid-scan — write to a temp path, then atomically swap
-        (the vanilla-parquet stand-in for Delta's transactional rewrite)."""
-        tmp = str(self.root / f"_{name}_rewrite_tmp")
-        df.write.mode("overwrite").parquet(tmp)
-        target = Path(self.app_table_path(name))
-        shutil.rmtree(target, ignore_errors=True)
-        Path(tmp).rename(target)
+        read from the table's current version; that version is untouched
+        while the new one is written, then the MANIFEST pointer flips
+        atomically — readers see old-or-new, never a half-swapped dir."""
+        self._replace_write(df, Path(self.app_table_path(name)))
