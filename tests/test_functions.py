@@ -96,6 +96,9 @@ def test_verbal_rlike_agrees_with_verbal_parser(spark):
         "31 décembre 2022", "31st december 2022", "le 1er janvier 2023",
         "December 31, 2022", "aout 15 1999", "3 mar 2001", "not a date",
         "2024-01-15", "15/01/2024", "", "32 janvier 2022", "janvier 2022",
+        "31 de diciembre de 2022", "el 1º de enero de 2023", "MÄRZ 3, 2001",
+        "31. Dezember 2022", "3. Oktober 1990", "15 de agosto del 1999",
+        "31 de 2022", "Jänner 2023",
     ]
     got = _vals(spark, cases, verbal_date_rlike)
     for s, rlike_yes in zip(cases, got):
@@ -116,6 +119,28 @@ def test_date_parse_verbal_french_and_english(spark):
         dt.date(2022, 12, 31),
         dt.date(2023, 1, 1),
         dt.date(2022, 12, 31),
+        None,
+    ]
+
+
+def test_date_parse_verbal_spanish_and_german(spark):
+    # the reference reaches these via dateparser's es/de locale tables
+    # (analysis/helpers.py:13-27); we mirror with explicit month tables
+    out = _vals(
+        spark,
+        ["31 de diciembre de 2022", "el 1º de enero de 2023",
+         "15 de agosto del 1999", "31. Dezember 2022", "3. Oktober 1990",
+         "1 Jänner 2023", "märz 3, 2001", "31 de 2022"],
+        lambda c: parse_date_multi(c),
+    )
+    assert out == [
+        dt.date(2022, 12, 31),
+        dt.date(2023, 1, 1),
+        dt.date(1999, 8, 15),
+        dt.date(2022, 12, 31),
+        dt.date(1990, 10, 3),
+        dt.date(2023, 1, 1),
+        dt.date(2001, 3, 3),
         None,
     ]
 
@@ -198,17 +223,17 @@ def test_fix_surrogates(spark):
     assert out[1] == "clean.csv" and out[2] is None
 
 
-def test_excel_reader_xls_gated_and_bad_ext():
+def test_excel_reader_xls_dispatch_and_bad_ext(tmp_path):
     import pytest as _pytest
 
-    from udata_datalake_service_spark.sources.excel_reader import (
-        HAS_XLRD,
-        iter_excel_rows,
-    )
+    from udata_datalake_service_spark.sources.excel_reader import iter_excel_rows
 
-    if not HAS_XLRD:
-        with _pytest.raises(NotImplementedError, match="xlrd"):
-            list(iter_excel_rows("x.xls"))
+    # .xls routes to the stdlib BIFF parser (xlrd absent here), which
+    # rejects non-OLE2 payloads loudly instead of gating on the library
+    bogus = tmp_path / "x.xls"
+    bogus.write_bytes(b"definitely not ole2")
+    with _pytest.raises(ValueError, match="OLE2"):
+        list(iter_excel_rows(str(bogus)))
     with _pytest.raises(ValueError, match="not an excel"):
         list(iter_excel_rows("x.ods"))
 

@@ -1108,6 +1108,9 @@ _F4_INPUTS = (
     "2024-01-15T10:30:00",
     "31 décembre 2022",
     "31st december 2022",
+    "31 de diciembre de 2022",
+    "31. Dezember 2022",
+    "1º de enero de 2023",
 )
 _F4_EXPECT_US = (
     1705276800000000,  # 2024-01-15 UTC
@@ -1115,19 +1118,23 @@ _F4_EXPECT_US = (
     1705314600000000,  # 2024-01-15T10:30:00
     1672444800000000,  # 2022-12-31
     1672444800000000,
+    1672444800000000,  # es
+    1672444800000000,  # de
+    1672531200000000,  # 2023-01-01 es ordinal
 )
 
 
 def q_f4_date_parse_multi(spark, sf_dir):
-    """F4 — multi-format date parsing incl. the verbal French/English
-    fallback (analysis/helpers.py:13-27; goldens test_analysis_csv.py:126-168).
+    """F4 — multi-format date parsing incl. the verbal FR/EN/ES/DE
+    fallback (analysis/helpers.py:13-27; goldens test_analysis_csv.py:126-168;
+    ES/DE ride dateparser's locale tables in the reference).
     The JVM pattern chain handles machine formats; only leftovers reach the
     Arrow-batched pandas UDF. Oracle = expected timestamps as literals."""
     from udata_datalake_service_spark.functions.dates import parse_datetime_multi
 
     ev = _t(spark, sf_dir, "events")
     raw = F.element_at(
-        F.array(*[F.lit(s) for s in _F4_INPUTS]), (F.col("event_id") % 5 + 1).cast("int")
+        F.array(*[F.lit(s) for s in _F4_INPUTS]), (F.col("event_id") % 8 + 1).cast("int")
     )
     return ev.select(
         "event_id",
@@ -1138,12 +1145,16 @@ def q_f4_date_parse_multi(spark, sf_dir):
 
 _SQL_F4 = f"""
 SELECT event_id,
-  CASE event_id % 5 WHEN 0 THEN '{_F4_INPUTS[0]}' WHEN 1 THEN '{_F4_INPUTS[1]}'
+  CASE event_id % 8 WHEN 0 THEN '{_F4_INPUTS[0]}' WHEN 1 THEN '{_F4_INPUTS[1]}'
                     WHEN 2 THEN '{_F4_INPUTS[2]}' WHEN 3 THEN '{_F4_INPUTS[3]}'
-                    ELSE '{_F4_INPUTS[4]}' END AS raw,
-  CASE event_id % 5 WHEN 0 THEN {_F4_EXPECT_US[0]} WHEN 1 THEN {_F4_EXPECT_US[1]}
+                    WHEN 4 THEN '{_F4_INPUTS[4]}' WHEN 5 THEN '{_F4_INPUTS[5]}'
+                    WHEN 6 THEN '{_F4_INPUTS[6]}'
+                    ELSE '{_F4_INPUTS[7]}' END AS raw,
+  CASE event_id % 8 WHEN 0 THEN {_F4_EXPECT_US[0]} WHEN 1 THEN {_F4_EXPECT_US[1]}
                     WHEN 2 THEN {_F4_EXPECT_US[2]} WHEN 3 THEN {_F4_EXPECT_US[3]}
-                    ELSE {_F4_EXPECT_US[4]} END AS parsed_us
+                    WHEN 4 THEN {_F4_EXPECT_US[4]} WHEN 5 THEN {_F4_EXPECT_US[5]}
+                    WHEN 6 THEN {_F4_EXPECT_US[6]}
+                    ELSE {_F4_EXPECT_US[7]} END AS parsed_us
 FROM events
 """
 

@@ -8,9 +8,9 @@ tests/test_analysis/test_analysis_csv.py:126-168.
 Spark-first design: a ``coalesce`` chain of ``try_to_timestamp`` patterns
 covers the overwhelmingly common machine formats JVM-side; only rows that
 fail every pattern reach the Arrow-batched pandas UDF fallback, which
-handles month names in French/English without external deps
-(``dateparser`` isn't in this container — the verbal path is implemented
-with explicit month tables, deterministic and tested).
+handles month names in French/English/Spanish/German without external
+deps (``dateparser`` isn't in this container — the verbal path is
+implemented with explicit month tables, deterministic and tested).
 """
 
 from __future__ import annotations
@@ -44,26 +44,35 @@ _DATETIME_PATTERNS = (
 )
 
 _MONTHS = {
-    # French (accented + unaccented), English, common abbreviations
+    # French (accented + unaccented), English, Spanish, German + common
+    # abbreviations — the languages LANG_MARKERS advertises (the reference
+    # rides dateparser's locale tables, analysis/helpers.py:13-27)
     "janvier": 1, "janv": 1, "jan": 1, "january": 1,
+    "enero": 1, "ene": 1, "januar": 1, "jänner": 1, "jaenner": 1,
     "fevrier": 2, "février": 2, "fevr": 2, "fev": 2, "feb": 2, "february": 2,
-    "mars": 3, "mar": 3, "march": 3,
-    "avril": 4, "avr": 4, "apr": 4, "april": 4,
-    "mai": 5, "may": 5,
-    "juin": 6, "jun": 6, "june": 6,
-    "juillet": 7, "juil": 7, "jul": 7, "july": 7,
-    "aout": 8, "août": 8, "aug": 8, "august": 8,
+    "febrero": 2, "februar": 2,
+    "mars": 3, "mar": 3, "march": 3, "marzo": 3, "märz": 3, "maerz": 3, "mär": 3,
+    "avril": 4, "avr": 4, "apr": 4, "april": 4, "abril": 4, "abr": 4,
+    "mai": 5, "may": 5, "mayo": 5,
+    "juin": 6, "jun": 6, "june": 6, "junio": 6, "juni": 6,
+    "juillet": 7, "juil": 7, "jul": 7, "july": 7, "julio": 7, "juli": 7,
+    "aout": 8, "août": 8, "aug": 8, "august": 8, "agosto": 8, "ago": 8,
     "septembre": 9, "sept": 9, "sep": 9, "september": 9,
-    "octobre": 10, "oct": 10, "october": 10,
-    "novembre": 11, "nov": 11, "november": 11,
+    "septiembre": 9, "setiembre": 9,
+    "octobre": 10, "oct": 10, "october": 10, "octubre": 10, "oktober": 10, "okt": 10,
+    "novembre": 11, "nov": 11, "november": 11, "noviembre": 11,
     "decembre": 12, "décembre": 12, "dec": 12, "déc": 12, "december": 12,
+    "diciembre": 12, "dic": 12, "dezember": 12, "dez": 12,
 }
 
+# [^\W\d_] = any unicode letter: covers é/û/ô (fr), ñ/á (es), ä/ö/ü/ß (de).
+# Day connectors: "le 31 décembre", "el 31 de diciembre de", "31. Dezember".
 _VERBAL_RE = re.compile(
-    r"^\s*(?:le\s+)?(\d{1,2})(?:st|nd|rd|th|er|e)?\s+([a-zA-Zéûô]+)\.?\s+(\d{4})\s*$"
+    r"^\s*(?:le\s+|el\s+)?(\d{1,2})(?:st|nd|rd|th|er|e|º)?\.?\s+(?:de\s+)?"
+    r"([^\W\d_]+)\.?\s+(?:de\s+|del\s+)?(\d{4})\s*$"
 )
 _MONTH_FIRST_RE = re.compile(
-    r"^\s*([a-zA-Zéûô]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})\s*$"
+    r"^\s*([^\W\d_]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})\s*$"
 )
 
 
@@ -162,6 +171,10 @@ def verbal_date_rlike(col: Column) -> Column:
     "30 février" votes yes here but still casts to NULL — the reference's
     sampling-based csv_detective has the same class of drift).
     """
-    day_first = rf"(?i)^\s*(?:le\s+)?{_DAY}(?:st|nd|rd|th|er|e)?\s+(?:{_MONTH_ALT})\.?\s+\d{{4}}\s*$"
-    month_first = rf"(?i)^\s*(?:{_MONTH_ALT})\.?\s+{_DAY}(?:st|nd|rd|th)?,?\s+\d{{4}}\s*$"
+    # (?iu): UNICODE_CASE so "MÄRZ"/"Décembre" fold like Python's re does
+    day_first = (
+        rf"(?iu)^\s*(?:le\s+|el\s+)?{_DAY}(?:st|nd|rd|th|er|e|º)?\.?\s+(?:de\s+)?"
+        rf"(?:{_MONTH_ALT})\.?\s+(?:de\s+|del\s+)?\d{{4}}\s*$"
+    )
+    month_first = rf"(?iu)^\s*(?:{_MONTH_ALT})\.?\s+{_DAY}(?:st|nd|rd|th)?,?\s+\d{{4}}\s*$"
     return col.rlike(day_first) | col.rlike(month_first)
