@@ -55,6 +55,7 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
     warm_sec = time.time() - t_warm
 
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     qs = entry_mod.queries()
     for name, fn in qs.items():
@@ -78,6 +79,11 @@ def main() -> int:
                 "sf": sf,
                 "warm_sec": round(warm_sec, 3),
                 "n_queries": len(timings),
+                # 1-min loadavg at suite start/end: a high start (external
+                # load) or big delta flags a noisy run, so round-over-round
+                # regressions can be attributed without manual triage
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -116,3 +116,67 @@ def test_domain_rate_windows(spark, tmp_path):
     got = {r["domain"]: (r["mx"], r["m429"]) for r in res}
     assert got["hot.org"][0] == 6
     assert got["cold.org"][1] == 1
+
+
+@pytest.mark.slow
+def test_stream_rate_windows_match_batch_backoff(spark, tmp_path):
+    """E2E parity between the ST2 stream and the batch backoff plan
+    (plans/backoff.py): replay a checks file-stream, take the aligned
+    sliding window ending at `now`, and the per-domain counts and 429
+    flags must equal domain_backoff_table's trailing-window aggregate on
+    the same parquet data."""
+    from udata_datalake_service_spark.plans.backoff import domain_backoff_table
+
+    src = str(tmp_path / "checks_e2e")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)  # minute-aligned `now`
+
+    def at(**kw):
+        return base - dt.timedelta(**kw)
+
+    rows = (
+        # hot.org: 8 checks inside the trailing 360 s
+        [(i, f"h{i}", "u", "hot.org", at(seconds=30 * i + 5), 200)
+         for i in range(8)]
+        # warm.org: 3 recent + 2 outside the window but inside cool-off
+        + [(20 + i, f"w{i}", "u", "warm.org", at(seconds=60 * i + 10), 200)
+           for i in range(3)]
+        + [(30, "w8", "u", "warm.org", at(minutes=30), 200),
+           (31, "w9", "u", "warm.org", at(minutes=25), 200)]
+        # err.org: one old 429, nothing recent
+        + [(40, "e1", "u", "err.org", at(minutes=20), 429)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "id long, resource_id string, url string, domain string, "
+        "created_at timestamp, status int",
+    )
+    _write_checks_batch(spark, df, src)
+
+    q = (
+        domain_rate_windows(stream_checks(spark, src), period_s=360, slide_s=60)
+        .writeStream.format("memory")
+        .queryName("rates_e2e")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    win = spark.sql(
+        "SELECT domain, n_checks FROM rates_e2e WHERE window.end = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    stream_recent = {r["domain"]: r["n_checks"] for r in win}
+    saw = spark.sql(
+        "SELECT domain, max(n_429) AS m FROM rates_e2e GROUP BY domain"
+    ).collect()
+    stream_429 = {r["domain"]: r["m"] > 0 for r in saw}
+
+    batch = {
+        r["domain"]: (r["recent_checks"], r["saw_429"])
+        for r in domain_backoff_table(
+            spark.read.parquet(src), now=F.lit(base), nb_req=5
+        ).collect()
+    }
+    assert set(batch) == {"hot.org", "warm.org", "err.org"}
+    for domain, (recent, saw_429) in batch.items():
+        assert stream_recent.get(domain, 0) == recent, domain
+        assert stream_429.get(domain, False) == saw_429, domain
