@@ -26,3 +26,44 @@ def test_entry_runs(spark):
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "avg_qty", "avg_disc", "count_order",
     }
+
+
+def test_past_window_entries_pinned():
+    """The driver attests only the first 50 queries() entries; the 11 past
+    that window are never correctness-checked again. Pin each one's oracle
+    SQL + builder source so any edit fails here and forces either a
+    registry reorder (back into the window) or a conscious local
+    re-attestation via `python tools/parity.py /root/testdata/sf0.01 <q>`
+    (then update the hash)."""
+    import hashlib
+    import inspect
+
+    import __spark_entry__ as m
+
+    pinned = {
+        "p1_point_lookup": "11ba53a3858917bc",
+        "p3_exclusion_filter": "6a510929d218eacd",
+        "p4_date_cast_filter": "c5dcc6b839857a50",
+        "p5_json_extract": "01fe1502c2d73977",
+        "p6_range_predicate": "53b8e2ef7b6c976e",
+        "p9_time_window": "939d5e4c8cdbae60",
+        "j1_current_state_join": "cbb933d8a8de71bf",
+        "j2_history_join": "9246c11565ed03f3",
+        "j4_orphan_left_join": "6ed6a7cf750c5819",
+        "u1_union_tiers": "97dd52a4afd825c5",
+        "o5_ordered_scan": "dc79c138232fbe43",
+    }
+    qs = m.queries()
+    sql = m.oracle_sql()
+    past_window = list(qs)[50:]
+    assert past_window == list(pinned), (
+        "attestation window membership changed — re-pin after re-attesting"
+    )
+    for name in past_window:
+        h = hashlib.sha256(
+            (sql.get(name, "") + inspect.getsource(qs[name])).encode()
+        ).hexdigest()[:16]
+        assert h == pinned[name], (
+            f"{name} changed since its last attestation — run tools/parity.py "
+            "on it at sf0.01, then update the pin"
+        )

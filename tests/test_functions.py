@@ -259,3 +259,42 @@ def test_sniff_tabular_matrix(spark):
     out = df.select(sniff_tabular(F.col("ct"), F.col("url")).alias("s")).collect()
     got = [(r["s"]["is_tabular"], r["s"]["format"]) for r in out]
     assert got == [(t, f) for *_, t, f in cases]
+
+
+def test_every_pattern_sample_survives_huge_digit_guard(spark):
+    """The huge-digit guard's exemptions are derived from the current
+    pattern tuples; a new pattern with a 5+ digit run (yyyyMMddHHmmss,
+    epoch seconds…) would silently NULL valid inputs. Every pattern must
+    have a sample here that parses non-null through the guarded chain."""
+    from udata_datalake_service_spark.functions.dates import (
+        _DATE_PATTERNS,
+        _DATETIME_PATTERNS,
+    )
+
+    samples = {
+        "yyyy-MM-dd": "2024-01-15",
+        "yyyy/MM/dd": "2024/01/15",
+        "dd/MM/yyyy": "15/01/2024",
+        "dd-MM-yyyy": "15-01-2024",
+        "dd.MM.yyyy": "15.01.2024",
+        "yyyyMMdd": "20240115",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX": "2024-01-15T10:30:00.123456+02:00",
+        "yyyy-MM-dd'T'HH:mm:ssXXX": "2024-01-15T10:30:00+02:00",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS": "2024-01-15T10:30:00.123456",
+        "yyyy-MM-dd'T'HH:mm:ss": "2024-01-15T10:30:00",
+        "yyyy-MM-dd HH:mm:ss.SSSSSS": "2024-01-15 10:30:00.123456",
+        "yyyy-MM-dd HH:mm:ss": "2024-01-15 10:30:00",
+        "dd/MM/yyyy HH:mm:ss": "15/01/2024 10:30:00",
+        "dd/MM/yyyy HH:mm": "15/01/2024 10:30",
+    }
+    assert set(samples) == set(_DATE_PATTERNS) | set(_DATETIME_PATTERNS), (
+        "pattern added/removed without a guard-sync sample — check the "
+        "huge-digit guard exemptions in parse_datetime_multi first"
+    )
+    out = _vals(
+        spark,
+        list(samples.values()),
+        lambda c: parse_datetime_multi(c, verbal_fallback=False),
+    )
+    for (pat, s), v in zip(samples.items(), out):
+        assert v is not None, f"{pat}: sample {s!r} nulled by the guard"

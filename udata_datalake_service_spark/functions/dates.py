@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
 # Ordered like dateutil's tolerant parse: ISO first, then common EU/US.
+# NOTE: the huge-digit guard in parse_datetime_multi exempts exactly the
+# 5+-digit runs these patterns can legally produce (fractional seconds,
+# bare yyyyMMdd). Adding a pattern with another long digit run (epoch
+# seconds, yyyyMMddHHmmss) requires widening the guard — the guard-sync
+# test (test_every_pattern_sample_survives_huge_digit_guard) enforces a
+# sample per pattern so a desync fails loudly.
 _DATE_PATTERNS = (
     "yyyy-MM-dd",
     "yyyy/MM/dd",

@@ -233,17 +233,23 @@ _INSPECT_MEMO_LOCK = threading.Lock()
 
 
 def _memo_get(key: tuple):
+    # only the OrderedDict ops run under the lock; the deepcopy happens on
+    # a snapshot reference outside it (stored values are never mutated in
+    # place — puts deepcopy on insert), so concurrent readers don't
+    # serialize on the slowest copy
     with _INSPECT_MEMO_LOCK:
         hit = _INSPECT_MEMO.get(key)
-        if hit is None:
-            return None
-        _INSPECT_MEMO.move_to_end(key)
-        return copy.deepcopy(hit)
+        if hit is not None:
+            _INSPECT_MEMO.move_to_end(key)
+    if hit is None:
+        return None
+    return copy.deepcopy(hit)
 
 
 def _memo_put(key: tuple, value: tuple) -> None:
+    snapshot = copy.deepcopy(value)  # copy outside the lock, too
     with _INSPECT_MEMO_LOCK:
-        _INSPECT_MEMO[key] = copy.deepcopy(value)
+        _INSPECT_MEMO[key] = snapshot
         _INSPECT_MEMO.move_to_end(key)
         while len(_INSPECT_MEMO) > _INSPECT_MEMO_MAX:
             _INSPECT_MEMO.popitem(last=False)
