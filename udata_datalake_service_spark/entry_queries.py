@@ -1425,9 +1425,11 @@ def q_s4_excel_load(spark, sf_dir):
     from udata_datalake_service_spark.sources.biff import write_xls
     from udata_datalake_service_spark.sources.excel_reader import read_excel
 
-    rows = (
+    # ONE scan+collect feeds both workbooks (the slices are tiny; a second
+    # collect would double the orders scan for no reason)
+    both = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 131 == 0)
+        .filter((F.col("o_orderkey") % 131 == 0) | (F.col("o_orderkey") % 137 == 0))
         .select(
             "o_orderkey",
             "o_orderpriority",
@@ -1435,6 +1437,7 @@ def q_s4_excel_load(spark, sf_dir):
         )
         .collect()
     )
+    rows = [r for r in both if r["o_orderkey"] % 131 == 0]
     path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.xlsx"
     cells = [
         '<row r="1">'
@@ -1478,16 +1481,7 @@ def q_s4_excel_load(spark, sf_dir):
         F.lit("xlsx").alias("fmt"),
     )
 
-    xls_rows = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 137 == 0)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.col("o_totalprice").cast("double").alias("tp"),
-        )
-        .collect()
-    )
+    xls_rows = [r for r in both if r["o_orderkey"] % 137 == 0]
     xls_path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.xls"
     write_xls(
         xls_path,
