@@ -365,3 +365,63 @@ def test_xls_ministream(tmp_path):
             + mini
         )
     assert list(iter_xls_rows_stdlib(p)) == [["mini"]]
+
+
+def test_xls_flows_through_inference_pipeline(spark, xls_path):
+    """S4 → S6 for the binary format: the .xls rides the same
+    type-vote/apply pipeline as CSV/xlsx (reference format matrix,
+    tests/test_analysis/test_analysis_other_formats.py:11-36)."""
+    from udata_datalake_service_spark.sources.inference import inspect_tabular
+
+    typed, insp = inspect_tabular(spark, str(xls_path))
+    assert insp.engine in ("xlrd", "stdlib-biff")
+    assert insp.columns["montant"]["python_type"] == "float"
+    rows = {r["nom"]: r for r in typed.collect()}
+    assert rows["Aurélie"]["montant"] == 1020.5
+
+
+@pytest.mark.slow
+def test_xls_roundtrip_property():
+    """Property: any grid of strings/doubles/bools/None survives the
+    write_xls → iter_xls_rows_stdlib roundtrip (trailing-None truncation
+    aside). Catches SST dedup, unicode switching, and cell-record edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+    )
+    grid = st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8)
+
+    @settings(max_examples=25, deadline=None)
+    @given(grid=grid)
+    def check(grid):
+        import os
+
+        from udata_datalake_service_spark.sources.biff import (
+            iter_xls_rows_stdlib,
+            write_xls,
+        )
+
+        tmpdir = "/tmp/xls_prop"
+        os.makedirs(tmpdir, exist_ok=True)
+        p = os.path.join(tmpdir, "prop.xls")
+        write_xls(p, grid)
+        got = list(iter_xls_rows_stdlib(p))
+        # rows with at least one non-None cell, trailing Nones trimmed
+        expected = []
+        for row in grid:
+            width = max((i for i, v in enumerate(row) if v is not None), default=-1)
+            if width >= 0:
+                expected.append(row[: width + 1])
+        assert got == expected
+
+    check()

@@ -336,6 +336,7 @@ def inspect_excel(
     analysis/csv.py:152-154, utils/reader.py:31-41)."""
     from udata_datalake_service_spark.sources.excel_reader import (
         HAS_OPENPYXL,
+        HAS_XLRD,
         read_excel,
     )
 
@@ -355,7 +356,11 @@ def inspect_excel(
             }
             for c in raw.columns
         },
-        engine="openpyxl" if HAS_OPENPYXL else "stdlib-xlsx",
+        engine=(
+            ("xlrd" if HAS_XLRD else "stdlib-biff")
+            if path.lower().endswith(".xls")
+            else ("openpyxl" if HAS_OPENPYXL else "stdlib-xlsx")
+        ),
         sheet_name=sheet_name,
     )
     return typed, insp
