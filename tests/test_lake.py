@@ -201,3 +201,26 @@ def test_append_lands_in_current_version(spark, tmp_path):
         lake.read_app_table("ch").filter(F.col("id") == 2), "ch"
     )
     assert [r["id"] for r in lake.read_app_table("ch").collect()] == [2]
+
+
+def test_vacuum_reclaims_unreferenced_versions(spark, tmp_path):
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_app_table(spark.createDataFrame([(1,)], "id long"), "t")
+    base = Path(lake.app_table_path("t"))
+    live = lake._current_dir(base)
+
+    # a rewrite retains the previous version (for in-flight readers)...
+    lake.rewrite_app_table(lake.read_app_table("t"), "t")
+    live2 = lake._current_dir(base)
+    # ...and a crash leftover: fully-written version, manifest never flipped
+    # (made AFTER the rewrite — commit-time GC would have swept it already)
+    orphan = base / lake._new_version()
+    spark.createDataFrame([(9,)], "id long").write.parquet(str(orphan))
+
+    removed = lake.vacuum()
+    assert str(orphan) in removed and str(live) in removed
+    assert live2.exists() and not orphan.exists()
+    assert lake.read_app_table("t").count() == 1  # current untouched
+    assert lake.vacuum() == []  # idempotent

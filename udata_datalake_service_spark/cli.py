@@ -10,6 +10,7 @@
 | purge-csv-tables             | ``purge_csv_tables`` (J4/ST8 GC)       |
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
+| (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -153,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("csv-sample"); sp.add_argument("--size", type=int, default=1000)
     sp = sub.add_parser("purge-checks"); sp.add_argument("--retention-days", type=int, default=60)
     sub.add_parser("purge-csv-tables")
+    sub.add_parser("vacuum-lake")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
     args = p.parse_args(argv)
 
@@ -172,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"purged": purge_checks(spark, lake, args.retention_days)}))
     elif args.verb == "purge-csv-tables":
         print(json.dumps({"dropped": purge_csv_tables(spark, lake)}))
+    elif args.verb == "vacuum-lake":
+        print(json.dumps({"removed": lake.vacuum()}))
     elif args.verb == "insert-resource":
         insert_resource(spark, lake, args.dataset_id, args.resource_id, args.url)
         print(json.dumps({"ok": True}))

@@ -98,6 +98,25 @@ class Lake:
             ):
                 shutil.rmtree(d, ignore_errors=True)
 
+    def vacuum(self) -> list[str]:
+        """Reclaim version dirs no MANIFEST points at — crash leftovers
+        (a fully-written but uncommitted version) and previous versions of
+        tables that were never rewritten again. Normal commits already GC
+        older versions; this sweeps tables the write path won't revisit.
+        Returns the removed paths (ST7-style maintenance verb)."""
+        removed: list[str] = []
+        bases = {p.parent for p in self.root.rglob("v-*") if p.is_dir()}
+        for base in bases:
+            try:
+                current = (base / "MANIFEST").read_text().strip()
+            except OSError:
+                current = None
+            for d in base.iterdir():
+                if d.is_dir() and d.name.startswith("v-") and d.name != current:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(str(d))
+        return removed
+
     def _replace_write(
         self, df: DataFrame, base: Path, partition_by: list[str] | None = None
     ) -> None:
