@@ -361,3 +361,44 @@ def test_resize_kernel_gating(monkeypatch):
 
     out = mm._resize_image_one(b"whatever", 224, 224)
     assert out.startswith(b"RESIZED:224x224:")  # no decoder → stub payload
+
+
+def test_exact_near_dup_pairs_block_invariance(spark, sf_dir):
+    """The distributed block nested-loop must produce IDENTICAL pairs for
+    any block count (1 block = single matmul; k blocks = k(k+1)/2 shuffle
+    groups) — the partitioning is an execution detail, never a semantics
+    one. Also cross-checks the matmul against the fold-dot cosine."""
+    from udata_datalake_service_spark.llm.similarity import (
+        cosine,
+        exact_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+
+    def as_set(df):
+        return {(r["id_a"], r["id_b"], r["cos"]) for r in df.collect()}
+
+    one = as_set(exact_near_dup_pairs(e, threshold=0.4, num_blocks=1))
+    four = as_set(exact_near_dup_pairs(e, threshold=0.4, num_blocks=4))
+    assert one == four and len(one) > 0
+
+    # spot-check values against the JVM fold-dot form on a few pairs
+    some = sorted(one)[:5]
+    ids = {i for p in some for i in p[:2]}
+    sub = e.filter(F.col("vec_id").isin(*ids)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    folded = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .collect()
+    }
+    for id_a, id_b, cos in some:
+        assert abs(folded[(id_a, id_b)] - cos) < 2e-6, (id_a, id_b)
