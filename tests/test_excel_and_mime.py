@@ -425,3 +425,34 @@ def test_xls_roundtrip_property():
         assert got == expected
 
     check()
+
+
+def test_xls_biff5_legacy(tmp_path):
+    """Pre-1997 BIFF5 workbooks: byte-string LABELs (no SST, no unicode
+    flags), ShortString sheet names — detected from the BOF vers field."""
+
+    def bstr(s):  # BIFF5 byte string: u16 len + latin-1 bytes
+        b = s.encode("latin-1")
+        return struct.pack("<H", len(b)) + b
+
+    bof_g = biff._rec(0x0809, struct.pack("<HH", 0x0500, 0x0005))
+    bof_s = biff._rec(0x0809, struct.pack("<HH", 0x0500, 0x0010))
+    name = "Vieille"
+    bs_payload_len = 4 + 1 + 1 + 1 + len(name)
+    glob_len = len(bof_g) + 4 + bs_payload_len + 4
+    boundsheet = biff._rec(
+        0x0085,
+        struct.pack("<IBB", glob_len, 0, 0)
+        + bytes([len(name)])
+        + name.encode("latin-1"),
+    )
+    glob = bof_g + boundsheet + biff._rec(0x000A, b"")
+    assert len(glob) == glob_len
+    body = (
+        biff._rec(0x0204, struct.pack("<HHH", 0, 0, 0) + bstr("libellé"))
+        + biff._rec(0x0203, struct.pack("<HHHd", 0, 1, 0, 19.97))
+        + biff._rec(0x000A, b"")
+    )
+    p = str(tmp_path / "legacy.xls")
+    biff._write_cfb(p, "Book", glob + bof_s + body + b"\0" * 4096)
+    assert list(iter_xls_rows_stdlib(p, sheet_name="Vieille")) == [["libellé", 19.97]]

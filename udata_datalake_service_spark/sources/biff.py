@@ -9,8 +9,12 @@ and [MS-XLS] (BIFF8 records) that real open-data workbooks exercise:
   below the 4096-byte cutoff live in the ministream addressed by miniFAT).
 - BIFF8 globals: BOUNDSHEET (sheet name → substream offset), SST with
   CONTINUE-record splits (the grbit byte restates itself at each split).
-- BIFF8 cells: LABELSST, LABEL, NUMBER, RK, MULRK, BOOLERR, FORMULA
-  (cached numeric / boolean / string-via-STRING results), BLANK/MULBLANK.
+- BIFF8 cells: LABELSST, LABEL/RSTRING, NUMBER, RK, MULRK, BOOLERR,
+  FORMULA (cached numeric / boolean / string-via-STRING results),
+  BLANK/MULBLANK.
+- Legacy BIFF5/7 workbooks (pre-1997 .xls, still common on open-data
+  portals): byte-string LABELs and ShortString sheet names, detected from
+  the BOF version field.
 
 ``write_xls`` emits a small-but-valid single-sheet BIFF8 workbook (used to
 generate deterministic fixtures for the s4 oracle — the reference only ever
@@ -189,8 +193,10 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
     return [cur.read_string() for _ in range(unique)]
 
 
-def _read_unicode_str(data: bytes, off: int) -> str:
+def _read_unicode_str(data: bytes, off: int, biff_ver: int = 0x0600) -> str:
     (cch,) = struct.unpack_from("<H", data, off)
+    if biff_ver < 0x0600:  # BIFF5/7: plain byte string, no option flags
+        return data[off + 2 : off + 2 + cch].decode("latin-1")
     flags = data[off + 2]
     p = off + 3
     if flags & 0x08:
@@ -212,7 +218,9 @@ def _decode_rk(rk: int) -> float:
     return v / 100 if rk & 0x01 else v
 
 
-def _read_sheet_cells(stream: bytes, offset: int, sst: list[str]) -> dict:
+def _read_sheet_cells(
+    stream: bytes, offset: int, sst: list[str], biff_ver: int = 0x0600
+) -> dict:
     cells: dict[int, dict[int, object]] = {}
     pending_formula: tuple[int, int] | None = None
 
@@ -230,9 +238,9 @@ def _read_sheet_cells(stream: bytes, offset: int, sst: list[str]) -> dict:
         elif op == 0x00FD:  # LABELSST
             r, c, _xf, isst = struct.unpack_from("<HHHI", data)
             put(r, c, sst[isst])
-        elif op == 0x0204:  # LABEL (inline string, BIFF8 unicode)
+        elif op in (0x0204, 0x00D6):  # LABEL / RSTRING (inline string)
             r, c, _xf = struct.unpack_from("<HHH", data)
-            put(r, c, _read_unicode_str(data, 6))
+            put(r, c, _read_unicode_str(data, 6, biff_ver))
         elif op == 0x0203:  # NUMBER
             r, c, _xf = struct.unpack_from("<HHH", data)
             put(r, c, struct.unpack_from("<d", data, 6)[0])
@@ -263,7 +271,7 @@ def _read_sheet_cells(stream: bytes, offset: int, sst: list[str]) -> dict:
         elif op == 0x0207 and pending_formula is not None:  # STRING
             r, c = pending_formula
             pending_formula = None
-            put(r, c, _read_unicode_str(data, 0))
+            put(r, c, _read_unicode_str(data, 0, biff_ver))
     return cells
 
 
@@ -279,15 +287,26 @@ def iter_xls_rows_stdlib(path: str, sheet_name: str | None = None):
         glob.append((op, data))
         if op == 0x000A:  # EOF of the globals substream
             break
+    # BOF vers field: 0x0600 = BIFF8 (unicode strings, SST); 0x0500 =
+    # BIFF5/7 (byte strings, no SST) — xlrd handles both, so do we
+    biff_ver = 0x0600
+    if glob and glob[0][0] == 0x0809 and len(glob[0][1]) >= 2:
+        v = struct.unpack_from("<H", glob[0][1])[0]
+        if v and v < 0x0600:
+            biff_ver = v
     for i, (op, data) in enumerate(glob):
         if op == 0x0085:  # BOUNDSHEET
             (lbplypos,) = struct.unpack_from("<I", data)
-            cch, flags, raw = data[6], data[7], data[8:]
-            name = (
-                raw[: 2 * cch].decode("utf-16-le", "replace")
-                if flags & 0x01
-                else raw[:cch].decode("latin-1")
-            )
+            if biff_ver < 0x0600:  # ShortString: u8 len + bytes
+                cch = data[6]
+                name = data[7 : 7 + cch].decode("latin-1")
+            else:
+                cch, flags, raw = data[6], data[7], data[8:]
+                name = (
+                    raw[: 2 * cch].decode("utf-16-le", "replace")
+                    if flags & 0x01
+                    else raw[:cch].decode("latin-1")
+                )
             sheets.append((name, lbplypos))
         elif op == 0x00FC:  # SST + immediately-following CONTINUEs
             chunks = [data]
@@ -305,7 +324,7 @@ def iter_xls_rows_stdlib(path: str, sheet_name: str | None = None):
         if not match:
             raise ValueError(f"sheet {sheet_name!r} not found in {path}")
         offset = match[0]
-    cells = _read_sheet_cells(stream, offset, sst)
+    cells = _read_sheet_cells(stream, offset, sst, biff_ver)
     for r in sorted(cells):
         row = cells[r]
         width = max(row) + 1
