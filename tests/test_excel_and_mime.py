@@ -456,3 +456,23 @@ def test_xls_biff5_legacy(tmp_path):
     p = str(tmp_path / "legacy.xls")
     biff._write_cfb(p, "Book", glob + bof_s + body + b"\0" * 4096)
     assert list(iter_xls_rows_stdlib(p, sheet_name="Vieille")) == [["libellé", 19.97]]
+
+
+def test_magic_routing_beats_lying_extension(spark, tmp_path, xls_path, xlsx_path):
+    """Reference routes by detected format, not extension (utils/csv.py:
+    24-31): an OLE2 payload behind a .csv name still reaches the workbook
+    reader; a zipped xlsx behind .bin likewise."""
+    import shutil
+
+    from udata_datalake_service_spark.sources.inference import inspect_tabular
+
+    lying_csv = str(tmp_path / "really_xls.csv")
+    shutil.copy(xls_path, lying_csv)
+    typed, insp = inspect_tabular(spark, lying_csv)
+    assert insp.engine in ("xlrd", "stdlib-biff")
+    assert insp.columns["montant"]["python_type"] == "float"
+
+    lying_bin = str(tmp_path / "really_xlsx.bin")
+    shutil.copy(xlsx_path, lying_bin)
+    _, insp2 = inspect_tabular(spark, lying_bin)
+    assert insp2.engine in ("openpyxl", "stdlib-xlsx")

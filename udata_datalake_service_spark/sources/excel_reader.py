@@ -107,11 +107,18 @@ def iter_xlsx_rows_stdlib(path: str, sheet_name: str | None = None):
             yield [cells.get(i) for i in range(width)]
 
 
-def iter_excel_rows(path: str, sheet_name: str | None = None, header_row_idx: int = 0):
+def iter_excel_rows(
+    path: str,
+    sheet_name: str | None = None,
+    header_row_idx: int = 0,
+    fmt: str | None = None,
+):
     """Yield rows (lists of cell values) past the header offset —
     utils/reader.py:31-41 semantics. Dispatches on extension
-    (case-insensitive, matching inspect_tabular's routing)."""
-    lower = path.lower()
+    (case-insensitive, matching inspect_tabular's routing); ``fmt``
+    ('xlsx'/'xls') overrides it for magic-sniffed payloads whose extension
+    lies (the reference routes by detected format, utils/csv.py:24-31)."""
+    lower = f".{fmt}" if fmt else path.lower()
     if lower.endswith(".xlsx"):
         if HAS_OPENPYXL:
             wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
@@ -149,10 +156,13 @@ def read_excel(
     path: str,
     sheet_name: str | None = None,
     header_row_idx: int = 0,
+    fmt: str | None = None,
 ) -> DataFrame:
     """Workbook → all-strings DataFrame (header = first yielded row), ready
     for the same infer_types/apply_types pipeline the CSV path uses."""
-    rows = iter_excel_rows(path, sheet_name=sheet_name, header_row_idx=header_row_idx)
+    rows = iter_excel_rows(
+        path, sheet_name=sheet_name, header_row_idx=header_row_idx, fmt=fmt
+    )
     header = [str(c) if c is not None else f"col_{i}" for i, c in enumerate(next(rows))]
     w = len(header)
     data = [

@@ -330,6 +330,7 @@ def inspect_excel(
     path: str,
     sheet_name: str | None = None,
     header_row_idx: int = 0,
+    fmt: str | None = None,
 ) -> tuple[DataFrame, Inspection]:
     """Workbook → same inference pipeline as CSV (the reference routes
     xls/xlsx through csv_detective with an ``engine`` field —
@@ -340,7 +341,10 @@ def inspect_excel(
         read_excel,
     )
 
-    raw = read_excel(spark, path, sheet_name=sheet_name, header_row_idx=header_row_idx)
+    fmt = fmt or ("xls" if path.lower().endswith(".xls") else "xlsx")
+    raw = read_excel(
+        spark, path, sheet_name=sheet_name, header_row_idx=header_row_idx, fmt=fmt
+    )
     types = infer_types(raw)
     typed = apply_types(raw, types)
     insp = Inspection(
@@ -358,7 +362,7 @@ def inspect_excel(
         },
         engine=(
             ("xlrd" if HAS_XLRD else "stdlib-biff")
-            if path.lower().endswith(".xls")
+            if fmt == "xls"
             else ("openpyxl" if HAS_OPENPYXL else "stdlib-xlsx")
         ),
         sheet_name=sheet_name,
@@ -371,10 +375,35 @@ def inspect_tabular(
     path: str,
     sheet_name: str | None = None,
 ) -> tuple[DataFrame, Inspection]:
-    """Format dispatch, as the reference's analyse flow does by detected
-    format (utils/csv.py:4-43): csv / csv.gz → sniff+vote pipeline;
-    xlsx / xls → workbook reader into the same vote pipeline."""
+    """Format dispatch, as the reference's analyse flow does by DETECTED
+    format, not extension (utils/csv.py:4-43): csv / csv.gz → sniff+vote
+    pipeline; xlsx / xls → workbook reader into the same vote pipeline.
+    Content magic wins over a lying extension (an OLE2 payload behind a
+    ``.csv`` URL still routes to the workbook reader, like the reference)."""
     low = path.lower()
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+    except OSError:
+        head = b""
+    if head == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # OLE2 → binary xls
+        return inspect_excel(spark, path, sheet_name=sheet_name, fmt="xls")
+    if head[:4] == b"PK\x03\x04" and (
+        low.endswith(".xlsx") or _zip_is_xlsx(path)
+    ):
+        return inspect_excel(spark, path, sheet_name=sheet_name, fmt="xlsx")
     if low.endswith((".xlsx", ".xls")):
         return inspect_excel(spark, path, sheet_name=sheet_name)
     return inspect_csv(spark, path)
+
+
+def _zip_is_xlsx(path: str) -> bool:
+    """A zip payload is a workbook iff it carries the xl/ part tree (a
+    plain .zip of CSVs must stay on the CSV path)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            return any(n.startswith("xl/") for n in z.namelist())
+    except (zipfile.BadZipFile, OSError):
+        return False
