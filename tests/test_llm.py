@@ -380,7 +380,10 @@ def test_exact_near_dup_pairs_block_invariance(spark, sf_dir):
 
     one = as_set(exact_near_dup_pairs(e, threshold=0.4, num_blocks=1))
     four = as_set(exact_near_dup_pairs(e, threshold=0.4, num_blocks=4))
-    assert one == four and len(one) > 0
+    # more blocks than ~rows/8: some blocks are tiny/empty — the empty-side
+    # group path must contribute nothing, not crash or drop pairs
+    many = as_set(exact_near_dup_pairs(e, threshold=0.4, num_blocks=17))
+    assert one == four == many and len(one) > 0
 
     # spot-check values against the JVM fold-dot form on a few pairs
     some = sorted(one)[:5]
