@@ -405,3 +405,19 @@ def test_exact_near_dup_pairs_block_invariance(spark, sf_dir):
     }
     for id_a, id_b, cos in some:
         assert abs(folded[(id_a, id_b)] - cos) < 2e-6, (id_a, id_b)
+
+
+def test_repetition_ratio_goldens(spark):
+    from udata_datalake_service_spark.llm.text import repetition_ratio
+
+    cases = [
+        ("buy now buy now buy now", 3 / 5),   # "buy now" ×3, "now buy" ×2 → 3 dups / 5 bigrams
+        ("the quick brown fox", 0.0),
+        ("word", 0.0),
+        ("", 0.0),
+        ("a a a a", 2 / 3),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r[0] for r in df.select(repetition_ratio(F.col("t"))).collect()]
+    for (t, want), g in zip(cases, got):
+        assert abs(g - want) < 1e-9, t

@@ -2432,10 +2432,13 @@ SELECT id_a, id_b, jaccard, 'maxdf100' AS variant FROM ({_SQL_DD_NGRAM_MAXDF})
 
 
 def q_tx_text_metrics(spark, sf_dir):
-    """Language ID + quality block + BPE-ish piece count in ONE projection
-    over one documents scan — folding three per-doc text queries actually
-    removes two scans."""
-    from udata_datalake_service_spark.llm.text import bpe_token_count
+    """Language ID + quality block + BPE-ish piece count + duplicated-
+    bigram repetition ratio in ONE projection over one documents scan —
+    folding four per-doc text queries actually removes three scans."""
+    from udata_datalake_service_spark.llm.text import (
+        bpe_token_count,
+        repetition_ratio,
+    )
 
     d = _tw(spark, sf_dir, "documents")
     c = F.col("text")
@@ -2448,15 +2451,25 @@ def q_tx_text_metrics(spark, sf_dir):
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
         quality_score(c).alias("quality"),
         bpe_token_count(c).alias("n_bpe_pieces"),
+        F.round(repetition_ratio(c), 4).alias("rep_ratio"),
     )
 
 
 _SQL_TX_METRICS = f"""
 SELECT s.doc_id, l.lang_declared, l.lang_detected, s.n_tokens, s.punct_ratio,
-       s.stopword_ratio, s.quality, b.n_bpe_pieces
+       s.stopword_ratio, s.quality, b.n_bpe_pieces, r.rep_ratio
 FROM ({_SQL_TX_STATS}) s
 JOIN ({_SQL_TX_LANGID}) l ON s.doc_id = l.doc_id
 JOIN ({_SQL_TX_BPE}) b ON s.doc_id = b.doc_id
+JOIN (
+  SELECT doc_id,
+    ROUND(CASE WHEN len(t) >= 2 THEN
+      CAST(len(t) - 1 - len(list_distinct(
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      )) AS DOUBLE) / (len(t) - 1)
+    ELSE 0.0 END, 4) AS rep_ratio
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) x
+) r ON s.doc_id = r.doc_id
 """
 
 

@@ -57,6 +57,24 @@ def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> 
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def repetition_ratio(text_col: Column) -> Column:
+    """Fraction of duplicated word bigrams — the classic repetition signal
+    training-data pipelines gate on (boilerplate, keyword stuffing,
+    degenerate generations score high). Pure expressions: slice+zip_with
+    builds the bigram list, array_distinct counts the unique ones; exactly
+    replayable in DuckDB with list_transform/list_distinct."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    dup = nb - F.size(F.array_distinct(bigrams))
+    return F.when(n >= 2, dup.cast("double") / nb).otherwise(F.lit(0.0))
+
+
 def quality_score(text_col: Column) -> Column:
     """Composite heuristic in [0,1]: length band + low punctuation + healthy
     stopword rate + mean word length band. Deterministic, SQL-replayable."""
