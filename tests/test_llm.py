@@ -421,3 +421,20 @@ def test_repetition_ratio_goldens(spark):
     got = [r[0] for r in df.select(repetition_ratio(F.col("t"))).collect()]
     for (t, want), g in zip(cases, got):
         assert abs(g - want) < 1e-9, t
+
+
+def test_url_email_counts(spark):
+    from udata_datalake_service_spark.llm.text import email_count, url_count
+
+    cases = [
+        ("see https://a.org/x and http://b.io/y?z=1", 2, 0),
+        ("mail Me@Example.COM or admin@sub.domain.org today", 0, 2),
+        ("no links here", 0, 0),
+        ("mixed https://c.de plus c@d.ee", 1, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "t string")
+    got = df.select(
+        url_count(F.col("t")).alias("u"), email_count(F.col("t")).alias("e")
+    ).collect()
+    for (t, wu, we), r in zip(cases, got):
+        assert (r["u"], r["e"]) == (wu, we), t

@@ -2437,7 +2437,9 @@ def q_tx_text_metrics(spark, sf_dir):
     folding four per-doc text queries actually removes three scans."""
     from udata_datalake_service_spark.llm.text import (
         bpe_token_count,
+        email_count,
         repetition_ratio,
+        url_count,
     )
 
     d = _tw(spark, sf_dir, "documents")
@@ -2452,13 +2454,19 @@ def q_tx_text_metrics(spark, sf_dir):
         quality_score(c).alias("quality"),
         bpe_token_count(c).alias("n_bpe_pieces"),
         F.round(repetition_ratio(c), 4).alias("rep_ratio"),
+        url_count(c).cast("long").alias("n_urls"),
+        email_count(c).cast("long").alias("n_emails"),
     )
 
 
 _SQL_TX_METRICS = f"""
 SELECT s.doc_id, l.lang_declared, l.lang_detected, s.n_tokens, s.punct_ratio,
-       s.stopword_ratio, s.quality, b.n_bpe_pieces, r.rep_ratio
-FROM ({_SQL_TX_STATS}) s
+       s.stopword_ratio, s.quality, b.n_bpe_pieces, r.rep_ratio,
+       len(regexp_extract_all(d.text, 'https?://[^\\s]+')) AS n_urls,
+       len(regexp_extract_all(lower(d.text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS n_emails
+FROM documents d
+JOIN ({_SQL_TX_STATS}) s ON d.doc_id = s.doc_id
 JOIN ({_SQL_TX_LANGID}) l ON s.doc_id = l.doc_id
 JOIN ({_SQL_TX_BPE}) b ON s.doc_id = b.doc_id
 JOIN (

@@ -75,6 +75,22 @@ def repetition_ratio(text_col: Column) -> Column:
     return F.when(n >= 2, dup.cast("double") / nb).otherwise(F.lit(0.0))
 
 
+# portable across Java regex and RE2/DuckDB: no lookaround, no backrefs
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def url_count(text_col: Column) -> Column:
+    """Link density — a link-farm / boilerplate curation gate."""
+    return F.regexp_count(text_col, F.lit(URL_RE))
+
+
+def email_count(text_col: Column) -> Column:
+    """Email-address density — the cheap PII-exposure signal (a real PII
+    pass adds phone/ID patterns and NER; the plumbing is identical)."""
+    return F.regexp_count(F.lower(text_col), F.lit(EMAIL_RE))
+
+
 def quality_score(text_col: Column) -> Column:
     """Composite heuristic in [0,1]: length band + low punctuation + healthy
     stopword rate + mean word length band. Deterministic, SQL-replayable."""
