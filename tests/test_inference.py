@@ -116,3 +116,18 @@ def test_header_offset_rows(spark, tmp_path):
     assert set(["name", "amount"]) <= set(c.replace("__hydra_renamed", "") for c in typed.columns)
     got = {r["name"]: r["amount"] for r in typed.collect()}
     assert got == {"alice": 10, "bob": 20}
+
+
+def test_gz_behind_lying_extension(spark, tmp_path):
+    """A gzip payload served under a .csv name must still inflate: Spark
+    keys the codec on the extension, so the inspector aliases the file
+    with a .gz symlink before the scan."""
+    import gzip
+
+    from udata_datalake_service_spark.sources.inference import inspect_csv
+
+    p = tmp_path / "lying.csv"
+    p.write_bytes(gzip.compress("a;b\n1;x\n2;y\n".encode()))
+    typed, insp = inspect_csv(spark, str(p))
+    assert insp.columns["a"]["python_type"] == "int"
+    assert sorted(r["a"] for r in typed.collect()) == [1, 2]

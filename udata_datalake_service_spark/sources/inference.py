@@ -269,12 +269,26 @@ def inspect_csv(
 
     st = os.stat(path)
     memo_key = (os.path.abspath(path), st.st_size, st.st_mtime_ns, sample_bytes)
+
+    # Spark picks the decompression codec from the EXTENSION; a gzip
+    # payload behind a lying name (.csv serving gz bytes) would scan
+    # compressed garbage. Alias it with a .gz symlink so the codec engages
+    # — one step past the reference, which keys gz routing on the url
+    # (utils/csv.py:18-22) and mis-serves the same case.
+    spark_path = path
+    with open(path, "rb") as fh:
+        if fh.read(2) == b"\x1f\x8b" and not path.lower().endswith(".gz"):
+            link = path + ".alias.gz"
+            if not os.path.islink(link) and not os.path.exists(link):
+                os.symlink(os.path.abspath(path), link)
+            spark_path = link
+
     hit = _memo_get(memo_key)
     if hit is not None:
         types, insp = hit
         raw = read_csv_with_dialect(
             spark,
-            path,
+            spark_path,
             separator=insp.separator,
             encoding=insp.encoding,
             header_row_idx=insp.header_row_idx,
@@ -298,7 +312,7 @@ def inspect_csv(
 
     raw = read_csv_with_dialect(
         spark,
-        path,
+        spark_path,
         separator=separator,
         encoding=encoding,
         header_row_idx=header_row_idx,
