@@ -147,6 +147,7 @@ def insert_resource(spark: SparkSession, lake: Lake, dataset_id: str,
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="udata-datalake-spark")
     p.add_argument("--lake-root", default="./lake")
+    p.add_argument("--config", help="TOML config (config_default.toml keys)")
     sub = p.add_subparsers(dest="verb", required=True)
     sp = sub.add_parser("load-catalog"); sp.add_argument("csv_path")
     sp = sub.add_parser("check-url"); sp.add_argument("urls", nargs="+")
@@ -155,9 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("purge-checks"); sp.add_argument("--retention-days", type=int, default=60)
     sub.add_parser("purge-csv-tables")
     sub.add_parser("vacuum-lake")
+    sp = sub.add_parser("select-batch"); sp.add_argument("--seed", default="s0")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
     args = p.parse_args(argv)
 
+    from udata_datalake_service_spark.config import load_config
+
+    cfg = load_config(toml_path=args.config)
     spark = get_spark(app_name=f"udata-cli-{args.verb}")
     lake = Lake(spark, args.lake_root)
     if args.verb == "load-catalog":
@@ -176,6 +181,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"dropped": purge_csv_tables(spark, lake)}))
     elif args.verb == "vacuum-lake":
         print(json.dumps({"removed": lake.vacuum()}))
+    elif args.verb == "select-batch":
+        from udata_datalake_service_spark.service import HydraService
+
+        svc = HydraService(spark, lake, config=cfg)
+        for r in svc.select_crawl_batch(seed=args.seed).collect():
+            print(
+                json.dumps(
+                    {"resource_id": r["resource_id"], "url": r["url"], "tier": r["tier"]},
+                    default=str,
+                )
+            )
     elif args.verb == "insert-resource":
         insert_resource(spark, lake, args.dataset_id, args.resource_id, args.url)
         print(json.dumps({"ok": True}))

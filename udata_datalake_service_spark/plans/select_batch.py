@@ -44,6 +44,7 @@ def select_batch(
     batch_size: int = BATCH_SIZE,
     now: Column | None = None,
     seed: str = "s0",
+    excluded_patterns: tuple[str, ...] = EXCLUDED_PATTERNS,
 ) -> DataFrame:
     """Returns up to ``batch_size`` catalog rows to check, tier-tagged.
 
@@ -52,7 +53,7 @@ def select_batch(
     ORDER BY random() is deliberately replaced — see deterministic_sample).
     """
     now = now if now is not None else F.current_timestamp()
-    live = catalog.filter(excluded_clause())
+    live = catalog.filter(excluded_clause(excluded_patterns))
 
     t1 = live.filter(F.col("priority")).withColumn("tier", F.lit("priority"))
     t2 = (

@@ -26,17 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.config import Config
 from udata_datalake_service_spark.operators import checks as checks_ops
 from udata_datalake_service_spark.sinks.lake import Lake
 
 
 class HydraService:
     """Route-shaped facade over a :class:`Lake` holding the ``catalog`` and
-    ``checks`` app tables."""
+    ``checks`` app tables. ``config`` mirrors the reference's
+    config_default.toml knobs (see :mod:`config`); defaults match the
+    reference's shipped values."""
 
-    def __init__(self, spark: SparkSession, lake: Lake):
+    def __init__(
+        self, spark: SparkSession, lake: Lake, config: Config | None = None
+    ):
         self.spark = spark
         self.lake = lake
+        self.config = config or Config()
 
     # -------------------------------------------------------------- tables --
     @property
@@ -107,6 +113,33 @@ class HydraService:
         )
 
         return ResourceExceptions(self.spark, self.lake)
+
+    # ----------------------------------------------------------- crawl plane --
+    def select_crawl_batch(self, seed: str = "s0") -> DataFrame:
+        """The crawl loop's batch selection (J3/U7 surface) with every knob
+        driven by the config: batch size, excluded patterns."""
+        from udata_datalake_service_spark.plans.select_batch import select_batch
+
+        return select_batch(
+            self.catalog,
+            self.checks,
+            batch_size=self.config.batch_size,
+            seed=seed,
+            excluded_patterns=self.config.excluded_patterns,
+        )
+
+    def backoff_table(self) -> DataFrame:
+        """Per-domain backoff decisions (ST2/A5) with config-driven
+        thresholds and the NO_BACKOFF_DOMAINS allowlist."""
+        from udata_datalake_service_spark.plans.backoff import domain_backoff_table
+
+        return domain_backoff_table(
+            self.checks,
+            nb_req=self.config.backoff_nb_req,
+            period_s=self.config.backoff_period,
+            cool_off_s=self.config.cool_off_period,
+            no_backoff_domains=self.config.no_backoff_domains,
+        )
 
     # -------------------------------------------------------------- status --
     def crawler_status(self) -> DataFrame:
