@@ -476,3 +476,78 @@ def test_magic_routing_beats_lying_extension(spark, tmp_path, xls_path, xlsx_pat
     shutil.copy(xlsx_path, lying_bin)
     _, insp2 = inspect_tabular(spark, lying_bin)
     assert insp2.engine in ("openpyxl", "stdlib-xlsx")
+
+
+# ---------------------------------------------------------------- .ods ----
+_ODS_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+ xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+ xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+<office:body><office:spreadsheet>
+<table:table table:name="Feuille1">
+<table:table-row>
+<table:table-cell office:value-type="string"><text:p>nom</text:p></table:table-cell>
+<table:table-cell office:value-type="string"><text:p>montant</text:p></table:table-cell>
+<table:table-cell office:value-type="string"><text:p>ok</text:p></table:table-cell>
+<table:table-cell table:number-columns-repeated="1021"/>
+</table:table-row>
+<table:table-row>
+<table:table-cell office:value-type="string"><text:p>Aurélie</text:p></table:table-cell>
+<table:table-cell office:value-type="float" office:value="1020.5"><text:p>1 020,50</text:p></table:table-cell>
+<table:table-cell office:value-type="boolean" office:boolean-value="true"><text:p>VRAI</text:p></table:table-cell>
+</table:table-row>
+<table:table-row>
+<table:table-cell office:value-type="string"><text:p>Benoît</text:p></table:table-cell>
+<table:table-cell table:number-columns-repeated="1"/>
+<table:table-cell office:value-type="date" office:date-value="2024-01-15"><text:p>15/01/2024</text:p></table:table-cell>
+</table:table-row>
+<table:table-row table:number-rows-repeated="2">
+<table:table-cell office:value-type="float" office:value="7" table:number-columns-repeated="2"/>
+</table:table-row>
+</table:table>
+<table:table table:name="Autre">
+<table:table-row>
+<table:table-cell office:value-type="string"><text:p>autre</text:p></table:table-cell>
+</table:table-row>
+</table:table>
+</office:spreadsheet></office:body></office:document-content>"""
+
+
+@pytest.fixture()
+def ods_path(tmp_path):
+    p = tmp_path / "fixture.ods"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", _ODS_CONTENT)
+    return str(p)
+
+
+def test_stdlib_ods_cells(ods_path):
+    from udata_datalake_service_spark.sources.ods_reader import iter_ods_rows_stdlib
+
+    rows = list(iter_ods_rows_stdlib(ods_path, sheet_name="Feuille1"))
+    assert rows[0] == ["nom", "montant", "ok"]  # trailing padding trimmed
+    assert rows[1] == ["Aurélie", 1020.5, True]
+    assert rows[2] == ["Benoît", None, "2024-01-15"]  # gap + typed date
+    assert rows[3] == rows[4] == [7.0, 7.0]  # rows-repeated expansion
+    assert list(iter_ods_rows_stdlib(ods_path, sheet_name="Autre")) == [["autre"]]
+    with pytest.raises(ValueError, match="not found"):
+        list(iter_ods_rows_stdlib(ods_path, sheet_name="nope"))
+
+
+def test_ods_flows_through_inference_pipeline(spark, ods_path, tmp_path):
+    """.ods routes through the same vote pipeline — by extension AND by
+    zip-mimetype magic behind a lying extension."""
+    import shutil
+
+    from udata_datalake_service_spark.sources.inference import inspect_tabular
+
+    typed, insp = inspect_tabular(spark, ods_path)
+    assert insp.engine == "stdlib-ods"
+    assert insp.columns["montant"]["python_type"] == "float"
+
+    lying = str(tmp_path / "really_ods.csv")
+    shutil.copy(ods_path, lying)
+    _, insp2 = inspect_tabular(spark, lying)
+    assert insp2.engine == "stdlib-ods"

@@ -235,7 +235,7 @@ def test_excel_reader_xls_dispatch_and_bad_ext(tmp_path):
     with _pytest.raises(ValueError, match="OLE2"):
         list(iter_excel_rows(str(bogus)))
     with _pytest.raises(ValueError, match="not an excel"):
-        list(iter_excel_rows("x.ods"))
+        list(iter_excel_rows("x.parquet"))
 
 
 def test_sniff_tabular_matrix(spark):

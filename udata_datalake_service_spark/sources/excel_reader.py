@@ -147,6 +147,15 @@ def iter_excel_rows(
                 if i < header_row_idx:
                     continue
                 yield list(row)
+    elif lower.endswith(".ods"):
+        from udata_datalake_service_spark.sources.ods_reader import (
+            iter_ods_rows_stdlib,
+        )
+
+        for i, row in enumerate(iter_ods_rows_stdlib(path, sheet_name=sheet_name)):
+            if i < header_row_idx:
+                continue
+            yield list(row)
     else:
         raise ValueError(f"not an excel file: {path}")
 

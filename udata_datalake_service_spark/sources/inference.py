@@ -355,7 +355,8 @@ def inspect_excel(
         read_excel,
     )
 
-    fmt = fmt or ("xls" if path.lower().endswith(".xls") else "xlsx")
+    low = path.lower()
+    fmt = fmt or ("xls" if low.endswith(".xls") else "ods" if low.endswith(".ods") else "xlsx")
     raw = read_excel(
         spark, path, sheet_name=sheet_name, header_row_idx=header_row_idx, fmt=fmt
     )
@@ -377,6 +378,8 @@ def inspect_excel(
         engine=(
             ("xlrd" if HAS_XLRD else "stdlib-biff")
             if fmt == "xls"
+            else "stdlib-ods"
+            if fmt == "ods"
             else ("openpyxl" if HAS_OPENPYXL else "stdlib-xlsx")
         ),
         sheet_name=sheet_name,
@@ -402,22 +405,31 @@ def inspect_tabular(
         head = b""
     if head == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # OLE2 → binary xls
         return inspect_excel(spark, path, sheet_name=sheet_name, fmt="xls")
-    if head[:4] == b"PK\x03\x04" and (
-        low.endswith(".xlsx") or _zip_is_xlsx(path)
-    ):
-        return inspect_excel(spark, path, sheet_name=sheet_name, fmt="xlsx")
-    if low.endswith((".xlsx", ".xls")):
+    if head[:4] == b"PK\x03\x04":
+        kind = _zip_workbook_kind(path) if not low.endswith((".xlsx", ".ods")) else (
+            "ods" if low.endswith(".ods") else "xlsx"
+        )
+        if kind:
+            return inspect_excel(spark, path, sheet_name=sheet_name, fmt=kind)
+    if low.endswith((".xlsx", ".xls", ".ods")):
         return inspect_excel(spark, path, sheet_name=sheet_name)
     return inspect_csv(spark, path)
 
 
-def _zip_is_xlsx(path: str) -> bool:
-    """A zip payload is a workbook iff it carries the xl/ part tree (a
-    plain .zip of CSVs must stay on the CSV path)."""
+def _zip_workbook_kind(path: str) -> str | None:
+    """Classify a zip payload: 'xlsx' (xl/ part tree), 'ods' (OpenDocument
+    mimetype entry), or None (a plain .zip of CSVs stays on the CSV path)."""
     import zipfile
 
     try:
         with zipfile.ZipFile(path) as z:
-            return any(n.startswith("xl/") for n in z.namelist())
+            names = z.namelist()
+            if any(n.startswith("xl/") for n in names):
+                return "xlsx"
+            if "mimetype" in names and z.read("mimetype").startswith(
+                b"application/vnd.oasis.opendocument.spreadsheet"
+            ):
+                return "ods"
     except (zipfile.BadZipFile, OSError):
-        return False
+        pass
+    return None
