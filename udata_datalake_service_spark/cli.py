@@ -74,8 +74,8 @@ def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = No
                 sheet_name: str | None = None) -> str:
     """analysis/csv.py:108-199 — inspect, cast, write the md5(url)-named
     lake table, register. Returns the table name. Handles csv / csv.gz /
-    xlsx (and xls where xlrd exists) via the format dispatch, like the
-    reference's analyse flow."""
+    xlsx / xls / ods via the magic-first format dispatch, like the
+    reference's analyse flow (stdlib parsers back every format)."""
     from udata_datalake_service_spark.sources.inference import inspect_tabular
 
     url = url or f"file://{path}"

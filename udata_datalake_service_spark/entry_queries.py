@@ -1409,15 +1409,16 @@ WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 <> 0
 
 
 def q_s4_excel_load(spark, sf_dir):
-    """S4 — Excel workbook load, BOTH formats (utils/reader.py:31-41 for
-    xlsx, :60-66 for xls): the query GENERATES a minimal real xlsx (zip +
-    sheet XML: inline strings, numeric cells, XML-escaped text) AND a real
-    binary ``.xls`` (OLE2 container + BIFF8 SST/LABELSST/NUMBER records,
-    sources/biff.py) deterministically from orders, loads each through the
-    stdlib readers (read_excel → all-strings frame, the same path the
-    inference pipeline consumes), and unions the typed rows tagged by
-    format; the oracle restates both slices from orders. Floats ride
-    ``repr`` → cast, which round-trips doubles exactly."""
+    """S4 — workbook load, ALL THREE formats (utils/reader.py:31-41 for
+    xlsx, :60-66 for xls; ods is beyond the reference's reader): the query
+    GENERATES a minimal real xlsx (zip + sheet XML), a real binary
+    ``.xls`` (OLE2 container + BIFF8 SST/LABELSST/NUMBER records,
+    sources/biff.py), and a real ``.ods`` (zip + OpenDocument content.xml)
+    deterministically from orders, loads each through the stdlib readers
+    (read_excel → all-strings frame, the same path the inference pipeline
+    consumes), and unions the typed rows tagged by format; the oracle
+    restates the three slices from orders. Floats ride ``repr`` → cast,
+    which round-trips doubles exactly."""
     import hashlib
     import zipfile
     from xml.sax.saxutils import escape
@@ -1429,7 +1430,11 @@ def q_s4_excel_load(spark, sf_dir):
     # collect would double the orders scan for no reason)
     both = (
         _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") % 131 == 0) | (F.col("o_orderkey") % 137 == 0))
+        .filter(
+            (F.col("o_orderkey") % 131 == 0)
+            | (F.col("o_orderkey") % 137 == 0)
+            | (F.col("o_orderkey") % 139 == 0)
+        )
         .select(
             "o_orderkey",
             "o_orderpriority",
@@ -1482,6 +1487,7 @@ def q_s4_excel_load(spark, sf_dir):
     )
 
     xls_rows = [r for r in both if r["o_orderkey"] % 137 == 0]
+    ods_rows = [r for r in both if r["o_orderkey"] % 139 == 0]
     xls_path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.xls"
     write_xls(
         xls_path,
@@ -1497,7 +1503,49 @@ def q_s4_excel_load(spark, sf_dir):
         F.col("total").cast("double").alias("total"),
         F.lit("xls").alias("fmt"),
     )
-    return xlsx_leg.unionByName(xls_leg)
+
+    ns_t = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    ns_o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    ns_x = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+
+    def ods_cell(v):
+        if isinstance(v, str):
+            return (
+                '<table:table-cell office:value-type="string">'
+                f"<text:p>{escape(v)}</text:p></table:table-cell>"
+            )
+        return (
+            f'<table:table-cell office:value-type="float" office:value="{v!r}"/>'
+        )
+
+    ods_body = "".join(
+        "<table:table-row>"
+        + "".join(ods_cell(v) for v in (float(r["o_orderkey"]), r["o_orderpriority"], r["tp"]))
+        + "</table:table-row>"
+        for r in ods_rows
+    )
+    ods_content = (
+        f'<?xml version="1.0"?><office:document-content xmlns:office="{ns_o}" '
+        f'xmlns:table="{ns_t}" xmlns:text="{ns_x}">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="Feuille1"><table:table-row>'
+        + "".join(ods_cell(h) for h in ("resource.id", "priority", "total"))
+        + "</table:table-row>"
+        + ods_body
+        + "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    ods_path = f"/tmp/spark_hydra_wb_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.ods"
+    with zipfile.ZipFile(ods_path, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", ods_content)
+    odf = read_excel(spark, ods_path, sheet_name="Feuille1")
+    ods_leg = odf.select(
+        F.col("`resource.id`").cast("double").cast("long").alias("resource_id"),
+        F.col("priority"),
+        F.col("total").cast("double").alias("total"),
+        F.lit("ods").alias("fmt"),
+    )
+    return xlsx_leg.unionByName(xls_leg).unionByName(ods_leg)
 
 
 _SQL_S4 = """
@@ -1512,6 +1560,12 @@ SELECT CAST(o_orderkey AS BIGINT) AS resource_id,
        o_totalprice AS total,
        'xls' AS fmt
 FROM orders WHERE o_orderkey % 137 = 0
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT) AS resource_id,
+       o_orderpriority AS priority,
+       o_totalprice AS total,
+       'ods' AS fmt
+FROM orders WHERE o_orderkey % 139 = 0
 """
 
 
