@@ -29,18 +29,23 @@ def test_entry_runs(spark):
 
 
 def test_past_window_entries_pinned():
-    """The driver attests only the first 50 queries() entries; the 11 past
-    that window are never correctness-checked again. Pin each one's oracle
-    SQL + builder source so any edit fails here and forces either a
-    registry reorder (back into the window) or a conscious local
+    """The driver attests only the first 50 queries() entries; anything
+    past that window is never correctness-checked again. Pin the stable
+    entries' oracle SQL + builder source so any edit fails here and forces
+    either a registry reorder (back into the window) or a conscious local
     re-attestation via `python tools/parity.py /root/testdata/sf0.01 <q>`
-    (then update the hash)."""
+    (then update the hash). Every past-window entry MUST be pinned; pinned
+    entries that happen to sit inside the window are also hash-checked
+    (they are pinned precisely because they are meant to be frozen)."""
     import hashlib
     import inspect
 
     import __spark_entry__ as m
 
     pinned = {
+        "a6_max_booland": "d72b2911f07575a2",
+        "a7_count_over_all": "ace81c51ce0b79a6",
+        "o1_top2_per_key": "87f8b4d1bdf8a45e",
         "p1_point_lookup": "11ba53a3858917bc",
         "p3_exclusion_filter": "6a510929d218eacd",
         "p4_date_cast_filter": "c5dcc6b839857a50",
@@ -56,14 +61,15 @@ def test_past_window_entries_pinned():
     qs = m.queries()
     sql = m.oracle_sql()
     past_window = list(qs)[50:]
-    assert past_window == list(pinned), (
-        "attestation window membership changed — re-pin after re-attesting"
+    assert set(past_window) <= set(pinned), (
+        "un-pinned entries escaped the attestation window - re-pin after "
+        f"re-attesting: {sorted(set(past_window) - set(pinned))}"
     )
-    for name in past_window:
+    for name in pinned:
         h = hashlib.sha256(
             (sql.get(name, "") + inspect.getsource(qs[name])).encode()
         ).hexdigest()[:16]
         assert h == pinned[name], (
-            f"{name} changed since its last attestation — run tools/parity.py "
-            "on it at sf0.01, then update the pin"
+            f"{name} changed since its last attestation - run tools/parity.py "
+            "on it at sf0.01, then update the hash"
         )
