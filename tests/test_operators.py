@@ -171,3 +171,90 @@ def test_profile_dict(spark, sf_dir):
     assert p["n_nationkey"]["nb_missing_values"] == 0
     assert p["n_nationkey"]["min"] == 0 and p["n_nationkey"]["max"] == 24
     assert len(p["n_name"]["tops"]) == 10
+
+
+# ------------------------------------------------------------------- asof --
+def _asof_frames(spark):
+    from datetime import datetime
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, "a", T(2024, 1, 1, 10, 0)),
+            (2, "a", T(2024, 1, 1, 12, 0)),
+            (3, "a", T(2024, 1, 1, 9, 0)),   # before every right row
+            (4, "b", T(2024, 1, 1, 10, 0)),  # key with no right rows
+            (5, "a", None),                   # NULL ts never matches
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", T(2024, 1, 1, 9, 30), 10, None),  # NULL payload field kept
+            ("a", T(2024, 1, 1, 12, 0), 20, 2.0),   # tie with left id=2 → inclusive
+            ("a", T(2024, 1, 1, 13, 0), 30, 3.0),
+        ],
+        "k string, ts timestamp, rid int, payload double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_null_payload(spark):
+    from udata_datalake_service_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", value_cols=["rid", "payload"])
+    got = {r["id"]: (r["asof_rid"], r["asof_payload"]) for r in out.collect()}
+    # id=1 @10:00 → right @9:30; its NULL payload must NOT be skipped for
+    # the older row (the struct wrapper preserves genuinely-null fields)
+    assert got[1] == (10, None)
+    # id=2 @12:00 ties right @12:00 → inclusive match
+    assert got[2] == (20, 2.0)
+    assert got[3] == (None, None)   # nothing at-or-before
+    assert got[4] == (None, None)   # key absent from right
+    assert got[5] == (None, None)   # NULL left ts
+    assert out.count() == 5         # left rows preserved exactly
+
+
+def test_asof_forward_and_tolerance(spark):
+    from udata_datalake_service_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = asof_join(left, right, on="k", left_ts="ts", value_cols=["rid"],
+                    direction="forward")
+    got = {r["id"]: r["asof_rid"] for r in fwd.collect()}
+    assert got == {1: 20, 2: 20, 3: 10, 4: None, 5: None}
+
+    tol = asof_join(left, right, on="k", left_ts="ts", value_cols=["rid"],
+                    tolerance_us=45 * 60 * 1_000_000)  # 45 min
+    got_t = {r["id"]: r["asof_rid"] for r in tol.collect()}
+    # id=1 @10:00 vs right @9:30 = 30 min → kept; id=2 ties → gap 0 → kept
+    assert got_t == {1: 10, 2: 20, 3: None, 4: None, 5: None}
+
+
+def test_asof_tie_break_latest_wins(spark):
+    from datetime import datetime
+
+    from udata_datalake_service_spark.operators.asof import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, "a", T(2024, 1, 1, 12, 0))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", T(2024, 1, 1, 11, 0), 1), ("a", T(2024, 1, 1, 11, 0), 2)],
+        "k string, ts timestamp, rid int",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", value_cols=["rid"],
+                    tie_break=["rid"])
+    assert out.collect()[0]["asof_rid"] == 2
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="ts", direction="nearest")

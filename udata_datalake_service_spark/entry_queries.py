@@ -2624,6 +2624,93 @@ FROM documents
 
 
 # =========================================================================
+# Round-4 operators: as-of join
+# =========================================================================
+def _asof_sides(spark, sf_dir):
+    """Left = click events, right = view events deduped per (user, ts)
+    (latest event_id wins — the determinism contract asof_join documents)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_event_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return clicks, views
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join, all three modes folded: for each click, the nearest view
+    by the same user — backward (latest at-or-before), backward within a
+    1-hour tolerance, and forward (earliest at-or-after). The operator is
+    the union+window plan in operators/asof.py (one shuffle on the key, no
+    range-join explosion); the oracle is DuckDB's native ASOF JOIN."""
+    from udata_datalake_service_spark.operators.asof import asof_join
+
+    clicks, views = _asof_sides(spark, sf_dir)
+
+    def leg(name, **kw):
+        out = asof_join(
+            clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["view_event_id", "view_value"], **kw
+        )
+        return out.select(
+            F.lit(name).alias("leg"),
+            "event_id",
+            "user_id",
+            _us(F.col("ts")).alias("ts_us"),
+            "value",
+            "asof_view_event_id",
+            _us(F.col("asof_ts")).alias("asof_ts_us"),
+            "asof_view_value",
+        )
+
+    return (
+        leg("backward", direction="backward")
+        .unionByName(leg("tol_1h", direction="backward", tolerance_us=3_600_000_000))
+        .unionByName(leg("forward", direction="forward"))
+    )
+
+
+_SQL_ASOF_SIDES = """
+r AS (
+  SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+), l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+"""
+
+_SQL_ASOF = f"""
+WITH {_SQL_ASOF_SIDES}
+SELECT 'backward' AS leg, l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+  r.view_event_id AS asof_view_event_id, epoch_us(r.ts) AS asof_ts_us,
+  r.view_value AS asof_view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT 'tol_1h', l.event_id, l.user_id, epoch_us(l.ts), l.value,
+  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000 THEN r.view_event_id END,
+  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000 THEN epoch_us(r.ts) END,
+  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000 THEN r.view_value END
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT 'forward', l.event_id, l.user_id, epoch_us(l.ts), l.value,
+  r.view_event_id, epoch_us(r.ts), r.view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -2766,6 +2853,7 @@ FROM ({_SQL_ST4}) s4 LEFT JOIN ({_SQL_ST5}) s5 USING (event_id)
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
+    "asof_join": q_asof_join,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -2828,6 +2916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
+    "asof_join": _SQL_ASOF,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,
