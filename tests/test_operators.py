@@ -258,3 +258,48 @@ def test_asof_rejects_bad_direction(spark):
     left, right = _asof_frames(spark)
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", left_ts="ts", direction="nearest")
+
+
+# --------------------------------------------------------------- sessions --
+def test_sessionize_golden_boundaries(spark):
+    from datetime import datetime
+
+    from udata_datalake_service_spark.operators.sessions import sessionize
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, "u", T(2024, 1, 1, 10, 0)),
+            (2, "u", T(2024, 1, 1, 10, 20)),   # 20 min → same session
+            (3, "u", T(2024, 1, 1, 10, 50)),   # exactly 30 min → NEW (>= gap)
+            (4, "u", T(2024, 1, 1, 11, 10)),
+            (5, "u", T(2024, 1, 2, 9, 0)),     # next day → new
+            (6, "v", T(2024, 1, 1, 10, 0)),    # other key independent
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = sessionize(ev, ["user_id"], "ts", 30 * 60, tie_break=["event_id"])
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 1}
+
+
+def test_session_stats_matches_native_session_window(spark, sf_dir):
+    """The lag-window form and Spark's built-in session_window must produce
+    identical sessions — the guarantee that the batch-attested semantics
+    carry to the streaming-capable formulation."""
+    from udata_datalake_service_spark.operators.sessions import (
+        session_stats,
+        session_stats_native,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lag_form = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in session_stats(ev, ["user_id"], "ts", 8 * 3600,
+                               tie_break=["event_id"]).collect()
+    }
+    native = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in session_stats_native(ev, ["user_id"], "ts", 8 * 3600).collect()
+    }
+    assert lag_form == native and len(lag_form) > 20

@@ -2711,6 +2711,56 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 
 
 # =========================================================================
+# Round-4 operators: sessionization
+# =========================================================================
+_SESSION_GAP_S = 8 * 3600  # ~median inter-event gap is 7.5 h → healthy split
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup (operators/sessions.py):
+    8-hour inactivity gap per user over events; one shuffle on the key.
+    The native ``F.session_window`` formulation is pinned equal by pytest —
+    this query attests the lag-window form against the SQL replay."""
+    from udata_datalake_service_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev,
+        ["user_id"],
+        "ts",
+        _SESSION_GAP_S,
+        tie_break=["event_id"],
+        aggs=[
+            _dsum(F.col("value")).alias("sum_value"),
+            F.count_distinct(F.col("event_type")).alias("n_types"),
+        ],
+    )
+
+
+_SQL_SESSIONS = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_SESSION_GAP_S * 1_000_000}
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, SUM(is_start) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING
+  ) AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx,
+  epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT event_type) AS n_types
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -2854,6 +2904,7 @@ FROM ({_SQL_ST4}) s4 LEFT JOIN ({_SQL_ST5}) s5 USING (event_id)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
     "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -2917,6 +2968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
     "asof_join": _SQL_ASOF,
+    "sessionize": _SQL_SESSIONS,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,
