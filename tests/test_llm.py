@@ -438,3 +438,61 @@ def test_url_email_counts(spark):
     ).collect()
     for (t, wu, we), r in zip(cases, got):
         assert (r["u"], r["e"]) == (wu, we), t
+
+
+# ---------------------------------------------------------------- packing --
+def test_pack_stream_layout_invariants(spark, sf_dir):
+    from udata_datalake_service_spark.llm.packing import pack_stream
+    from udata_datalake_service_spark.llm.text import token_count
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+    out = pack_stream(d, "doc_id", "n_tokens", budget=128, n_buckets=4).collect()
+    assert len(out) == d.count()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            # the stream is gapless: each doc starts where the previous ended
+            assert r["cum_before"] == cum
+            assert r["chunk_first"] == cum // 128
+            assert r["offset_in_chunk"] == cum % 128
+            assert r["chunk_last"] == (cum + r["n_tokens"] - 1) // 128
+            assert r["n_chunks"] >= 1
+            cum += r["n_tokens"]
+
+
+def test_pack_greedy_invariants_and_determinism(spark, sf_dir):
+    from udata_datalake_service_spark.llm.packing import pack_greedy
+    from udata_datalake_service_spark.llm.text import token_count
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+    BUDGET = 256
+    out = pack_greedy(d, "doc_id", "n_tokens", budget=BUDGET, n_buckets=4)
+    rows = out.collect()
+    # every doc packed exactly once
+    assert sorted(r["id"] for r in rows) == sorted(
+        r["doc_id"] for r in d.select("doc_id").collect()
+    )
+    totals: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["bucket"], r["pack_id"])
+        totals[k] = totals.get(k, 0) + r["tokens"]
+        counts[k] = counts.get(k, 0) + 1
+    for k, tot in totals.items():
+        # no overflow, except packs that are a single oversize doc
+        assert tot <= BUDGET or counts[k] == 1, (k, tot, counts[k])
+    # deterministic across runs
+    again = {(r["id"], r["bucket"], r["pack_id"]) for r in out.collect()}
+    assert again == {(r["id"], r["bucket"], r["pack_id"]) for r in rows}

@@ -2761,6 +2761,51 @@ FROM s GROUP BY user_id, session_idx
 
 
 # =========================================================================
+# Round-4 operators: sequence packing
+# =========================================================================
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+def q_pack_stream(spark, sf_dir):
+    """Concatenated-stream sequence packing (llm/packing.py): documents laid
+    out on 8 deterministic token streams, each split into 512-token training
+    chunks; every doc reports its chunk span and offset. The greedy
+    first-fit variant (docs never straddle chunks) is pytest-pinned via
+    invariants — FFD's pack layout is order-dependent state, not SQL."""
+    from udata_datalake_service_spark.llm.packing import pack_stream
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    out = pack_stream(d, "doc_id", "n_tokens", _PACK_BUDGET, _PACK_BUCKETS)
+    return out.select(
+        "doc_id", "n_tokens", "bucket", "cum_before",
+        "chunk_first", "chunk_last", "n_chunks", "offset_in_chunk",
+    )
+
+
+_SQL_PACK = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens, doc_id % {_PACK_BUCKETS} AS bucket
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY bucket ORDER BY doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens, bucket, cum_before,
+  cum_before // {_PACK_BUDGET} AS chunk_first,
+  (cum_before + n_tokens - 1) // {_PACK_BUDGET} AS chunk_last,
+  (cum_before + n_tokens - 1) // {_PACK_BUDGET} - cum_before // {_PACK_BUDGET} + 1 AS n_chunks,
+  cum_before % {_PACK_BUDGET} AS offset_in_chunk
+FROM c
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -2905,6 +2950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "pack_stream": q_pack_stream,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -2969,6 +3015,7 @@ ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
+    "pack_stream": _SQL_PACK,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,

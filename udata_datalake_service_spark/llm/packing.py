@@ -1,0 +1,119 @@
+"""Sequence packing — assigning documents to fixed token-budget training
+chunks. Two industry-standard strategies, both deterministic:
+
+- ``pack_stream``: the GPT-style concatenate-and-split layout. Documents
+  are laid out in a fixed order on a per-bucket token stream; chunk k owns
+  stream positions [k·budget, (k+1)·budget). A document knows its first and
+  last chunk and its offset — exactly what a pretraining loader needs, and
+  exactly replayable as window cumsums in ANSI SQL (the oracle).
+
+- ``pack_greedy``: first-fit-decreasing bin packing per bucket — no
+  document straddles a chunk boundary (SFT-style packing, where examples
+  must stay whole). Sequential by nature, so it runs inside
+  ``applyInPandas`` per bucket; invariants (no overflow except oversize
+  singletons, every doc packed exactly once, determinism) are pytest-pinned.
+
+Scale: both shapes shard the corpus into ``n_buckets`` independent streams
+(bucket = doc_id % n_buckets — deterministic, no hash-collision ambiguity
+across engines). At 100 TB you raise n_buckets until a bucket's documents
+fit one task (the window sorts per bucket; greedy holds one bucket's
+(id, tokens) pairs in memory — pairs, not text). Chunk ids are globally
+unique as (bucket, chunk).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_stream(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Concatenated-stream chunk layout. Adds:
+
+    bucket, cum_before (tokens laid out before this doc in its bucket),
+    chunk_first / chunk_last (budget-sized chunks this doc touches),
+    n_chunks, offset_in_chunk (position of the doc's first token).
+
+    Documents must have ``token_col`` >= 1 (a zero-token doc occupies no
+    stream positions; filter those upstream — asserted here via the
+    chunk_last >= chunk_first invariant only when tokens >= 1).
+    """
+    bucket = (F.col(id_col) % F.lit(n_buckets)).cast("long")
+    out = df.withColumn("bucket", bucket)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    out = out.withColumn("cum_before", cum_before)
+    b = int(budget)
+    # integer DIV, not floating floor(x/y): cum_before can exceed 2^53 on a
+    # real corpus and double arithmetic would mis-bin the tail
+    return (
+        out.withColumn("chunk_first", F.expr(f"cum_before DIV {b}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(f"(cum_before + CAST({token_col} AS BIGINT) - 1) DIV {b}"),
+        )
+        .withColumn("n_chunks", F.col("chunk_last") - F.col("chunk_first") + 1)
+        .withColumn("offset_in_chunk", F.col("cum_before") % F.lit(b))
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing packing per bucket: docs sorted by (tokens desc,
+    id asc) drop into the first open pack with room; docs larger than the
+    budget get a singleton pack. Returns (id, tokens, bucket, pack_id,
+    pack_id unique within bucket).
+
+    applyInPandas carries only (id, tokens) per bucket — the text never
+    ships. FFD is the standard 11/9·OPT approximation; determinism comes
+    from the total sort order.
+    """
+    bucket = (F.col(id_col) % F.lit(n_buckets)).cast("long")
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("tokens"),
+        bucket.alias("bucket"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        pack_totals: list[int] = []
+        assignment = []
+        for t in pdf["tokens"]:
+            placed = None
+            for i, total in enumerate(pack_totals):
+                if total + t <= budget:
+                    placed = i
+                    break
+            if placed is None:
+                pack_totals.append(0)
+                placed = len(pack_totals) - 1
+            pack_totals[placed] += int(t)
+            assignment.append(placed)
+        pdf["pack_id"] = assignment
+        return pdf
+
+    return slim.groupBy("bucket").applyInPandas(
+        _pack, "id long, tokens long, bucket long, pack_id long"
+    )
