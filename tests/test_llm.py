@@ -496,3 +496,50 @@ def test_pack_greedy_invariants_and_determinism(spark, sf_dir):
     # deterministic across runs
     again = {(r["id"], r["bucket"], r["pack_id"]) for r in out.collect()}
     assert again == {(r["id"], r["bucket"], r["pack_id"]) for r in rows}
+
+
+# ---------------------------------------------------------- contamination --
+def test_contamination_report_and_decontaminate(spark):
+    from udata_datalake_service_spark.llm.contamination import (
+        contamination_report,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "short"),                       # < k tokens → never flagged
+            (4, "the quick brown cat naps"),    # shares 'the quick brown'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox exists")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_docs"])
+        for r in contamination_report(corpus, bench, k=3).collect()
+    }
+    # doc 1 shares 'the quick brown' + 'quick brown fox'; doc 4 one 3-gram
+    assert rep == {1: (2, 1), 4: (1, 1)}
+
+    clean = decontaminate(corpus, bench, k=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    # max_shared=1 tolerates single-ngram hits
+    loose = decontaminate(corpus, bench, k=3, max_shared=1)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [2, 3, 4]
+
+
+def test_contamination_broadcast_plan(spark, sf_dir):
+    """The benchmark side must broadcast — the corpus never shuffles."""
+    from udata_datalake_service_spark.llm.contamination import contamination_report
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = contamination_report(
+        d.filter(F.col("doc_id") % 13 != 0), d.filter(F.col("doc_id") % 13 == 0), k=3
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

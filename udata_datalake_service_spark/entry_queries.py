@@ -2806,6 +2806,42 @@ FROM c
 
 
 # =========================================================================
+# Round-4 operators: benchmark contamination
+# =========================================================================
+_CONTAM_K = 3
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination report (llm/contamination.py): docs sharing
+    verbatim 3-grams with the stand-in eval set (k is 8-13 in production
+    decontamination; 3 here so the synthetic corpus exercises the shape) (every 13th doc). The eval
+    side is broadcast — the corpus never shuffles its text."""
+    from udata_datalake_service_spark.llm.contamination import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 13 != 0)
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination_report(corpus, bench, k=_CONTAM_K)
+
+
+_SQL_CONTAM = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), corpus AS (
+  SELECT doc_id, unnest({_sql_shingles(_CONTAM_K)}) AS ngram
+  FROM tok WHERE len(t) >= {_CONTAM_K} AND doc_id % 13 <> 0
+), bench AS (
+  SELECT doc_id AS bid, unnest({_sql_shingles(_CONTAM_K)}) AS ngram
+  FROM tok WHERE len(t) >= {_CONTAM_K} AND doc_id % 13 = 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_ngrams,
+       COUNT(DISTINCT b.bid) AS n_bench_docs
+FROM corpus c JOIN bench b USING (ngram)
+GROUP BY c.doc_id
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -2951,6 +2987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
+    "contamination": q_contamination,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3016,6 +3053,7 @@ ORACLES: dict[str, str] = {
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,
+    "contamination": _SQL_CONTAM,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,
