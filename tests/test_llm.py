@@ -543,3 +543,36 @@ def test_contamination_broadcast_plan(spark, sf_dir):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ pii redaction --
+def test_redact_pii_goldens(spark):
+    from udata_datalake_service_spark.llm.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail Bob.Smith+x@Example.ORG today"),
+        (2, "server 192.168.1.42 then 10.0.0.1 down"),
+        (3, "call +33 1 23 45 67 89 or (555) 867-5309"),
+        # the email's digit run must NOT leak into the phone counter
+        (4, "user12345678@example.com"),
+        (5, "clean text with numbers 42 and 7"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = pii_counts(F.col("text"))
+    out = {
+        r["id"]: (r["e"], r["i"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1] == (1, 0, 0, "mail <EMAIL> today")
+    assert out[2] == (0, 2, 0, "server <IP> then <IP> down")
+    assert out[3][0] == 0 and out[3][2] >= 1 and "<PHONE>" in out[3][3]
+    assert "867" not in out[3][3] and "+33" not in out[3][3]
+    assert out[4] == (1, 0, 0, "<EMAIL>")
+    assert out[5] == (0, 0, 0, "clean text with numbers 42 and 7")

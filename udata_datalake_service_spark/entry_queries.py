@@ -2842,6 +2842,77 @@ GROUP BY c.doc_id
 
 
 # =========================================================================
+# Round-4 operators: PII redaction
+# =========================================================================
+def q_pii_redact(spark, sf_dir):
+    """PII detect + redact (llm/text.py): the synthetic corpus carries no
+    PII, so each doc gets a deterministic injected payload (email / phone /
+    IPv4 by doc_id mod 3 — both engines build the identical string); the
+    oracle hash-pins the exact redacted text and per-category counts."""
+    from udata_datalake_service_spark.llm.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com asap"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" call +33 1 23 45 67 89 or (555) 867-5309 now"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 responded"),
+            )
+        ),
+    )
+    d = d.withColumn("__t", injected)
+    counts = pii_counts(F.col("__t"))
+    return d.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("__t"))).alias("redacted_md5"),
+        F.length(redact_pii(F.col("__t"))).cast("long").alias("redacted_len"),
+    )
+
+
+_SQL_PII = """
+WITH inj AS (
+  SELECT doc_id, text || CASE
+    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+    WHEN doc_id % 3 = 1 THEN ' call +33 1 23 45 67 89 or (555) 867-5309 now'
+    ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 responded'
+  END AS t
+  FROM documents
+), staged AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+  FROM inj
+), staged2 AS (
+  SELECT *, regexp_replace(s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS s2
+  FROM staged
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+  len(regexp_extract_all(s2, '\\+?\\d[\\d().\\- ]{6,}\\d')) AS n_phones,
+  md5(regexp_replace(s2, '\\+?\\d[\\d().\\- ]{6,}\\d', '<PHONE>', 'g')) AS redacted_md5,
+  len(regexp_replace(s2, '\\+?\\d[\\d().\\- ]{6,}\\d', '<PHONE>', 'g')) AS redacted_len
+FROM staged2
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -2988,6 +3059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
     "contamination": q_contamination,
+    "pii_redact": q_pii_redact,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3054,6 +3126,7 @@ ORACLES: dict[str, str] = {
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,
     "contamination": _SQL_CONTAM,
+    "pii_redact": _SQL_PII,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,

@@ -79,6 +79,14 @@ def repetition_ratio(text_col: Column) -> Column:
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 
+# PII patterns (same portability contract). Order of application matters and
+# is baked into redact_pii/pii_counts: emails first (their digit runs would
+# otherwise feed the phone pattern), then IPv4 (dotted digits also look
+# phone-ish), then phones.
+EMAIL_CASED_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d().\- ]{6,}\d"
+
 
 def url_count(text_col: Column) -> Column:
     """Link density — a link-farm / boilerplate curation gate."""
@@ -89,6 +97,30 @@ def email_count(text_col: Column) -> Column:
     """Email-address density — the cheap PII-exposure signal (a real PII
     pass adds phone/ID patterns and NER; the plumbing is identical)."""
     return F.regexp_count(F.lower(text_col), F.lit(EMAIL_RE))
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Staged PII redaction: emails → ``<EMAIL>``, IPv4 → ``<IP>``, phone
+    numbers → ``<PHONE>``. Pure regexp_replace cascade (whole-stage
+    codegen; a 100 TB redaction pass runs at scan speed). The regex set is
+    the cheap pattern tier of a production PII pass — an NER tier slots in
+    behind the same column contract as a pandas UDF when model inference
+    is warranted."""
+    s1 = F.regexp_replace(text_col, EMAIL_CASED_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, IPV4_RE, "<IP>")
+    return F.regexp_replace(s2, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-category PII hit counts, counted on the same staged strings the
+    redaction sees (an IPv4 inside an email never double-counts)."""
+    s1 = F.regexp_replace(text_col, EMAIL_CASED_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, IPV4_RE, "<IP>")
+    return {
+        "n_emails": F.regexp_count(text_col, F.lit(EMAIL_CASED_RE)),
+        "n_ips": F.regexp_count(s1, F.lit(IPV4_RE)),
+        "n_phones": F.regexp_count(s2, F.lit(PHONE_RE)),
+    }
 
 
 def quality_score(text_col: Column) -> Column:
