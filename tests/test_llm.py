@@ -576,3 +576,52 @@ def test_redact_pii_goldens(spark):
     assert "867" not in out[3][3] and "+33" not in out[3][3]
     assert out[4] == (1, 0, 0, "<EMAIL>")
     assert out[5] == (0, 0, 0, "clean text with numbers 42 and 7")
+
+
+# ----------------------------------------------------------- domain mixing --
+def test_stratified_mix_semantics(spark, sf_dir):
+    from udata_datalake_service_spark.llm.mixing import mixture_report, stratified_mix
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 2.5, "fr": 1.0, "de": 0.5, "es": 0.25}
+    mixed = stratified_mix(d, "lang", rates, key_cols=["doc_id"], seed="mix0")
+    rep = {r["lang"]: r for r in mixture_report(d, mixed, "lang").collect()}
+
+    # rate=1.0 is exact passthrough; rate=0 (zh unlisted) drops everything
+    assert rep["fr"]["n_out"] == rep["fr"]["n_in"]
+    assert rep.get("zh") is None or rep["zh"]["n_out"] == 0
+    # integer part of 2.5 guarantees >= 2 copies of every en doc
+    n_en = rep["en"]["n_in"]
+    assert 2 * n_en <= rep["en"]["n_out"] <= 3 * n_en
+    # downsampling stays below 1 epoch
+    assert rep["de"]["n_out"] < rep["de"]["n_in"]
+    # per-doc copy indices are dense 0..n-1
+    copies = (
+        mixed.filter(F.col("lang") == "en")
+        .groupBy("doc_id")
+        .agg(F.collect_list("copy_idx").alias("c"))
+        .collect()
+    )
+    for r in copies:
+        assert sorted(r["c"]) == list(range(len(r["c"])))
+    # deterministic: same seed → identical multiset
+    again = stratified_mix(d, "lang", rates, key_cols=["doc_id"], seed="mix0")
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in again.collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in mixed.collect())
+    assert a == b
+    # different seed → different fractional picks (overwhelmingly likely)
+    other = stratified_mix(d, "lang", rates, key_cols=["doc_id"], seed="mix1")
+    assert sorted(
+        (r["doc_id"], r["copy_idx"]) for r in other.collect()
+    ) != a
+
+
+def test_stratified_mix_no_shuffle_plan(spark, sf_dir):
+    """Mixing is projection+filter+generate only — zero Exchange nodes."""
+    from udata_datalake_service_spark.llm.mixing import stratified_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = stratified_mix(d, "lang", {"en": 2.0}, key_cols=["doc_id"])
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -2913,6 +2913,76 @@ FROM staged2
 
 
 # =========================================================================
+# Round-4 operators: domain mixing
+# =========================================================================
+_MIX_RATES = {"en": 2.5, "fr": 1.0, "de": 0.5, "es": 0.25}  # zh dropped
+
+
+def q_domain_mix(spark, sf_dir):
+    """Stratified domain mixing (llm/mixing.py): documents resampled to a
+    target per-language mixture — en upsampled 2.5×, fr kept, de/es
+    downsampled, zh dropped. Emits every replica (doc_id, copy_idx) plus
+    the per-stratum mixture report, folded."""
+    from udata_datalake_service_spark.llm.mixing import mixture_report, stratified_mix
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = stratified_mix(d, "lang", _MIX_RATES, key_cols=["doc_id"], seed="mix0")
+    rows = mixed.select(
+        F.lit("row").alias("leg"),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.col("copy_idx"),
+        F.lit(None).cast("long").alias("n_in"),
+        F.lit(None).cast("long").alias("n_out"),
+        F.lit(None).cast("double").alias("achieved_rate"),
+    )
+    rep = mixture_report(d, mixed, "lang").select(
+        F.lit("report").alias("leg"),
+        F.col("lang"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("copy_idx"),
+        "n_in",
+        "n_out",
+        "achieved_rate",
+    )
+    return rows.unionByName(rep)
+
+
+def _sql_mix_rate(col: str) -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {col} {branches} ELSE 0.0 END"
+
+
+_SQL_MIX = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_sql_mix_rate('lang')} AS rate,
+    (('0x' || substr(md5('mix0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::BIGINT
+      / 4294967296.0 AS u
+  FROM documents
+), withn AS (
+  SELECT doc_id, lang,
+    CAST(FLOOR(rate) AS BIGINT)
+      + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS n_copies
+  FROM d
+), mixed AS (
+  SELECT doc_id, lang, unnest(range(0, n_copies)) AS copy_idx
+  FROM withn WHERE n_copies >= 1
+)
+SELECT 'row' AS leg, lang, doc_id, copy_idx,
+  CAST(NULL AS BIGINT) AS n_in, CAST(NULL AS BIGINT) AS n_out,
+  CAST(NULL AS DOUBLE) AS achieved_rate
+FROM mixed
+UNION ALL
+SELECT 'report', b.lang, NULL, NULL, b.n_in, COALESCE(a.n_out, 0),
+  ROUND(COALESCE(a.n_out, 0) * 1.0 / b.n_in, 6)
+FROM (SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang) b
+LEFT JOIN (SELECT lang, COUNT(*) AS n_out FROM mixed GROUP BY lang) a USING (lang)
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -3060,6 +3130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_stream": q_pack_stream,
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
+    "domain_mix": q_domain_mix,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3127,6 +3198,7 @@ ORACLES: dict[str, str] = {
     "pack_stream": _SQL_PACK,
     "contamination": _SQL_CONTAM,
     "pii_redact": _SQL_PII,
+    "domain_mix": _SQL_MIX,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,

@@ -1,0 +1,94 @@
+"""Domain mixing — reweighting a corpus to target per-stratum rates, the
+step that turns a raw crawl into a training mixture (e.g. "2.5 epochs of
+wiki, 0.25 of web"). Rates are epochs: r < 1 downsamples, r = 1 passes
+through, r > 1 upsamples by integer replication plus a fractional
+hash-sampled epoch; r = 0 drops the stratum.
+
+Determinism contract: the keep/replicate decision is a pure function of
+(seed, key) via the first 32 bits of md5 — uniform, reproducible across
+runs/engines (same device as deterministic_sample in operators/core.py),
+and exactly replayable in the DuckDB oracle. No rand(): resampling a
+100 TB corpus must be re-runnable and auditable.
+
+Scale: one narrow projection + filter (downsample) or generator explode
+(upsample) — no shuffle at all; the mixture report is a single groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)
+
+
+def uniform_unit_hash(key_cols: Sequence[str], seed: str) -> Column:
+    """Deterministic uniform in [0, 1): first 32 md5 bits of seed|key."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(HASH_SPACE)
+
+
+def stratified_mix(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: Sequence[str],
+    seed: str = "mix0",
+    default_rate: float = 0.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Resample to the target mixture. Every surviving row carries
+    ``copy_col`` (0-based replica index) so downstream shuffles spread
+    replicas and lineage stays explicit.
+
+    n_copies(row) = floor(rate) + [hash(seed|key) < frac(rate)] — exactly
+    rate in expectation, deterministic per row.
+    """
+    rate: Column = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    u = uniform_unit_hash(key_cols, seed)
+    n_copies = (
+        F.floor(rate).cast("long")
+        + (u < (rate - F.floor(rate))).cast("long")
+    )
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") >= 1)
+    return (
+        out.withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+        )
+        .drop("__n_copies")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    mixed: DataFrame,
+    strata_col: str,
+) -> DataFrame:
+    """Before/after counts + achieved rate per stratum (strata dropped by
+    the mix report n_out = 0 via the left join)."""
+    before = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_in"))
+    after = mixed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        before.join(after, strata_col, "left")
+        .withColumn("n_out", F.coalesce(F.col("n_out"), F.lit(0)))
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("n_out") / F.col("n_in"), 6),
+        )
+    )
