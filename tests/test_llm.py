@@ -625,3 +625,51 @@ def test_stratified_mix_no_shuffle_plan(spark, sf_dir):
     mixed = stratified_mix(d, "lang", {"en": 2.0}, key_cols=["doc_id"])
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------ tfidf --
+def test_vocab_ids_stable_and_dense(spark, sf_dir):
+    from udata_datalake_service_spark.llm.tfidf import build_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = build_vocab(d, max_size=50, min_df=2).collect()
+    assert [r["token_id"] for r in sorted(v, key=lambda r: r["token_id"])] == list(
+        range(1, len(v) + 1)
+    )
+    # ids follow (df desc, term asc)
+    ordered = sorted(v, key=lambda r: (-r["df"], r["term"]))
+    assert [r["token_id"] for r in ordered] == list(range(1, len(v) + 1))
+    # deterministic across runs
+    again = build_vocab(d, max_size=50, min_df=2).collect()
+    assert {(r["token_id"], r["term"]) for r in again} == {
+        (r["token_id"], r["term"]) for r in v
+    }
+
+
+def test_tfidf_top_terms_golden(spark):
+    import math
+
+    from udata_datalake_service_spark.llm.tfidf import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(d, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"]) for r in out.collect()}
+
+    def idf(df_):
+        return math.log((3 + 1) / (df_ + 1)) + 1.0
+
+    # doc 1: apple tf=2 df=1 → top; banana tf=1 df=2
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(1, 1)][2] == round(2 * idf(1), 6)
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 beats durian tf=1 despite durian's higher idf
+    assert rows[(3, 1)][0] == "cherry"
+    assert rows[(3, 2)][0] == "durian"
+    assert len(rows) == 6

@@ -2983,6 +2983,67 @@ LEFT JOIN (SELECT lang, COUNT(*) AS n_out FROM mixed GROUP BY lang) a USING (lan
 
 
 # =========================================================================
+# Round-4 operators: TF-IDF + vocabulary
+# =========================================================================
+def q_tfidf_vocab(spark, sf_dir):
+    """Vocabulary construction + per-doc TF-IDF top terms (llm/tfidf.py),
+    folded: leg 'vocab' = top-200 terms by document frequency with stable
+    dense ids; leg 'tfidf' = each doc's top-5 terms by smooth tf·idf
+    (score rounded before ranking → cross-engine-exact ordering)."""
+    from udata_datalake_service_spark.llm.tfidf import build_vocab, tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, max_size=200, min_df=2).select(
+        F.lit("vocab").alias("leg"),
+        "term",
+        "token_id",
+        F.col("df").alias("n"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    top = tfidf_top_terms(d, k=5).select(
+        F.lit("tfidf").alias("leg"),
+        "term",
+        F.col("rank").alias("token_id"),
+        F.col("tf").alias("n"),
+        "doc_id",
+        "score",
+    )
+    return vocab.unionByName(top)
+
+
+_SQL_TFIDF = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY doc_id, term
+), freqs AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), vocab AS (
+  SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS token_id
+  FROM freqs WHERE df >= 2
+  ORDER BY df DESC, term ASC LIMIT 200
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ROUND(tf.tf * (LN((n.n_docs + 1.0) / (freqs.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN freqs USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT 'vocab' AS leg, term, token_id, df AS n,
+  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
+FROM vocab
+UNION ALL
+SELECT 'tfidf', term, rank, tf, doc_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -3131,6 +3192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
     "domain_mix": q_domain_mix,
+    "tfidf_vocab": q_tfidf_vocab,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3199,6 +3261,7 @@ ORACLES: dict[str, str] = {
     "contamination": _SQL_CONTAM,
     "pii_redact": _SQL_PII,
     "domain_mix": _SQL_MIX,
+    "tfidf_vocab": _SQL_TFIDF,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,

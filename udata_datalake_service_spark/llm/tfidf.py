@@ -1,0 +1,102 @@
+"""Corpus statistics: document frequencies, vocabulary construction, and
+TF-IDF term scoring — the classic lexical feature plane (search ranking,
+keyword extraction, cheap topic signals for curation).
+
+Shapes, all explode → partial-agg groupBy (map-side combine carries the
+heavy lifting; the shuffle rows are (term) or (doc, term) pairs, never
+text):
+
+- ``document_frequencies``: distinct (doc, term) → groupBy(term).count().
+- ``build_vocab``: top-``max_size`` terms by (df desc, term asc) with dense
+  contiguous ids — deterministic (integer df + total string order), so ids
+  are stable across engines and runs; at 100 TB this is a single top-k over
+  the term aggregate, not a sort of the corpus.
+- ``tfidf_top_terms``: per-doc top-k terms by rounded tf·idf. The rank key
+  is round(score, 6) then term — rounding first makes the cross-engine
+  ordering exact (raw doubles could differ in the last ulp between JVM and
+  C libm).
+
+IDF is the smooth variant ln((N+1)/(df+1)) + 1 (sklearn's default) — never
+divides by zero, never negative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.llm.text import tokens
+
+
+def _doc_terms(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, term, tf) — per-document term counts from the token stream."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, df) — number of documents containing each term."""
+    return (
+        _doc_terms(df, text, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_size: int = 1000,
+    min_df: int = 1,
+) -> DataFrame:
+    """(token_id, term, df): ids 1..max_size assigned by (df desc, term
+    asc). The global window runs over at most ``max_size`` pre-limited
+    rows — orderBy().limit() executes as TakeOrderedAndProject, so no full
+    sort of the term space."""
+    freqs = document_frequencies(df, text, id_col).filter(F.col("df") >= min_df)
+    top = freqs.orderBy(F.desc("df"), F.asc("term")).limit(max_size)
+    w = Window.partitionBy().orderBy(F.desc("df"), F.asc("term"))
+    return top.withColumn("token_id", F.row_number().over(w).cast("long")).select(
+        "token_id", "term", "df"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-doc top-k terms: (id, term, tf, score, rank). Joins the per-doc
+    term counts with the term-frequency aggregate — the df side is small
+    after aggregation (broadcast candidate; AQE picks it from runtime
+    stats), then one window per doc for the top-k cut."""
+    dt = _doc_terms(df, text, id_col)
+    freqs = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        dt.join(freqs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
