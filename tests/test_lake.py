@@ -224,3 +224,38 @@ def test_vacuum_reclaims_unreferenced_versions(spark, tmp_path):
     assert live2.exists() and not orphan.exists()
     assert lake.read_app_table("t").count() == 1  # current untouched
     assert lake.vacuum() == []  # idempotent
+
+
+def test_time_travel_history_previous_and_diff(spark, tmp_path):
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "id long, v string")
+    lake.write_table(v1, "t")
+    assert [h["is_current"] for h in lake.table_history("t")] == [True]
+    with _pytest.raises(FileNotFoundError):
+        lake.read_table_previous("t")
+
+    lake.write_table(v2, "t")
+    hist = lake.table_history("t")
+    assert len(hist) == 2 and hist[-1]["is_current"] and not hist[0]["is_current"]
+    # VERSION AS OF the superseded commit
+    prev = {(r["id"], r["v"]) for r in lake.read_table_at("t", hist[0]["version"]).collect()}
+    assert prev == {(1, "a"), (2, "b"), (3, "c")}
+    assert {(r["id"], r["v"]) for r in lake.read_table_previous("t").collect()} == prev
+
+    diff = {(r["__change"], r["id"], r["v"]) for r in lake.version_diff("t").collect()}
+    assert diff == {
+        ("added", 2, "B"), ("added", 4, "d"),
+        ("removed", 2, "b"), ("removed", 3, "c"),
+    }
+
+    # a third commit GCs the first version: depth-1 retention is explicit
+    v3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    lake.write_table(v3, "t")
+    assert len(lake.table_history("t")) == 2
+    with _pytest.raises(FileNotFoundError):
+        lake.read_table_at("t", hist[0]["version"])

@@ -3044,6 +3044,79 @@ SELECT 'tfidf', term, rank, tf, doc_id, score FROM ranked WHERE rank <= 5
 
 
 # =========================================================================
+# Round-4 operators: lake time travel
+# =========================================================================
+def q_k10_time_travel(spark, sf_dir):
+    """Time travel over the versioned lake (sinks/lake.py): write a table,
+    rewrite it with updates/deletes/inserts, then read the current version,
+    the superseded version (VERSION AS OF), and the row-level diff — all
+    four legs folded. Attests that the manifest flip retains the prior
+    version readable and that version_diff sees exactly the mutation set."""
+    import hashlib
+    import shutil
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    v1 = c.select("c_custkey", "c_name", "c_acctbal")
+    v2_updates = v1.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")),
+    )
+    v2_inserts = v1.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    v2 = v2_updates.unionByName(v2_inserts)
+
+    root = f"/tmp/spark_hydra_tt_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    lake.write_table(v1, "tt")
+    lake.write_table(v2, "tt")
+
+    def leg(name, df):
+        return df.select(
+            F.lit(name).alias("leg"), "c_custkey", "c_name", "c_acctbal"
+        )
+
+    diff = lake.version_diff("tt")
+    return (
+        leg("current", lake.read_table("tt"))
+        .unionByName(leg("previous", lake.read_table_previous("tt")))
+        .unionByName(
+            diff.select(
+                F.col("__change").alias("leg"), "c_custkey", "c_name", "c_acctbal"
+            )
+        )
+    )
+
+
+_SQL_K10 = """
+WITH v1 AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 = 0
+), v2 AS (
+  SELECT c_custkey, c_name,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM v1 WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, 0.0
+  FROM v1 WHERE c_custkey % 5 = 0
+)
+SELECT 'current' AS leg, * FROM v2
+UNION ALL
+SELECT 'previous', * FROM v1
+UNION ALL
+SELECT 'added', * FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+UNION ALL
+SELECT 'removed', * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -3193,6 +3266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "domain_mix": q_domain_mix,
     "tfidf_vocab": q_tfidf_vocab,
+    "k10_time_travel": q_k10_time_travel,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3262,6 +3336,7 @@ ORACLES: dict[str, str] = {
     "pii_redact": _SQL_PII,
     "domain_mix": _SQL_MIX,
     "tfidf_vocab": _SQL_TFIDF,
+    "k10_time_travel": _SQL_K10,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,

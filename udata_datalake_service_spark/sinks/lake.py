@@ -208,6 +208,56 @@ class Lake:
         )
         return table
 
+    # ----------------------------------------------------- time travel ----
+    def table_history(self, name: str) -> list[dict]:
+        """Version history, oldest first: [{version, is_current}]. The
+        commit policy retains exactly one version behind the manifest (plus
+        any not-yet-GC'd crash leftovers), so history depth is 1 — the
+        vanilla-parquet analogue of Delta's ``DESCRIBE HISTORY`` with a
+        short ``delta.logRetentionDuration``. Version names embed a UTC
+        timestamp, so lexicographic order is commit order."""
+        base = Path(self.table_path(name))
+        try:
+            current = (base / "MANIFEST").read_text().strip()
+        except OSError:
+            current = None
+        out = []
+        for d in sorted(base.iterdir()) if base.exists() else []:
+            if d.is_dir() and d.name.startswith("v-"):
+                out.append({"version": d.name, "is_current": d.name == current})
+        return out
+
+    def read_table_at(self, name: str, version: str) -> DataFrame:
+        """Read a specific retained version (``VERSION AS OF``). Raises
+        FileNotFoundError for GC'd/unknown versions."""
+        p = Path(self.table_path(name)) / version
+        if not p.is_dir():
+            raise FileNotFoundError(
+                f"version {version!r} of {name!r} is not retained "
+                f"(history: {[h['version'] for h in self.table_history(name)]})"
+            )
+        return self.spark.read.parquet(str(p))
+
+    def read_table_previous(self, name: str) -> DataFrame:
+        """The version the last replace-write superseded."""
+        hist = self.table_history(name)
+        prior = [h["version"] for h in hist if not h["is_current"]]
+        if not prior:
+            raise FileNotFoundError(f"no previous version of {name!r} retained")
+        return self.read_table_at(name, prior[-1])
+
+    def version_diff(self, name: str) -> DataFrame:
+        """Row-level delta current-vs-previous: full rows tagged
+        ``__change`` ∈ {added, removed} via exceptAll both ways (multiset
+        semantics — duplicate-row count changes surface too). One shuffle
+        per direction on the full row; at scale, pass a key-ordered subset
+        of columns through ``select`` first if rows are wide."""
+        cur = self.read_table(name)
+        prev = self.read_table_previous(name)
+        added = cur.exceptAll(prev).withColumn("__change", F.lit("added"))
+        removed = prev.exceptAll(cur).withColumn("__change", F.lit("removed"))
+        return added.unionByName(removed)
+
     def drop_table(self, name: str) -> None:
         """K8 — drop table + registry row. Registry first: a crash in
         between leaves an orphan data dir (reclaimed by the orphan GC),
