@@ -43,6 +43,7 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "st3_next_check_ladder": "b26551684817f595",
         "a6_max_booland": "d72b2911f07575a2",
         "a7_count_over_all": "ace81c51ce0b79a6",
         "o1_top2_per_key": "87f8b4d1bdf8a45e",

@@ -303,3 +303,79 @@ def test_session_stats_matches_native_session_window(spark, sf_dir):
         for r in session_stats_native(ev, ["user_id"], "ts", 8 * 3600).collect()
     }
     assert lag_form == native and len(lag_form) > 20
+
+
+# --------------------------------------------------------------- interval --
+def _interval_frames(spark):
+    from datetime import datetime
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, "u", T(2024, 1, 1, 10, 30)),   # inside w1
+            (2, "u", T(2024, 1, 1, 12, 0)),    # exactly at w1 end → inclusive
+            (3, "u", T(2024, 1, 1, 13, 0)),    # in no window
+            (4, "u", T(2024, 1, 1, 15, 30)),   # inside w2 AND w3 (2 matches)
+            (5, "v", T(2024, 1, 1, 10, 30)),   # other key: no windows
+        ],
+        "pid long, k string, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [
+            (101, "u", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 12, 0)),
+            (102, "u", T(2024, 1, 1, 15, 0), T(2024, 1, 1, 16, 0)),
+            (103, "u", T(2024, 1, 1, 15, 15), T(2024, 1, 1, 15, 45)),
+        ],
+        "rid long, k string, s timestamp, e timestamp",
+    )
+    return points, ranges
+
+
+def test_interval_join_inner_left_golden(spark):
+    from udata_datalake_service_spark.operators.interval import interval_join
+
+    points, ranges = _interval_frames(spark)
+    inner = interval_join(points, ranges, "ts", "s", "e", on=["k"],
+                          bucket_width_us=30 * 60 * 1_000_000)
+    pairs = sorted((r["pid"], r["rid"]) for r in inner.collect())
+    assert pairs == [(1, 101), (2, 101), (4, 102), (4, 103)]
+
+    left = interval_join(points, ranges, "ts", "s", "e", on=["k"], how="left")
+    rows = sorted((r["pid"], r["rid"]) for r in left.collect())
+    assert rows == [(1, 101), (2, 101), (3, None), (4, 102), (4, 103), (5, None)]
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    """The whole point: an equi-join on (key, bucket), never a
+    BroadcastNestedLoopJoin over the inequality."""
+    from udata_datalake_service_spark.operators.interval import interval_join
+
+    points, ranges = _interval_frames(spark)
+    j = interval_join(points, ranges, "ts", "s", "e", on=["k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_ranges_overlap_golden(spark):
+    from datetime import datetime
+
+    from udata_datalake_service_spark.operators.interval import interval_join_ranges
+
+    T = datetime
+    a = spark.createDataFrame(
+        [(1, "u", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 12, 0)),
+         (2, "u", T(2024, 1, 1, 20, 0), T(2024, 1, 1, 21, 0))],
+        "aid long, k string, s1 timestamp, e1 timestamp",
+    )
+    b = spark.createDataFrame(
+        [(11, "u", T(2024, 1, 1, 11, 0), T(2024, 1, 1, 13, 0)),   # overlaps 1
+         (12, "u", T(2024, 1, 1, 12, 0), T(2024, 1, 1, 12, 30)),  # touches 1 at 12:00
+         (13, "u", T(2024, 1, 1, 14, 0), T(2024, 1, 1, 15, 0)),   # disjoint
+         (14, "v", T(2024, 1, 1, 11, 0), T(2024, 1, 1, 13, 0))],  # other key
+        "bid long, k string, s2 timestamp, e2 timestamp",
+    )
+    out = interval_join_ranges(a, b, "s1", "e1", "s2", "e2", on=["k"])
+    pairs = sorted((r["aid"], r["bid"]) for r in out.collect())
+    # closed intervals: boundary touch at 12:00 counts; each pair exactly once
+    # even though (1,11) shares multiple hour buckets
+    assert pairs == [(1, 11), (1, 12)]

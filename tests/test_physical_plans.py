@@ -148,6 +148,7 @@ _NESTED_LOOP_OK = {
     "a8_purge_returning_count",
     "k_lake_roundtrip",
     "ann_topk",  # folded entry includes the broadcast brute-force baseline
+    "tfidf_vocab",  # 1-row corpus-size anchor broadcast into the scorer
 }
 
 

@@ -3117,6 +3117,101 @@ SELECT 'removed', * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
 
 
 # =========================================================================
+# Round-4 operators: interval (range) join
+# =========================================================================
+def q_interval_join(spark, sf_dir):
+    """Bucketized interval join (operators/interval.py): signup events open
+    a 2-hour window per user; leg 'point_inner' = clicks inside any window,
+    leg 'point_left' = every click with its window (or NULLs), leg
+    'overlap' = signup windows × overlapping 1-hour error windows. The plan
+    is an equi-join on (user, hour-bucket) — no nested-loop range join; the
+    oracle is DuckDB's native inequality join."""
+    from udata_datalake_service_spark.operators.interval import (
+        interval_join,
+        interval_join_ranges,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_end"),
+    )
+
+    def point_leg(name, how):
+        j = interval_join(
+            clicks, signups, "ts", "w_start", "w_end", on=["user_id"], how=how
+        )
+        return j.select(
+            F.lit(name).alias("leg"),
+            "user_id",
+            "a_id",
+            "b_id",
+            _us(F.col("ts")).alias("a_us"),
+            _us(F.col("w_start")).alias("b_us"),
+        )
+
+    overlap = interval_join_ranges(
+        signups.withColumnRenamed("b_id", "a_id"),
+        errors,
+        "w_start",
+        "w_end",
+        "e_start",
+        "e_end",
+        on=["user_id"],
+    ).select(
+        F.lit("overlap").alias("leg"),
+        "user_id",
+        "a_id",
+        F.col("c_id").alias("b_id"),
+        _us(F.col("w_start")).alias("a_us"),
+        _us(F.col("e_start")).alias("b_us"),
+    )
+    return (
+        point_leg("point_inner", "inner")
+        .unionByName(point_leg("point_left", "left"))
+        .unionByName(overlap)
+    )
+
+
+_SQL_INTERVAL = """
+WITH clicks AS (
+  SELECT event_id AS a_id, user_id, ts FROM events WHERE event_type = 'click'
+), signups AS (
+  SELECT event_id AS b_id, user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'signup'
+), errors AS (
+  SELECT event_id AS c_id, user_id, ts AS e_start, ts + INTERVAL 1 HOUR AS e_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT 'point_inner' AS leg, c.user_id, c.a_id, s.b_id,
+  epoch_us(c.ts) AS a_us, epoch_us(s.w_start) AS b_us
+FROM clicks c JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.w_start AND c.ts <= s.w_end
+UNION ALL
+SELECT 'point_left', c.user_id, c.a_id, s.b_id,
+  epoch_us(c.ts), epoch_us(s.w_start)
+FROM clicks c LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.w_start AND c.ts <= s.w_end
+UNION ALL
+SELECT 'overlap', s.user_id, s.b_id, e.c_id,
+  epoch_us(s.w_start), epoch_us(e.e_start)
+FROM signups s JOIN errors e
+  ON s.user_id = e.user_id AND s.w_start <= e.e_end AND e.e_start <= s.w_end
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -3267,6 +3362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix": q_domain_mix,
     "tfidf_vocab": q_tfidf_vocab,
     "k10_time_travel": q_k10_time_travel,
+    "interval_join": q_interval_join,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3306,8 +3402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_status_dashboard": q_j6_status_dashboard,
     "p78_predicate_surface": q_p78_predicate_surface,
     "p10_retention_survivors": q_p10_retention_survivors,
-    "st3_next_check_ladder": q_st3_next_check_ladder,
     "st45_change_trigger": q_st45_change_trigger,
+    "st3_next_check_ladder": q_st3_next_check_ladder,
     # ---- past the driver's 50-entry window: unchanged since round 1 (a6/
     # a7/o1 since round 3), driver-attested green in every prior round,
     # hash-pinned by test_entry_contract.py ----
@@ -3337,6 +3433,7 @@ ORACLES: dict[str, str] = {
     "domain_mix": _SQL_MIX,
     "tfidf_vocab": _SQL_TFIDF,
     "k10_time_travel": _SQL_K10,
+    "interval_join": _SQL_INTERVAL,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,
@@ -3376,8 +3473,8 @@ ORACLES: dict[str, str] = {
     "j6_status_dashboard": _SQL_J6,
     "p78_predicate_surface": _SQL_P78,
     "p10_retention_survivors": _SQL_P10,
-    "st3_next_check_ladder": _SQL_ST3,
     "st45_change_trigger": _SQL_ST45,
+    "st3_next_check_ladder": _SQL_ST3,
     "a6_max_booland": _SQL_A6,
     "a7_count_over_all": _SQL_A7,
     "o1_top2_per_key": _SQL_O1,
