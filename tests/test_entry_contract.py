@@ -43,6 +43,8 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "o3_deterministic_sample": "f57294af8cb626fe",
+        "p10_retention_survivors": "03df8f025f9aff43",
         "st3_next_check_ladder": "b26551684817f595",
         "a6_max_booland": "d72b2911f07575a2",
         "a7_count_over_all": "ace81c51ce0b79a6",

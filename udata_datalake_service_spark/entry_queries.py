@@ -3212,6 +3212,91 @@ FROM signups s JOIN errors e
 
 
 # =========================================================================
+# Round-4 surface: analytic windows, cube/rollup
+# =========================================================================
+def q_window_surface(spark, sf_dir):
+    """The analytic-window function surface in one frame: lag/lead,
+    row_number, ntile, percent_rank, cume_dist, first/last_value with an
+    explicit frame, and a running sum — per user over event time. One
+    shuffle; every function shares the same window spec, so Catalyst plans
+    a single Window node."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(wf).alias("first_event"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_sum"),
+    )
+
+
+_SQL_WINDOW_SURFACE = """
+SELECT event_id, user_id,
+  LAG(value) OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  ROW_NUMBER() OVER w AS rn,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume,
+  FIRST_VALUE(event_id) OVER wf AS first_event,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Multi-dimensional aggregation: ROLLUP and CUBE over
+    (o_orderstatus, o_orderpriority) with grouping_id disambiguation —
+    the OLAP surface the reference never needed but any analytics engine
+    must have. Spark executes one Expand + one aggregate (grouping-set
+    rows share a single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice")).alias("sum_price"),
+    ]
+    r = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"), *aggs
+    )
+    c = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"), *aggs
+    )
+    return r.withColumn("leg", F.lit("rollup")).unionByName(
+        c.withColumn("leg", F.lit("cube"))
+    )
+
+
+_SQL_CUBE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  'rollup' AS leg
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING_ID(o_orderstatus, o_orderpriority),
+  COUNT(*),
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+  'cube'
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# =========================================================================
 # Folded attestation-window legs (round 4)
 # =========================================================================
 # The driver attests the first 50 registry entries; to make room for the
@@ -3363,6 +3448,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_vocab": q_tfidf_vocab,
     "k10_time_travel": q_k10_time_travel,
     "interval_join": q_interval_join,
+    "window_surface": q_window_surface,
+    "cube_rollup": q_cube_rollup,
+    "a234_dashboard_aggs": q_a234_dashboard_aggs,
+    "u456_point_dml": q_u456_point_dml,
+    "p78_predicate_surface": q_p78_predicate_surface,
+    "st45_change_trigger": q_st45_change_trigger,
     "s7_mime_sniff": q_s7_mime_sniff,
     "k9_webhook_payload": q_k9_webhook_payload,
     "skew_salted_count": q_skew_salted_count,
@@ -3388,25 +3479,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f4_date_parse_multi": q_f4_date_parse_multi,
     "f_scalar_surface": q_f_scalar_surface_full,
     "a1_group_topk": q_a1_group_topk_both,
-    "a234_dashboard_aggs": q_a234_dashboard_aggs,
     "a5_st2_backoff_table": q_a5_st2_backoff_table,
     "a8_purge_returning_count": q_a8_purge_returning_count,
     "a9_profile": q_a9_profile,
-    "o3_deterministic_sample": q_o3_deterministic_sample,
     "o4_csv_sample": q_o4_csv_sample,
     "u2_upsert_merge": q_u2_upsert_merge,
     "u3_snapshot_diff": q_u3_snapshot_diff,
-    "u456_point_dml": q_u456_point_dml,
     "j3_u7_batch_select_claim": q_j3_u7_batch_select_claim,
     "j5_latest_per_key": q_j5_latest_per_key,
     "j6_status_dashboard": q_j6_status_dashboard,
-    "p78_predicate_surface": q_p78_predicate_surface,
+    # ---- past the driver's 50-entry window: unchanged, multi-round
+    # attested, hash-pinned by test_entry_contract.py ----
+    "o3_deterministic_sample": q_o3_deterministic_sample,
     "p10_retention_survivors": q_p10_retention_survivors,
-    "st45_change_trigger": q_st45_change_trigger,
     "st3_next_check_ladder": q_st3_next_check_ladder,
-    # ---- past the driver's 50-entry window: unchanged since round 1 (a6/
-    # a7/o1 since round 3), driver-attested green in every prior round,
-    # hash-pinned by test_entry_contract.py ----
     "a6_max_booland": q_a6_max_booland,
     "a7_count_over_all": q_a7_count_over_all,
     "o1_top2_per_key": q_o1_top2_per_key,
@@ -3434,6 +3520,12 @@ ORACLES: dict[str, str] = {
     "tfidf_vocab": _SQL_TFIDF,
     "k10_time_travel": _SQL_K10,
     "interval_join": _SQL_INTERVAL,
+    "window_surface": _SQL_WINDOW_SURFACE,
+    "cube_rollup": _SQL_CUBE_ROLLUP,
+    "a234_dashboard_aggs": _SQL_A234,
+    "u456_point_dml": _SQL_U456,
+    "p78_predicate_surface": _SQL_P78,
+    "st45_change_trigger": _SQL_ST45,
     "s7_mime_sniff": _SQL_S7,
     "k9_webhook_payload": _SQL_K9,
     "skew_salted_count": _SQL_SKEW_SALTED,
@@ -3459,21 +3551,17 @@ ORACLES: dict[str, str] = {
     "f4_date_parse_multi": _SQL_F4,
     "f_scalar_surface": _SQL_FSC_FULL,
     "a1_group_topk": _SQL_A1_BOTH,
-    "a234_dashboard_aggs": _SQL_A234,
     "a5_st2_backoff_table": _SQL_A5,
     "a8_purge_returning_count": _SQL_A8,
     "a9_profile": _SQL_A9_FULL,
-    "o3_deterministic_sample": _SQL_O3,
     "o4_csv_sample": _SQL_O4,
     "u2_upsert_merge": _SQL_U2,
     "u3_snapshot_diff": _SQL_U3,
-    "u456_point_dml": _SQL_U456,
     "j3_u7_batch_select_claim": _SQL_J3U7,
     "j5_latest_per_key": _SQL_J5,
     "j6_status_dashboard": _SQL_J6,
-    "p78_predicate_surface": _SQL_P78,
+    "o3_deterministic_sample": _SQL_O3,
     "p10_retention_survivors": _SQL_P10,
-    "st45_change_trigger": _SQL_ST45,
     "st3_next_check_ladder": _SQL_ST3,
     "a6_max_booland": _SQL_A6,
     "a7_count_over_all": _SQL_A7,
