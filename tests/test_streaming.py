@@ -180,3 +180,43 @@ def test_stream_rate_windows_match_batch_backoff(spark, tmp_path):
     for domain, (recent, saw_429) in batch.items():
         assert stream_recent.get(domain, 0) == recent, domain
         assert stream_429.get(domain, False) == saw_429, domain
+
+
+@pytest.mark.slow
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """The sessionization operator's streaming leg: the SAME
+    session_stats_native plan over readStream (watermark + availableNow)
+    must emit the sessions the batch run emits — the operator's
+    batch-attested semantics carry to a streaming deployment unchanged."""
+    from udata_datalake_service_spark.operators.sessions import session_stats_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_lake")
+    ev.write.mode("append").parquet(src)
+
+    batch = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in session_stats_native(ev, ["user_id"], "ts", 8 * 3600).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    out = session_stats_native(stream, ["user_id"], "ts", 8 * 3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    assert got == batch and len(got) > 20
