@@ -2775,7 +2775,7 @@ def q_pack_stream(spark, sf_dir):
     invariants — FFD's pack layout is order-dependent state, not SQL."""
     from udata_datalake_service_spark.llm.packing import pack_stream
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _tw(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count(F.col("text"))
     )
     out = pack_stream(d, "doc_id", "n_tokens", _PACK_BUDGET, _PACK_BUCKETS)
@@ -2818,7 +2818,7 @@ def q_contamination(spark, sf_dir):
     side is broadcast — the corpus never shuffles its text."""
     from udata_datalake_service_spark.llm.contamination import contamination_report
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 13 != 0)
     bench = d.filter(F.col("doc_id") % 13 == 0)
     return contamination_report(corpus, bench, k=_CONTAM_K)
