@@ -43,6 +43,9 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "j3_u7_batch_select_claim": "731bb8eca36e081e",
+        "j5_latest_per_key": "3b7b90703f42942a",
+        "j6_status_dashboard": "55da63d3f0ca2c67",
         "o3_deterministic_sample": "f57294af8cb626fe",
         "p10_retention_survivors": "03df8f025f9aff43",
         "st3_next_check_ladder": "b26551684817f595",

@@ -673,3 +673,97 @@ def test_tfidf_top_terms_golden(spark):
     assert rows[(3, 1)][0] == "cherry"
     assert rows[(3, 2)][0] == "durian"
     assert len(rows) == 6
+
+
+# ------------------------------------------------------------- span dedup --
+def test_duplicated_span_coverage_golden(spark):
+    from udata_datalake_service_spark.llm.dedup import duplicated_span_coverage
+
+    rows = [
+        (1, "a b c d e f"),        # shares [a b c d] with doc 2
+        (2, "x y a b c d z"),
+        (3, "q r s t"),            # nothing shared
+        (4, "hi"),                 # shorter than the span → zero windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_span_coverage(df, span=3, min_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: windows abc bcd cde def; duplicated: abc@1, bcd@2 →
+    # union of [1,3] and [2,4] covers tokens 1..4
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 2
+    assert out[1]["covered_tokens"] == 4
+    assert out[1]["dup_window_ratio"] == 0.5
+    assert out[1]["coverage"] == round(4 / 6, 6)
+    # doc 2: duplicated at positions 3,4 → covers tokens 3..6 of 7
+    assert out[2]["n_dup_windows"] == 2 and out[2]["covered_tokens"] == 4
+    assert out[2]["coverage"] == round(4 / 7, 6)
+    # doc 3: zero duplication, doc 4: zero windows — both report zeros
+    assert out[3]["n_dup_windows"] == 0 and out[3]["coverage"] == 0.0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_window_ratio"] == 0.0
+
+
+def test_duplicated_span_coverage_intra_doc_repeat_not_counted(spark):
+    from udata_datalake_service_spark.llm.dedup import duplicated_span_coverage
+
+    # the same 3-gram twice in ONE doc is repetition, not cross-doc dup
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_coverage(df, span=3, min_df=2).collect()}
+    assert out[1]["n_dup_windows"] == 0
+
+
+# -------------------------------------------------------------- chunking --
+def test_chunk_documents_golden(spark):
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+        (2, "a b c d e"),
+        (3, "x y"),
+        (4, ""),  # token-less → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_token"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: starts 1,4,7 (start 10 is fully covered by chunk@7 → dropped)
+    assert got[(1, 0)] == (1, "t1 t2 t3 t4")
+    assert got[(1, 1)] == (4, "t4 t5 t6 t7")
+    assert got[(1, 2)] == (7, "t7 t8 t9 t10")
+    assert (1, 3) not in got
+    # doc 2: starts 1,4 — the tail chunk is short
+    assert got[(2, 0)] == (1, "a b c d")
+    assert got[(2, 1)] == (4, "d e")
+    # doc 3: single short chunk; doc 4: absent
+    assert got[(3, 0)] == (1, "x y")
+    assert not any(k[0] == 4 for k in got)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+
+
+def test_chunk_documents_covers_every_token_once_at_zero_overlap(spark):
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1, 1 + 5 * i))) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=7, overlap=0)
+    per_doc = (
+        out.groupBy("doc_id").agg(F.sum("n_chunk_tokens").alias("tot")).collect()
+    )
+    expected = {i: 5 * i for i in range(1, 5)}
+    assert {r["doc_id"]: r["tot"] for r in per_doc} == expected

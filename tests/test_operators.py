@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from udata_datalake_service_spark.operators.checks import (
@@ -379,3 +381,38 @@ def test_interval_join_ranges_overlap_golden(spark):
     # closed intervals: boundary touch at 12:00 counts; each pair exactly once
     # even though (1,11) shares multiple hour buckets
     assert pairs == [(1, 11), (1, 12)]
+
+
+# ------------------------------------------------------------- quantiles --
+def test_quantile_profile_exact_matches_numpy(spark):
+    import numpy as np
+
+    from udata_datalake_service_spark.operators.profile import quantile_profile
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = quantile_profile(df, ["x"], probs=(0.25, 0.5, 0.9)).collect()[0]
+    assert row["n"] == len(vals)
+    assert row["nb_distinct"] == len(set(vals))
+    for p, col in [(25, "p25"), (50, "p50"), (90, "p90")]:
+        assert row[f"p{p}"] == pytest.approx(
+            float(np.percentile(vals, p, method="linear")), abs=1e-6
+        ), col
+
+
+def test_quantile_profile_approx_tracks_exact(spark, sf_dir):
+    from udata_datalake_service_spark.operators.profile import quantile_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {r["column"]: r for r in quantile_profile(li, ["l_extendedprice"]).collect()}
+    approx = {
+        r["column"]: r
+        for r in quantile_profile(li, ["l_extendedprice"], approx=True).collect()
+    }
+    e, a = exact["l_extendedprice"], approx["l_extendedprice"]
+    # GK sketch at accuracy 10000: rank error ≤ n/10000 → values land within
+    # a tight relative band on this distribution; HLL ndv within 5%
+    for c in ("p25", "p50", "p75", "p90", "p99"):
+        assert a[c] == pytest.approx(e[c], rel=0.02), c
+    assert a["nb_distinct"] == pytest.approx(e["nb_distinct"], rel=0.05)
+    assert a["n"] == e["n"]

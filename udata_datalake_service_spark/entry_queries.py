@@ -1750,6 +1750,11 @@ def q_tx_curate_pipeline(spark, sf_dir):
         .filter((F.col("lang_detected") != "und") & (F.col("quality") >= 0.55))
     )
     deduped = exact_dedup(gated, text="text", id_col="doc_id")
+    # deduped feeds BOTH the shingle index and the final anti-join left
+    # side — without a persist the gate+fingerprint+window subtree executes
+    # twice (measured ~2 s at sf0.1; at 100 TB this is a full extra corpus
+    # pass, where the production analogue is a materialized survivors table)
+    deduped = deduped.persist()
     pairs = ngram_jaccard_pairs(deduped, k=2, threshold=0.35)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return deduped.join(drops, on="doc_id", how="left_anti").select(
@@ -3429,6 +3434,126 @@ FROM ({_SQL_ST4}) s4 LEFT JOIN ({_SQL_ST5}) s5 USING (event_id)
 """
 
 
+def q_dd_span_coverage(spark, sf_dir):
+    """Span-level (substring) duplication coverage — per document, the
+    fraction of 8-token windows (and of tokens) shared verbatim with at
+    least one OTHER document. The distributed re-expression of Lee et
+    al.'s suffix-array span dedup (see llm/dedup.duplicated_span_coverage)."""
+    from udata_datalake_service_spark.llm.dedup import duplicated_span_coverage
+
+    d = _tw(spark, sf_dir, "documents")
+    out = duplicated_span_coverage(d, span=8, min_df=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        "dup_window_ratio",
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        "coverage",
+    )
+
+
+_SQL_DD_SPANS = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM x),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, n - 8 + 2),
+        i -> struct_pack(pos := i, g := md5(array_to_string(t[i:i+7], ' '))))) AS u
+    FROM base WHERE n >= 8)
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT grams.doc_id, grams.pos FROM grams JOIN dupg USING (g)),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+         sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS covered_tokens
+  FROM (SELECT doc_id, pos,
+          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dup)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_tokens, greatest(b.n - 8 + 1, 0) AS n_windows,
+  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+  CASE WHEN greatest(b.n - 8 + 1, 0) > 0
+       THEN round(coalesce(c.n_dup_windows, 0) / CAST(greatest(b.n - 8 + 1, 0) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_window_ratio,
+  coalesce(c.covered_tokens, 0) AS covered_tokens,
+  CASE WHEN b.n > 0
+       THEN round(coalesce(c.covered_tokens, 0) / CAST(b.n AS DOUBLE), 6)
+       ELSE 0.0 END AS coverage
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+_A9Q_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_A9Q_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_a9_quantiles(spark, sf_dir):
+    """Exact interpolated quantile profile over lineitem's numeric columns
+    — one aggregate pass for all columns; Spark percentile() ≡ DuckDB
+    quantile_cont bit-for-bit (the approx_percentile/HLL sketch variant is
+    the at-scale path, pinned against this one by pytest)."""
+    from udata_datalake_service_spark.operators.profile import quantile_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_profile(li, list(_A9Q_COLS), _A9Q_PROBS)
+
+
+_SQL_A9Q = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS "column", n, nb_distinct,
+  round(q[1], 6) AS p25, round(q[2], 6) AS p50, round(q[3], 6) AS p75,
+  round(q[4], 6) AS p90, round(q[5], 6) AS p99
+FROM (SELECT count({c}) AS n, count(DISTINCT {c}) AS nb_distinct,
+        quantile_cont({c}, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q FROM lineitem)
+"""
+    for c in _A9Q_COLS
+)
+
+
+def q_tx_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (size 64, overlap 16) — the
+    context-window layout step for training/RAG; map-only, shuffle-free."""
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    d = _tw(spark, sf_dir, "documents")
+    out = chunk_documents(d, size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+        "chunk_id",
+    )
+
+
+_SQL_TX_CHUNKS = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM x WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+    list_filter(range(1, n + 1, 48), s -> s = 1 OR s - 48 + 64 - 1 < n) AS ss
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, u.idx AS chunk_idx, u.s AS start_token, t FROM (
+    SELECT doc_id, t,
+      unnest(list_transform(range(1, len(ss) + 1),
+        j -> struct_pack(idx := j - 1, s := ss[j]))) AS u
+    FROM starts)
+)
+SELECT doc_id, chunk_idx, start_token,
+  len(t[start_token:start_token + 63]) AS n_chunk_tokens,
+  array_to_string(t[start_token:start_token + 63], ' ') AS chunk_text,
+  md5(doc_id || '|' || chunk_idx || '|' ||
+      array_to_string(t[start_token:start_token + 63], ' ')) AS chunk_id
+FROM chunks
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3439,6 +3564,9 @@ FROM ({_SQL_ST4}) s4 LEFT JOIN ({_SQL_ST5}) s5 USING (event_id)
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
+    "dd_span_coverage": q_dd_span_coverage,
+    "a9_quantiles": q_a9_quantiles,
+    "tx_chunks": q_tx_chunks,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3511,6 +3639,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
+    "dd_span_coverage": _SQL_DD_SPANS,
+    "a9_quantiles": _SQL_A9Q,
+    "tx_chunks": _SQL_TX_CHUNKS,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

@@ -393,6 +393,105 @@ def simhash_near_dups(
     )
 
 
+# ---------------------------------------------------- span-level dups ----
+def duplicated_span_coverage(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-level duplication signal: per document, how much of it is
+    covered by token spans that also appear verbatim in OTHER documents.
+
+    Document-level dedup (exact/MinHash/SimHash above) misses the classic
+    training-data failure mode — distinct pages sharing big verbatim
+    chunks (licenses, boilerplate, quoted passages); span-level dedup à la
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22) catches it. Their suffix-array formulation is
+    sequential; the distributed equivalent indexes every ``span``-token
+    window by position and counts cross-document frequency:
+
+    1. explode every token position's ``span``-gram (md5 key, position
+       kept) — docs shorter than ``span`` have zero windows;
+    2. document frequency per gram = count of DISTINCT docs (intra-doc
+       repeats don't count — ``repetition_ratio`` owns those); grams with
+       df ≥ ``min_df`` are *duplicated spans*;
+    3. per doc: duplicated-window count, and exact UNION length of the
+       duplicated intervals [pos, pos+span−1] — sorted by start, each
+       start contributes min(span, next_start − start), the last
+       contributes span (one lead() window, SQL-replayable);
+    4. left-join back so every document reports (zero coverage when
+       nothing duplicates).
+
+    Scale shape: explode → groupBy(gram) → join back on gram → one window
+    + groupBy per doc. Shuffles only on gram hash and doc id; posting
+    lists of ubiquitous spans are naturally capped because a span-gram is
+    ``span`` tokens long (n-gram df decays fast in n; for the stop-gram
+    pathology use min_df with an upper cap the way ngram_jaccard_pairs
+    uses max_df).
+
+    Returns (id_col, n_tokens, n_windows, n_dup_windows, dup_window_ratio,
+    covered_tokens, coverage) — ratios rounded to 6.
+    """
+    toks = tokens(F.col(text))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("n")
+    )
+    grams = base.filter(F.col("n") >= span).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - span + 1),
+                lambda i: F.md5(F.array_join(F.slice("t", i, span), " ")),
+            )
+        ).alias("pos0", "g"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "g")
+
+    dfreq = grams.groupBy("g").agg(F.count_distinct("id").alias("df"))
+    dup = grams.join(dfreq.filter(F.col("df") >= min_df).select("g"), on="g")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    covered = (
+        dup.withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "contrib",
+            F.when(F.col("nxt").isNull(), F.lit(span)).otherwise(
+                F.least(F.lit(span), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("contrib").alias("covered_tokens"),
+        )
+    )
+    n_windows = F.greatest(F.col("n") - span + 1, F.lit(0))
+    return (
+        base.select("id", F.col("n").alias("n_tokens"), n_windows.alias("n_windows"))
+        .join(covered, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_window_ratio"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )
+
+
 # ------------------------------------------------- cluster resolution ----
 def near_dup_clusters(
     ids: DataFrame,

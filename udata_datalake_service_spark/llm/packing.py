@@ -117,3 +117,69 @@ def pack_greedy(
     return slim.groupBy("bucket").applyInPandas(
         _pack, "id long, tokens long, bucket long, pack_id long"
     )
+
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token chunks — the
+    context-window preprocessing step for training / RAG indexing.
+
+    Chunk starts walk the token stream at ``stride = size − overlap``:
+    positions 1, 1+stride, 2·stride+1, … while they still index a token;
+    each chunk takes ``size`` tokens (the last one may be shorter). A
+    trailing start whose tokens are entirely covered by the previous chunk
+    is suppressed (start > n − overlap test is NOT used — the rule is
+    start == 1 or the chunk extends past the previous one, i.e. it
+    contributes ≥1 new token: start + size − stride… simplified to
+    dropping starts where the previous chunk already reached the end).
+    Token-less documents emit zero chunks (documented; count them with
+    ``token_count`` upstream).
+
+    Pure expressions (sequence → transform → posexplode): chunking is a
+    map-only operator — NO shuffle at any scale; output order inside a doc
+    is chunk_idx. Deterministic and exactly SQL-replayable (the oracle
+    re-derives every chunk with range + array slicing).
+
+    Returns (id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text,
+    chunk_id) where chunk_text is the normalized (lowercased, tokenized)
+    span joined with single spaces and chunk_id = md5(doc_id|idx|text).
+    """
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    from udata_datalake_service_spark.llm.text import tokens
+
+    toks = tokens(F.col(text))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    # starts: 1, 1+stride, ... ≤ n; a start past the previous chunk's end
+    # never happens (stride < size), and the first start always exists
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(stride))
+    # suppress a final fully-redundant start: start > 1 AND previous chunk
+    # already covered [start, n] (prev_end = start - stride + size - 1 >= n)
+    starts = F.filter(
+        starts,
+        lambda s: (s == 1) | (s - stride + size - 1 < F.col("n")),
+    )
+    chunks = base.select(
+        "id",
+        "n",
+        F.posexplode(
+            F.transform(starts, lambda s: F.struct(s.alias("s"), F.slice("t", s, size).alias("ct")))
+        ).alias("idx", "c"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        F.col("idx").alias("chunk_idx"),
+        F.col("c.s").alias("start_token"),
+        F.size("c.ct").alias("n_chunk_tokens"),
+        F.array_join("c.ct", " ").alias("chunk_text"),
+        F.md5(
+            F.concat_ws("|", F.col("id"), F.col("idx"), F.array_join("c.ct", " "))
+        ).alias("chunk_id"),
+    )

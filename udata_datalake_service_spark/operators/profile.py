@@ -67,6 +67,67 @@ def profile(df: DataFrame, exact_distinct: bool = False, top_n: int = 10) -> dic
     return out
 
 
+def quantile_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column quantile profile: one row per column with the exact
+    interpolated quantiles at ``probs`` (plus count and exact distinct).
+
+    Exact mode uses ``percentile()`` — Spark's linear-interpolation
+    definition is bit-identical to DuckDB/Postgres ``quantile_cont`` /
+    ``percentile_cont`` (verified by the a9q oracle), so profiles are
+    portable across engines. It buffers each column's values per
+    partition and merges sorted runs — fine for profiling runs, wrong for
+    a 100 TB hot path. ``approx=True`` swaps in ``approx_percentile``
+    (Greenwald-Khanna sketch, accuracy 1/10000) and
+    ``approx_count_distinct`` (HLL): single streaming pass, map-side
+    merged, constant memory — the at-scale default; the pytest pins its
+    error against the exact path.
+
+    All columns compute in ONE aggregate (single scan, single reduce),
+    then a narrow struct-explode transposes the one result row.
+    """
+    cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
+    ]
+    plist = ", ".join(repr(p) for p in probs)
+    aggs = []
+    for name in cols:
+        c = F.col(name)
+        if approx:
+            q = F.expr(f"approx_percentile({name}, array({plist}), 10000)")
+            nd = F.approx_count_distinct(c)
+        else:
+            q = F.expr(f"percentile({name}, array({plist}))")
+            nd = F.count_distinct(c)
+        aggs.extend(
+            [
+                F.count(c).alias(f"{name}__n"),
+                nd.alias(f"{name}__nd"),
+                q.alias(f"{name}__q"),
+            ]
+        )
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(name).alias("column"),
+            F.col(f"{name}__n").alias("n"),
+            F.col(f"{name}__nd").alias("nb_distinct"),
+            *[
+                F.round(F.col(f"{name}__q")[i].cast("double"), 6).alias(
+                    "p" + f"{p * 100:g}".replace(".", "_")
+                )
+                for i, p in enumerate(probs)
+            ],
+        )
+        for name in cols
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("r")).select("r.*")
+
+
 def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """DataFrame-valued profile (oracle-checkable shape): one row per column
     with count/nulls/distinct/min/max/mean/std over *numeric* columns.
