@@ -220,3 +220,93 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_stream").collect()
     }
     assert got == batch and len(got) > 20
+
+
+@pytest.mark.slow
+def test_streaming_exact_dedup_crosses_batches(spark, tmp_path):
+    """Incremental exact dedup: a verbatim re-arrival in a LATER micro-batch
+    is dropped by carried state, and the surviving fingerprint set equals
+    the batch exact_dedup's (first-arrival ≡ min-id under id-ordered
+    arrival)."""
+    from udata_datalake_service_spark.llm.text import fingerprint as fp_expr
+    from udata_datalake_service_spark.streaming.dedup_stream import (
+        exact_dedup_stream,
+        stream_documents,
+    )
+
+    src = str(tmp_path / "docs_lake")
+    ck = str(tmp_path / "ck")
+    mk = lambda i, t: (i, t, "en", "s", len(t))  # noqa: E731
+    f1 = [mk(1, "alpha beta gamma"), mk(2, "delta epsilon zeta"), mk(3, "alpha beta gamma!")]
+    f2 = [mk(10, "Alpha beta GAMMA"), mk(11, "fresh new content"), mk(12, "delta epsilon zeta")]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # two files, forced arrival order via maxFilesPerTrigger=1 + name order
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src + "/b=0")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(src + "/b=1")
+
+    out = exact_dedup_stream(stream_documents(spark, src + "/b=*"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, fp FROM dedup_stream").collect()
+
+    # 1,3 share a fingerprint (punct-invariant); 10 re-arrives 1's content,
+    # 12 re-arrives 2's — cross-batch state must drop both re-arrivals
+    ids = sorted(r["doc_id"] for r in got)
+    assert 11 in ids and 2 in ids
+    assert 10 not in ids and 12 not in ids
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps))
+
+    batch = spark.createDataFrame(f1 + f2, schema)
+    from udata_datalake_service_spark.llm.dedup import exact_dedup
+
+    batch_fps = {
+        r["f"] for r in exact_dedup(batch).select(fp_expr(F.col("text")).alias("f")).collect()
+    }
+    assert set(fps) == batch_fps
+
+
+@pytest.mark.slow
+def test_streaming_dedup_watermarked_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark leg: still drops the in-horizon
+    verbatim duplicate (smoke — horizon semantics are Spark's own)."""
+    from udata_datalake_service_spark.streaming.dedup_stream import (
+        exact_dedup_stream_watermarked,
+    )
+
+    src = str(tmp_path / "docs_ts")
+    ck = str(tmp_path / "ck2")
+    rows = [
+        (1, "same old text", "2024-01-01 10:00:00"),
+        (2, "same old text", "2024-01-01 10:30:00"),   # inside horizon → dropped
+        (3, "different words entirely", "2024-01-01 10:40:00"),
+    ]
+    schema = "doc_id long, text string, ts string"
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    out = exact_dedup_stream_watermarked(stream, "ts", horizon="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_wm").collect())
+    assert 3 in ids
+    assert len([i for i in ids if i in (1, 2)]) == 1
