@@ -43,6 +43,7 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "u3_snapshot_diff": "13243a6a600c8ebd",
         "j3_u7_batch_select_claim": "731bb8eca36e081e",
         "j5_latest_per_key": "3b7b90703f42942a",
         "j6_status_dashboard": "55da63d3f0ca2c67",

@@ -767,3 +767,44 @@ def test_chunk_documents_covers_every_token_once_at_zero_overlap(spark):
     )
     expected = {i: 5 * i for i in range(1, 5)}
     assert {r["doc_id"]: r["tot"] for r in per_doc} == expected
+
+
+# --------------------------------------------------------------- splits --
+def test_split_assign_deterministic_and_stable_under_growth(spark):
+    from udata_datalake_service_spark.llm.mixing import split_assign
+
+    small = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a1 = {r["id"]: r["split"] for r in split_assign(small, w, ["id"]).collect()}
+    a2 = {r["id"]: r["split"] for r in split_assign(big, w, ["id"]).collect()}
+    # growing the corpus never reassigns an existing row
+    assert all(a2[i] == a1[i] for i in a1)
+    # fractions roughly honored
+    n_train = sum(1 for v in a2.values() if v == "train")
+    assert 0.7 < n_train / len(a2) < 0.9
+
+
+def test_split_assign_grouped_no_group_straddles(spark):
+    from udata_datalake_service_spark.llm.mixing import split_assign_grouped
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 11}") for i in range(500)], "id long, domain string"
+    )
+    g = split_assign_grouped(df, {"train": 0.8, "test": 0.2}, ["domain"])
+    per_domain = g.groupBy("domain").agg(
+        F.count_distinct("split").alias("n_splits")
+    ).collect()
+    assert all(r["n_splits"] == 1 for r in per_domain)
+
+
+def test_split_assign_normalizes_and_rejects_zero_weights(spark):
+    from udata_datalake_service_spark.llm.mixing import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    # weights 8/1/1 ≡ 0.8/0.1/0.1
+    a = {r["id"]: r["split"] for r in split_assign(df, {"train": 8.0, "val": 1.0, "test": 1.0}, ["id"]).collect()}
+    b = {r["id"]: r["split"] for r in split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["id"]).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        split_assign(df, {"train": 0.0}, ["id"])

@@ -3554,6 +3554,42 @@ FROM chunks
 """
 
 
+def q_domain_split(spark, sf_dir):
+    """Deterministic train/val/test splits over documents — the row-hash
+    split plus the leakage-safe GROUP split (hash of `source`, so near-dups
+    inside one source can never straddle train/test). Pure md5 functions of
+    (seed, key): re-running on a grown corpus never reassigns a row."""
+    from udata_datalake_service_spark.llm.mixing import split_assign, split_assign_grouped
+
+    d = _tw(spark, sf_dir, "documents")
+    out = split_assign(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed="rows0",
+        out_col="row_split",
+    )
+    out = split_assign_grouped(
+        out, {"train": 0.8, "test": 0.2}, ["source"], seed="groups0",
+        out_col="group_split",
+    )
+    return out.select("doc_id", "source", "row_split", "group_split")
+
+
+_SQL_DOMAIN_SPLIT = """
+WITH u AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('rows0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 AS u_row,
+    ('0x' || substr(md5('groups0' || '|' || source), 1, 8))::UBIGINT
+      / 4294967296.0 AS u_grp
+  FROM documents
+)
+SELECT doc_id, source,
+  CASE WHEN u_row < 0.1 THEN 'test' WHEN u_row < 0.9 THEN 'train'
+       ELSE 'val' END AS row_split,
+  CASE WHEN u_grp < 0.2 THEN 'test' ELSE 'train' END AS group_split
+FROM u
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3567,6 +3603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
+    "domain_split": q_domain_split,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3642,6 +3679,7 @@ ORACLES: dict[str, str] = {
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,
+    "domain_split": _SQL_DOMAIN_SPLIT,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

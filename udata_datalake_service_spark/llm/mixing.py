@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_SPACE = float(1 << 32)
@@ -92,3 +92,66 @@ def mixture_report(
             F.round(F.col("n_out") / F.col("n_in"), 6),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: Sequence[str],
+    seed: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    Each row lands in exactly one split; the split is a pure function of
+    (seed, key) — re-running over a grown corpus never reassigns an
+    existing row (the property random splits lack, and the reason hash
+    splits are the training-data standard). Weights need not sum to 1;
+    they are normalized. Assignment: u = md5-uniform in [0,1), cumulative
+    weight intervals in sorted split-name order.
+
+    Map-only (no shuffle); exactly replayable in SQL for the oracle.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = uniform_unit_hash(key_cols, seed)
+    expr: Column | None = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_grouped(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_cols: Sequence[str],
+    seed: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: EVERY row of a group (a domain, an author, a
+    dedup cluster) lands in the same split, because the hash key is the
+    group key — near-duplicate rows inside one group can never straddle
+    train/test. Same determinism/normalization contract as split_assign."""
+    return split_assign(df, weights, group_cols, seed=seed, out_col=out_col)
+
+
+def split_report(
+    assigned: DataFrame, out_col: str = "split", group_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-split row counts (+ distinct groups when group_cols given) and
+    achieved fraction — the audit table next to the assignment."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if group_cols:
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in group_cols]).alias("n_groups")
+        )
+    per = assigned.groupBy(out_col).agg(*aggs)
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return per.withColumn("fraction", F.round(F.col("n_rows") / total, 6))
