@@ -43,6 +43,8 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "o4_csv_sample": "43da0e2e8471d4f8",
+        "u2_upsert_merge": "cd93589d050220f9",
         "u3_snapshot_diff": "13243a6a600c8ebd",
         "j3_u7_batch_select_claim": "731bb8eca36e081e",
         "j5_latest_per_key": "3b7b90703f42942a",

@@ -808,3 +808,18 @@ def test_split_assign_normalizes_and_rejects_zero_weights(spark):
     assert a == b
     with pytest.raises(ValueError):
         split_assign(df, {"train": 0.0}, ["id"])
+
+
+def test_vocab_coverage_golden(spark):
+    from udata_datalake_service_spark.llm.tfidf import vocab_coverage
+
+    # occurrences: a×5, b×3, c×1, d×1 → total 10
+    df = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c d")], "doc_id long, text string"
+    )
+    rows = {r["vocab_size"]: r for r in vocab_coverage(df, (1, 2, 10)).collect()}
+    assert rows[1]["n_terms"] == 1 and rows[1]["covered_occurrences"] == 5
+    assert rows[1]["coverage"] == 0.5
+    assert rows[2]["covered_occurrences"] == 8 and rows[2]["coverage"] == 0.8
+    # requested size past the vocab: everything covered, n_terms = |vocab|
+    assert rows[10]["n_terms"] == 4 and rows[10]["coverage"] == 1.0

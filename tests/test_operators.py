@@ -416,3 +416,17 @@ def test_quantile_profile_approx_tracks_exact(spark, sf_dir):
         assert a[c] == pytest.approx(e[c], rel=0.02), c
     assert a["nb_distinct"] == pytest.approx(e["nb_distinct"], rel=0.05)
     assert a["n"] == e["n"]
+
+
+def test_quantile_profile_grouped_matches_per_group_numpy(spark):
+    import numpy as np
+
+    from udata_datalake_service_spark.operators.profile import quantile_profile_grouped
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", float(v)) for v in (2, 4, 8)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in quantile_profile_grouped(df, "g", "x", probs=(0.5, 0.9)).collect()}
+    assert got["a"]["n"] == 10 and got["b"]["n"] == 3
+    for g, vals in (("a", list(range(1, 11))), ("b", [2, 4, 8])):
+        assert got[g]["p50"] == pytest.approx(float(np.percentile(vals, 50)), abs=1e-6)
+        assert got[g]["p90"] == pytest.approx(float(np.percentile(vals, 90)), abs=1e-6)

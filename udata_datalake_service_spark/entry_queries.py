@@ -3494,11 +3494,30 @@ def q_a9_quantiles(spark, sf_dir):
     """Exact interpolated quantile profile over lineitem's numeric columns
     — one aggregate pass for all columns; Spark percentile() ≡ DuckDB
     quantile_cont bit-for-bit (the approx_percentile/HLL sketch variant is
-    the at-scale path, pinned against this one by pytest)."""
-    from udata_datalake_service_spark.operators.profile import quantile_profile
+    the at-scale path, pinned against this one by pytest). Second leg:
+    per-GROUP quantiles (o_totalprice by o_orderstatus) — the
+    distribution-per-stratum view, labeled 'o_totalprice|<status>'."""
+    from udata_datalake_service_spark.operators.profile import (
+        quantile_profile,
+        quantile_profile_grouped,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    return quantile_profile(li, list(_A9Q_COLS), _A9Q_PROBS)
+    flat = quantile_profile(li, list(_A9Q_COLS), _A9Q_PROBS)
+    orders = _t(spark, sf_dir, "orders")
+    grouped = quantile_profile_grouped(
+        orders, "o_orderstatus", "o_totalprice", _A9Q_PROBS
+    ).select(
+        F.concat(F.lit("o_totalprice|"), F.col("o_orderstatus")).alias("column"),
+        "n",
+        "nb_distinct",
+        "p25",
+        "p50",
+        "p75",
+        "p90",
+        "p99",
+    )
+    return flat.unionByName(grouped)
 
 
 _SQL_A9Q = "\nUNION ALL\n".join(
@@ -3510,7 +3529,16 @@ FROM (SELECT count({c}) AS n, count(DISTINCT {c}) AS nb_distinct,
         quantile_cont({c}, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q FROM lineitem)
 """
     for c in _A9Q_COLS
-)
+) + """
+UNION ALL
+SELECT 'o_totalprice|' || o_orderstatus AS "column", n, nb_distinct,
+  round(q[1], 6) AS p25, round(q[2], 6) AS p50, round(q[3], 6) AS p75,
+  round(q[4], 6) AS p90, round(q[5], 6) AS p99
+FROM (SELECT o_orderstatus, count(o_totalprice) AS n,
+        count(DISTINCT o_totalprice) AS nb_distinct,
+        quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+      FROM orders GROUP BY o_orderstatus)
+"""
 
 
 def q_tx_chunks(spark, sf_dir):
@@ -3590,6 +3618,47 @@ FROM u
 """
 
 
+def q_tx_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget curve: fraction of all token occurrences covered by
+    the top-{100,1000,10000} vocabulary (rank = occurrences desc, term asc
+    — deterministic, engine-exact)."""
+    from udata_datalake_service_spark.llm.tfidf import vocab_coverage
+
+    d = _tw(spark, sf_dir, "documents")
+    out = vocab_coverage(d, (100, 1000, 10000))
+    return out.select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("covered_occurrences").cast("long").alias("covered_occurrences"),
+        F.col("total_occurrences").cast("long").alias("total_occurrences"),
+        "coverage",
+    )
+
+
+_SQL_TX_VOCAB_COVERAGE = f"""
+WITH tf AS (
+  SELECT term, count(*) AS occ
+  FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT occ,
+    row_number() OVER (ORDER BY occ DESC, term ASC) AS rank,
+    sum(occ) OVER (ORDER BY occ DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(occ) OVER () AS total
+  FROM tf
+)
+SELECT k.vocab_size,
+  count(*) FILTER (WHERE rank <= k.vocab_size) AS n_terms,
+  coalesce(max(cum) FILTER (WHERE rank <= k.vocab_size), 0) AS covered_occurrences,
+  max(total) AS total_occurrences,
+  round(coalesce(max(cum) FILTER (WHERE rank <= k.vocab_size), 0)
+        / CAST(max(total) AS DOUBLE), 6) AS coverage
+FROM ranked CROSS JOIN (VALUES (100), (1000), (10000)) AS k(vocab_size)
+GROUP BY k.vocab_size
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3604,6 +3673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
     "domain_split": q_domain_split,
+    "tx_vocab_coverage": q_tx_vocab_coverage,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3680,6 +3750,7 @@ ORACLES: dict[str, str] = {
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,
     "domain_split": _SQL_DOMAIN_SPLIT,
+    "tx_vocab_coverage": _SQL_TX_VOCAB_COVERAGE,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

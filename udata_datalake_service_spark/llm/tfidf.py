@@ -100,3 +100,67 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: tuple[int, ...] = (100, 1000, 10000),
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-budget curve: what fraction of all token OCCURRENCES the
+    top-``k`` vocabulary covers, for each requested k — the number that
+    decides a vocab size before training a tokenizer.
+
+    Terms rank by (occurrence count desc, term asc) — integer counts plus
+    a total string order make the curve deterministic and engine-exact.
+    Shape: explode → groupBy(term) with map-side combine (the shuffle is
+    one row per distinct term), then an ordered cumsum window over the
+    TERM AGGREGATE only — the vocabulary (≪ corpus; low millions at
+    100 TB) flows through a single ordered partition, never the corpus.
+
+    Returns (vocab_size, n_terms, covered_occurrences, total_occurrences,
+    coverage) — one row per requested size; n_terms < vocab_size when the
+    corpus has fewer distinct terms.
+    """
+    tf = (
+        df.select(F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    w = Window.orderBy(F.desc("occ"), F.asc("term"))
+    ranked = tf.select(
+        "occ",
+        F.row_number().over(w).alias("rank"),
+        F.sum("occ").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("occ").over(Window.partitionBy()).alias("total"),
+    )
+    ks = sorted(set(int(k) for k in vocab_sizes))
+    aggs = []
+    for k in ks:
+        inside = F.col("rank") <= k
+        aggs.extend(
+            [
+                F.count_if(inside).alias(f"n_{k}"),
+                F.max(F.when(inside, F.col("cum"))).alias(f"cov_{k}"),
+            ]
+        )
+    aggs.append(F.max("total").alias("total"))
+    one = ranked.agg(*aggs)
+    per_k = [
+        F.struct(
+            F.lit(k).alias("vocab_size"),
+            F.col(f"n_{k}").alias("n_terms"),
+            F.coalesce(F.col(f"cov_{k}"), F.lit(0)).alias("covered_occurrences"),
+            F.col("total").alias("total_occurrences"),
+        )
+        for k in ks
+    ]
+    return (
+        one.select(F.explode(F.array(*per_k)).alias("r"))
+        .select("r.*")
+        .withColumn(
+            "coverage",
+            F.round(F.col("covered_occurrences") / F.col("total_occurrences"), 6),
+        )
+    )

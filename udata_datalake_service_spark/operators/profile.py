@@ -128,6 +128,41 @@ def quantile_profile(
     return one.select(F.explode(F.array(*per_col)).alias("r")).select("r.*")
 
 
+def quantile_profile_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-GROUP quantile profile — the distribution-per-stratum view
+    (quality bands per source, price bands per status) that a flat profile
+    hides. One groupBy with map-side partial aggregation in approx mode;
+    exact mode shuffles (group, value) pairs — same trade-off and column
+    contract as ``quantile_profile``."""
+    plist = ", ".join(repr(p) for p in probs)
+    if approx:
+        q = F.expr(f"approx_percentile({value_col}, array({plist}), 10000)")
+        nd = F.approx_count_distinct(F.col(value_col))
+    else:
+        q = F.expr(f"percentile({value_col}, array({plist}))")
+        nd = F.count_distinct(F.col(value_col))
+    g = df.groupBy(group_col).agg(
+        F.count(F.col(value_col)).alias("n"), nd.alias("nb_distinct"), q.alias("__q")
+    )
+    return g.select(
+        group_col,
+        "n",
+        "nb_distinct",
+        *[
+            F.round(F.col("__q")[i].cast("double"), 6).alias(
+                "p" + f"{p * 100:g}".replace(".", "_")
+            )
+            for i, p in enumerate(probs)
+        ],
+    )
+
+
 def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """DataFrame-valued profile (oracle-checkable shape): one row per column
     with count/nulls/distinct/min/max/mean/std over *numeric* columns.
