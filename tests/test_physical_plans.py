@@ -173,3 +173,65 @@ def test_no_query_plans_a_cartesian_product(spark):
         if marks:
             bad[name] = marks
     assert not bad, f"scale-hostile join shapes: {bad}"
+
+
+# ------------------------------------------------- round-4 new operators ----
+def test_chunking_is_map_only(spark):
+    """chunk_documents claims shuffle-free — the plan must carry zero
+    Exchanges beyond the input repartition the query helper adds."""
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(chunk_documents(docs, size=64, overlap=16))
+    assert n_exchanges(plan) == 0
+
+
+def test_split_assign_is_map_only_and_prunes(spark):
+    from udata_datalake_service_spark.llm.mixing import split_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = split_assign(
+        docs.select("doc_id", "source"), {"train": 0.9, "test": 0.1}, ["doc_id"]
+    )
+    plan = formatted_plan(out)
+    assert n_exchanges(plan) == 0
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read  # the fat column never leaves the scan
+
+
+def test_span_coverage_shuffles_only_on_gram_and_doc(spark):
+    """duplicated_span_coverage: exchanges exist only for the gram df
+    aggregate, the gram join-back, and the per-doc window/agg — no
+    cartesian, no broadcast of the corpus."""
+    from udata_datalake_service_spark.llm.dedup import duplicated_span_coverage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(duplicated_span_coverage(docs, span=8))
+    t = tree(plan)
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
+
+
+def test_quantile_profile_single_aggregate_pass(spark):
+    """All columns' quantiles + distincts in ONE aggregate subtree: the
+    lineitem parquet is scanned exactly once."""
+    from udata_datalake_service_spark.operators.profile import quantile_profile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = formatted_plan(
+        quantile_profile(li, ["l_quantity", "l_extendedprice"], (0.5, 0.9))
+    )
+    t = tree(plan)
+    assert t.count("Scan parquet") == 1
+
+
+def test_quantile_profile_approx_partial_aggregates(spark):
+    """Sketch mode must partial-aggregate map-side (HashAggregate pairs),
+    the property that makes it the one-pass 100 TB path."""
+    from udata_datalake_service_spark.operators.profile import quantile_profile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = formatted_plan(quantile_profile(li, ["l_extendedprice"], (0.5,), approx=True))
+    t = tree(plan)
+    assert t.count("Scan parquet") == 1
+    # partial + final pair for the sketch aggregation, single shuffle
+    assert n_exchanges(plan) == 1
