@@ -235,3 +235,43 @@ def test_quantile_profile_approx_partial_aggregates(spark):
     assert t.count("Scan parquet") == 1
     # partial + final pair for the sketch aggregation, single shuffle
     assert n_exchanges(plan) == 1
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """enable_runtime_filters: a selective dim filter materializes as a
+    bloom_filter_agg subquery whose might_contain lands on the fact side's
+    scan — runtime row-group skipping for the J1/J3-shaped fact⋈dim joins."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.session import enable_runtime_filters
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_filters(spark, creation_side_max="10GB")
+        # broadcast joins get their own pruning — force the shuffle-join
+        # shape a 100 TB fact⋈dim takes, where the bloom filter matters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

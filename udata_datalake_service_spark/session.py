@@ -68,6 +68,29 @@ def get_spark(
     return spark
 
 
+def enable_runtime_filters(spark: SparkSession, creation_side_max: str = "100MB") -> None:
+    """Turn on runtime (semi-join) bloom-filter pushdown for selective
+    joins — Spark builds a bloom filter from the filtered build side at
+    runtime and injects ``might_contain`` into the probe side's scan, so a
+    100 TB fact table skips row groups that can't match (the dynamic
+    sibling of static partition pruning; pinned by
+    test_physical_plans.test_runtime_bloom_filter_injection).
+
+    These are optimizer confs — settable per session, no restart. Off in
+    get_spark's defaults only because the bench queries are already
+    broadcast-shaped at test scale; a production deployment of the big
+    fact⋈filtered-dim queries (J1/J3, interval joins) wants this on.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+
+
 TESTDATA_TABLES = (
     "region",
     "nation",
