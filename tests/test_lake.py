@@ -259,3 +259,47 @@ def test_time_travel_history_previous_and_diff(spark, tmp_path):
     assert len(lake.table_history("t")) == 2
     with _pytest.raises(FileNotFoundError):
         lake.read_table_at("t", hist[0]["version"])
+
+
+def test_write_training_shards_manifest_and_stability(spark, tmp_path):
+    """Sharded export: every row lands in exactly one shard, the manifest
+    matches a recount of the written data, and re-exporting a GROWN corpus
+    never moves an existing row to a different shard."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "web") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    manifest = lake.write_training_shards(df, "corpus", 4, ["doc_id"])
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert sum(r["n_rows"] for r in rows.values()) == 200
+    assert set(rows) <= {0, 1, 2, 3}
+
+    back = lake.read_app_table("corpus")
+    recount = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert recount == {s: r["n_rows"] for s, r in rows.items()}
+    assert back.select("doc_id").distinct().count() == 200
+
+    shard_of = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    grown = spark.createDataFrame(
+        [(i, f"text {i}", "web") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    lake.write_training_shards(grown, "corpus", 4, ["doc_id"])
+    shard_of2 = {
+        r["doc_id"]: r["shard"]
+        for r in lake.read_app_table("corpus").select("doc_id", "shard").collect()
+    }
+    assert all(shard_of2[i] == shard_of[i] for i in shard_of)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        lake.write_training_shards(df, "corpus", 0, ["doc_id"])

@@ -3659,6 +3659,35 @@ GROUP BY k.vocab_size
 """
 
 
+def q_mix_shards(spark, sf_dir):
+    """Sharded training-data export: write documents as 8 deterministic
+    md5-bucket shards under the crash-safe manifest pointer, read back the
+    audit manifest (per-shard rows + order-independent content checksum).
+    The oracle recomputes the manifest straight from the table — equality
+    proves the sharded write is lossless AND the bucketing is engine-exact."""
+    import hashlib
+    import shutil
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = f"/tmp/spark_hydra_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    manifest = lake.write_training_shards(d, "corpus", 8, ["doc_id"], seed="shards0")
+    return manifest.select("shard", "n_rows", "content_checksum")
+
+
+_SQL_MIX_SHARDS = """
+WITH h AS (
+  SELECT ('0x' || substr(md5('shards0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT AS hv
+  FROM documents
+)
+SELECT hv % 8 AS shard, count(*) AS n_rows, CAST(sum(hv) AS BIGINT) AS content_checksum
+FROM h GROUP BY hv % 8 ORDER BY shard
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3674,6 +3703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_chunks": q_tx_chunks,
     "domain_split": q_domain_split,
     "tx_vocab_coverage": q_tx_vocab_coverage,
+    "mix_shards": q_mix_shards,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3751,6 +3781,7 @@ ORACLES: dict[str, str] = {
     "tx_chunks": _SQL_TX_CHUNKS,
     "domain_split": _SQL_DOMAIN_SPLIT,
     "tx_vocab_coverage": _SQL_TX_VOCAB_COVERAGE,
+    "mix_shards": _SQL_MIX_SHARDS,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

@@ -350,3 +350,50 @@ class Lake:
         while the new one is written, then the MANIFEST pointer flips
         atomically — readers see old-or-new, never a half-swapped dir."""
         self._replace_write(df, Path(self.app_table_path(name)))
+
+    # --------------------------------------------------- training shards ----
+    def write_training_shards(
+        self,
+        df: DataFrame,
+        name: str,
+        n_shards: int,
+        key_cols: list[str],
+        seed: str = "shards0",
+    ) -> DataFrame:
+        """Export a curated corpus as ``n_shards`` deterministic shards with
+        an audit manifest — the hand-off format a training loader consumes.
+
+        Shard = md5-hash bucket of (seed, key): a pure row function, so a
+        re-export after appends puts every old row in the SAME shard
+        (loaders can resume / diff shards), unlike round-robin or
+        rand-partitioned writes. The write is ONE partitioned commit under
+        the crash-safe manifest pointer; the shard manifest is computed
+        from the same frame and stored next to the data as table
+        ``<name>__manifest`` with per-shard row counts and an
+        order-independent content checksum (sum of each row's first-32-bit
+        md5 over the key — verifiable shard-by-shard by any engine).
+
+        Scale shape: one narrow projection + partitioned write (the shuffle
+        is the partitionBy spill sort), one groupBy(shard) for the
+        manifest. Returns the manifest frame.
+        """
+        if n_shards <= 0:
+            raise ValueError("n_shards must be positive")
+        key = F.concat_ws(
+            "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        sharded = df.withColumn("shard", F.pmod(h, F.lit(n_shards)))
+        self._replace_write(
+            sharded, Path(self.app_table_path(name)), partition_by=["shard"]
+        )
+        manifest = (
+            sharded.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).alias("content_checksum"),
+            )
+            .orderBy("shard")
+        )
+        self._replace_write(manifest, Path(self.app_table_path(f"{name}__manifest")))
+        return self.read_app_table(f"{name}__manifest")
