@@ -3461,7 +3461,7 @@ grams AS (
   SELECT doc_id, u.pos AS pos, u.g AS g FROM (
     SELECT doc_id,
       unnest(list_transform(range(1, n - 8 + 2),
-        i -> struct_pack(pos := i, g := md5(array_to_string(t[i:i+7], ' '))))) AS u
+        i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS u
     FROM base WHERE n >= 8)
 ),
 dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),

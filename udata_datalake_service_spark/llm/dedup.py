@@ -412,8 +412,11 @@ def duplicated_span_coverage(
     sequential; the distributed equivalent indexes every ``span``-token
     window by position and counts cross-document frequency:
 
-    1. explode every token position's ``span``-gram (md5 key, position
-       kept) — docs shorter than ``span`` have zero windows;
+    1. explode every token position's ``span``-gram (xxhash64 key — the
+       index shuffles 8-byte ints, not multi-word strings; only COUNTS
+       survive to the output, so the oracle can group raw gram strings and
+       get identical numbers, same argument as ngram_jaccard_pairs) —
+       docs shorter than ``span`` have zero windows;
     2. document frequency per gram = count of DISTINCT docs (intra-doc
        repeats don't count — ``repetition_ratio`` owns those); grams with
        df ≥ ``min_df`` are *duplicated spans*;
@@ -443,7 +446,7 @@ def duplicated_span_coverage(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n") - span + 1),
-                lambda i: F.md5(F.array_join(F.slice("t", i, span), " ")),
+                lambda i: F.xxhash64(F.array_join(F.slice("t", i, span), " ")),
             )
         ).alias("pos0", "g"),
     ).select("id", (F.col("pos0") + 1).alias("pos"), "g")
