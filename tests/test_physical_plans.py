@@ -149,6 +149,7 @@ _NESTED_LOOP_OK = {
     "k_lake_roundtrip",
     "ann_topk",  # folded entry includes the broadcast brute-force baseline
     "tfidf_vocab",  # 1-row corpus-size anchor broadcast into the scorer
+    "a9_quantiles",  # 1-row quantile-pass x 1-row distinct-pass cross join
 }
 
 
@@ -211,9 +212,10 @@ def test_span_coverage_shuffles_only_on_gram_and_doc(spark):
     assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
 
 
-def test_quantile_profile_single_aggregate_pass(spark):
-    """All columns' quantiles + distincts in ONE aggregate subtree: the
-    lineitem parquet is scanned exactly once."""
+def test_quantile_profile_two_hash_aggregate_passes(spark):
+    """Quantiles+counts in one aggregate, distincts in a second, 1-row
+    cross join — never the SortAggregate-over-Expand the mixed form
+    degrades to (measured 4x slower at sf0.1)."""
     from udata_datalake_service_spark.operators.profile import quantile_profile
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -221,7 +223,8 @@ def test_quantile_profile_single_aggregate_pass(spark):
         quantile_profile(li, ["l_quantity", "l_extendedprice"], (0.5, 0.9))
     )
     t = tree(plan)
-    assert t.count("Scan parquet") == 1
+    assert t.count("Scan parquet") == 2
+    assert "SortAggregate" not in t
 
 
 def test_quantile_profile_approx_partial_aggregates(spark):
@@ -232,9 +235,11 @@ def test_quantile_profile_approx_partial_aggregates(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     plan = formatted_plan(quantile_profile(li, ["l_extendedprice"], (0.5,), approx=True))
     t = tree(plan)
-    assert t.count("Scan parquet") == 1
-    # partial + final pair for the sketch aggregation, single shuffle
-    assert n_exchanges(plan) == 1
+    # partial+final pairs for both passes (GK sketch via ObjectHashAggregate,
+    # HLL via HashAggregate) — map-side combined, never a SortAggregate
+    assert t.count("ObjectHashAggregate") == 2
+    assert t.count("- HashAggregate") == 2
+    assert "SortAggregate" not in t
 
 
 def test_runtime_bloom_filter_injection(spark):
