@@ -298,3 +298,34 @@ def test_every_pattern_sample_survives_huge_digit_guard(spark):
     )
     for (pat, s), v in zip(samples.items(), out):
         assert v is not None, f"{pat}: sample {s!r} nulled by the guard"
+
+
+def test_canonicalize_url_golden_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.functions.urls import canonicalize_url
+
+    cases = {
+        # case, default port, tracking, fragment — the full gauntlet
+        "HTTP://Example.COM:80/Path/To?b=2&utm_source=x&a=1#frag":
+            "http://example.com/Path/To?b=2&a=1",
+        # bare root slash collapses; non-default port survives
+        "https://example.com:443/": "https://example.com",
+        "https://example.com:8443/": "https://example.com:8443",
+        # ADJACENT tracking params must all drop (the per-key-pass trap)
+        "https://h.io/p?utm_a=1&utm_b=2&x=1": "https://h.io/p?x=1",
+        "https://h.io/p?x=1&utm_a=1&utm_b=2": "https://h.io/p?x=1",
+        "https://h.io/p?utm_a=1&utm_b=2": "https://h.io/p",
+        # run in the middle hands its separator to the kept param
+        "https://h.io/p?utm_a=1&x=1&ref=home&gclid=g": "https://h.io/p?x=1",
+        # 'ref' key never matches inside 'preference'
+        "https://h.io/p?preference=2": "https://h.io/p?preference=2",
+        # path case preserved; trailing slash on a real path preserved
+        "https://Example.com/CamelPath/": "https://example.com/CamelPath/",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases

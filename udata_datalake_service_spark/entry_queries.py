@@ -3688,6 +3688,73 @@ FROM h GROUP BY hv % 8 ORDER BY shard
 """
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + URL-level dedup — the crawl-plane twin of
+    content fingerprinting: derive deterministic noisy variants (case,
+    default ports, tracking params, fragments) per order row, canonicalize,
+    and count rows per canonical form (same-resource groups)."""
+    from udata_datalake_service_spark.functions.urls import canonicalize_url
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    m = F.pmod(F.col("o_orderkey"), F.lit(4))
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Files.Example.ORG:80/r/"), k,
+                                F.lit("?utm_source=a&utm_medium=b&id=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://files.example.org:443/r/"), k, F.lit("?id=1")))
+        .when(m == 2, F.concat(F.lit("https://files.example.org/r/"), k,
+                               F.lit("?id=1&gclid=xyz&fbclid=t")))
+        .otherwise(F.concat(F.lit("https://files.example.org/r/"), k, F.lit("/?ref=home")))
+    )
+    out = o.select("o_orderkey", url.alias("url")).withColumn(
+        "canon", canonicalize_url(F.col("url"))
+    )
+    w = Window.partitionBy("canon")
+    return out.withColumn("n_same_resource", F.count(F.lit(1)).over(w))
+
+
+_SQL_TRK_RUN = "(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)=[^&#]*"
+_SQL_DOMAIN_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+
+
+def _sql_canonicalize(u: str) -> str:
+    """DuckDB replay of functions/urls.canonicalize_url (RE2 'g' flag where
+    Spark's replace-all semantics matter; \\1 backrefs per RE2 rewrite)."""
+    s = (
+        f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' || "
+        f"lower(regexp_extract({u}, '{_SQL_DOMAIN_RE}', 1)) || "
+        f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*', '')"
+    )
+    s = f"regexp_replace({s}, '#.*$', '')"
+    s = f"regexp_replace({s}, '^(http://[^/:?#]+):80([/?])', '\\1\\2')"
+    s = f"regexp_replace({s}, '^(http://[^/:?#]+):80$', '\\1')"
+    s = f"regexp_replace({s}, '^(https://[^/:?#]+):443([/?])', '\\1\\2')"
+    s = f"regexp_replace({s}, '^(https://[^/:?#]+):443$', '\\1')"
+    s = f"regexp_replace({s}, '([?&]){_SQL_TRK_RUN}(&{_SQL_TRK_RUN})*&', '\\1', 'g')"
+    s = f"regexp_replace({s}, '[?&]{_SQL_TRK_RUN}(&{_SQL_TRK_RUN})*$', '')"
+    s = f"regexp_replace({s}, '\\?$', '')"
+    s = f"regexp_replace({s}, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')"
+    return s
+
+
+_SQL_URL_CANON = f"""
+WITH u AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 4
+      WHEN 0 THEN 'HTTP://Files.Example.ORG:80/r/' || o_orderkey || '?utm_source=a&utm_medium=b&id=1#frag'
+      WHEN 1 THEN 'https://files.example.org:443/r/' || o_orderkey || '?id=1'
+      WHEN 2 THEN 'https://files.example.org/r/' || o_orderkey || '?id=1&gclid=xyz&fbclid=t'
+      ELSE 'https://files.example.org/r/' || o_orderkey || '/?ref=home'
+    END AS url
+  FROM orders
+),
+c AS (SELECT o_orderkey, url, {_sql_canonicalize('url')} AS canon FROM u)
+SELECT o_orderkey, url, canon,
+       count(*) OVER (PARTITION BY canon) AS n_same_resource
+FROM c
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3704,6 +3771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_split": q_domain_split,
     "tx_vocab_coverage": q_tx_vocab_coverage,
     "mix_shards": q_mix_shards,
+    "url_canonical": q_url_canonical,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3782,6 +3850,7 @@ ORACLES: dict[str, str] = {
     "domain_split": _SQL_DOMAIN_SPLIT,
     "tx_vocab_coverage": _SQL_TX_VOCAB_COVERAGE,
     "mix_shards": _SQL_MIX_SHARDS,
+    "url_canonical": _SQL_URL_CANON,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

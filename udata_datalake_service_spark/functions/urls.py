@@ -22,3 +22,51 @@ def domain_of(url_col: Column, portable: bool = True) -> Column:
     if portable:
         return F.regexp_extract(url_col, DOMAIN_REGEX, 1)
     return F.parse_url(url_col, F.lit("HOST"))
+
+
+# tracking params dropped during canonicalization (the industry-standard
+# utm/click-id set). One alternation consuming a RUN of consecutive
+# tracking params: per-key passes would miss adjacent ones (Java/RE2
+# resume scanning after the consumed separator, so "?utm_a=1&utm_b=2"
+# keeps utm_b under a single per-key pass).
+_TRK = r"(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)=[^&#]*"
+
+
+def canonicalize_url(url_col: Column) -> Column:
+    """Canonical form for URL-level dedup — the crawl-plane twin of content
+    fingerprinting (two catalog rows pointing at one resource through
+    tracking-param / fragment / case noise are the same resource):
+
+    1. lowercase scheme+host (path stays case-sensitive per RFC 3986),
+    2. drop the fragment,
+    3. drop default ports (:80 http, :443 https),
+    4. drop tracking params (utm_*, gclid, fbclid, msclkid, ref, mc_eid),
+       keeping the others in original order,
+    5. collapse a now-empty query ("?" remainder) and a bare trailing "/"
+       on an empty path.
+
+    Pure regexp chain — whole-stage codegen, exactly replayable in the
+    DuckDB oracle (no lookaround, no backrefs in the patterns).
+    """
+    # 1: scheme+host lowercase. Split: scheme://host[rest] — rebuild with
+    # lowered first two groups. regexp_replace can't lower a backref, so
+    # lower the whole prefix via concat of extracted pieces instead.
+    scheme = F.lower(F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url_col, DOMAIN_REGEX, 1))
+    rest = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*", "")
+    u = F.concat(scheme, F.lit("://"), host, rest)
+    # 2: fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3: default ports (two rules per scheme — RE2 has no lookahead)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80$", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?])", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443$", r"$1")
+    # 4: tracking params — a mid-query run hands its separator to the next
+    # kept param; an end-of-query run (with its leading separator) drops
+    u = F.regexp_replace(u, rf"([?&]){_TRK}(&{_TRK})*&", r"$1")
+    u = F.regexp_replace(u, rf"[?&]{_TRK}(&{_TRK})*$", "")
+    # 5: empty query, bare root slash
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
