@@ -430,3 +430,51 @@ def test_quantile_profile_grouped_matches_per_group_numpy(spark):
     for g, vals in (("a", list(range(1, 11))), ("b", [2, 4, 8])):
         assert got[g]["p50"] == pytest.approx(float(np.percentile(vals, 50)), abs=1e-6)
         assert got[g]["p90"] == pytest.approx(float(np.percentile(vals, 90)), abs=1e-6)
+
+
+# ---------------------------------------------------------------- funnel --
+def test_funnel_levels_anchored_window_golden(spark):
+    from udata_datalake_service_spark.operators.funnel import funnel_levels
+
+    rows = [
+        # u1: single anchor; purchase misses the 100s window → level 2
+        (1, "view", 0), (1, "click", 50), (1, "purchase", 120),
+        # u2: first anchor fails, the LATER view@60 completes → level 3
+        # (the case earliest-event greedy gets wrong)
+        (2, "view", 0), (2, "view", 60), (2, "click", 70), (2, "purchase", 130),
+        # u3: no step-1 event at all → level 0
+        (3, "click", 10), (3, "purchase", 20),
+        # u4: anchor only → level 1
+        (4, "view", 5),
+        # u5: order violated (purchase before click) → level 2
+        (5, "view", 0), (5, "purchase", 10), (5, "click", 20),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, f"2024-01-01 00:{s//60:02d}:{s%60:02d}") for u, e, s in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(df, ["view", "click", "purchase"], horizon_s=100).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 0, 4: 1, 5: 2}
+
+
+def test_funnel_levels_strictly_increasing_and_self_steps(spark):
+    from udata_datalake_service_spark.operators.funnel import funnel_levels
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (1, "b", "2024-01-01 00:00:00"),
+         (2, "a", "2024-01-01 00:00:00"), (2, "a", "2024-01-01 00:00:01")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # equal timestamps never chain
+    got = {r["user_id"]: r["level"] for r in funnel_levels(df, ["a", "b"], 60).collect()}
+    assert got[1] == 1
+    # repeated step type chains on the strict inequality
+    got2 = {r["user_id"]: r["level"] for r in funnel_levels(df, ["a", "a"], 60).collect()}
+    assert got2[2] == 2 and got2[1] == 1
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        funnel_levels(df, [], 60)

@@ -3755,6 +3755,41 @@ FROM c
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Window funnel over events: view → click → purchase within 24 h of
+    the chain's FIRST step (anchored window — a later anchor can complete
+    where the earliest fails). Per-user deepest level + a level histogram
+    would be downstream; the per-user grain is the attested output."""
+    from udata_datalake_service_spark.operators.funnel import funnel_levels
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_levels(ev, ["view", "click", "purchase"], horizon_s=86400)
+
+
+_SQL_FUNNEL = """
+WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS et FROM events),
+f1 AS (SELECT DISTINCT k, t AS t1, t AS ti FROM ev WHERE et = 'view'),
+f2 AS (
+  SELECT f1.k, f1.t1, min(e.t) AS ti
+  FROM f1 JOIN ev e ON e.k = f1.k AND e.et = 'click'
+    AND e.t > f1.ti AND e.t <= f1.t1 + 86400000000
+  GROUP BY f1.k, f1.t1
+),
+f3 AS (
+  SELECT f2.k, f2.t1, min(e.t) AS ti
+  FROM f2 JOIN ev e ON e.k = f2.k AND e.et = 'purchase'
+    AND e.t > f2.ti AND e.t <= f2.t1 + 86400000000
+  GROUP BY f2.k, f2.t1
+)
+SELECT u.k AS user_id,
+  CASE WHEN u.k IN (SELECT k FROM f3) THEN 3
+       WHEN u.k IN (SELECT k FROM f2) THEN 2
+       WHEN u.k IN (SELECT k FROM f1) THEN 1
+       ELSE 0 END AS level
+FROM (SELECT DISTINCT k FROM ev) u
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3772,6 +3807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_vocab_coverage": q_tx_vocab_coverage,
     "mix_shards": q_mix_shards,
     "url_canonical": q_url_canonical,
+    "funnel": q_funnel,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3851,6 +3887,7 @@ ORACLES: dict[str, str] = {
     "tx_vocab_coverage": _SQL_TX_VOCAB_COVERAGE,
     "mix_shards": _SQL_MIX_SHARDS,
     "url_canonical": _SQL_URL_CANON,
+    "funnel": _SQL_FUNNEL,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

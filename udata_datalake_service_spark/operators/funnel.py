@@ -1,0 +1,82 @@
+"""Window funnel — ordered step matching within a time horizon (the
+ClickHouse ``windowFunnel`` / product-analytics staple): per key, the
+deepest prefix of ``steps`` completed by events with strictly increasing
+timestamps where the WHOLE chain fits inside ``horizon`` seconds of its
+first step (the window anchors at the chain START, so an early anchor can
+fail while a later one completes — naive earliest-event greedy is wrong).
+
+Exact algorithm, declarative and scale-bounded:
+
+- stage 1 frontier = every step-1 event (key, t1) — each is a candidate
+  anchor;
+- stage i+1 frontier = for each surviving anchor (key, t1), the MIN
+  step-(i+1) timestamp t in (t_i, t1 + horizon]. Greedy-min pruning is
+  lossless: any chain extending SOME (key, t1) chain also extends the
+  min-t_i one (a smaller t_i only widens the (t_i, t1+horizon] window),
+  so keeping one row per anchor per stage preserves the exists-semantics
+  while bounding every frontier to |step-1 events| rows.
+- level(key) = deepest stage any of its anchors reached; keys present in
+  the input but without a step-1 event report level 0.
+
+Physical shape per stage: one equi-join on the key (range predicate is a
+post-join filter) + one groupBy(key, t1) min — shuffles on the key only.
+At extreme scale with fat per-key event lists, pre-bucket by (key,
+horizon-bucket) exactly like operators/interval.py to cut the join's
+per-key fan-out; the frontier recurrence is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon_s: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key funnel depth: (key, level) for EVERY distinct key in
+    ``events``; level ∈ [0, len(steps)]."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    horizon_us = int(horizon_s) * 1_000_000
+
+    ev = events.select(F.col(key).alias("k"), us.alias("t"), F.col(type_col).alias("et"))
+    frontier = (
+        ev.filter(F.col("et") == steps[0])
+        .select("k", F.col("t").alias("t1"), F.col("t").alias("ti"))
+        .distinct()
+    )
+    levels = frontier.select("k").distinct().withColumn("level", F.lit(1))
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("et") == step).select("k", F.col("t").alias("tn"))
+        frontier = (
+            frontier.join(nxt, on="k")
+            .filter(
+                (F.col("tn") > F.col("ti"))
+                & (F.col("tn") <= F.col("t1") + F.lit(horizon_us))
+            )
+            .groupBy("k", "t1")
+            .agg(F.min("tn").alias("ti"))
+        )
+        levels = levels.unionByName(
+            frontier.select("k").distinct().withColumn("level", F.lit(1))
+        )
+    reached = levels.groupBy("k").agg(F.sum("level").alias("level"))
+    # sum of one row per reached stage == deepest stage (stages are nested)
+    return (
+        events.select(F.col(key).alias("k"))
+        .distinct()
+        .join(reached, on="k", how="left")
+        .select(
+            F.col("k").alias(key),
+            F.coalesce("level", F.lit(0)).cast("long").alias("level"),
+        )
+    )
