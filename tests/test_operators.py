@@ -478,3 +478,29 @@ def test_funnel_levels_strictly_increasing_and_self_steps(spark):
     import pytest as _p
     with _p.raises(ValueError):
         funnel_levels(df, [], 60)
+
+
+def test_cohort_retention_golden(spark):
+    from udata_datalake_service_spark.operators.funnel import cohort_retention
+
+    # bucket_days=1: u1 first day0, active day0+day2; u2 first day0 only;
+    # u3 first day2, active day2+day3
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-01 23:00:00"),
+        (3, "2024-01-03 01:00:00"), (3, "2024-01-04 01:00:00"),
+        (3, "2024-01-04 02:00:00"),  # same-bucket repeat never double-counts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["cohort_bucket"], r["bucket_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df, bucket_days=1).collect()
+    }
+    d0 = 19723  # 2024-01-01 in days since epoch
+    assert got[(d0, 0)] == (2, 2, 1.0)
+    assert got[(d0, 2)] == (1, 2, 0.5)
+    assert got[(d0 + 2, 0)] == (1, 1, 1.0)
+    assert got[(d0 + 2, 1)] == (1, 1, 1.0)
+    assert set(got) == {(d0, 0), (d0, 2), (d0 + 2, 0), (d0 + 2, 1)}

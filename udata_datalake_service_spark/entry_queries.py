@@ -3790,6 +3790,31 @@ FROM (SELECT DISTINCT k FROM ev) u
 """
 
 
+def q_cohort(spark, sf_dir):
+    """Cohort retention matrix over events — 7-day epoch-fixed buckets,
+    cohort = first-event bucket, one row per (cohort, offset)."""
+    from udata_datalake_service_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, bucket_days=7)
+
+
+_SQL_COHORT = """
+WITH ev AS (
+  SELECT DISTINCT user_id AS k, epoch_us(ts) // 604800000000 AS b FROM events
+),
+coh AS (SELECT k, min(b) AS cb FROM ev GROUP BY k),
+per AS (
+  SELECT cb AS cohort_bucket, b - cb AS bucket_offset, count(*) AS n_active
+  FROM ev JOIN coh USING (k) GROUP BY 1, 2
+),
+sz AS (SELECT cb AS cohort_bucket, count(*) AS n_cohort FROM coh GROUP BY 1)
+SELECT cohort_bucket, bucket_offset, n_active, n_cohort,
+       round(n_active / CAST(n_cohort AS DOUBLE), 6) AS retention
+FROM per JOIN sz USING (cohort_bucket)
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3808,6 +3833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_shards": q_mix_shards,
     "url_canonical": q_url_canonical,
     "funnel": q_funnel,
+    "cohort": q_cohort,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3888,6 +3914,7 @@ ORACLES: dict[str, str] = {
     "mix_shards": _SQL_MIX_SHARDS,
     "url_canonical": _SQL_URL_CANON,
     "funnel": _SQL_FUNNEL,
+    "cohort": _SQL_COHORT,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

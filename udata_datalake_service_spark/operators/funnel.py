@@ -80,3 +80,50 @@ def funnel_levels(
             F.coalesce("level", F.lit(0)).cast("long").alias("level"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the other product-analytics staple next
+    to the funnel: cohort a key by its FIRST event's time bucket, then for
+    each (cohort, offset) report how many of the cohort's keys were active
+    ``offset`` buckets later.
+
+    Buckets are fixed-width windows of ``bucket_days`` from the Unix epoch
+    (deterministic integer division — no calendar-week locale semantics to
+    desync engines). Returns (cohort_bucket, bucket_offset, n_active,
+    n_cohort, retention) with retention rounded to 6; offset 0 rows carry
+    n_active == n_cohort by construction.
+
+    Scale shape: one groupBy(key) min for cohorts, one distinct over
+    (key, bucket), one join back on the key, one final groupBy — every
+    shuffle on the key or the (cohort, offset) pair; no window over the
+    corpus.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    bucket_us = int(bucket_days) * 86_400_000_000
+    ev = events.select(
+        F.col(key).alias("k"), (us / F.lit(bucket_us)).cast("long").alias("b")
+    )
+    cohorts = ev.groupBy("k").agg(F.min("b").alias("cohort_b"))
+    active = ev.distinct()
+    per = (
+        active.join(cohorts, on="k")
+        .groupBy(
+            F.col("cohort_b").alias("cohort_bucket"),
+            (F.col("b") - F.col("cohort_b")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohorts.groupBy(F.col("cohort_b").alias("cohort_bucket")).agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        per.join(sizes, on="cohort_bucket")
+        .withColumn("retention", F.round(F.col("n_active") / F.col("n_cohort"), 6))
+        .select("cohort_bucket", "bucket_offset", "n_active", "n_cohort", "retention")
+    )
