@@ -170,3 +170,71 @@ def test_infer_date_vs_datetime_split_on_time_component(spark, dates, with_time)
     else:
         vals = [d.isoformat() for d in dates]
         assert _infer_one(spark, vals) == "date"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=9),
+)
+def test_chunking_partitions_every_token(spark, doc_lens, size, overlap):
+    """For any corpus/size/overlap: chunks of a doc start at 1, step by
+    stride, the union of [start, start+len-1] covers 1..n exactly with
+    per-chunk overlap = `overlap` (except a shorter tail), and no chunk is
+    fully contained in its predecessor."""
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        assert chunks, (i, n)
+        covered = set()
+        prev_end = 0
+        for j, c in enumerate(chunks):
+            assert c["chunk_idx"] == j
+            assert c["start_token"] == 1 + j * stride
+            end = c["start_token"] + c["n_chunk_tokens"] - 1
+            assert end > prev_end  # never fully inside the previous chunk
+            covered.update(range(c["start_token"], end + 1))
+            prev_end = end
+        assert covered == set(range(1, n + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=5))
+def test_span_coverage_bounds_and_verbatim_dup(spark, doc_lens):
+    """Invariants for any corpus: ratios in [0,1], dup windows ≤ windows,
+    covered ≤ tokens; and a doc duplicated verbatim (when long enough for
+    ≥1 window) reports FULL coverage on both copies."""
+    from udata_datalake_service_spark.llm.dedup import duplicated_span_coverage
+
+    span = 3
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    # duplicate doc 0 verbatim under a fresh id
+    rows.append((1000, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_span_coverage(df, span=span).collect()}
+    assert set(out) == {i for i in range(len(doc_lens))} | {1000}
+    for r in out.values():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["dup_window_ratio"] <= 1.0
+        assert 0.0 <= r["coverage"] <= 1.0
+    if doc_lens[0] >= span:
+        assert out[0]["coverage"] == 1.0 and out[1000]["coverage"] == 1.0
+        assert out[0]["n_dup_windows"] == out[0]["n_windows"]
