@@ -43,6 +43,7 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "f_scalar_surface": "093083c048cce294",
         "a1_group_topk": "173db30ff25b6f72",
         "a5_st2_backoff_table": "e73f11376dac428d",
         "a8_purge_returning_count": "1aac74f23bb5e6f4",

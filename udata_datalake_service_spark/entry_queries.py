@@ -3815,6 +3815,44 @@ FROM per JOIN sz USING (cohort_bucket)
 """
 
 
+def q_pivot_activity(spark, sf_dir):
+    """Pivot surface — per-user event counts and value sums spread across
+    event-type columns (`groupBy().pivot(values).agg(...)`). Pinning the
+    explicit values list keeps the plan one-pass (no distinct-scan to
+    discover columns) and the output schema deterministic for the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "signup", "purchase", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_v").alias(f"{t}_v"))
+    return out.select(*cols)
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'view') AS view_n,
+  round(sum(value) FILTER (WHERE event_type = 'view'), 4) AS view_v,
+  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+  round(sum(value) FILTER (WHERE event_type = 'click'), 4) AS click_v,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+  round(sum(value) FILTER (WHERE event_type = 'signup'), 4) AS signup_v,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+  round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase_v,
+  count(*) FILTER (WHERE event_type = 'error') AS error_n,
+  round(sum(value) FILTER (WHERE event_type = 'error'), 4) AS error_v
+FROM events GROUP BY user_id
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3834,6 +3872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,
     "funnel": q_funnel,
     "cohort": q_cohort,
+    "pivot_activity": q_pivot_activity,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3915,6 +3954,7 @@ ORACLES: dict[str, str] = {
     "url_canonical": _SQL_URL_CANON,
     "funnel": _SQL_FUNNEL,
     "cohort": _SQL_COHORT,
+    "pivot_activity": _SQL_PIVOT,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,
