@@ -823,3 +823,31 @@ def test_vocab_coverage_golden(spark):
     assert rows[2]["covered_occurrences"] == 8 and rows[2]["coverage"] == 0.8
     # requested size past the vocab: everything covered, n_terms = |vocab|
     assert rows[10]["n_terms"] == 4 and rows[10]["coverage"] == 1.0
+
+
+# ------------------------------------------------------------- centroids --
+def test_label_centroids_and_assignment(spark):
+    from udata_datalake_service_spark.llm.similarity import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.8, 0.2], 0),
+        (3, [0.0, 1.0], 1), (4, [0.2, 0.8], 1),
+        (5, [0.9, 0.1], 7),  # lone member → centroid = itself
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = {r["label"]: (r["centroid"], r["n_vectors"]) for r in label_centroids(df).collect()}
+    assert cents[0][0] == [0.9, 0.1] and cents[0][1] == 2
+    assert cents[1][0] == [0.1, 0.9] and cents[1][1] == 2
+    assert cents[7][0] == [0.9, 0.1] and cents[7][1] == 1
+
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assign_nearest_centroid(df, label_centroids(df)).collect()
+    }
+    # centroids of labels 0 and 7 are IDENTICAL → cosine ties exactly;
+    # the documented tie-break assigns the lower label
+    assert got[1] == 0 and got[2] == 0 and got[5] == 0
+    assert got[3] == 1 and got[4] == 1

@@ -3853,6 +3853,53 @@ FROM events GROUP BY user_id
 """
 
 
+def q_ann_centroid_assign(spark, sf_dir):
+    """Per-label fixed-point centroids + nearest-centroid cosine assignment
+    (one k-means E-step / embedding-space label-quality probe): every
+    vector reports its true label, assigned centroid, and cosine."""
+    from udata_datalake_service_spark.llm.similarity import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    e = _tw(spark, sf_dir, "embeddings")
+    cents = label_centroids(e)
+    out = assign_nearest_centroid(e, cents)
+    truth = e.select("vec_id", F.col("label").alias("true_label"))
+    return out.join(truth, on="vec_id").select(
+        "vec_id", F.col("true_label").cast("long").alias("true_label"),
+        F.col("assigned_label").cast("long").alias("assigned_label"), "cos",
+    )
+
+
+_SQL_ANN_CENTROID = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT label,
+          unnest(list_transform(range(1, len(v) + 1),
+            i -> struct_pack(pos := i, x := v[i]))) AS u
+        FROM e)
+),
+g AS (SELECT label, pos, sum(q) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label AS clabel, list(s / (n * 1000000.0) ORDER BY pos) AS c
+  FROM g GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+    ROUND(list_dot_product(e.v, cent.c) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) AS cos
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+       CAST(clabel AS BIGINT) AS assigned_label, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3873,6 +3920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "pivot_activity": q_pivot_activity,
+    "ann_centroid_assign": q_ann_centroid_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -3955,6 +4003,7 @@ ORACLES: dict[str, str] = {
     "funnel": _SQL_FUNNEL,
     "cohort": _SQL_COHORT,
     "pivot_activity": _SQL_PIVOT,
+    "ann_centroid_assign": _SQL_ANN_CENTROID,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

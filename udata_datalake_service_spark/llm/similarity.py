@@ -446,3 +446,80 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ------------------------------------------------------------ centroids ----
+def label_centroids(
+    df: DataFrame,
+    vec: str = "embedding",
+    label_col: str = "label",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid vectors — the E-step of k-means / the class
+    prototype a vector-quality or VQ pass needs.
+
+    Components are computed in FIXED POINT: each input component rounds to
+    1/quantum, sums as exact integers, and divides back to double. A plain
+    float mean is partial-aggregation-order dependent (the last-ulp wobble
+    between engines or between runs with different partitioning); the
+    integer sum makes the centroid bit-identical everywhere — the property
+    the assignment oracle depends on — at the price of 1e-6 input
+    quantization (far below float32 embedding noise).
+
+    Shape: posexplode → groupBy(label, pos) integer sums (map-side
+    combined) → per-label ordered collect. Shuffles carry (label, pos)
+    longs, never vectors. Returns (label_col, centroid, n_vectors).
+    """
+    from udata_datalake_service_spark.llm.similarity import _as_double
+
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec))).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x") * quantum, 0).cast("long").alias("q"),
+    )
+    g = ex.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    comp = (F.col("s") / (F.col("n") * F.lit(float(quantum)))).alias("c")
+    return (
+        g.select("label", "n", F.struct("pos", comp.alias("c")).alias("pc"))
+        .groupBy("label")
+        .agg(
+            F.transform(F.sort_array(F.collect_list("pc")), lambda s: s["c"]).alias(
+                "centroid"
+            ),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(F.col("label").alias(label_col), "centroid", "n_vectors")
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (rounded 6; ties → lower
+    label). Centroids broadcast (k rows); per-vector cost is k dots inside
+    one projection — no shuffle beyond the top-1 window on the vector id.
+    Returns (id_col, assigned_label, cos)."""
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(label_col).alias("__clabel"), F.col("centroid").alias("__c")
+    )
+    scored = df.select(F.col(id_col), _as_double(F.col(vec)).alias("__v")).crossJoin(
+        F.broadcast(c)
+    )
+    scored = scored.withColumn("cos", F.round(cosine(F.col("__v"), F.col("__c")), 6))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("__clabel"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__clabel").alias("assigned_label"), "cos")
+    )
