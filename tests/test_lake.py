@@ -303,3 +303,36 @@ def test_write_training_shards_manifest_and_stability(spark, tmp_path):
 
     with _p.raises(ValueError):
         lake.write_training_shards(df, "corpus", 0, ["doc_id"])
+
+
+def test_compact_table_merges_small_files_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(5000)], "id long, v string")
+    # simulate append-heavy history: many tiny files in one version
+    lake.write_app_table(df.repartition(24), "checks_like")
+    before = lake.read_app_table("checks_like")
+    before_rows = {r["id"] for r in before.collect()}
+
+    stats = lake.compact_table("checks_like", target_bytes=10**9, app_table=True)
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] == 1
+
+    after = lake.read_app_table("checks_like")
+    assert after.count() == 5000
+    assert {r["id"] for r in after.collect()} == before_rows
+    # crash-safety contract: the committed MANIFEST pointer flipped in place
+    assert (tmp_path / "lake" / "checks_like" / "MANIFEST").exists()
+
+
+def test_compact_table_missing_raises(spark, tmp_path):
+    import pytest as _p
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    with _p.raises(FileNotFoundError):
+        lake.compact_table("nope", app_table=True)

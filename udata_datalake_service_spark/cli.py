@@ -10,7 +10,7 @@
 | purge-csv-tables             | ``purge_csv_tables`` (J4/ST8 GC)       |
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
-| (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs |
+| (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs; ``compact-table`` — coalesce small files into ~target-size files behind the manifest flip |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -156,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("purge-checks"); sp.add_argument("--retention-days", type=int, default=60)
     sub.add_parser("purge-csv-tables")
     sub.add_parser("vacuum-lake")
+    sp = sub.add_parser("compact-table"); sp.add_argument("name"); sp.add_argument("--target-mb", type=int, default=128); sp.add_argument("--app-table", action="store_true")
     sp = sub.add_parser("select-batch"); sp.add_argument("--seed", default="s0")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
     args = p.parse_args(argv)
@@ -181,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"dropped": purge_csv_tables(spark, lake)}))
     elif args.verb == "vacuum-lake":
         print(json.dumps({"removed": lake.vacuum()}))
+    elif args.verb == "compact-table":
+        print(json.dumps(lake.compact_table(
+            args.name, target_bytes=args.target_mb * 1024 * 1024,
+            app_table=args.app_table)))
     elif args.verb == "select-batch":
         from udata_datalake_service_spark.service import HydraService
 

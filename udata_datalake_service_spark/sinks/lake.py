@@ -397,3 +397,41 @@ class Lake:
         )
         self._replace_write(manifest, Path(self.app_table_path(f"{name}__manifest")))
         return self.read_app_table(f"{name}__manifest")
+
+    # --------------------------------------------------------- compaction ----
+    def compact_table(
+        self, name: str, target_bytes: int = 128 * 1024 * 1024, app_table: bool = False
+    ) -> dict:
+        """Compact a table's current version into ~``target_bytes`` files —
+        the small-files maintenance verb (the OPTIMIZE analogue for the
+        vanilla-parquet lake). An append-heavy table accumulates one file
+        per micro-batch; scans then pay an open/footer cost per tiny file
+        that dwarfs the read at 100 TB.
+
+        Reads the current committed version, coalesces to
+        ceil(bytes/target) output files, and commits as a NEW version
+        behind the same crash-safe MANIFEST flip — readers see the
+        pre-compaction or post-compaction version, never a mix, and time
+        travel keeps the pre-compaction version until vacuum. Row data is
+        byte-identical (coalesce moves whole partitions; no shuffle, no
+        re-sort — sortWithinPartitions clustering from the original write
+        survives inside each surviving partition).
+
+        Returns {files_before, files_after, bytes}.
+        """
+        base = Path(self.app_table_path(name) if app_table else self.table_path(name))
+        cur = self._current_dir(base)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version to compact: {base}")
+        data_files = [
+            p for p in cur.rglob("*") if p.is_file() and not p.name.startswith(("_", "."))
+        ]
+        total = sum(p.stat().st_size for p in data_files)
+        n_out = max(1, -(-total // int(target_bytes)))
+        df = self.spark.read.parquet(str(cur))
+        self._replace_write(df.coalesce(int(n_out)), base)
+        return {
+            "files_before": len(data_files),
+            "files_after": int(n_out),
+            "bytes": int(total),
+        }
