@@ -851,3 +851,20 @@ def test_label_centroids_and_assignment(spark):
     # the documented tie-break assigns the lower label
     assert got[1] == 0 and got[2] == 0 and got[5] == 0
     assert got[3] == 1 and got[4] == 1
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    from udata_datalake_service_spark.llm.similarity import kmeans_fit
+
+    # two tight direction-blobs in 2D (cosine k-means clusters by angle)
+    rows = (
+        [(i, [1.0, 0.02 * (i % 3)], 0) for i in range(10)]
+        + [(100 + i, [0.02 * (i % 3), 1.0], 0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans_fit(df, k=2).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in kmeans_fit(df, k=2).collect()}
+    assert a1 == a2  # deterministic end-to-end (no rand anywhere)
+    blob_a = {a1[i] for i in range(10)}
+    blob_b = {a1[100 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b

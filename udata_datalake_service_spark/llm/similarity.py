@@ -523,3 +523,79 @@ def assign_nearest_centroid(
         .filter(F.col("__rn") == 1)
         .select(id_col, F.col("__clabel").alias("assigned_label"), "cos")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    max_iterations: int = 20,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic distributed k-means (cosine): the iterative loop the
+    fixed-point E-step enables — same harness pattern as
+    dedup.near_dup_clusters (localCheckpoint per round, driver reads ONE
+    scalar per round, loud failure on non-convergence).
+
+    Init: the k vectors with the lowest md5(id) — a seeded, engine-
+    reproducible choice (no rand()). Each round: assign every vector to
+    its nearest centroid (broadcast k dots), recompute centroids in fixed
+    point (label_centroids' integer-sum device, so a round's centroids
+    are bit-identical regardless of partitioning → the whole run is
+    deterministic), stop when no assignment changes. Returns
+    (id_col, cluster, cos).
+
+    Scale: per round one broadcast-join projection + one (cluster, pos)
+    aggregate; nothing driver-side but k centroids and the changed-count.
+    """
+    ids_ranked = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec)).alias("__v")
+    ).withColumn("__h", F.md5(F.col("__id").cast("string")))
+    base = ids_ranked.localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    # single-partition window is fine HERE: it runs on the k-row seed frame
+    # (TakeOrdered already reduced it), never on the corpus
+    seeds = (
+        base.orderBy("__h")
+        .limit(k)
+        .withColumn("label", F.row_number().over(Window.orderBy("__h")) - 1)
+        .select(F.col("label").cast("int").alias("label"), F.col("__v").alias("centroid"))
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+    assign = None
+    for _ in range(max_iterations):
+        new_assign = assign_nearest_centroid(
+            base.select(F.col("__id").alias(id_col), F.col("__v").alias(vec)),
+            centroids,
+            vec=vec,
+            id_col=id_col,
+        ).localCheckpoint(eager=True)
+        if assign is not None:
+            changed = (
+                new_assign.alias("n")
+                .join(assign.alias("o"), on=id_col)
+                .filter(F.col("n.assigned_label") != F.col("o.assigned_label"))
+                .count()
+            )
+            if changed == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        centroids = label_centroids(
+            base.join(
+                assign.select(F.col(id_col).alias("__id"), F.col("assigned_label")),
+                on="__id",
+            ).select(F.col("__v").alias(vec), F.col("assigned_label").alias("label")),
+            vec=vec,
+            label_col="label",
+            quantum=quantum,
+        ).select("label", "centroid").localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"kmeans_fit did not converge within {max_iterations} rounds"
+        )
+    return assign.select(
+        id_col, F.col("assigned_label").alias("cluster"), "cos"
+    )
