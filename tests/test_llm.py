@@ -868,3 +868,30 @@ def test_kmeans_separates_blobs_and_is_deterministic(spark):
     blob_a = {a1[i] for i in range(10)}
     blob_b = {a1[100 + i] for i in range(10)}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_hashed_features_sparse_dense_consistency(spark):
+    from udata_datalake_service_spark.llm.tfidf import (
+        hashed_features_dense,
+        hashed_features_sparse,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    sparse = hashed_features_sparse(df, n_buckets=16)
+    dense = {r["doc_id"]: r["features"] for r in hashed_features_dense(df, n_buckets=16).collect()}
+    # dense rebuilds exactly from sparse; untouched buckets are zero
+    sp = {}
+    for r in sparse.collect():
+        sp.setdefault(r["doc_id"], {})[r["bucket"]] = r["value"]
+    for doc, feats in dense.items():
+        assert len(feats) == 16
+        for b, v in enumerate(feats):
+            assert v == sp.get(doc, {}).get(b, 0)
+    # token-less doc → zero vector, still present
+    assert dense[3] == [0] * 16
+    # doc 1: 'alpha' counted twice through its signed bucket
+    total_abs = sum(abs(v) for v in sp[1].values())
+    assert total_abs <= 4  # 4 tokens, cancellation possible but bounded

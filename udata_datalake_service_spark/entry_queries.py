@@ -3900,6 +3900,30 @@ WHERE rn = 1
 """
 
 
+def q_tx_hashed_features(spark, sf_dir):
+    """Feature hashing (hashing trick, 64 buckets, signed): the
+    vocabulary-free featurizer, attested at the sparse (doc, bucket,
+    value) grain."""
+    from udata_datalake_service_spark.llm.tfidf import hashed_features_sparse
+
+    d = _tw(spark, sf_dir, "documents")
+    return hashed_features_sparse(d, n_buckets=64)
+
+
+_SQL_TX_HASHED = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM x),
+b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+    CASE WHEN ('0x' || substr(md5(term), 9, 1))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM tok
+)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS value
+FROM b GROUP BY doc_id, bucket
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3921,6 +3945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort": q_cohort,
     "pivot_activity": q_pivot_activity,
     "ann_centroid_assign": q_ann_centroid_assign,
+    "tx_hashed_features": q_tx_hashed_features,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -4004,6 +4029,7 @@ ORACLES: dict[str, str] = {
     "cohort": _SQL_COHORT,
     "pivot_activity": _SQL_PIVOT,
     "ann_centroid_assign": _SQL_ANN_CENTROID,
+    "tx_hashed_features": _SQL_TX_HASHED,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

@@ -164,3 +164,71 @@ def vocab_coverage(
             F.round(F.col("covered_occurrences") / F.col("total_occurrences"), 6),
         )
     )
+
+
+def hashed_features_sparse(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (the hashing trick): term counts folded into a
+    fixed ``n_buckets``-dim space with a second-hash sign to debias
+    collisions (Weinberger et al., ICML'09) — the vocabulary-free
+    featurizer for downstream linear models / sketches.
+
+    Bucket and sign are md5-derived (engine-exact, no seed state):
+    bucket = first 32 md5 bits mod n_buckets, sign = 9th hex digit's
+    parity. Output is the SPARSE grain (id, bucket, value) — one row per
+    touched bucket including signed-cancelled zeros, exactly replayable
+    in SQL; ``hashed_features_dense`` assembles the array form.
+
+    Shape: explode → groupBy(id, bucket) integer sum — map-side combined,
+    the shuffle carries (id, bucket, count) longs only.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t"))
+    h = F.md5(F.col("t"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").alias("value"))
+        .select(F.col("id").alias(id_col), "bucket", "value")
+    )
+
+
+def hashed_features_dense(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense array<long> assembly of ``hashed_features_sparse`` (map
+    lookup over a bucket sequence — no extra shuffle past the sparse
+    aggregate). Token-less documents yield the zero vector."""
+    sparse = hashed_features_sparse(df, n_buckets, text=text, id_col=id_col)
+    assembled = (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "value"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda b: F.coalesce(F.element_at(F.col("m"), b.cast("long")), F.lit(0)),
+            ).alias("features"),
+        )
+    )
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_buckets)])
+    return (
+        df.select(F.col(id_col))
+        .distinct()
+        .join(assembled, on=id_col, how="left")
+        .select(id_col, F.coalesce("features", zero).alias("features"))
+    )
