@@ -124,3 +124,54 @@ def test_date_partitioned_checks_prune_on_date_filter(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "check_date" in pf_line
     assert df.count() == 20
+
+
+def test_morton_key_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort, measured on real parquet stats:
+    range-partition+sort lineitem by (a) l_orderkey and (b) the morton
+    interleave of both keys; with (a), every file's l_partkey min/max span
+    is ~the full domain (no skipping possible on partkey predicates); with
+    (b), BOTH columns' per-file spans shrink — the property that lets
+    row-group stats prune scans on either column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.functions.hashing import morton_key
+
+    # 6-bit quantized domains + 32 files: each file's z-span then pins the
+    # top 3 bits of BOTH dimensions (span ~ domain/8). The quantization
+    # width is the call-site policy morton_key documents.
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .withColumn("a", F.col("l_orderkey") % 64)
+        .withColumn("b", F.col("l_partkey") % 64)
+    )
+
+    def spans(path: str, col: str) -> float:
+        import glob
+
+        total, n = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += st.max - st.min
+                n += 1
+        return total / max(n, 1)
+
+    p1 = str(tmp_path / "by_orderkey")
+    li.repartitionByRange(32, "a").sortWithinPartitions("a").write.parquet(p1)
+    p2 = str(tmp_path / "by_morton")
+    z = morton_key(F.col("a"), F.col("b"), bits=6)
+    li.withColumn("z", z).repartitionByRange(32, "z").sortWithinPartitions(
+        "z"
+    ).drop("z").write.parquet(p2)
+
+    domain = 63
+    # single-column sort leaves partkey unclustered: near-full span per file
+    assert spans(p1, "b") > 0.8 * domain
+    # morton shrinks BOTH dimensions' spans well below the domain
+    assert spans(p2, "b") < 0.5 * domain
+    assert spans(p2, "a") < 0.5 * domain

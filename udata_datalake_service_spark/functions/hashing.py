@@ -42,3 +42,30 @@ def minhash_hex(token_array: Column, seed: int) -> Column:
         token_array, lambda t: F.md5(F.concat(F.lit(str(seed) + "|"), t))
     )
     return F.array_min(hashed)
+
+
+def morton_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative columns quantized to
+    ``bits`` bits each — the multi-column clustering key ZORDER/liquid
+    clustering uses: sorting by it keeps rows close in BOTH dimensions, so
+    parquet row-group min/max stats bound both columns and scans with a
+    predicate on EITHER column skip row groups (single-column sort gives
+    this for one column only; pinned by test_scale_ops).
+
+    Columns must already be non-negative integers in [0, 2^bits); callers
+    quantize (e.g. ``F.col("x") % (1<<bits)`` or a rank bucket) — this
+    function interleaves, deliberately leaving the domain mapping policy
+    at the call site. Pure bit arithmetic (whole-stage codegen).
+    """
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1))
+        acc = (
+            acc
+            + F.shiftleft(bit_a, 2 * i + 1).cast("long")
+            + F.shiftleft(bit_b, 2 * i).cast("long")
+        )
+    return acc
