@@ -150,6 +150,7 @@ _NESTED_LOOP_OK = {
     "ann_topk",  # folded entry includes the broadcast brute-force baseline
     "tfidf_vocab",  # 1-row corpus-size anchor broadcast into the scorer
     "a9_quantiles",  # 1-row quantile-pass x 1-row distinct-pass cross join
+    "ann_centroid_assign",  # documented broadcast of the k centroid rows
 }
 
 
