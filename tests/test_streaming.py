@@ -310,3 +310,42 @@ def test_streaming_dedup_watermarked_bounds_state(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_wm").collect())
     assert 3 in ids
     assert len([i for i in ids if i in (1, 2)]) == 1
+
+
+@pytest.mark.slow
+def test_chunking_streams_unchanged(spark, tmp_path):
+    """chunk_documents is map-only, so the SAME plan runs over readStream
+    with no watermark/state — batch≡stream output, the property that lets
+    the chunking step sit in the ingest stream."""
+    from udata_datalake_service_spark.llm.packing import chunk_documents
+    from udata_datalake_service_spark.streaming.dedup_stream import (
+        DOCUMENTS_SCHEMA,
+        stream_documents,
+    )
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(3 + 7 * (i % 5))), "en", "s", 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    df.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(df, size=8, overlap=2).collect()
+    }
+    out = chunk_documents(stream_documents(spark, src, max_files_per_trigger=1), size=8, overlap=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM chunks_stream").collect()
+    }
+    assert got == batch and len(got) > 40
