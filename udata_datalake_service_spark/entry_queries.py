@@ -3924,6 +3924,77 @@ FROM b GROUP BY doc_id, bucket
 """
 
 
+def q_sla_streaks(spark, sf_dir):
+    """Availability/SLA report with gaps-and-islands: per user, check
+    count, error count, availability ratio, and the LONGEST consecutive
+    error run (rn − rn-within-errors island grouping — the classic streak
+    idiom the dashboards' plain aggregates can't express)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        _us(F.col("ts")).alias("us"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    with_rn = base.withColumn("rn", F.row_number().over(w))
+    errs = with_rn.filter(F.col("is_err")).withColumn(
+        "rn2", F.row_number().over(w)
+    )
+    streaks = (
+        errs.groupBy("user_id", (F.col("rn") - F.col("rn2")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest_error_streak"))
+    )
+    totals = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_checks"),
+        F.count_if(F.col("is_err")).alias("n_errors"),
+    )
+    return (
+        totals.join(streaks, on="user_id", how="left")
+        .select(
+            "user_id",
+            "n_checks",
+            "n_errors",
+            F.round(1 - F.col("n_errors") / F.col("n_checks"), 6).alias("availability"),
+            F.coalesce("longest_error_streak", F.lit(0)).cast("long").alias(
+                "longest_error_streak"
+            ),
+        )
+    )
+
+
+_SQL_SLA = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type = 'error' AS is_err
+  FROM events
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM base
+),
+errs AS (
+  SELECT user_id,
+    rn - row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS grp
+  FROM rn WHERE is_err
+),
+streaks AS (
+  SELECT user_id, max(len) AS longest_error_streak FROM (
+    SELECT user_id, grp, count(*) AS len FROM errs GROUP BY 1, 2
+  ) GROUP BY user_id
+),
+totals AS (
+  SELECT user_id, count(*) AS n_checks, count(*) FILTER (WHERE is_err) AS n_errors
+  FROM base GROUP BY user_id
+)
+SELECT t.user_id, t.n_checks, t.n_errors,
+  round(1 - t.n_errors / CAST(t.n_checks AS DOUBLE), 6) AS availability,
+  coalesce(s.longest_error_streak, 0) AS longest_error_streak
+FROM totals t LEFT JOIN streaks s USING (user_id)
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -3946,6 +4017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_activity": q_pivot_activity,
     "ann_centroid_assign": q_ann_centroid_assign,
     "tx_hashed_features": q_tx_hashed_features,
+    "sla_streaks": q_sla_streaks,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -4030,6 +4102,7 @@ ORACLES: dict[str, str] = {
     "pivot_activity": _SQL_PIVOT,
     "ann_centroid_assign": _SQL_ANN_CENTROID,
     "tx_hashed_features": _SQL_TX_HASHED,
+    "sla_streaks": _SQL_SLA,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,
