@@ -336,3 +336,35 @@ def test_compact_table_missing_raises(spark, tmp_path):
     lake = Lake(spark, str(tmp_path / "lake"))
     with _p.raises(FileNotFoundError):
         lake.compact_table("nope", app_table=True)
+
+
+def test_append_exactly_once_dedups_retries_and_survives_crash(spark, tmp_path):
+    """The exactly-once contract: a retried batch_id never double-appends,
+    and a crash BETWEEN data write and manifest flip (simulated by an
+    uncommitted version dir) leaves the table without the batch so the
+    retry commits it exactly once."""
+    from pathlib import Path
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b2 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    assert lake.append_app_table_exactly_once(b1, "t", "batch-1") is True
+    # retry of the same batch: no-op, no duplicates
+    assert lake.append_app_table_exactly_once(b1, "t", "batch-1") is False
+    assert lake.read_app_table("t").count() == 2
+
+    # crash window: a fully-written but UNCOMMITTED version (no manifest
+    # flip) — readers still see the old version; the retry commits cleanly
+    base = Path(str(tmp_path / "lake" / "t"))
+    stale = base / "v-crashed"
+    b2.write.mode("overwrite").parquet(str(stale))
+    assert lake.read_app_table("t").count() == 2  # crash invisible
+    assert lake.append_app_table_exactly_once(b2, "t", "batch-2") is True
+    rows = {(r["id"], r["v"]) for r in lake.read_app_table("t").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    # and batch-2 retry is now a no-op too
+    assert lake.append_app_table_exactly_once(b2, "t", "batch-2") is False
+    assert lake.read_app_table("t").count() == 3

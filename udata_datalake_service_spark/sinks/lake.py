@@ -435,3 +435,45 @@ class Lake:
             "files_after": int(n_out),
             "bytes": int(total),
         }
+
+    # ------------------------------------------------ idempotent appends ----
+    def append_app_table_exactly_once(self, df: DataFrame, name: str, batch_id: str) -> bool:
+        """Exactly-once append for retrying producers: an append tagged
+        with a ``batch_id`` commits at most once, no matter how many times
+        the caller retries after crashes or lost acks (the failure mode
+        plain ``append_app_table`` double-writes on).
+
+        The committed-batch ledger (``_batches.json``) lives INSIDE each
+        version dir, so ledger and data flip together under the one atomic
+        MANIFEST replace: a crash at any point leaves the previous version
+        (without the batch) and a retry re-runs cleanly; after the flip,
+        retries see the id in the ledger and no-op. Returns True if this
+        call committed the batch, False if it was already committed.
+
+        Cost model: each append rewrites the table (read current ∪ new →
+        new version) — right for the modest control tables this lake
+        serves (catalog/checks at test scale); a 100 TB append-heavy table
+        wants a real commit-log format (Delta/Iceberg), whose transaction
+        ids this surface mirrors deliberately.
+        """
+        import json as _json
+
+        base = Path(self.app_table_path(name))
+        cur = self._current_dir(base)
+        ledger: list[str] = []
+        if cur is not None and (cur / "_batches.json").exists():
+            ledger = _json.loads((cur / "_batches.json").read_text())
+        if batch_id in ledger:
+            return False
+        new = df if cur is None else self.spark.read.parquet(str(cur)).unionByName(df)
+        ver = self._new_version()
+        new.write.mode("overwrite").parquet(str(base / ver))
+        lf = base / ver / "_batches.json"
+        lf.write_text(_json.dumps(ledger + [batch_id]))
+        fd = os.open(lf, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        self._commit_version(base, ver)
+        return True
