@@ -368,3 +368,17 @@ def test_append_exactly_once_dedups_retries_and_survives_crash(spark, tmp_path):
     # and batch-2 retry is now a no-op too
     assert lake.append_app_table_exactly_once(b2, "t", "batch-2") is False
     assert lake.read_app_table("t").count() == 3
+
+
+def test_service_availability_report(spark, tmp_path, catalog_df, checks_df):
+    from udata_datalake_service_spark.service import HydraService
+
+    lake = Lake(spark, str(tmp_path / "svc_lake2"))
+    lake.write_app_table(catalog_df, "catalog")
+    lake.write_app_table(checks_df, "checks")
+    svc = HydraService(spark, lake)
+    rep = {r["resource_id"]: r for r in svc.availability_report().collect()}
+    assert rep, "empty report"
+    for r in rep.values():
+        assert 0.0 <= r["availability"] <= 1.0
+        assert r["longest_failure_streak"] <= r["n_failures"]

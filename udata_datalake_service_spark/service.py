@@ -161,3 +161,65 @@ class HydraService:
             return {"ok": True, "catalog_reachable": True, "sample_rows": n}
         except Exception as e:  # noqa: BLE001
             return {"ok": False, "error": str(e)}
+
+    # ---------------------------------------------- beyond-ref analytics ----
+    # The serving-plane face of the analytics operators this engine adds on
+    # top of the reference's route table: availability SLAs over the checks
+    # series, and funnel/cohort over any keyed event frame (the reference
+    # has no events plane; these take the frame explicitly).
+
+    def availability_report(self) -> DataFrame:
+        """Per-resource availability + longest consecutive-failure streak
+        over the checks series (gaps-and-islands; failure = status absent
+        or outside [200, 400))."""
+        from pyspark.sql import Window
+
+        c = self.checks.select(
+            "resource_id",
+            "id",
+            F.unix_micros(F.col("created_at").cast("timestamp")).alias("us"),
+            (
+                F.col("status").isNull()
+                | (F.col("status") < 200)
+                | (F.col("status") >= 400)
+            ).alias("is_err"),
+        )
+        w = Window.partitionBy("resource_id").orderBy("us", "id")
+        with_rn = c.withColumn("rn", F.row_number().over(w))
+        errs = with_rn.filter(F.col("is_err")).withColumn("rn2", F.row_number().over(w))
+        streaks = (
+            errs.groupBy("resource_id", (F.col("rn") - F.col("rn2")).alias("g"))
+            .agg(F.count(F.lit(1)).alias("len"))
+            .groupBy("resource_id")
+            .agg(F.max("len").alias("longest_failure_streak"))
+        )
+        totals = c.groupBy("resource_id").agg(
+            F.count(F.lit(1)).alias("n_checks"),
+            F.count_if(F.col("is_err")).alias("n_failures"),
+        )
+        return (
+            totals.join(streaks, on="resource_id", how="left")
+            .select(
+                "resource_id",
+                "n_checks",
+                "n_failures",
+                F.round(1 - F.col("n_failures") / F.col("n_checks"), 6).alias(
+                    "availability"
+                ),
+                F.coalesce("longest_failure_streak", F.lit(0)).cast("long").alias(
+                    "longest_failure_streak"
+                ),
+            )
+        )
+
+    def funnel(self, events: DataFrame, steps: list[str], horizon_s: int, **kw) -> DataFrame:
+        """Window-funnel depth per key (operators/funnel.funnel_levels)."""
+        from udata_datalake_service_spark.operators.funnel import funnel_levels
+
+        return funnel_levels(events, steps, horizon_s, **kw)
+
+    def cohort_retention(self, events: DataFrame, **kw) -> DataFrame:
+        """Cohort retention matrix (operators/funnel.cohort_retention)."""
+        from udata_datalake_service_spark.operators.funnel import cohort_retention
+
+        return cohort_retention(events, **kw)
