@@ -504,3 +504,55 @@ def test_cohort_retention_golden(spark):
     assert got[(d0 + 2, 0)] == (1, 1, 1.0)
     assert got[(d0 + 2, 1)] == (1, 1, 1.0)
     assert set(got) == {(d0, 0), (d0, 2), (d0 + 2, 0), (d0 + 2, 1)}
+
+
+# -------------------------------------------------------------- sketches --
+def test_ndv_sketches_merge_equals_full_rescan(spark, sf_dir):
+    """The incremental contract: per-source sketches union-merged land
+    within the sketch error bound of the exact distinct count — same bound
+    as a one-pass sketch of the whole table. (Bit-equality with the
+    one-pass sketch does NOT hold: a single stream can stay in sparse/
+    exact mode while a union promotes to the dense estimator.)"""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.sketches import (
+        merge_ndv,
+        ndv_sketch_table,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = ndv_sketch_table(d, ["source"], ["doc_id", "lang"])
+    merged = merge_ndv(per_source, ["doc_id", "lang"]).collect()[0]
+
+    exact = d.agg(
+        F.count_distinct("doc_id").alias("d"), F.count_distinct("lang").alias("l")
+    ).collect()[0]
+    assert abs(merged["doc_id_ndv"] - exact["d"]) <= 0.05 * exact["d"]
+    assert merged["lang_ndv"] == exact["l"]  # tiny cardinality: sketch exact
+
+
+def test_ndv_sketch_regroup_daily_to_coarse(spark):
+    from udata_datalake_service_spark.operators.sketches import (
+        merge_ndv,
+        ndv_sketch_table,
+    )
+
+    rows = [(d, d // 7, u) for d in range(28) for u in range(d * 3, d * 3 + 50)]
+    df = spark.createDataFrame(rows, "day int, week int, user long")
+    daily = ndv_sketch_table(df, ["day", "week"], ["user"])
+    weekly = {r["week"]: r["user_ndv"] for r in merge_ndv(daily, ["user"], by=["week"]).collect()}
+    # overlapping daily user ranges (stride 3, width 50) union correctly
+    for wk, est in weekly.items():
+        days = range(wk * 7, wk * 7 + 7)
+        exact = len({u for d in days for u in range(d * 3, d * 3 + 50)})
+        assert abs(est - exact) <= max(2, 0.05 * exact), (wk, est, exact)
+
+
+def test_heavy_hitters_finds_true_top(spark):
+    from udata_datalake_service_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 500 + [("warm",)] * 100 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    top = heavy_hitters(df, "v", k=2).collect()
+    assert top[0]["item"] == "hot" and top[0]["count"] == 500
+    assert top[1]["item"] == "warm"
