@@ -3995,6 +3995,38 @@ FROM totals t LEFT JOIN streaks s USING (user_id)
 """
 
 
+def q_variant_props(spark, sf_dir):
+    """Semi-structured plane via Spark 4's VARIANT: parse the events
+    ``props`` JSON once into a variant column, extract a typed field with
+    ``variant_get`` (no per-query re-parse, binary-encoded shredding —
+    the at-scale JSON story vs. get_json_object's string re-walks), band
+    it, and aggregate per (event_type, band)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        v.withColumn("k", k)
+        .withColumn("k_band", F.expr("k DIV 25"))
+        .groupBy("event_type", "k_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_VARIANT = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, k // 25 AS k_band, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type, k // 25
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4018,6 +4050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_centroid_assign": q_ann_centroid_assign,
     "tx_hashed_features": q_tx_hashed_features,
     "sla_streaks": q_sla_streaks,
+    "variant_props": q_variant_props,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -4103,6 +4136,7 @@ ORACLES: dict[str, str] = {
     "ann_centroid_assign": _SQL_ANN_CENTROID,
     "tx_hashed_features": _SQL_TX_HASHED,
     "sla_streaks": _SQL_SLA,
+    "variant_props": _SQL_VARIANT,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,
