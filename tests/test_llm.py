@@ -895,3 +895,18 @@ def test_hashed_features_sparse_dense_consistency(spark):
     # doc 1: 'alpha' counted twice through its signed bucket
     total_abs = sum(abs(v) for v in sp[1].values())
     assert total_abs <= 4  # 4 tokens, cancellation possible but bounded
+
+
+def test_clean_text_golden(spark):
+    from udata_datalake_service_spark.llm.text import clean_text
+
+    cases = {
+        "“Hello” — it’s here…\x07​": '"Hello" - it\'s here...',
+        "a  \t b\n\n\n\nc": "a b\n\nc",
+        "  x \n y  ": "x\ny",
+        "keep\nsingle\n\ndouble": "keep\nsingle\n\ndouble",
+        "nb sp and narrow": "nb sp and narrow",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {r["t"]: r["c"] for r in df.select("t", clean_text(F.col("t")).alias("c")).collect()}
+    assert got == cases

@@ -4027,6 +4027,54 @@ FROM x GROUP BY event_type, k // 25
 """
 
 
+def q_tx_clean(spark, sf_dir):
+    """C4/CCNet-style text normalization, attested through deterministic
+    noise: decorate each document with curly quotes, an em-dash, ellipsis,
+    NBSP, a zero-width space, and a control char, then clean — the output
+    md5/length only match the oracle if every fold/strip/collapse rule
+    fires identically in both engines."""
+    from udata_datalake_service_spark.llm.text import clean_text
+
+    d = _tw(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("​“Note” — "),
+        F.col("text"),
+        F.lit(" … \x07end  "),
+    )
+    c = clean_text(noisy)
+    return d.select(
+        "doc_id",
+        F.md5(c).alias("clean_md5"),
+        F.length(c).cast("long").alias("clean_len"),
+    )
+
+
+def _sql_tx_clean() -> str:
+    from udata_datalake_service_spark.llm.text import _FOLD_FROM, _FOLD_TO, _STRIP_RE
+
+    fold_to = _FOLD_TO.replace("'", "''")
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+    '​“Note” — ' || text || ' … ' || chr(7) || 'end  ' AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, trim(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      replace(translate(t, '{_FOLD_FROM}', '{fold_to}'), '…', '...'),
+      '{_STRIP_RE}', '', 'g'),
+      '[ \t]+', ' ', 'g'),
+      '\n{{3,}}', '\n\n', 'g'),
+      ' ?\n ?', '\n', 'g')) AS ct
+  FROM noisy
+)
+SELECT doc_id, md5(ct) AS clean_md5, length(ct) AS clean_len FROM c
+"""
+
+
+_SQL_TX_CLEAN = _sql_tx_clean()
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4051,6 +4099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_hashed_features": q_tx_hashed_features,
     "sla_streaks": q_sla_streaks,
     "variant_props": q_variant_props,
+    "tx_clean": q_tx_clean,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -4137,6 +4186,7 @@ ORACLES: dict[str, str] = {
     "tx_hashed_features": _SQL_TX_HASHED,
     "sla_streaks": _SQL_SLA,
     "variant_props": _SQL_VARIANT,
+    "tx_clean": _SQL_TX_CLEAN,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

@@ -206,3 +206,36 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("lang_detected", detect_language(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# 1:1 typographic fold: curly quotes -> straight, en/em/horizontal-bar
+# dashes -> '-', NBSP/narrow-NBSP -> space (single chars both sides, so
+# translate() does it in one pass; the 1-to-3 ellipsis uses replace)
+_FOLD_FROM = "‘’‚“”„–—―  "
+_FOLD_TO = "'''\"\"\"---  "
+# stripped outright: C0/C1 controls (minus tab/newline/CR) + zero-width/bidi.
+# Escape-sequence SOURCE form (\xhh / \x{hhhh}) — interpreted identically by
+# Java regex and RE2/DuckDB, and safe to embed verbatim in oracle SQL (no
+# raw control bytes in any literal).
+_STRIP_RE = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"
+    r"\x{200b}-\x{200f}\x{2060}\x{feff}]"
+)
+
+
+def clean_text(text_col: Column) -> Column:
+    """C4/CCNet-style text normalization — the cleanup pass upstream of
+    every curation gate: fold typographic quotes/dashes/NBSP to ASCII,
+    expand the ellipsis, strip control and zero-width/bidi characters,
+    collapse runs of spaces/tabs to one space and 3+ newlines to one
+    paragraph break, drop spaces hugging a newline, trim. Pure
+    translate/replace/regexp chain (whole-stage codegen); the oracle
+    replays the same patterns as literal characters built in Python, so
+    there is no engine-specific escape syntax to desync."""
+    s = F.translate(text_col, _FOLD_FROM, _FOLD_TO)
+    s = F.replace(s, F.lit("…"), F.lit("..."))
+    s = F.regexp_replace(s, _STRIP_RE, "")
+    s = F.regexp_replace(s, "[ \t]+", " ")
+    s = F.regexp_replace(s, "\n{3,}", "\n\n")
+    s = F.regexp_replace(s, " ?\n ?", "\n")
+    return F.trim(s)
