@@ -910,3 +910,20 @@ def test_clean_text_golden(spark):
     df = spark.createDataFrame([(t,) for t in cases], "t string")
     got = {r["t"]: r["c"] for r in df.select("t", clean_text(F.col("t")).alias("c")).collect()}
     assert got == cases
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    import math
+
+    from udata_datalake_service_spark.llm.tfidf import unigram_surprisal
+
+    # corpus: 'the' x9 + 'zyx' x1 → p(the)=0.9, p(zyx)=0.1
+    df = spark.createDataFrame(
+        [(1, "the the the the the the the the the"), (2, "zyx"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert got[2]["mean_nll"] > got[1]["mean_nll"]  # rare token = high surprisal
+    assert got[1]["mean_nll"] == pytest.approx(-math.log(0.9), abs=1e-5)
+    assert got[2]["mean_nll"] == pytest.approx(-math.log(0.1), abs=1e-5)
+    assert got[3]["n_tokens"] == 0 and got[3]["mean_nll"] == 0.0

@@ -4075,6 +4075,33 @@ SELECT doc_id, md5(ct) AS clean_md5, length(ct) AS clean_len FROM c
 _SQL_TX_CLEAN = _sql_tx_clean()
 
 
+def q_tx_surprisal(spark, sf_dir):
+    """Perplexity-proxy curation score: per-doc mean negative log-likelihood
+    under the corpus's own unigram LM (fixed-point token-nll sums for an
+    engine-exact mean)."""
+    from udata_datalake_service_spark.llm.tfidf import unigram_surprisal
+
+    d = _tw(spark, sf_dir, "documents")
+    return unigram_surprisal(d)
+
+
+_SQL_TX_SURPRISAL = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id AS id, unnest(t) AS tm FROM x),
+freqs AS (SELECT tm, count(*) AS occ FROM tok GROUP BY tm),
+tot AS (SELECT count(*) AS total FROM tok),
+scored AS (
+  SELECT id, count(*) AS n_tokens,
+    CAST(sum(CAST(round(-ln(occ / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM tok JOIN freqs USING (tm) CROSS JOIN tot GROUP BY id
+)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+  coalesce(round(sc.s / (sc.n_tokens * 1000000.0), 6), 0.0) AS mean_nll
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored sc ON d.doc_id = sc.id
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4100,6 +4127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sla_streaks": q_sla_streaks,
     "variant_props": q_variant_props,
     "tx_clean": q_tx_clean,
+    "tx_surprisal": q_tx_surprisal,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "pack_stream": q_pack_stream,
@@ -4187,6 +4215,7 @@ ORACLES: dict[str, str] = {
     "sla_streaks": _SQL_SLA,
     "variant_props": _SQL_VARIANT,
     "tx_clean": _SQL_TX_CLEAN,
+    "tx_surprisal": _SQL_TX_SURPRISAL,
     "asof_join": _SQL_ASOF,
     "sessionize": _SQL_SESSIONS,
     "pack_stream": _SQL_PACK,

@@ -232,3 +232,57 @@ def hashed_features_dense(
         .join(assembled, on=id_col, how="left")
         .select(id_col, F.coalesce("features", zero).alias("features"))
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Perplexity-proxy scoring with a self-trained unigram LM — the
+    CCNet-style third leg of curation next to heuristic quality and dedup:
+    documents whose tokens are improbable under the corpus's own unigram
+    distribution (gibberish, wrong-language residue, encoding damage)
+    score high; boilerplate scores low.
+
+    Model: p(t) = count(t) / total over the SAME corpus (add-nothing —
+    every scored token was counted, so p > 0 by construction). Score =
+    mean negative log-likelihood per token. The per-token nll is rounded
+    to 1/quantum and summed as exact integers (float addition is
+    partial-aggregation-order dependent; the fixed-point sum makes the
+    mean bit-identical across engines and partitionings — same device as
+    the embedding centroids).
+
+    Shape: one token-frequency aggregate (term-grain shuffle), one join of
+    the exploded tokens against it (broadcast-eligible: the vocab is tiny
+    next to the corpus), one groupBy(doc). Returns (id_col, n_tokens,
+    mean_nll) — mean_nll rounded to 6, NULL-free (token-less docs report
+    0.0).
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t"))
+    freqs = tok.groupBy("t").agg(F.count(F.lit(1)).alias("occ"))
+    total = tok.count()
+    nll_q = F.round(-F.log(F.col("occ") / F.lit(float(total))) * quantum, 0).cast("long")
+    scored = (
+        tok.join(freqs, on="t")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(nll_q).alias("s"))
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.col("s") / (F.col("n_tokens") * F.lit(float(quantum))), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
+        )
+    )
