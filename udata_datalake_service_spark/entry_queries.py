@@ -4102,6 +4102,144 @@ LEFT JOIN scored sc ON d.doc_id = sc.id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1), attested
+    through deterministic noise: each document is doubled (duplicate line
+    + every n-gram duplicated) and decorated with bullet / dash /
+    ellipsis lines, so the repetition family, line-shape rules, and the
+    threshold logic only hash-match if every formula fires identically in
+    both engines."""
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+    d = _tw(spark, sf_dir, "documents")
+    noisy = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.col("text"),
+        F.lit("• alpha beta"),
+        F.lit("- gamma delta"),
+        F.lit("ends like this..."),
+        F.lit("ends like it …"),
+    )
+    return gopher_quality(d.select("doc_id", noisy.alias("text")))
+
+
+def _sql_gopher_quality() -> str:
+    from udata_datalake_service_spark.llm.gopher import (
+        DUP_MAX,
+        DUP_NS,
+        GOPHER_STOPWORDS,
+        TOP_MAX,
+        TOP_NS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    gram_selects = []
+    for n in TOP_NS + DUP_NS:
+        gram_selects.append(
+            f"SELECT doc_id, {n} AS n, unnest(list_transform("
+            f"range(1, greatest(len(wl) - {n} + 2, 1)), "
+            f"i -> array_to_string(list_slice(wl, i, i + {n} - 1), ' '))) AS g "
+            "FROM wlc"
+        )
+    grams_union = "\nUNION ALL\n".join(gram_selects)
+    wide_cols = ", ".join(
+        [f"MAX(CASE WHEN n = {n} THEN top_chars END) AS t{n}" for n in TOP_NS]
+        + [f"MAX(CASE WHEN n = {n} THEN dup_chars END) AS d{n}" for n in DUP_NS]
+    )
+    top_frac_cols = ", ".join(
+        "CASE WHEN word_chars > 0 THEN round(coalesce(t{n}, 0)::DOUBLE / word_chars, 6) ELSE 0.0 END AS top{n}gram_char_frac".format(n=n)
+        for n in TOP_NS
+    )
+    dup_frac_cols = ", ".join(
+        "CASE WHEN word_chars > 0 THEN round(coalesce(d{n}, 0)::DOUBLE / word_chars, 6) ELSE 0.0 END AS dup{n}gram_char_frac".format(n=n)
+        for n in DUP_NS
+    )
+    fail_terms = [
+        "(n_words < 50 OR n_words > 100000)",
+        "(mean_word_len < 3.0 OR mean_word_len > 10.0)",
+        "(symbol_word_ratio > 0.10)",
+        "(bullet_line_frac > 0.90)",
+        "(ellipsis_line_frac > 0.30)",
+        "(frac_alpha_words < 0.80)",
+        "(n_stop_hits < 2)",
+        "(dup_line_frac > 0.30)",
+        "(dup_line_char_frac > 0.20)",
+    ]
+    for n in TOP_NS:
+        fail_terms.append(f"(top{n}gram_char_frac > {TOP_MAX[n]})")
+    for n in DUP_NS:
+        fail_terms.append(f"(dup{n}gram_char_frac > {DUP_MAX[n]})")
+    n_fail = " + ".join(f"CASE WHEN {t} THEN 1 ELSE 0 END" for t in fail_terms)
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+    text || chr(10) || text || chr(10) || '• alpha beta' || chr(10) ||
+    '- gamma delta' || chr(10) || 'ends like this...' || chr(10) ||
+    'ends like it …' AS t
+  FROM documents
+), split0 AS (
+  SELECT doc_id, t,
+    list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS w,
+    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+  FROM noisy
+), b AS (
+  SELECT doc_id, w, lines,
+    len(w) AS n_words,
+    len(lines) AS n_lines,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS word_chars,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+    coalesce(list_sum(list_transform(list_distinct(lines),
+      d -> (len(list_filter(lines, l -> l = d)) - 1) * length(d))), 0) AS dup_line_chars,
+    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+      [{stop_list}])) AS n_stop_hits,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•‣▪\\-\\*]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellip,
+    len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+    len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
+      + len(regexp_extract_all(t, '…')) AS n_symbols
+  FROM split0
+), sig AS (
+  SELECT doc_id,
+    n_words::BIGINT AS n_words,
+    CASE WHEN n_words > 0 THEN round(word_chars::DOUBLE / n_words, 6) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN round(n_symbols::DOUBLE / n_words, 6) ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN n_words > 0 THEN round(n_alpha::DOUBLE / n_words, 6) ELSE 0.0 END AS frac_alpha_words,
+    n_stop_hits::BIGINT AS n_stop_hits,
+    CASE WHEN n_lines > 0 THEN round(n_bullet::DOUBLE / n_lines, 6) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN n_lines > 0 THEN round(n_ellip::DOUBLE / n_lines, 6) ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN n_lines > 0 THEN round(n_dup_lines::DOUBLE / n_lines, 6) ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN line_chars > 0 THEN round(dup_line_chars::DOUBLE / line_chars, 6) ELSE 0.0 END AS dup_line_char_frac,
+    word_chars
+  FROM b
+), wlc AS (
+  SELECT doc_id, list_transform(w, x -> lower(x)) AS wl FROM split0
+), grams AS (
+{grams_union}
+), cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+), pern AS (
+  SELECT doc_id, n,
+    MAX(c * (length(g) - (n - 1))) AS top_chars,
+    SUM(CASE WHEN c > 1 THEN c * (length(g) - (n - 1)) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY doc_id, n
+), wide AS (
+  SELECT doc_id, {wide_cols} FROM pern GROUP BY doc_id
+), frac AS (
+  SELECT sig.*, {top_frac_cols}, {dup_frac_cols}
+  FROM sig LEFT JOIN wide USING (doc_id)
+)
+SELECT * EXCLUDE (word_chars),
+  ({n_fail})::BIGINT AS n_fail,
+  ({n_fail}) = 0 AS gopher_pass
+FROM frac
+"""
+
+
+_SQL_GOPHER_QUALITY = _sql_gopher_quality()
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4112,6 +4250,7 @@ LEFT JOIN scored sc ON d.doc_id = sc.id
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
+    "gopher_quality": q_gopher_quality,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4200,6 +4339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
+    "gopher_quality": _SQL_GOPHER_QUALITY,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,

@@ -1,0 +1,219 @@
+"""Gopher-style document quality rules (Rae et al. 2021, Table A1).
+
+The canonical pretraining quality gate: per-document structural signals
+(word count, mean word length, symbol density, bullet/ellipsis line
+ratios, alphabetic-word fraction, required-stopword presence) plus the
+repetition family (duplicate lines, top n-gram character fraction for
+n=2..4, duplicated n-gram character fraction for n=5..10), each compared
+against the published thresholds to a single pass/fail verdict.
+
+No reference counterpart (udata-hydra has no training-data plane); this
+sits in the beyond-reference LLM pipeline next to `text.quality_score`
+(which is a cheap heuristic — THIS is the published rule set).
+
+Execution shape, 100 TB first:
+
+- Everything except the n-gram family is a pure column expression over
+  one row — whole-stage codegen, zero shuffle, runs at scan speed.
+  The duplicate-line character fraction uses a nested higher-order
+  aggregate (O(lines × distinct lines) per doc) — documents have
+  bounded line counts, so this stays cheaper than a per-line explode
+  and keeps the stage map-only.
+- The n-gram family explodes (doc, n, gram) rows — the one genuinely
+  aggregative signal. The groupBy keys are compact strings, partial
+  aggregation collapses duplicates map-side, and the per-(doc, n)
+  reduction is a second partial-agg pass; nothing is ever collected.
+
+Definitions pinned here (reimplementations differ; the DuckDB oracle
+replays these exactly):
+- a *word* is a whitespace-delimited token (case preserved for alpha /
+  symbol checks, lowercased for gram identity and stopwords);
+- gram character length counts word characters only
+  (``length(gram) - (n-1)`` joining spaces excluded), and fractions are
+  over total word characters, not raw text length;
+- top-n-gram fraction uses the single most frequent n-gram (ties
+  resolve by the max product, not a specific gram — only the fraction
+  is reported); duplicated-n-gram fraction sums characters over ALL
+  occurrences of every gram seen more than once (the simple sum, not
+  interval-union coverage — see `dedup.duplicated_span_coverage` for
+  the coverage form across documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Rae et al. 2021 Table A1: "contain at least two of the following
+# English words" — the required-stopword presence gate.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+# published thresholds: fraction of characters in the most frequent
+# n-gram (n=2..4) / in duplicated n-grams (n=5..10)
+TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_WORD_RATIO = 0.10
+MAX_BULLET_LINE_FRAC = 0.90
+MAX_ELLIPSIS_LINE_FRAC = 0.30
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOPWORD_HITS = 2
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+
+_BULLET_RE = r"^\s*[•‣▪\-\*]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def _words(text_col: Column) -> Column:
+    """Whitespace-delimited words, case preserved."""
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+
+
+def _lines(text_col: Column) -> Column:
+    """Non-blank lines (a blank line is structure, not content)."""
+    return F.filter(F.split(text_col, r"\n"), lambda l: F.trim(l) != "")
+
+
+def base_signals(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The map-only signal block: one projection, no shuffle."""
+    t = F.col(text)
+    w = _words(t)
+    lines = _lines(t)
+    nw = F.size(w)
+    nl = F.size(lines)
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    # chars of every repeat beyond a line's first occurrence
+    dup_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + (F.size(F.filter(lines, lambda l: l == d)) - 1) * F.length(d),
+    )
+    frac = lambda num, den: F.when(den > 0, F.round(num.cast("double") / den, 6)).otherwise(F.lit(0.0))  # noqa: E731
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        frac(word_chars, nw).alias("mean_word_len"),
+        frac(
+            F.regexp_count(t, F.lit(r"#"))
+            + F.regexp_count(t, F.lit(r"\.\.\."))
+            + F.regexp_count(t, F.lit(r"…")),
+            nw,
+        ).alias("symbol_word_ratio"),
+        frac(F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))), nw).alias(
+            "frac_alpha_words"
+        ),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        frac(F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))), nl).alias(
+            "bullet_line_frac"
+        ),
+        frac(F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))), nl).alias(
+            "ellipsis_line_frac"
+        ),
+        frac(nl - F.size(F.array_distinct(lines)), nl).alias("dup_line_frac"),
+        frac(dup_line_chars, line_chars).alias("dup_line_char_frac"),
+        word_chars.alias("_word_chars"),
+    )
+
+
+def ngram_repetition(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n, gram) explode → per-(doc, n) top/dup character sums →
+    one wide row per doc. Both groupBys partial-aggregate map-side; the
+    shuffle keys are (id, n, gram) strings then (id, n) — never arrays."""
+    wl = F.transform(_words(F.col(text)), F.lower)
+
+    def _gram_lambda(n):
+        # NB: a 2-arg lambda would make transform() pass (element, index) —
+        # bind n through a closure factory, never a default arg
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(wl, i, n), " ").alias("g"),
+        )
+
+    ns = TOP_NS + DUP_NS
+    gram_cols = []
+    for n in ns:
+        npos = F.size(wl) - F.lit(n - 1)
+        grams_n = F.when(
+            npos >= 1,
+            F.transform(F.sequence(F.lit(1), npos), _gram_lambda(n)),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+        gram_cols.append(grams_n)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*gram_cols))).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = exploded.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn(
+        "wchars", F.col("c") * (F.length("g") - (F.col("n") - 1))
+    )
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max(F.col("wchars")).alias("top_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("wchars")).otherwise(0)).alias("dup_chars"),
+    )
+    aggs = []
+    for n in TOP_NS:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top{n}")
+        )
+    for n in DUP_NS:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"_dup{n}")
+        )
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
+def gopher_quality(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full Gopher rule table: every signal column, the number of failed
+    rules, and the pass verdict. One map-only block left-joined with the
+    n-gram aggregate on the document id (a single co-partitioned shuffle)."""
+    base = base_signals(df, text=text, id_col=id_col)
+    reps = ngram_repetition(df, text=text, id_col=id_col)
+    j = base.join(reps, on=id_col, how="left")
+    gfrac = lambda c: F.when(  # noqa: E731
+        F.col("_word_chars") > 0,
+        F.round(F.coalesce(c, F.lit(0)).cast("double") / F.col("_word_chars"), 6),
+    ).otherwise(F.lit(0.0))
+    for n in TOP_NS:
+        j = j.withColumn(f"top{n}gram_char_frac", gfrac(F.col(f"_top{n}")))
+    for n in DUP_NS:
+        j = j.withColumn(f"dup{n}gram_char_frac", gfrac(F.col(f"_dup{n}")))
+    fails = [
+        (F.col("n_words") < MIN_WORDS) | (F.col("n_words") > MAX_WORDS),
+        (F.col("mean_word_len") < MIN_MEAN_WORD_LEN)
+        | (F.col("mean_word_len") > MAX_MEAN_WORD_LEN),
+        F.col("symbol_word_ratio") > MAX_SYMBOL_WORD_RATIO,
+        F.col("bullet_line_frac") > MAX_BULLET_LINE_FRAC,
+        F.col("ellipsis_line_frac") > MAX_ELLIPSIS_LINE_FRAC,
+        F.col("frac_alpha_words") < MIN_ALPHA_WORD_FRAC,
+        F.col("n_stop_hits") < MIN_STOPWORD_HITS,
+        F.col("dup_line_frac") > MAX_DUP_LINE_FRAC,
+        F.col("dup_line_char_frac") > MAX_DUP_LINE_CHAR_FRAC,
+    ]
+    for n in TOP_NS:
+        fails.append(F.col(f"top{n}gram_char_frac") > TOP_MAX[n])
+    for n in DUP_NS:
+        fails.append(F.col(f"dup{n}gram_char_frac") > DUP_MAX[n])
+    n_fail = sum(f.cast("int") for f in fails)
+    return j.withColumn("n_fail", n_fail.cast("long")).withColumn(
+        "gopher_pass", F.col("n_fail") == 0
+    ).drop("_word_chars", *[f"_top{n}" for n in TOP_NS], *[f"_dup{n}" for n in DUP_NS])
