@@ -927,3 +927,28 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     assert got[1]["mean_nll"] == pytest.approx(-math.log(0.9), abs=1e-5)
     assert got[2]["mean_nll"] == pytest.approx(-math.log(0.1), abs=1e-5)
     assert got[3]["n_tokens"] == 0 and got[3]["mean_nll"] == 0.0
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    from udata_datalake_service_spark.llm.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),       # identical twin of 1 -> the dup pair
+        (3, [0.6, 0.8], 0),       # same cluster, cos 0.6 to twins -> kept
+        (4, [-1.0, 0.0], 1),      # other cluster, alone -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert len(out) == 4
+    # twins tie on centroid_cos -> the lower id dominates, higher id drops
+    assert out[1]["is_dup"] is False
+    assert out[2]["is_dup"] is True
+    assert out[3]["is_dup"] is False
+    assert out[4]["is_dup"] is False
+    assert out[1]["cluster"] == 0 and out[4]["cluster"] == 1
+    assert out[1]["centroid_cos"] == out[2]["centroid_cos"]
+    # the outlier is farther from the centroid than the twins
+    assert out[3]["centroid_cos"] < out[1]["centroid_cos"]

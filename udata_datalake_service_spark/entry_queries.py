@@ -4240,6 +4240,60 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: per-label fixed-point centroids
+    → nearest-centroid clusters → within-cluster pairwise cosine; a vector
+    is a semantic dup when a same-cluster neighbor within the threshold
+    has strictly lower centroid-cosine (keep-the-outlier rule, ties to
+    the lower id). τ=0.30 fits the synthetic corpus's cosine range
+    (production embeddings run ~0.9); the rule logic is τ-independent."""
+    from udata_datalake_service_spark.llm.similarity import semantic_dedup
+
+    e = _tw(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.30)
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT label,
+          unnest(list_transform(range(1, len(v) + 1),
+            i -> struct_pack(pos := i, x := v[i]))) AS u
+        FROM e)
+),
+g AS (SELECT label, pos, sum(q) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label AS clabel, list(s / (n * 1000000.0) ORDER BY pos) AS c
+  FROM g GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, cent.clabel,
+    ROUND(list_dot_product(e.v, cent.c) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) AS cos
+  FROM e CROSS JOIN cent
+),
+asg AS (
+  SELECT vec_id AS id, clabel AS cluster, cos AS ccos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+mem AS (SELECT a.id, a.cluster, a.ccos, e.v FROM asg a JOIN e ON e.vec_id = a.id),
+dropped AS (
+  SELECT DISTINCT x.id
+  FROM mem x JOIN mem y
+    ON x.cluster = y.cluster AND x.id <> y.id
+   AND ROUND(list_dot_product(x.v, y.v) /
+       (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.30
+   AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.id < x.id))
+)
+SELECT m.id AS vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       m.ccos AS centroid_cos, (d.id IS NOT NULL) AS is_dup
+FROM mem m LEFT JOIN dropped d ON m.id = d.id
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4251,6 +4305,7 @@ _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
     "gopher_quality": q_gopher_quality,
+    "semantic_dedup": q_semantic_dedup,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4340,6 +4395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
     "gopher_quality": _SQL_GOPHER_QUALITY,
+    "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,

@@ -599,3 +599,74 @@ def kmeans_fit(
     return assign.select(
         id_col, F.col("assigned_label").alias("cluster"), "cos"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    cluster-bucketed pairwise cosine — the embedding-space complement to
+    MinHash/SimHash (which only see token overlap).
+
+    Cluster first (per-label fixed-point centroids + nearest-centroid
+    assignment — swap in `kmeans_fit` clusters for unlabeled corpora),
+    then compare pairs ONLY within a cluster: the quadratic pair search
+    the naive form needs collapses to an equi-join on the cluster id,
+    which is the paper's entire scaling argument (k clusters of n/k
+    vectors → n²/k pair work, shuffled on a short key).
+
+    Keep rule (the paper's best variant): within a duplicate pair, KEEP
+    the vector with the LOWER cosine to its centroid (the outlier carries
+    more information; boilerplate sits near the centroid). A vector is
+    dropped iff some same-cluster vector sits within `threshold` cosine
+    of it AND has strictly lower centroid-cosine (ties break to the lower
+    id). The rule is pairwise — no sequential greedy state — so it is
+    exactly replayable in SQL and independent of partitioning.
+
+    Returns (id_col, cluster, centroid_cos, is_dup): one row per input
+    vector, `is_dup = true` meaning a curation pass should drop it.
+    Cosines round to 6 before every comparison (cross-engine equality).
+    """
+    cents = label_centroids(df, vec=vec, label_col=label_col)
+    assigned = assign_nearest_centroid(
+        df, cents, vec=vec, id_col=id_col, label_col=label_col
+    )
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec)).alias("v"))
+    mem = (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col("assigned_label").alias("cluster"),
+            F.col("cos").alias("centroid_cos"),
+        )
+        .join(base, on="id")
+    )
+    x, y = mem.alias("x"), mem.alias("y")
+    pair_cos = F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
+    dominated = (
+        (F.col("y.centroid_cos") < F.col("x.centroid_cos"))
+        | (
+            (F.col("y.centroid_cos") == F.col("x.centroid_cos"))
+            & (F.col("y.id") < F.col("x.id"))
+        )
+    )
+    dropped = x.join(
+        y,
+        (F.col("x.cluster") == F.col("y.cluster"))
+        & (F.col("x.id") != F.col("y.id"))
+        & (pair_cos >= F.lit(threshold))
+        & dominated,
+        "left_semi",
+    ).select(F.col("id"), F.lit(True).alias("__dup"))
+    return (
+        mem.join(dropped, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("centroid_cos"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
