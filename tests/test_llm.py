@@ -952,3 +952,29 @@ def test_semantic_dedup_drops_higher_id_twin(spark):
     assert out[1]["centroid_cos"] == out[2]["centroid_cos"]
     # the outlier is farther from the centroid than the twins
     assert out[3]["centroid_cos"] < out[1]["centroid_cos"]
+
+
+def test_dsir_log_weights_direction(spark):
+    from udata_datalake_service_spark.llm.tfidf import dsir_log_weights
+
+    rows = [
+        (1, "good clean prose here", True),
+        (2, "good clean text here", True),
+        (3, "junk spam junk spam", False),
+        (4, "good clean prose here", False),   # raw doc that looks target-like
+        (5, "junk spam junk noise", False),
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_log_weights(df, F.col("tgt"), n_buckets=64).collect()
+    }
+    assert len(out) == 6
+    # 4 unigrams + 3 bigrams
+    assert out[1]["n_feats"] == 7
+    assert out[6]["n_feats"] == 0 and out[6]["log_weight"] == 0.0
+    # target-like raw doc scores higher than spam docs
+    assert out[4]["log_weight"] > out[3]["log_weight"]
+    assert out[4]["log_weight"] > out[5]["log_weight"]
+    assert out[4]["log_weight"] > 0 > out[3]["log_weight"]

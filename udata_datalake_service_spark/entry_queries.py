@@ -4240,6 +4240,59 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with English documents as the target
+    distribution: hashed unigram+bigram bucket LMs (add-1 smoothed,
+    md5 buckets) and per-doc fixed-point log-ratio sums."""
+    from udata_datalake_service_spark.llm.tfidf import dsir_log_weights
+
+    d = _tw(spark, sf_dir, "documents")
+    return dsir_log_weights(d, F.col("lang") == "en", n_buckets=256)
+
+
+_SQL_DSIR = f"""
+WITH d AS (SELECT doc_id, (lang = 'en') AS tgt, {_SQL_TOKS} AS t FROM documents),
+f AS (
+  SELECT doc_id, tgt,
+    unnest(t || CASE WHEN len(t) >= 2
+      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      ELSE [] END) AS f
+  FROM d
+),
+b AS (
+  SELECT doc_id, tgt,
+    CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 256 AS BIGINT) AS bucket
+  FROM f
+),
+bc AS (
+  SELECT bucket,
+    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS nr
+  FROM b
+),
+lr AS (
+  SELECT bucket,
+    CAST(round((ln((ct + 1) / (nt + 256.0)) - ln((cr + 1) / (nr + 256.0)))
+               * 1000000, 0) AS BIGINT) AS lrq
+  FROM bc, tot
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_feats, SUM(lrq) AS s
+  FROM b JOIN lr USING (bucket) GROUP BY doc_id
+)
+SELECT d2.doc_id,
+  COALESCE(n_feats, 0)::BIGINT AS n_feats,
+  COALESCE(round(s / 1000000.0, 6), 0.0) AS log_weight
+FROM (SELECT DISTINCT doc_id FROM documents) d2
+LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: per-label fixed-point centroids
     → nearest-centroid clusters → within-cluster pairwise cosine; a vector
@@ -4306,6 +4359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_pricing_summary": q_flagship_pricing_summary,
     "gopher_quality": q_gopher_quality,
     "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4396,6 +4450,7 @@ ORACLES: dict[str, str] = {
     "flagship_pricing_summary": _SQL_FLAGSHIP,
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+    "dsir_weights": _SQL_DSIR,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,

@@ -286,3 +286,103 @@ def unigram_surprisal(
             F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    use_bigrams: bool = True,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed n-gram features are under the
+    TARGET distribution than under the RAW distribution —
+    ``log w(x) = Σ_feat [log p_target(bucket) − log p_raw(bucket)]`` —
+    the weights Gumbel-top-k / weighted sampling then resamples by.
+
+    Both bucket LMs are estimated from the input itself: rows where
+    ``is_target`` holds define the target corpus, the rest the raw
+    corpus. Features are unigrams (+ word bigrams, as in the paper)
+    hashed with the same md5 bucket device as ``hashed_features_sparse``;
+    probabilities are add-1 smoothed over ``n_buckets``.
+
+    Engine-exactness: the per-bucket log-ratio is quantized once to
+    1/quantum in the TINY bucket table (n_buckets rows) and per-doc sums
+    run on exact integers — the same fixed-point device as
+    `unigram_surprisal`, so the mean is partition-order independent and
+    SQL-replayable bit-for-bit.
+
+    Shape at 100 TB: one explode → bucket aggregate (n_buckets rows,
+    map-side combined), one broadcast join of that tiny table back onto
+    the exploded features, one groupBy(doc). The only driver-side data is
+    the two corpus totals (one aggregate row).
+
+    Returns (id_col, n_feats, log_weight) — log_weight rounded to 6,
+    token-less documents report 0.0.
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams) if use_bigrams else toks
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("tgt"),
+        F.explode(feats).alias("f"),
+    )
+    h = F.md5(F.col("f"))
+    ex = ex.select(
+        "id", "tgt", (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).alias("bucket")
+    )
+    bc = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = ex.agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("nr"),
+    ).collect()[0]
+    nt, nr = int(tot["nt"] or 0), int(tot["nr"] or 0)
+    lr = bc.select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / F.lit(float(nt + n_buckets)))
+                - F.log((F.col("cr") + 1) / F.lit(float(nr + n_buckets)))
+            )
+            * quantum,
+            0,
+        )
+        .cast("long")
+        .alias("lrq"),
+    )
+    scored = (
+        ex.join(F.broadcast(lr), on="bucket")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lrq").alias("s"))
+        .select(
+            "id",
+            "n_feats",
+            F.round(F.col("s") / F.lit(float(quantum)), 6).alias("log_weight"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
