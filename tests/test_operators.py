@@ -556,3 +556,48 @@ def test_heavy_hitters_finds_true_top(spark):
     top = heavy_hitters(df, "v", k=2).collect()
     assert top[0]["item"] == "hot" and top[0]["count"] == 500
     assert top[1]["item"] == "warm"
+
+
+def test_event_transitions_matrix(spark):
+    from udata_datalake_service_spark.operators.markov import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 1, "2024-01-01 00:03:00", "c"),
+        # user 2: a -> b  (boundary: c of user1 never chains to a of user2)
+        (5, 2, "2024-01-01 00:00:30", "a"),
+        (6, 2, "2024-01-01 00:01:30", "b"),
+        # user 3: single event, no transition
+        (7, 3, "2024-01-01 00:00:00", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["prev_event"], r["next_event"]): r.asDict()
+        for r in event_transitions(df).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "a")}
+    assert out[("a", "b")]["n"] == 2 and out[("a", "c")]["n"] == 1
+    assert out[("a", "b")]["p"] == round(2 / 3, 6)
+    assert out[("a", "c")]["p"] == round(1 / 3, 6)
+    assert out[("b", "a")]["p"] == 1.0
+    assert out[("a", "b")]["rnk"] == 1 and out[("a", "c")]["rnk"] == 2
+
+
+def test_event_transitions_tiebreak_on_equal_ts(spark):
+    from udata_datalake_service_spark.operators.markov import event_transitions
+
+    rows = [
+        (10, 1, "2024-01-01 00:00:00", "x"),
+        (11, 1, "2024-01-01 00:00:00", "y"),  # same ts: event_id orders x -> y
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = event_transitions(df).collect()
+    assert len(out) == 1
+    assert (out[0]["prev_event"], out[0]["next_event"]) == ("x", "y")

@@ -4240,6 +4240,35 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: adjacency counts, row-normalized probabilities, and
+    successor ranks (count desc, name asc)."""
+    from udata_datalake_service_spark.operators.markov import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+mat AS (
+  SELECT prev AS prev_event, event_type AS next_event, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_event, next_event, n,
+  round(n / SUM(n) OVER (PARTITION BY prev_event), 6) AS p,
+  CAST(row_number() OVER (PARTITION BY prev_event ORDER BY n DESC, next_event ASC)
+       AS BIGINT) AS rnk
+FROM mat
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights with English documents as the target
     distribution: hashed unigram+bigram bucket LMs (add-1 smoothed,
@@ -4360,6 +4389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
+    "event_transitions": q_event_transitions,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4451,6 +4481,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR,
+    "event_transitions": _SQL_EVENT_TRANSITIONS,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,
