@@ -601,3 +601,35 @@ def test_event_transitions_tiebreak_on_equal_ts(spark):
     out = event_transitions(df).collect()
     assert len(out) == 1
     assert (out[0]["prev_event"], out[0]["next_event"]) == ("x", "y")
+
+
+def test_fuzzy_join_blocked_levenshtein(spark):
+    from udata_datalake_service_spark.operators.linkage import (
+        fuzzy_join,
+        self_fuzzy_matches,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "blue belt"), (3, "red bolt")],
+        "id long, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "blue bolts"), (11, "blue melt"), (12, "green bolt")],
+        "bid long, name string",
+    )
+    blk = F.split(F.col("name"), " ").getItem(0)
+    out = fuzzy_join(
+        a.withColumn("__blk", blk),
+        b.withColumn("__blk", blk),
+        "__blk",
+        "name",
+        "name",
+        max_distance=2,
+    ).select("id", "bid", "dist").collect()
+    got = {(r["id"], r["bid"]): r["dist"] for r in out}
+    # same block "blue": bolt~bolts(1), bolt~melt(2), belt~bolts(2), belt~melt(1)
+    assert got == {(1, 10): 1, (1, 11): 2, (2, 10): 2, (2, 11): 1}
+
+    pairs = self_fuzzy_matches(a, "id", "name", blk, max_distance=1).collect()
+    # blue bolt ~ blue belt (dist 1); red bolt in another block
+    assert [(p["id_a"], p["id_b"], p["dist"]) for p in pairs] == [(1, 2, 1)]

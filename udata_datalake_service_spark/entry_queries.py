@@ -4240,6 +4240,54 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_fuzzy_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage over the part-name domain: the
+    distinct names vs a deterministically typo'd copy (md5-parity picks
+    drop-last-char-for-x vs append-q), blocked on the first name token,
+    verified with Levenshtein ≤ 2 — the Fellegi-Sunter blocking recipe
+    with zero cross join."""
+    from udata_datalake_service_spark.operators.linkage import fuzzy_join
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    blk = F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    perturbed = names.select(
+        F.when(
+            F.conv(F.substring(F.md5("p_name"), 1, 1), 16, 10).cast("long") % 2 == 0,
+            F.concat(
+                F.substring(
+                    F.col("p_name"), 1, F.length("p_name") - F.lit(1)
+                ),
+                F.lit("x"),
+            ),
+        )
+        .otherwise(F.concat(F.col("p_name"), F.lit("q")))
+        .alias("typo_name")
+    )
+    a = names.select(F.col("p_name").alias("name_a"), blk)
+    b = perturbed.select(
+        F.col("typo_name").alias("name_b"),
+        F.split(F.col("typo_name"), " ").getItem(0).alias("blk"),
+    )
+    out = fuzzy_join(a, b, "blk", "name_a", "name_b", max_distance=2)
+    return out.select("name_a", "name_b", "dist")
+
+
+_SQL_FUZZY_LINKAGE = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+typo AS (
+  SELECT CASE WHEN ('0x' || substr(md5(p_name), 1, 1))::UBIGINT % 2 = 0
+    THEN substr(p_name, 1, length(p_name) - 1) || 'x'
+    ELSE p_name || 'q' END AS typo_name
+  FROM names
+),
+a AS (SELECT p_name AS name_a, string_split(p_name, ' ')[1] AS blk FROM names),
+b AS (SELECT typo_name AS name_b, string_split(typo_name, ' ')[1] AS blk FROM typo)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM a JOIN b USING (blk)
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: adjacency counts, row-normalized probabilities, and
@@ -4390,6 +4438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "event_transitions": q_event_transitions,
+    "fuzzy_linkage": q_fuzzy_linkage,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4482,6 +4531,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR,
     "event_transitions": _SQL_EVENT_TRANSITIONS,
+    "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,
