@@ -79,8 +79,15 @@ def _lines(text_col: Column) -> Column:
     return F.filter(F.split(text_col, r"\n"), lambda l: F.trim(l) != "")
 
 
-def base_signals(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The map-only signal block: one projection, no shuffle."""
+def base_signals(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
+    """The map-only signal block: one projection, no shuffle.
+    ``keep_text`` carries the raw text through as ``__text`` so
+    `gopher_quality` can fuse the n-gram pandas stage with zero joins."""
     t = F.col(text)
     w = _words(t)
     lines = _lines(t)
@@ -129,66 +136,108 @@ def base_signals(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
         frac(nl - F.size(F.array_distinct(lines)), nl).alias("dup_line_frac"),
         frac(dup_line_chars, line_chars).alias("dup_line_char_frac"),
         word_chars.alias("_word_chars"),
+        *([t.alias("__text")] if keep_text else []),
     )
+
+
+def _ngram_stat_columns(texts):
+    """Per-document top/dup n-gram character sums for one pandas batch.
+
+    Pure per-document computation — Counter over word-tuple windows.
+    Returns a dict of 9 equal-length lists (_top2.._top4, _dup5.._dup10).
+    """
+    import re as _re
+
+    # ASCII whitespace only: Java \\s, RE2 \\s (the oracle), and this
+    # split must agree; Python's str.split()/re \\s would also split on
+    # NBSP and friends, which the other engines don't.
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+    out = {f"_top{n}": [] for n in TOP_NS}
+    out.update({f"_dup{n}": [] for n in DUP_NS})
+    for text in texts:
+        words = [w.lower() for w in ws.split(text or "") if w]
+        for n in TOP_NS + DUP_NS:
+            key = f"_top{n}" if n in TOP_NS else f"_dup{n}"
+            if len(words) < n:
+                out[key].append(0)
+                continue
+            from collections import Counter
+
+            counts = Counter(
+                tuple(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+            if n in TOP_NS:
+                val = max(c * sum(map(len, g)) for g, c in counts.items())
+            else:
+                val = sum(
+                    c * sum(map(len, g)) for g, c in counts.items() if c > 1
+                )
+            out[key].append(val)
+    return out
 
 
 def ngram_repetition(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, n, gram) explode → per-(doc, n) top/dup character sums →
-    one wide row per doc. Both groupBys partial-aggregate map-side; the
-    shuffle keys are (id, n, gram) strings then (id, n) — never arrays."""
-    wl = F.transform(_words(F.col(text)), F.lower)
+    """Per-(doc) top/dup n-gram character sums — map-only.
 
-    def _gram_lambda(n):
-        # NB: a 2-arg lambda would make transform() pass (element, index) —
-        # bind n through a closure factory, never a default arg
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(wl, i, n), " ").alias("g"),
-        )
+    These are INTRA-document statistics, so no shuffle is ever needed:
+    an Arrow-batched ``mapInPandas`` computes a Counter over word-tuple
+    windows per document and emits 9 numbers. The declarative
+    alternative (explode (doc, n, gram) → two groupBys) pays two
+    shuffles AND evaluates the per-position gram lambdas in Spark's
+    interpreted higher-order-function path — measured 15-19 s at sf0.1
+    (5 k docs × ~1 k windows each) vs ~3 s for this form; the Python
+    loop is C-backed (tuple hashing + Counter) and the batch transfer is
+    columnar. Exactly replayable in SQL (the oracle groups real gram
+    strings; values match because only counts×lengths survive).
+    """
+    import pandas as pd
 
-    ns = TOP_NS + DUP_NS
-    gram_cols = []
-    for n in ns:
-        npos = F.size(wl) - F.lit(n - 1)
-        grams_n = F.when(
-            npos >= 1,
-            F.transform(F.sequence(F.lit(1), npos), _gram_lambda(n)),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-        gram_cols.append(grams_n)
-    exploded = df.select(
-        F.col(id_col), F.explode(F.flatten(F.array(*gram_cols))).alias("ng")
-    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    counts = exploded.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    counts = counts.withColumn(
-        "wchars", F.col("c") * (F.length("g") - (F.col("n") - 1))
-    )
-    per_n = counts.groupBy(id_col, "n").agg(
-        F.max(F.col("wchars")).alias("top_chars"),
-        F.sum(F.when(F.col("c") > 1, F.col("wchars")).otherwise(0)).alias("dup_chars"),
-    )
-    aggs = []
-    for n in TOP_NS:
-        aggs.append(
-            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top{n}")
-        )
-    for n in DUP_NS:
-        aggs.append(
-            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"_dup{n}")
-        )
-    return per_n.groupBy(id_col).agg(*aggs)
+    fields = [f"_top{n}" for n in TOP_NS] + [f"_dup{n}" for n in DUP_NS]
+    schema = f"{id_col} long, " + ", ".join(f"{f} long" for f in fields)
+
+    def compute(batches):
+        for pdf in batches:
+            stats = _ngram_stat_columns(pdf[text].tolist())
+            res = pd.DataFrame({id_col: pdf[id_col]})
+            for f in fields:
+                res[f] = stats[f]
+            yield res
+
+    return df.select(id_col, text).mapInPandas(compute, schema=schema)
 
 
 def gopher_quality(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Full Gopher rule table: every signal column, the number of failed
-    rules, and the pass verdict. One map-only block left-joined with the
-    n-gram aggregate on the document id (a single co-partitioned shuffle)."""
-    base = base_signals(df, text=text, id_col=id_col)
-    reps = ngram_repetition(df, text=text, id_col=id_col)
-    j = base.join(reps, on=id_col, how="left")
+    rules, and the pass verdict.
+
+    Fully MAP-ONLY: the expression block computes the structural signals
+    and carries the text into one Arrow-batched ``mapInPandas`` stage
+    that appends the 9 n-gram repetition sums (see `ngram_repetition` —
+    intra-document stats need no shuffle), then the thresholds are plain
+    expressions. A 100 TB run is a single scan-shaped stage."""
+    import pandas as pd
+
+    base = base_signals(df, text=text, id_col=id_col, keep_text=True)
+    fields = [f"_top{n}" for n in TOP_NS] + [f"_dup{n}" for n in DUP_NS]
+    kept = [f for f in base.schema.fields if f.name != "__text"]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in kept]
+        + [f"{f} long" for f in fields]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            stats = _ngram_stat_columns(pdf["__text"].tolist())
+            res = pdf.drop(columns=["__text"])
+            for f in fields:
+                res[f] = stats[f]
+            yield res
+
+    j = base.mapInPandas(compute, schema=schema)
     gfrac = lambda c: F.when(  # noqa: E731
         F.col("_word_chars") > 0,
         F.round(F.coalesce(c, F.lit(0)).cast("double") / F.col("_word_chars"), 6),
