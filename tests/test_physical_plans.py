@@ -151,6 +151,7 @@ _NESTED_LOOP_OK = {
     "tfidf_vocab",  # 1-row corpus-size anchor broadcast into the scorer
     "a9_quantiles",  # 1-row quantile-pass x 1-row distinct-pass cross join
     "ann_centroid_assign",  # documented broadcast of the k centroid rows
+    "semantic_dedup",  # same k-centroid broadcast inside the assignment step
 }
 
 
@@ -281,3 +282,45 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gopher_quality_is_map_only(spark):
+    """The whole Gopher rule table (structural signals + n-gram repetition
+    via mapInPandas) must plan as one scan-shaped stage: zero Exchanges."""
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(gopher_quality(docs))
+    assert n_exchanges(plan) == 0
+    assert "MapInPandas" in tree(plan)
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """fuzzy_join must join on the block key (hash/sort-merge equi-join),
+    with the Levenshtein verify inside the join stage — never a cartesian
+    or nested loop over the full sides."""
+    import pyspark.sql.functions as F
+
+    from udata_datalake_service_spark.operators.linkage import fuzzy_join
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    blk = F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    a = part.select(F.col("p_name").alias("name_a"), blk)
+    b = part.select(F.col("p_name").alias("name_b"), blk)
+    t = tree(formatted_plan(fuzzy_join(a, b, "blk", "name_a", "name_b")))
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
+    assert "Join" in t
+
+
+def test_event_transitions_single_key_shuffle_before_matrix(spark):
+    """The lag window shuffles once on the sequence key; the probability
+    window and rank run over the aggregated matrix, not the events."""
+    from udata_datalake_service_spark.operators.markov import event_transitions
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = formatted_plan(event_transitions(ev))
+    t = tree(plan)
+    assert "CartesianProduct" not in t
+    # exchanges: key shuffle for the lag window, (prev,next) aggregate,
+    # prev_event window — all on compact keys
+    assert n_exchanges(plan) <= 3
