@@ -43,6 +43,7 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "ann_topk": "d4949705271c7d0e",
         "ann_near_dups_exact": "7ad62cec68310991",
         "mm_media_meta": "ede64cd4e7afb19f",
         "mm_frame_sample": "fa24ac249be1dd08",

@@ -978,3 +978,19 @@ def test_dsir_log_weights_direction(spark):
     assert out[4]["log_weight"] > out[3]["log_weight"]
     assert out[4]["log_weight"] > out[5]["log_weight"]
     assert out[4]["log_weight"] > 0 > out[3]["log_weight"]
+
+
+def test_standardize_embeddings_zscores(spark):
+    import numpy as np
+
+    from udata_datalake_service_spark.llm.similarity import standardize_embeddings
+
+    rows = [(1, [1.0, 10.0]), (2, [2.0, 10.0]), (3, [3.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["z"] for r in standardize_embeddings(df).collect()}
+    xs = np.array([1.0, 2.0, 3.0])
+    exp = (xs - xs.mean()) / xs.std()
+    for i, vid in enumerate((1, 2, 3)):
+        assert abs(out[vid][0] - exp[i]) < 1e-6
+        # zero-variance dimension -> 0.0, not NaN
+        assert out[vid][1] == 0.0

@@ -4240,6 +4240,39 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_standardize_embeddings(spark, sf_dir):
+    """Per-dimension fixed-point z-score standardization, attested at the
+    (vec_id, pos, z) grain (1-based pos, matching the centroid oracles)."""
+    from udata_datalake_service_spark.llm.similarity import standardize_embeddings
+
+    e = _tw(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(e)
+    return out.select(
+        "vec_id", F.posexplode(F.col("z")).alias("pos0", "z")
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "z")
+
+
+_SQL_STANDARDIZE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+  SELECT vec_id, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT vec_id,
+          unnest(list_transform(range(1, len(v) + 1),
+            i -> struct_pack(pos := i, x := v[i]))) AS u
+        FROM e)
+),
+st AS (
+  SELECT pos, SUM(q) AS s1, SUM(q * q) AS s2, COUNT(*) AS n
+  FROM comp GROUP BY pos
+)
+SELECT c.vec_id, CAST(c.pos AS BIGINT) AS pos,
+  CASE WHEN sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+    THEN round((c.q - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+    ELSE 0.0 END AS z
+FROM comp c JOIN st USING (pos)
+"""
+
+
 def q_fuzzy_linkage(spark, sf_dir):
     """Blocked fuzzy record linkage over the part-name domain: the
     distinct names vs a deterministically typo'd copy (md5-parity picks
@@ -4439,6 +4472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "event_transitions": q_event_transitions,
     "fuzzy_linkage": q_fuzzy_linkage,
+    "embed_standardize": q_standardize_embeddings,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4532,6 +4566,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": _SQL_DSIR,
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
+    "embed_standardize": _SQL_STANDARDIZE,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,

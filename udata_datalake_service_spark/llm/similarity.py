@@ -670,3 +670,63 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension z-score standardization — the preprocessing step
+    ANN / k-means / SemDeDup quality depends on when dimensions carry
+    wildly different scales.
+
+    Moments are computed in FIXED POINT (the `label_centroids` device):
+    components quantize to 1/quantum, per-dimension Σq and Σq² sum as
+    exact integers, so mean and std are bit-identical across engines and
+    partitionings, and the z-scores (computed in q units:
+    ``(q − μ_q)/σ_q``, rounded 6) are exactly SQL-replayable.
+    Integer-overflow bound: Σq² < 2⁶³ holds up to ~10⁹ rows at |x| ≤ 3
+    with the default quantum; at larger corpora drop quantum to 10⁴ (the
+    quantization noise is far below float32 embedding noise either way).
+
+    Shape at 100 TB: one posexplode aggregate whose result is DIM rows
+    (map-side combined; only those land on the driver — bounded by the
+    embedding dimension, never the corpus), then a MAP-ONLY projection
+    applying the literal μ/σ arrays with zip_with. Zero-variance
+    dimensions standardize to 0.0. Returns (id_col, z: array<double>).
+    """
+    vd = _as_double(F.col(vec))
+    ex = df.select(F.posexplode(vd).alias("pos", "x")).select(
+        "pos", F.round(F.col("x") * quantum, 0).cast("long").alias("q")
+    )
+    stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    import math
+
+    by_pos = {r["pos"]: r for r in stats}
+    dim = len(by_pos)
+    mus, sigs = [], []
+    for p in range(dim):
+        r = by_pos[p]
+        mu = r["s1"] / r["n"]
+        var = r["s2"] / r["n"] - (r["s1"] / r["n"]) * (r["s1"] / r["n"])
+        mus.append(mu)
+        sigs.append(math.sqrt(var) if var > 0 else 0.0)
+    mu_arr = F.array(*[F.lit(m) for m in mus])
+    sig_arr = F.array(*[F.lit(s) for s in sigs])
+    d_q = F.zip_with(vd, mu_arr, lambda x, m: F.round(x * quantum, 0) - m)
+    z = F.zip_with(
+        d_q,
+        sig_arr,
+        lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)),
+    )
+    return df.select(F.col(id_col), z.alias("z"))
