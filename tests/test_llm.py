@@ -994,3 +994,33 @@ def test_standardize_embeddings_zscores(spark):
         assert abs(out[vid][0] - exp[i]) < 1e-6
         # zero-variance dimension -> 0.0, not NaN
         assert out[vid][1] == 0.0
+
+
+def test_bpe_train_matches_reference_merge_sequence(spark):
+    """Sennrich et al.'s worked example: low x5, lower x2, newest x6,
+    widest x3. Hand-derived first five merges with the lexicographic
+    tie-break: (e,s)=9, (es,t)=9, (est,</w>)=9, (l,o)=7, (lo,w)=7."""
+    from udata_datalake_service_spark.llm.bpe import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=5)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+
+def test_bpe_train_deterministic_across_runs(spark):
+    from udata_datalake_service_spark.llm.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta alphabet bet abet") for i in range(8)],
+        "doc_id long, text string",
+    ).repartition(4)
+    a = bpe_train(df, num_merges=6)
+    b = bpe_train(df, num_merges=6)
+    assert a == b and len(a) == 6

@@ -1,0 +1,113 @@
+"""Distributed BPE merge training (Sennrich et al. 2016).
+
+`text.bpe_token_count` counts GPT-2-style pre-tokenizer pieces; this
+module learns the actual merge table — the iterative algorithm Spark has
+no built-in for, expressed with the same harness contract as
+`similarity.kmeans_fit` and `dedup.near_dup_clusters`: a driver loop over
+vocab-sized DataFrames, `localCheckpoint` lineage truncation each round,
+and ONE tiny collect per round (the winning pair).
+
+The scale argument is the word-count collapse: BPE statistics are
+word-frequency weighted, so after the first aggregate the working set is
+the WORD VOCABULARY (millions of rows at 100 TB), not the corpus. Each
+merge round is then a pair-count aggregate (shuffle on a 2-string key,
+map-side combined), a 1-row TakeOrdered collect, and a map-only merge
+apply (Arrow-batched pandas; greedy left-to-right, the reference
+semantics). Nothing corpus-sized moves after round 0.
+
+Determinism: ties on pair count break lexicographically (left asc, right
+asc) — the full ordering is total, so the merge sequence is reproducible
+across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udata_datalake_service_spark.llm.text import tokens
+
+END = "</w>"
+
+
+def _merge_symbols(sym: list, left: str, right: str) -> list:
+    """Greedy left-to-right single-pair merge (the reference semantics)."""
+    out = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 10,
+    text: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the merge
+    table as [(left, right, weighted_pair_count)] in merge order."""
+    import pandas as pd
+
+    words = (
+        df.select(F.explode(tokens(F.col(text))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    cur = words.select(
+        "cnt", F.concat(chars, F.array(F.lit(END))).alias("s")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        n = F.size("s")
+        pairs = (
+            cur.filter(n >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("s", 1, n - 1),
+                        F.slice("s", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+
+        def apply(batches, left=left, right=right):
+            for pdf in batches:
+                pdf["s"] = pdf["s"].map(
+                    lambda s: _merge_symbols(list(s), left, right)
+                )
+                yield pdf
+
+        cur = cur.mapInPandas(
+            apply, schema="cnt long, s array<string>"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(df: DataFrame, num_merges: int = 10, text: str = "text") -> DataFrame:
+    """The merge table as a DataFrame (rank, left, right, pair_count)."""
+    spark = df.sparkSession
+    merges = bpe_train(df, num_merges=num_merges, text=text)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    )
