@@ -382,3 +382,78 @@ def test_service_availability_report(spark, tmp_path, catalog_df, checks_df):
     for r in rep.values():
         assert 0.0 <= r["availability"] <= 1.0
         assert r["longest_failure_streak"] <= r["n_failures"]
+
+
+def test_cas_rewrite_detects_lost_update(spark, tmp_path):
+    """Two read-modify-writers from the same snapshot: the second commit
+    must raise ConcurrentWriteError instead of silently clobbering."""
+    import pytest
+
+    from udata_datalake_service_spark.sinks.lake import ConcurrentWriteError
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    base = spark.createDataFrame([(1, 10)], "id long, v long")
+    lake.write_app_table(base, "acc")
+    snap = lake.table_version("acc", app=True)
+    assert snap is not None
+
+    # writer B commits first from the same snapshot
+    b = lake.read_app_table("acc").withColumn("v", F.col("v") + 1)
+    lake.rewrite_app_table(b, "acc", expected_version=snap)
+    # writer A now holds a stale snapshot
+    a = lake.read_app_table("acc").withColumn("v", F.col("v") + 100)
+    with pytest.raises(ConcurrentWriteError):
+        lake.rewrite_app_table(a, "acc", expected_version=snap)
+    # B's commit survives untouched; a retry from a FRESH snapshot works
+    assert lake.read_app_table("acc").collect()[0]["v"] == 11
+    snap2 = lake.table_version("acc", app=True)
+    a2 = lake.read_app_table("acc").withColumn("v", F.col("v") + 100)
+    lake.rewrite_app_table(a2, "acc", expected_version=snap2)
+    assert lake.read_app_table("acc").collect()[0]["v"] == 111
+
+
+def test_cas_retry_loop_serializes_increments(spark, tmp_path):
+    """The documented OCC recipe: snapshot → modify → CAS commit → on
+    ConcurrentWriteError re-read and retry. Interleaved writers must
+    produce the serial result (no lost update)."""
+    from udata_datalake_service_spark.sinks.lake import ConcurrentWriteError
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_app_table(spark.createDataFrame([(1, 0)], "id long, v long"), "ctr")
+
+    def increment():
+        while True:
+            snap = lake.table_version("ctr", app=True)
+            cur = lake.read_app_table("ctr").withColumn("v", F.col("v") + 1)
+            try:
+                lake.rewrite_app_table(cur, "ctr", expected_version=snap)
+                return
+            except ConcurrentWriteError:
+                continue
+
+    # interleave: each pre-reads a snapshot, then both try to commit
+    for _ in range(5):
+        increment()
+    assert lake.read_app_table("ctr").collect()[0]["v"] == 5
+
+
+def test_staging_dirs_survive_concurrent_commit_gc(spark, tmp_path):
+    """A slow writer's staged-but-uncommitted data must not be reclaimed
+    by a faster committer's GC (staged dirs are not `v-*`), and vacuum
+    sweeps orphaned staging dirs."""
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_app_table(spark.createDataFrame([(1,)], "id long"), "t")
+    base = Path(lake.app_table_path("t"))
+    # simulate a slow writer's staged dir
+    staged = base / "_staging-v-99999999999999999999-deadbeef"
+    staged.mkdir()
+    (staged / "part-0.parquet").write_bytes(b"x")
+    # two committed rewrites trigger the in-commit GC twice
+    lake.rewrite_app_table(lake.read_app_table("t"), "t")
+    lake.rewrite_app_table(lake.read_app_table("t"), "t")
+    assert staged.exists()
+    removed = lake.vacuum()
+    assert not staged.exists()
+    assert any("_staging-" in r for r in removed)

@@ -1024,3 +1024,19 @@ def test_bpe_train_deterministic_across_runs(spark):
     a = bpe_train(df, num_merges=6)
     b = bpe_train(df, num_merges=6)
     assert a == b and len(a) == 6
+
+
+def test_bpe_encode_roundtrip(spark):
+    from udata_datalake_service_spark.llm.bpe import bpe_encode, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=5)
+    enc = bpe_encode(
+        spark.createDataFrame([(7, "lowest low")], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    # lowest -> low est</w>   (e+s, es+t, est+</w>, l+o, lo+w all apply)
+    # low    -> low </w>
+    assert enc["pieces"] == ["low", "est</w>", "low", "</w>"]
+    assert enc["n_pieces"] == 4

@@ -349,3 +349,37 @@ def test_chunking_streams_unchanged(spark, tmp_path):
         for r in spark.sql("SELECT * FROM chunks_stream").collect()
     }
     assert got == batch and len(got) > 40
+
+
+def test_gopher_quality_streams_unchanged(spark, tmp_path):
+    """gopher_quality is map-only (expressions + mapInPandas), so the SAME
+    plan runs under readStream with no stateful operators: replaying the
+    corpus through a file stream must reproduce the batch rule table."""
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and that cat did have fun with it"),
+            (2, "alpha beta gamma\nalpha beta gamma\n• bullet one\nend it..."),
+            (3, "spam ham spam ham spam ham spam ham"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    batch = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+
+    stream_in = spark.readStream.schema(docs.schema).parquet(src)
+    out = gopher_quality(stream_in)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.sql("SELECT * FROM gopher_stream").collect()
+    }
+    assert got == batch

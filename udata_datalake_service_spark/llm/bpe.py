@@ -111,3 +111,47 @@ def bpe_merges_df(df: DataFrame, num_merges: int = 10, text: str = "text") -> Da
     return spark.createDataFrame(
         rows, "rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: tokenize, split to chars + ``</w>``,
+    replay every merge in rank order (the reference encoder semantics).
+    Map-only Arrow-batched pandas — the merge list rides along as a task
+    closure (kilobytes), so encoding streams at scan speed with zero
+    shuffle. Returns (id_col, pieces: array<string>, n_pieces)."""
+    import pandas as pd
+
+    ranked = [(m[0], m[1]) for m in merges]
+
+    def encode_word(w: str) -> list:
+        sym = list(w) + [END]
+        for left, right in ranked:
+            if len(sym) < 2:
+                break
+            sym = _merge_symbols(sym, left, right)
+        return sym
+
+    def run(batches):
+        for pdf in batches:
+            import re as _re
+
+            splitter = _re.compile(r"[^a-z0-9]+")
+            pieces = []
+            for t in pdf[text].tolist():
+                toks = [w for w in splitter.split((t or "").lower()) if w]
+                out: list = []
+                for w in toks:
+                    out.extend(encode_word(w))
+                pieces.append(out)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pieces": pieces, "n_pieces": [len(p) for p in pieces]}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        run, schema=f"{id_col} long, pieces array<string>, n_pieces long"
+    )

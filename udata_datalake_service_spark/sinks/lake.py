@@ -22,7 +22,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -30,6 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udata_datalake_service_spark.schemas import TABLES_INDEX_SCHEMA
+
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A CAS commit lost the race: the manifest moved between the caller's
+    snapshot and its commit. Re-read the table and retry the write."""
 
 
 class Lake:
@@ -45,7 +54,14 @@ class Lake:
     under ``_temporary``, which readers ignore, so a torn append is
     invisible). ``drop_table`` deletes the registry row BEFORE the data so
     a crash in between leaves only an orphan directory — reclaimed by the
-    orphan GC (J4/ST8) — not a registry row pointing at nothing."""
+    orphan GC (J4/ST8) — not a registry row pointing at nothing.
+
+    Concurrency model: manifest flips serialize under a per-table commit
+    lock; parquet writes stage in GC-invisible ``_staging-*`` dirs and
+    rename into place inside the lock; read-modify-writes can pass the
+    `table_version` snapshot for compare-and-swap semantics (losers get
+    `ConcurrentWriteError` and retry) — the optimistic-concurrency
+    protocol Delta/Iceberg implement on their commit logs."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -59,44 +75,102 @@ class Lake:
         return f"v-{ts}-{uuid.uuid4().hex[:8]}"
 
     @staticmethod
+    def _manifest_version(base: Path) -> str | None:
+        try:
+            return (base / "MANIFEST").read_text().strip()
+        except OSError:
+            return None
+
+    @staticmethod
     def _current_dir(base: Path) -> Path | None:
         """Resolve a logical table path to its current data directory:
         MANIFEST-pointed version dir, or the base itself for legacy/plain
         layouts (pre-versioning data, externally-written dirs)."""
-        try:
-            ver = (base / "MANIFEST").read_text().strip()
-        except OSError:
+        ver = Lake._manifest_version(base)
+        if ver is None:
             return base if base.exists() else None
         p = base / ver
         return p if p.exists() else None
 
     @staticmethod
-    def _commit_version(base: Path, ver: str) -> None:
-        """Atomically repoint MANIFEST at ``ver``; keep the immediately
-        previous version for in-flight readers, GC anything older."""
-        prev = None
+    @contextmanager
+    def _commit_lock(base: Path, timeout: float = 30.0, stale_after: float = 120.0):
+        """Serialize manifest flips per table with an O_EXCL lock file.
+
+        Readers never take it (they see old-or-new via the manifest);
+        writers hold it only across the CAS check + rename + manifest
+        replace + GC — milliseconds, never across the parquet write. A
+        crashed holder's lock is taken over once it is ``stale_after``
+        seconds old (commits are short; a lock that old is an orphan)."""
+        lock = base / "_COMMIT_LOCK"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - lock.stat().st_mtime > stale_after:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.02)
         try:
-            prev = (base / "MANIFEST").read_text().strip()
-        except OSError:
-            pass
-        tmp = base / f"_manifest-{ver}.tmp"
-        with open(tmp, "w") as f:
-            f.write(ver)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, base / "MANIFEST")
-        dirfd = os.open(base, os.O_RDONLY)
-        try:
-            os.fsync(dirfd)
+            yield
         finally:
-            os.close(dirfd)
-        for d in base.iterdir():
-            if (
-                d.is_dir()
-                and d.name.startswith("v-")
-                and d.name not in (ver, prev)
-            ):
-                shutil.rmtree(d, ignore_errors=True)
+            os.close(fd)
+            lock.unlink(missing_ok=True)
+
+    @staticmethod
+    def _commit_version(
+        base: Path,
+        ver: str,
+        expect: object = _UNSET,
+        staging: Path | None = None,
+    ) -> None:
+        """Atomically repoint MANIFEST at ``ver``; keep the immediately
+        previous version for in-flight readers, GC anything older.
+
+        Optimistic concurrency: when ``expect`` is given (a version string
+        or None for "table did not exist"), the flip only happens if the
+        manifest STILL points there — otherwise the staged version is
+        discarded and `ConcurrentWriteError` says a concurrent writer won
+        (the caller re-reads and retries; lost updates become loud
+        instead of silent). ``staging`` is the written-but-invisible
+        ``_staging-*`` dir to rename into place under the lock — staged
+        dirs are never eligible for GC, so a slow writer's data can't be
+        reclaimed by a faster committer."""
+        with Lake._commit_lock(base):
+            prev = Lake._manifest_version(base)
+            if expect is not _UNSET and prev != expect:
+                if staging is not None:
+                    shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{base}: expected version {expect!r}, found {prev!r}"
+                )
+            if staging is not None:
+                os.replace(staging, base / ver)
+            tmp = base / f"_manifest-{ver}.tmp"
+            with open(tmp, "w") as f:
+                f.write(ver)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, base / "MANIFEST")
+            dirfd = os.open(base, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)
+            finally:
+                os.close(dirfd)
+            for d in base.iterdir():
+                if (
+                    d.is_dir()
+                    and d.name.startswith("v-")
+                    and d.name not in (ver, prev)
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
 
     def vacuum(self) -> list[str]:
         """Reclaim version dirs no MANIFEST points at — crash leftovers
@@ -105,30 +179,50 @@ class Lake:
         older versions; this sweeps tables the write path won't revisit.
         Returns the removed paths (ST7-style maintenance verb)."""
         removed: list[str] = []
-        bases = {p.parent for p in self.root.rglob("v-*") if p.is_dir()}
+        bases = {
+            p.parent
+            for pat in ("v-*", "_staging-*")
+            for p in self.root.rglob(pat)
+            if p.is_dir()
+        }
         for base in bases:
-            try:
-                current = (base / "MANIFEST").read_text().strip()
-            except OSError:
-                current = None
+            current = self._manifest_version(base)
             for d in base.iterdir():
-                if d.is_dir() and d.name.startswith("v-") and d.name != current:
+                stale_staging = d.name.startswith("_staging-")
+                if d.is_dir() and (
+                    stale_staging
+                    or (d.name.startswith("v-") and d.name != current)
+                ):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(str(d))
         return removed
 
     def _replace_write(
-        self, df: DataFrame, base: Path, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        base: Path,
+        partition_by: list[str] | None = None,
+        expect: object = _UNSET,
     ) -> None:
         """Replace-write ``df`` as a new committed version of ``base``.
         The input may read from the table's current version — it is never
-        touched until the manifest flips."""
+        touched until the manifest flips. The parquet write lands in an
+        invisible ``_staging-*`` dir (GC-proof under concurrent commits)
+        and renames into place inside the commit lock; pass ``expect``
+        (from `table_version`) for optimistic-concurrency semantics."""
         ver = self._new_version()
+        staging = base / f"_staging-{ver}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(str(base / ver))
-        self._commit_version(base, ver)
+        w.parquet(str(staging))
+        self._commit_version(base, ver, expect=expect, staging=staging)
+
+    def table_version(self, name: str, app: bool = False) -> str | None:
+        """The manifest's current version string (None = no versioned
+        manifest yet) — the snapshot token for CAS rewrites."""
+        base = Path(self.app_table_path(name) if app else self.table_path(name))
+        return self._manifest_version(base)
 
     def _read_dir(self, base: Path, schema=None) -> DataFrame:
         cur = self._current_dir(base)
@@ -344,12 +438,21 @@ class Lake:
     def read_app_table(self, name: str) -> DataFrame:
         return self._read_dir(Path(self.app_table_path(name)))
 
-    def rewrite_app_table(self, df: DataFrame, name: str) -> None:
+    def rewrite_app_table(
+        self, df: DataFrame, name: str, expected_version: object = _UNSET
+    ) -> None:
         """Read-modify-write of an app table. ``df`` may (and usually does)
         read from the table's current version; that version is untouched
         while the new one is written, then the MANIFEST pointer flips
-        atomically — readers see old-or-new, never a half-swapped dir."""
-        self._replace_write(df, Path(self.app_table_path(name)))
+        atomically — readers see old-or-new, never a half-swapped dir.
+
+        Concurrent read-modify-writers silently clobber each other (last
+        manifest flip wins); pass ``expected_version`` (the
+        `table_version(name, app=True)` snapshot taken before reading) to
+        turn that lost update into a `ConcurrentWriteError` to retry."""
+        self._replace_write(
+            df, Path(self.app_table_path(name)), expect=expected_version
+        )
 
     # --------------------------------------------------- training shards ----
     def write_training_shards(
@@ -465,15 +568,20 @@ class Lake:
             ledger = _json.loads((cur / "_batches.json").read_text())
         if batch_id in ledger:
             return False
+        snapshot = self._manifest_version(base)
         new = df if cur is None else self.spark.read.parquet(str(cur)).unionByName(df)
         ver = self._new_version()
-        new.write.mode("overwrite").parquet(str(base / ver))
-        lf = base / ver / "_batches.json"
+        staging = base / f"_staging-{ver}"
+        new.write.mode("overwrite").parquet(str(staging))
+        lf = staging / "_batches.json"
         lf.write_text(_json.dumps(ledger + [batch_id]))
         fd = os.open(lf, os.O_RDONLY)
         try:
             os.fsync(fd)
         finally:
             os.close(fd)
-        self._commit_version(base, ver)
+        # CAS on the snapshot the ledger was read from: a concurrent
+        # committer (possibly retrying the SAME batch) can't be silently
+        # overwritten — the loser raises and re-runs against fresh state
+        self._commit_version(base, ver, expect=snapshot, staging=staging)
         return True
