@@ -83,3 +83,32 @@ def test_purge_checks_retention(spark, tmp_path):
     )
     assert purge_checks(spark, lake, retention_days=60) == 1
     assert [r["id"] for r in lake.read_app_table("checks").collect()] == [2]
+
+
+def test_curate_docs_verb(spark, tmp_path):
+    """curate-docs: exact dups drop first, then the Gopher gate; the
+    written parquet contains exactly the survivors and the report's
+    funnel counts reconcile."""
+    from udata_datalake_service_spark.cli import curate_docs
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and dogs have played "
+        "with plenty of patience watching every single visitor today "
+        + " ".join(f"uniq{i:02d} tokn{i:02d}" for i in range(20))
+    )
+    rows = [
+        (1, good),
+        (2, good + " extra"),        # near-dup but not exact: survives dedup
+        (3, good),                   # exact dup of 1 -> dropped (higher id)
+        (4, "spam ham spam ham spam ham spam ham"),  # fails the gate
+    ]
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    report = curate_docs(spark, src, out_path=out)
+    assert report["n_in"] == 4
+    assert report["n_after_exact_dedup"] == 3
+    assert report["n_gopher_pass"] == 2
+    assert report["pass_rate"] == 0.5
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}

@@ -11,6 +11,7 @@
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
 | (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs; ``compact-table`` — coalesce small files into ~target-size files behind the manifest flip |
+| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -143,6 +144,46 @@ def insert_resource(spark: SparkSession, lake: Lake, dataset_id: str,
     lake.rewrite_app_table(upsert(catalog, row.select(*catalog.columns), key="resource_id"), "catalog")
 
 
+def curate_docs(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str | None = None,
+    drop_exact_dups: bool = True,
+) -> dict:
+    """Training-data curation verb over a documents parquet
+    (doc_id, text, …): Gopher rule gate (llm/gopher.py) + optional exact
+    dedup (first fingerprint arrival wins), written as a curated parquet
+    when ``out_path`` is given. Returns the audit report — counts at each
+    gate so a 100 TB run's survivorship is explainable. Map-only gate +
+    one fingerprint shuffle when dedup is on; the write streams."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.llm.dedup import exact_dedup
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+    df = spark.read.parquet(in_path)
+    n_in = df.count()
+    kept = df
+    n_after_dedup = n_in
+    if drop_exact_dups:
+        kept = exact_dedup(kept, text="text", id_col="doc_id")
+        n_after_dedup = kept.count()
+    verdicts = gopher_quality(kept).select("doc_id", "gopher_pass", "n_fail")
+    survivors = kept.join(
+        verdicts.filter(F.col("gopher_pass")).select("doc_id"), on="doc_id"
+    )
+    n_pass = survivors.count()
+    if out_path:
+        survivors.write.mode("overwrite").parquet(out_path)
+    return {
+        "n_in": n_in,
+        "n_after_exact_dedup": n_after_dedup,
+        "n_gopher_pass": n_pass,
+        "pass_rate": round(n_pass / n_in, 6) if n_in else 0.0,
+        "out_path": out_path,
+    }
+
+
 # ------------------------------------------------------------------- main --
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="udata-datalake-spark")
@@ -159,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact-table"); sp.add_argument("name"); sp.add_argument("--target-mb", type=int, default=128); sp.add_argument("--app-table", action="store_true")
     sp = sub.add_parser("select-batch"); sp.add_argument("--seed", default="s0")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
+    sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true")
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -200,6 +242,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "insert-resource":
         insert_resource(spark, lake, args.dataset_id, args.resource_id, args.url)
         print(json.dumps({"ok": True}))
+    elif args.verb == "curate-docs":
+        print(json.dumps(curate_docs(
+            spark, args.in_path, out_path=args.out,
+            drop_exact_dups=not args.keep_dups)))
     return 0
 
 
