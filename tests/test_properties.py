@@ -238,3 +238,119 @@ def test_span_coverage_bounds_and_verbatim_dup(spark, doc_lens):
     if doc_lens[0] >= span:
         assert out[0]["coverage"] == 1.0 and out[1000]["coverage"] == 1.0
         assert out[0]["n_dup_windows"] == out[0]["n_windows"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),           # user
+            st.integers(min_value=0, max_value=10_000),      # ts offset s
+            st.sampled_from(["a", "b", "c", "d"]),           # event
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_transition_probabilities_form_a_distribution(spark, events):
+    """Laws: per prev_event, Σp ≈ 1 (rounding-limited), ranks are a
+    1..k permutation ordered by (n desc, name asc), and Σn equals the
+    number of adjacencies (rows − distinct users with ≥1 event)."""
+    from collections import Counter
+
+    from udata_datalake_service_spark.operators.markov import event_transitions
+
+    df = (
+        spark.createDataFrame(
+            [(i, u, off, e) for i, (u, off, e) in enumerate(events)],
+            "event_id long, user_id long, off long, event_type string",
+        )
+        .withColumn("ts", F.expr("timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,off)"))
+    )
+    out = event_transitions(df).collect()
+    n_users = len({u for u, _, _ in events})
+    assert sum(r["n"] for r in out) == len(events) - n_users
+    by_prev: dict = {}
+    for r in out:
+        by_prev.setdefault(r["prev_event"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4 * len(rs)
+        ranked = sorted(rs, key=lambda r: (-r["n"], r["next_event"]))
+        assert [r["rnk"] for r in ranked] == list(range(1, len(rs) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab #.\n…•xyz"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_signal_bounds(spark, texts):
+    """Laws over arbitrary junk text: every *_frac signal is ≥ 0; line/
+    word fraction signals are ≤ 1; n_fail counts exactly the violated
+    thresholds given the emitted signal columns."""
+    from udata_datalake_service_spark.llm.gopher import (
+        DUP_MAX,
+        TOP_MAX,
+        gopher_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in gopher_quality(df).collect():
+        d = r.asDict()
+        for k, v in d.items():
+            if k.endswith("_frac") or k.endswith("frac"):
+                assert v >= 0.0, (k, v)
+        for k in (
+            "frac_alpha_words", "bullet_line_frac", "ellipsis_line_frac",
+            "dup_line_frac", "dup_line_char_frac",
+        ):
+            assert d[k] <= 1.0 + 1e-9, (k, d[k])
+        expected_fails = sum([
+            d["n_words"] < 50 or d["n_words"] > 100_000,
+            d["mean_word_len"] < 3.0 or d["mean_word_len"] > 10.0,
+            d["symbol_word_ratio"] > 0.10,
+            d["bullet_line_frac"] > 0.90,
+            d["ellipsis_line_frac"] > 0.30,
+            d["frac_alpha_words"] < 0.80,
+            d["n_stop_hits"] < 2,
+            d["dup_line_frac"] > 0.30,
+            d["dup_line_char_frac"] > 0.20,
+            *[d[f"top{n}gram_char_frac"] > TOP_MAX[n] for n in (2, 3, 4)],
+            *[d[f"dup{n}gram_char_frac"] > DUP_MAX[n] for n in range(5, 11)],
+        ])
+        assert d["n_fail"] == expected_fails
+        assert d["gopher_pass"] == (expected_fails == 0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abcd efg"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_encode_reconstructs_tokens(spark, texts):
+    """Law: for ANY merge table, stripping ``</w>`` boundaries from the
+    encoded pieces reconstructs the normalized token stream exactly —
+    BPE merging never loses or reorders characters."""
+    from udata_datalake_service_spark.llm.bpe import END, bpe_encode, bpe_train
+    from udata_datalake_service_spark.llm.text import TOKEN_SPLIT_RE
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=4)
+    enc = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w]
+        rebuilt = "".join(enc[i]).replace(END, " ").split()
+        assert rebuilt == toks
