@@ -383,3 +383,52 @@ def test_gopher_quality_streams_unchanged(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gopher_stream").collect()
     }
     assert got == batch
+
+
+def test_streaming_curation_pipeline_composes(spark, tmp_path):
+    """End-to-end streaming curation: file stream (1 file per micro-batch)
+    → Gopher gate (map-only) → incremental exact dedup (stateful
+    dropDuplicates on the canonical fingerprint) → sink. A passing doc
+    re-sent verbatim in a LATER micro-batch must be dropped by carried
+    state; every survivor passes the gate."""
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+    from udata_datalake_service_spark.llm.text import fingerprint
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and dogs have played "
+        "with plenty of patience watching every single visitor today "
+        + " ".join(f"uniq{i:02d} tokn{i:02d}" for i in range(20))
+    )
+    src = tmp_path / "stream_src"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, good), (2, "spam ham spam ham spam ham")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(10, good), (11, good.replace("quick", "rapid"))], schema
+    )
+    b1.coalesce(1).write.parquet(str(src / "b=0"))
+    b2.coalesce(1).write.parquet(str(src / "b=1"))
+
+    stream_in = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b=*"))
+    )
+    passing = gopher_quality(stream_in).filter(F.col("gopher_pass")).select("doc_id")
+    survivors = stream_in.join(passing, on="doc_id").withColumn(
+        "fp", fingerprint(F.col("text"))
+    ).dropDuplicates(["fp"])
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName("curate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curate_stream").collect()}
+    # 2 fails the gate; 10 is a cross-batch verbatim re-send of 1; 11 is a
+    # fresh passing variant
+    assert got == {1, 11}

@@ -147,6 +147,7 @@ def _ngram_stat_columns(texts):
     Returns a dict of 9 equal-length lists (_top2.._top4, _dup5.._dup10).
     """
     import re as _re
+    from collections import Counter
 
     # ASCII whitespace only: Java \\s, RE2 \\s (the oracle), and this
     # split must agree; Python's str.split()/re \\s would also split on
@@ -161,8 +162,6 @@ def _ngram_stat_columns(texts):
             if len(words) < n:
                 out[key].append(0)
                 continue
-            from collections import Counter
-
             counts = Counter(
                 tuple(words[i : i + n]) for i in range(len(words) - n + 1)
             )
