@@ -633,3 +633,33 @@ def test_fuzzy_join_blocked_levenshtein(spark):
     pairs = self_fuzzy_matches(a, "id", "name", blk, max_distance=1).collect()
     # blue bolt ~ blue belt (dist 1); red bolt in another block
     assert [(p["id_a"], p["id_b"], p["dist"]) for p in pairs] == [(1, 2, 1)]
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
+    from udata_datalake_service_spark.operators.core import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 0.001) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    pick = lambda: {  # noqa: E731
+        r["id"]
+        for r in weighted_sample(df, 10, F.col("w"), ["id"]).collect()
+    }
+    a, b = pick(), pick()
+    assert a == b  # deterministic
+    # weight ratio 10^6: the 10 heavy rows dominate the sample
+    assert len(a & set(range(10))) >= 8
+
+    # zero/negative weights can never be sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_sample(df2, 3, F.col("w"), ["id"]).collect()}
+    assert got == {3}
+
+
+def test_weighted_sample_plans_takeordered(spark):
+    from udata_datalake_service_spark.operators.core import weighted_sample
+
+    df = spark.range(100).withColumn("w", F.col("id") + 1.0)
+    plan = weighted_sample(df, 5, F.col("w"), ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

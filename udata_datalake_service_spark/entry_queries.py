@@ -4470,6 +4470,39 @@ LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """The DSIR selection step end-to-end: importance weights from the
+    hashed-bucket LMs → Efraimidis–Spirakis weighted race (deterministic
+    md5 uniforms, w = exp(log_weight)) → top-50 winners. Attests the
+    full weight→sample composition including the race keys."""
+    from udata_datalake_service_spark.llm.tfidf import dsir_log_weights
+    from udata_datalake_service_spark.operators.core import weighted_sample
+
+    d = _tw(spark, sf_dir, "documents")
+    wts = dsir_log_weights(d, F.col("lang") == "en", n_buckets=256)
+    out = weighted_sample(
+        wts, 50, F.exp(F.col("log_weight")), ["doc_id"], seed="s0"
+    )
+    return out.select(
+        "doc_id", "n_feats", "log_weight", F.col("__wkey").alias("wkey")
+    )
+
+
+_SQL_DSIR_SELECT = f"""
+WITH dsir AS ({_SQL_DSIR}),
+sel AS (
+  SELECT doc_id, n_feats, log_weight,
+    round(
+      ln((('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE + 1.0)
+         / 4294967297.0)
+      / exp(log_weight), 9) AS wkey
+  FROM dsir
+)
+SELECT doc_id, n_feats, log_weight, wkey
+FROM sel ORDER BY wkey DESC, doc_id ASC LIMIT 50
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: per-label fixed-point centroids
     → nearest-centroid clusters → within-cluster pairwise cosine; a vector
@@ -4537,6 +4570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "event_transitions": q_event_transitions,
     "fuzzy_linkage": q_fuzzy_linkage,
     "embed_standardize": q_standardize_embeddings,
@@ -4632,6 +4666,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR,
+    "dsir_select": _SQL_DSIR_SELECT,
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
     "embed_standardize": _SQL_STANDARDIZE,

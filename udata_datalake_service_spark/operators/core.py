@@ -249,3 +249,50 @@ def snapshot_diff_load(
         else:
             out.append(F.col(c))
     return joined.select(*out)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: Column,
+    salt_cols: Sequence[str],
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis A-ES
+    keys: each row draws a deterministic uniform u from md5(seed||key)
+    and competes with key ``ln(u) / w`` — the top-n rows are a correct
+    weight-proportional sample (the race each DSIR-style importance
+    resampler runs over its weights).
+
+    Same determinism/scale contract as `deterministic_sample`: the
+    uniform is md5-derived (reproducible in ANSI SQL, no rand()), and the
+    top-n runs as TakeOrderedAndProject — per-partition heaps of n, no
+    global sort, nothing driver-side but the n winners. Non-positive
+    weights are excluded (they can never win a weighted race).
+
+    Appends the competition key as ``__wkey`` (callers drop it; the query
+    surface keeps it for exact oracle attestation).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) ∈ (0, 1)
+    wkey = F.round(F.log(u) / weight, 9)
+    return (
+        df.filter(weight > 0)
+        .withColumn("__wkey", wkey)
+        .orderBy(F.desc("__wkey"), *[F.asc(c) for c in salt_cols])
+        .limit(n)
+    )
