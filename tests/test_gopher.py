@@ -112,3 +112,15 @@ def test_gopher_pass_on_long_clean_doc(spark):
     assert r["n_words"] >= 50
     assert r["gopher_pass"], r
     assert r["n_fail"] == 0
+
+
+def test_top_ngram_uses_most_frequent_not_max_product(spark):
+    """Rae et al.: the fraction is the characters of the MOST FREQUENT
+    n-gram — a once-occurring long gram must not outrank a twice-occurring
+    short one (max(count*chars) would pick the wrong gram here)."""
+    text = "aa bb aa bb aa cc internationalization standardization"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _one(gopher_quality(df), 1)
+    # most frequent 2-grams: "aa bb" x2 and "bb aa" x2 (4 word-chars each)
+    # -> 2*4 = 8 over word_chars = 6*2 + 20 + 15 = 47
+    assert r["top2gram_char_frac"] == round(8 / 47, 6)

@@ -454,6 +454,13 @@ def test_staging_dirs_survive_concurrent_commit_gc(spark, tmp_path):
     lake.rewrite_app_table(lake.read_app_table("t"), "t")
     lake.rewrite_app_table(lake.read_app_table("t"), "t")
     assert staged.exists()
+    # a FRESH staging dir may be an in-flight writer: vacuum keeps it
+    assert not any("_staging-" in r for r in lake.vacuum())
+    assert staged.exists()
+    # ...and reclaims it once it is older than the grace period
+    import os as _os
+
+    _os.utime(staged, (0, 0))
     removed = lake.vacuum()
     assert not staged.exists()
     assert any("_staging-" in r for r in removed)

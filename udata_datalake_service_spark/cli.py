@@ -166,15 +166,22 @@ def curate_docs(
     kept = df
     n_after_dedup = n_in
     if drop_exact_dups:
-        kept = exact_dedup(kept, text="text", id_col="doc_id")
+        # persist: the dedup shuffle feeds both the count and the gate
+        kept = exact_dedup(kept, text="text", id_col="doc_id").persist()
         n_after_dedup = kept.count()
     verdicts = gopher_quality(kept).select("doc_id", "gopher_pass", "n_fail")
     survivors = kept.join(
         verdicts.filter(F.col("gopher_pass")).select("doc_id"), on="doc_id"
     )
-    n_pass = survivors.count()
     if out_path:
+        # write once, count from the written files — the expensive gate
+        # (mapInPandas n-grams) runs exactly once
         survivors.write.mode("overwrite").parquet(out_path)
+        n_pass = spark.read.parquet(out_path).count()
+    else:
+        n_pass = survivors.count()
+    if drop_exact_dups:
+        kept.unpersist()
     return {
         "n_in": n_in,
         "n_after_exact_dedup": n_after_dedup,

@@ -4180,7 +4180,7 @@ WITH noisy AS (
   FROM documents
 ), split0 AS (
   SELECT doc_id, t,
-    list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS w,
+    list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'), w -> w <> '') AS w,
     list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
   FROM noisy
 ), b AS (
@@ -4219,11 +4219,13 @@ WITH noisy AS (
 {grams_union}
 ), cnt AS (
   SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+), cnt2 AS (
+  SELECT *, MAX(c) OVER (PARTITION BY doc_id, n) AS mc FROM cnt
 ), pern AS (
   SELECT doc_id, n,
-    MAX(c * (length(g) - (n - 1))) AS top_chars,
+    MAX(CASE WHEN c = mc THEN c * (length(g) - (n - 1)) END) AS top_chars,
     SUM(CASE WHEN c > 1 THEN c * (length(g) - (n - 1)) ELSE 0 END) AS dup_chars
-  FROM cnt GROUP BY doc_id, n
+  FROM cnt2 GROUP BY doc_id, n
 ), wide AS (
   SELECT doc_id, {wide_cols} FROM pern GROUP BY doc_id
 ), frac AS (

@@ -140,7 +140,11 @@ def bpe_encode(
         for pdf in batches:
             import re as _re
 
-            splitter = _re.compile(r"[^a-z0-9]+")
+            from udata_datalake_service_spark.llm.text import TOKEN_SPLIT_RE
+
+            # the Python replica of text.tokens() — train and encode MUST
+            # share one tokenizer or the merge table goes stale
+            splitter = _re.compile(TOKEN_SPLIT_RE)
             pieces = []
             for t in pdf[text].tolist():
                 toks = [w for w in splitter.split((t or "").lower()) if w]

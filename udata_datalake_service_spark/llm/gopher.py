@@ -19,10 +19,10 @@ Execution shape, 100 TB first:
   aggregate (O(lines × distinct lines) per doc) — documents have
   bounded line counts, so this stays cheaper than a per-line explode
   and keeps the stage map-only.
-- The n-gram family explodes (doc, n, gram) rows — the one genuinely
-  aggregative signal. The groupBy keys are compact strings, partial
-  aggregation collapses duplicates map-side, and the per-(doc, n)
-  reduction is a second partial-agg pass; nothing is ever collected.
+- The n-gram family is ALSO per-document (intra-doc repetition), so it
+  runs as one Arrow-batched ``mapInPandas`` stage fused behind the same
+  scan — see `ngram_repetition` for the measured case against the
+  declarative explode+groupBy form. Nothing shuffles, nothing collects.
 
 Definitions pinned here (reimplementations differ; the DuckDB oracle
 replays these exactly):
@@ -31,9 +31,9 @@ replays these exactly):
 - gram character length counts word characters only
   (``length(gram) - (n-1)`` joining spaces excluded), and fractions are
   over total word characters, not raw text length;
-- top-n-gram fraction uses the single most frequent n-gram (ties
-  resolve by the max product, not a specific gram — only the fraction
-  is reported); duplicated-n-gram fraction sums characters over ALL
+- top-n-gram fraction uses the characters of the single MOST FREQUENT
+  n-gram (count ties resolve to the longest such gram — deterministic
+  in both engines); duplicated-n-gram fraction sums characters over ALL
   occurrences of every gram seen more than once (the simple sum, not
   interval-union coverage — see `dedup.duplicated_span_coverage` for
   the coverage form across documents).
@@ -69,9 +69,15 @@ _BULLET_RE = r"^\s*[•‣▪\-\*]"
 _ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
 
 
+# Explicit ASCII whitespace class, identical in all three engines: Java's
+# \s includes \x0B but RE2's (the DuckDB oracle) does NOT — a bare \s+
+# would tokenize a vertical-tab document differently per engine.
+WS_CLASS = "[ \t\n\r\f\x0B]+"
+
+
 def _words(text_col: Column) -> Column:
     """Whitespace-delimited words, case preserved."""
-    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(text_col, WS_CLASS), lambda w: w != "")
 
 
 def _lines(text_col: Column) -> Column:
@@ -149,9 +155,8 @@ def _ngram_stat_columns(texts):
     import re as _re
     from collections import Counter
 
-    # ASCII whitespace only: Java \\s, RE2 \\s (the oracle), and this
-    # split must agree; Python's str.split()/re \\s would also split on
-    # NBSP and friends, which the other engines don't.
+    # the Python replica of WS_CLASS (\x0B == \v); str.split()/re \s
+    # would also split on NBSP and friends, which the engines don't
     ws = _re.compile(r"[ \t\n\r\f\v]+")
     out = {f"_top{n}": [] for n in TOP_NS}
     out.update({f"_dup{n}": [] for n in DUP_NS})
@@ -166,7 +171,12 @@ def _ngram_stat_columns(texts):
                 tuple(words[i : i + n]) for i in range(len(words) - n + 1)
             )
             if n in TOP_NS:
-                val = max(c * sum(map(len, g)) for g, c in counts.items())
+                mc = max(counts.values())
+                val = max(
+                    c * sum(map(len, g))
+                    for g, c in counts.items()
+                    if c == mc
+                )
             else:
                 val = sum(
                     c * sum(map(len, g)) for g, c in counts.items() if c > 1

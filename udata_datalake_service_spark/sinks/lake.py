@@ -103,18 +103,30 @@ class Lake:
         crashed holder's lock is taken over once it is ``stale_after``
         seconds old (commits are short; a lock that old is an orphan)."""
         lock = base / "_COMMIT_LOCK"
+        token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                os.fsync(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - lock.stat().st_mtime > stale_after:
-                        lock.unlink(missing_ok=True)
-                        continue
+                    stale = time.time() - lock.stat().st_mtime > stale_after
                 except OSError:
                     continue  # holder released between exists and stat
+                if stale:
+                    # single-winner takeover: rename is atomic, so exactly
+                    # one claimant breaks the orphan; a naive unlink here
+                    # could delete a NEW holder's lock created in between
+                    claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, claim)
+                        claim.unlink(missing_ok=True)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
                 time.sleep(0.02)
@@ -122,7 +134,14 @@ class Lake:
             yield
         finally:
             os.close(fd)
-            lock.unlink(missing_ok=True)
+            try:
+                # release only if still ours — if a (mis-tuned) stale
+                # takeover stole the lock mid-commit, don't cascade the
+                # loss by deleting the thief's lock too
+                if lock.read_text() == token:
+                    lock.unlink(missing_ok=True)
+            except OSError:
+                pass
 
     @staticmethod
     def _commit_version(
@@ -172,11 +191,15 @@ class Lake:
                 ):
                     shutil.rmtree(d, ignore_errors=True)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, staging_grace_s: float = 3600.0) -> list[str]:
         """Reclaim version dirs no MANIFEST points at — crash leftovers
         (a fully-written but uncommitted version) and previous versions of
         tables that were never rewritten again. Normal commits already GC
         older versions; this sweeps tables the write path won't revisit.
+        ``_staging-*`` dirs are removed only once older than
+        ``staging_grace_s`` — a fresh one may be an IN-FLIGHT writer's
+        parquet write (the slow phase runs outside the commit lock), and
+        reclaiming it would break that writer's rename-into-place.
         Returns the removed paths (ST7-style maintenance verb)."""
         removed: list[str] = []
         bases = {
@@ -188,10 +211,13 @@ class Lake:
         for base in bases:
             current = self._manifest_version(base)
             for d in base.iterdir():
-                stale_staging = d.name.startswith("_staging-")
-                if d.is_dir() and (
-                    stale_staging
-                    or (d.name.startswith("v-") and d.name != current)
+                if not d.is_dir():
+                    continue
+                stale_staging = d.name.startswith("_staging-") and (
+                    time.time() - d.stat().st_mtime > staging_grace_s
+                )
+                if stale_staging or (
+                    d.name.startswith("v-") and d.name != current
                 ):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(str(d))
@@ -562,13 +588,20 @@ class Lake:
         import json as _json
 
         base = Path(self.app_table_path(name))
-        cur = self._current_dir(base)
+        # snapshot FIRST, then resolve the data dir FROM the snapshot: a
+        # commit landing between two independent manifest reads would let
+        # the CAS pass against stale data (TOCTOU lost update)
+        snapshot = self._manifest_version(base)
+        if snapshot is None:
+            cur = base if base.exists() else None  # legacy-plain or absent
+        else:
+            p = base / snapshot
+            cur = p if p.exists() else None
         ledger: list[str] = []
         if cur is not None and (cur / "_batches.json").exists():
             ledger = _json.loads((cur / "_batches.json").read_text())
         if batch_id in ledger:
             return False
-        snapshot = self._manifest_version(base)
         new = df if cur is None else self.spark.read.parquet(str(cur)).unionByName(df)
         ver = self._new_version()
         staging = base / f"_staging-{ver}"
