@@ -663,3 +663,18 @@ def test_weighted_sample_plans_takeordered(spark):
     df = spark.range(100).withColumn("w", F.col("id") + 1.0)
     plan = weighted_sample(df, 5, F.col("w"), ["id"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_grouped_quota_and_determinism(spark):
+    from udata_datalake_service_spark.operators.core import weighted_sample_grouped
+
+    rows = [(i, "g1" if i < 50 else "g2", float(i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_grouped(df, 5, F.col("w"), ["grp"], ["id"]).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    assert set(by_grp) == {"g1", "g2"}
+    assert all(len(v) == 5 for v in by_grp.values())
+    out2 = weighted_sample_grouped(df, 5, F.col("w"), ["grp"], ["id"]).collect()
+    assert {(r["grp"], r["id"]) for r in out} == {(r["grp"], r["id"]) for r in out2}

@@ -4505,6 +4505,42 @@ FROM sel ORDER BY wkey DESC, doc_id ASC LIMIT 50
 """
 
 
+def q_weighted_group_sample(spark, sf_dir):
+    """Stratified weighted sampling: per-language top-5 winners of the
+    deterministic Efraimidis–Spirakis race, weighted by document length —
+    the per-stratum quota form of the DSIR selection step."""
+    from udata_datalake_service_spark.operators.core import weighted_sample_grouped
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_grouped(
+        d.select("doc_id", "lang", "n_chars"),
+        5,
+        F.col("n_chars").cast("double"),
+        ["lang"],
+        ["doc_id"],
+        seed="s0",
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("__wkey").alias("wkey")
+    )
+
+
+_SQL_WEIGHTED_GROUP_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+    round(
+      ln((('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE + 1.0)
+         / 4294967297.0)
+      / CAST(n_chars AS DOUBLE), 9) AS wkey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, wkey
+FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id ASC) AS rn
+      FROM s)
+WHERE rn <= 5
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: per-label fixed-point centroids
     → nearest-centroid clusters → within-cluster pairwise cosine; a vector
@@ -4573,6 +4609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "weighted_group_sample": q_weighted_group_sample,
     "event_transitions": q_event_transitions,
     "fuzzy_linkage": q_fuzzy_linkage,
     "embed_standardize": q_standardize_embeddings,
@@ -4669,6 +4706,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "dsir_weights": _SQL_DSIR,
     "dsir_select": _SQL_DSIR_SELECT,
+    "weighted_group_sample": _SQL_WEIGHTED_GROUP_SAMPLE,
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
     "embed_standardize": _SQL_STANDARDIZE,

@@ -296,3 +296,48 @@ def weighted_sample(
         .orderBy(F.desc("__wkey"), *[F.asc(c) for c in salt_cols])
         .limit(n)
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    n_per_group: int,
+    weight: Column,
+    group_cols: Sequence[str],
+    salt_cols: Sequence[str],
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum Efraimidis–Spirakis sampling: the top ``n_per_group``
+    weighted-race winners WITHIN each group — stratified importance
+    sampling (per-language / per-domain quotas over DSIR-style weights).
+
+    Same deterministic race as `weighted_sample`; the global TakeOrdered
+    becomes one row_number window partitioned by the group key — a single
+    shuffle on the stratum, no global sort, winners only.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    wkey = F.round(F.log(u) / weight, 9)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__wkey"), *[F.asc(c) for c in salt_cols]
+    )
+    return (
+        df.filter(weight > 0)
+        .withColumn("__wkey", wkey)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
