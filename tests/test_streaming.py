@@ -432,3 +432,54 @@ def test_streaming_curation_pipeline_composes(spark, tmp_path):
     # 2 fails the gate; 10 is a cross-batch verbatim re-send of 1; 11 is a
     # fresh passing variant
     assert got == {1, 11}
+
+
+def test_transitions_stream_matches_batch_matrix(spark, tmp_path):
+    """The streaming adjacency emitter ≡ the batch lag window: replaying
+    events over two time-ordered micro-batches and aggregating the
+    adjacencies must give exactly `event_transitions`' counts — including
+    a cross-batch adjacency carried through state."""
+    from udata_datalake_service_spark.operators.markov import event_transitions
+    from udata_datalake_service_spark.streaming.transitions_stream import (
+        transitions_stream,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    mk = lambda i, u, m, e: (i, u, f"2024-01-01 00:{m:02d}:00", e)  # noqa: E731
+    f1 = [mk(1, 1, 0, "a"), mk(2, 1, 1, "b"), mk(3, 2, 0, "x")]
+    f2 = [mk(4, 1, 2, "a"), mk(5, 2, 3, "y"), mk(6, 2, 4, "x")]
+    src = str(tmp_path / "events_src")
+    to_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    to_df(f1).coalesce(1).write.parquet(src + "/b=0")
+    to_df(f2).coalesce(1).write.parquet(src + "/b=1")
+
+    stream_in = (
+        spark.readStream.schema(to_df(f1).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    q = (
+        transitions_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("adj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_adj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["prev_event"], r["next_event"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_event, next_event, COUNT(*) AS n FROM adj_stream "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["prev_event"], r["next_event"]): r["n"]
+        for r in event_transitions(to_df(f1 + f2)).collect()
+    }
+    # b->a (user 1) crosses the micro-batch boundary via carried state
+    assert got == batch and ("b", "a") in got
