@@ -43,6 +43,7 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
+        "dd_lsh_pairs": "3cde9e33635af869",
         "dd_dup_clusters": "017accaa03c700f0",
         "dd_ngram_jaccard": "01f0088e6c8047d9",
         "dd_simhash": "8e7b1d1f94cc12b1",

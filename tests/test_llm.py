@@ -1057,3 +1057,27 @@ def test_embed_media_deterministic_and_bounded(spark):
     assert out[1] == out[2] != out[3]
     assert all(-0.5 <= c <= 0.5 for v in out.values() for c in v)
     assert all(len(v) == 8 for v in out.values())
+
+
+def test_corpus_datasheet_reconciles(spark):
+    from udata_datalake_service_spark.llm.report import corpus_datasheet
+
+    rows = [
+        (1, "one two three", "en"),
+        (2, "one two three", "en"),     # exact dup
+        (3, "uno dos tres cuatro", "es"),
+        (4, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["section"], r["metric"]): r["value"]
+        for r in corpus_datasheet(df).collect()
+    }
+    assert got[("volume", "n_docs")] == 4.0
+    assert got[("volume", "n_tokens")] == 3 + 3 + 4 + 0
+    assert got[("dedup", "exact_dup_rate")] == 0.25
+    assert got[("quality", "gopher_pass_rate")] == 0.0  # all under 50 words
+    assert got[("language", "n_docs:en")] == 3.0
+    assert got[("language", "n_docs:es")] == 1.0
+    # exact interpolated percentiles over [3, 3, 4, 0]
+    assert got[("length", "p50_tokens")] == 3.0

@@ -4124,7 +4124,7 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(d.select("doc_id", noisy.alias("text")))
 
 
-def _sql_gopher_quality() -> str:
+def _sql_gopher_quality(source: str | None = None) -> str:
     from udata_datalake_service_spark.llm.gopher import (
         DUP_MAX,
         DUP_NS,
@@ -4171,13 +4171,14 @@ def _sql_gopher_quality() -> str:
     for n in DUP_NS:
         fail_terms.append(f"(dup{n}gram_char_frac > {DUP_MAX[n]})")
     n_fail = " + ".join(f"CASE WHEN {t} THEN 1 ELSE 0 END" for t in fail_terms)
-    return f"""
-WITH noisy AS (
-  SELECT doc_id,
+    source = source or """SELECT doc_id,
     text || chr(10) || text || chr(10) || '• alpha beta' || chr(10) ||
     '- gamma delta' || chr(10) || 'ends like this...' || chr(10) ||
     'ends like it …' AS t
-  FROM documents
+  FROM documents"""
+    return f"""
+WITH noisy AS (
+  {source}
 ), split0 AS (
   SELECT doc_id, t,
     list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'), w -> w <> '') AS w,
@@ -4505,6 +4506,47 @@ FROM sel ORDER BY wkey DESC, doc_id ASC LIMIT 50
 """
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """The corpus datasheet: volume totals, Gopher pass rate, exact-dup
+    rate, token-length quantiles, language mix — every number in the
+    shipped audit report oracle-attested."""
+    from udata_datalake_service_spark.llm.report import corpus_datasheet
+
+    d = _tw(spark, sf_dir, "documents")
+    return corpus_datasheet(d)
+
+
+def _sql_corpus_datasheet() -> str:
+    gq = _sql_gopher_quality("SELECT doc_id, text AS t FROM documents")
+    return f"""
+WITH gq AS ({gq}),
+pd AS (
+  SELECT d.doc_id, gq.gopher_pass, d.lang AS lng,
+    len({_SQL_TOKS}) AS ntok, length(d.text) AS nchar,
+    md5(array_to_string({_SQL_TOKS}, ' ')) AS fp
+  FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+),
+tot AS (
+  SELECT COUNT(*) AS n_docs, SUM(ntok) AS n_tokens, SUM(nchar) AS n_chars,
+    round(AVG(CASE WHEN gopher_pass THEN 1.0 ELSE 0.0 END), 6) AS pass_rate,
+    round((COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*), 6) AS dup_rate,
+    quantile_cont(ntok, 0.5) AS p50, quantile_cont(ntok, 0.9) AS p90
+  FROM pd
+)
+SELECT 'volume' AS section, 'n_docs' AS metric, n_docs::DOUBLE AS value FROM tot
+UNION ALL SELECT 'volume', 'n_tokens', n_tokens::DOUBLE FROM tot
+UNION ALL SELECT 'volume', 'n_chars', n_chars::DOUBLE FROM tot
+UNION ALL SELECT 'quality', 'gopher_pass_rate', pass_rate FROM tot
+UNION ALL SELECT 'dedup', 'exact_dup_rate', dup_rate FROM tot
+UNION ALL SELECT 'length', 'p50_tokens', p50 FROM tot
+UNION ALL SELECT 'length', 'p90_tokens', p90 FROM tot
+UNION ALL SELECT 'language', 'n_docs:' || lng, COUNT(*)::DOUBLE FROM pd GROUP BY lng
+"""
+
+
+_SQL_CORPUS_DATASHEET = _sql_corpus_datasheet()
+
+
 def q_weighted_group_sample(spark, sf_dir):
     """Stratified weighted sampling: per-language top-5 winners of the
     deterministic Efraimidis–Spirakis race, weighted by document length —
@@ -4610,6 +4652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "weighted_group_sample": q_weighted_group_sample,
+    "corpus_datasheet": q_corpus_datasheet,
     "event_transitions": q_event_transitions,
     "fuzzy_linkage": q_fuzzy_linkage,
     "embed_standardize": q_standardize_embeddings,
@@ -4707,6 +4750,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": _SQL_DSIR,
     "dsir_select": _SQL_DSIR_SELECT,
     "weighted_group_sample": _SQL_WEIGHTED_GROUP_SAMPLE,
+    "corpus_datasheet": _SQL_CORPUS_DATASHEET,
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "fuzzy_linkage": _SQL_FUZZY_LINKAGE,
     "embed_standardize": _SQL_STANDARDIZE,
