@@ -11,7 +11,7 @@
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
 | (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs; ``compact-table`` — coalesce small files into ~target-size files behind the manifest flip |
-| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report |
+| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report; ``datasheet`` — the corpus audit report |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -208,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("select-batch"); sp.add_argument("--seed", default="s0")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
     sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true")
+    sp = sub.add_parser("datasheet"); sp.add_argument("in_path")
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -253,6 +254,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(curate_docs(
             spark, args.in_path, out_path=args.out,
             drop_exact_dups=not args.keep_dups)))
+    elif args.verb == "datasheet":
+        from udata_datalake_service_spark.llm.report import corpus_datasheet
+
+        for r in corpus_datasheet(spark.read.parquet(args.in_path)).collect():
+            print(json.dumps(r.asDict()))
     return 0
 
 
