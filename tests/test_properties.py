@@ -354,3 +354,32 @@ def test_bpe_encode_reconstructs_tokens(spark, texts):
         toks = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w]
         rebuilt = "".join(enc[i]).replace(END, " ").split()
         assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_laws(spark, weights, n):
+    """Laws: at most n winners, all from the positive-weight subset,
+    deterministic across runs, and monotone — the sample is a subset of
+    what a larger n returns."""
+    from udata_datalake_service_spark.operators.core import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w double"
+    )
+    pick = lambda k: {  # noqa: E731
+        r["id"] for r in weighted_sample(df, k, F.col("w"), ["id"]).collect()
+    }
+    got = pick(n)
+    n_pos = sum(1 for w in weights if w > 0)
+    assert len(got) == min(n, n_pos)
+    assert all(weights[i] > 0 for i in got)
+    assert got == pick(n)
+    assert got <= pick(min(n + 3, max(n_pos, 1)))
