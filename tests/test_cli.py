@@ -112,3 +112,18 @@ def test_curate_docs_verb(spark, tmp_path):
     assert report["pass_rate"] == 0.5
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2}
+
+
+def test_bpe_train_verb_persists_merge_table(spark, tmp_path):
+    from udata_datalake_service_spark.cli import bpe_train_verb
+
+    src = str(tmp_path / "docs_bpe")
+    spark.createDataFrame(
+        [(1, "low low low lower newest newest newest")], "doc_id long, text string"
+    ).write.parquet(src)
+    lake = Lake(spark, str(tmp_path / "lake"))
+    report = bpe_train_verb(spark, lake, src, num_merges=3, table="bpe")
+    assert report == {"merges": 3, "table": "bpe"}
+    back = lake.read_app_table("bpe").orderBy("rank").collect()
+    assert [r["rank"] for r in back] == [1, 2, 3]
+    assert all(r["pair_count"] > 0 for r in back)

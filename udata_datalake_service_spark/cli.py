@@ -11,7 +11,7 @@
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
 | (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs; ``compact-table`` — coalesce small files into ~target-size files behind the manifest flip |
-| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report; ``datasheet`` — the corpus audit report |
+| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report; ``datasheet`` — the corpus audit report; ``bpe-train`` — learn + persist a BPE merge table |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -144,6 +144,25 @@ def insert_resource(spark: SparkSession, lake: Lake, dataset_id: str,
     lake.rewrite_app_table(upsert(catalog, row.select(*catalog.columns), key="resource_id"), "catalog")
 
 
+def bpe_train_verb(
+    spark: SparkSession,
+    lake: Lake,
+    in_path: str,
+    num_merges: int = 50,
+    table: str = "bpe_merges",
+) -> dict:
+    """Learn a BPE merge table from a documents parquet and commit it to
+    the lake as an app table (rank, left, right, pair_count) — the
+    tokenizer artifact a training run ships with. Returns a summary."""
+    from udata_datalake_service_spark.llm.bpe import bpe_merges_df
+
+    df = spark.read.parquet(in_path)
+    merges = bpe_merges_df(df, num_merges=num_merges)
+    lake.write_app_table(merges, table)
+    n = merges.count()
+    return {"merges": n, "table": table}
+
+
 def curate_docs(
     spark: SparkSession,
     in_path: str,
@@ -209,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
     sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true")
     sp = sub.add_parser("datasheet"); sp.add_argument("in_path")
+    sp = sub.add_parser("bpe-train"); sp.add_argument("in_path"); sp.add_argument("--merges", type=int, default=50); sp.add_argument("--table", default="bpe_merges")
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -254,6 +274,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(curate_docs(
             spark, args.in_path, out_path=args.out,
             drop_exact_dups=not args.keep_dups)))
+    elif args.verb == "bpe-train":
+        print(json.dumps(bpe_train_verb(
+            spark, lake, args.in_path, num_merges=args.merges,
+            table=args.table)))
     elif args.verb == "datasheet":
         from udata_datalake_service_spark.llm.report import corpus_datasheet
 
