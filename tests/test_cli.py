@@ -113,6 +113,18 @@ def test_curate_docs_verb(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2}
 
+    # decontamination leg: an eval set sharing doc 2's unique 5-grams
+    # knocks it out before the gate
+    bench = str(tmp_path / "bench_in")
+    spark.createDataFrame(
+        [(100, good + " extra")], "doc_id long, text string"
+    ).write.parquet(bench)
+    report2 = curate_docs(spark, src, benchmark_path=bench)
+    assert report2["n_after_exact_dedup"] == 3
+    # docs 1 and 2 both share the long opener's 5-grams with the bench doc
+    assert report2["n_after_decontam"] == 1
+    assert report2["n_gopher_pass"] == 0  # only the spam doc remains
+
 
 def test_bpe_train_verb_persists_merge_table(spark, tmp_path):
     from udata_datalake_service_spark.cli import bpe_train_verb

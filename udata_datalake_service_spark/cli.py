@@ -168,13 +168,17 @@ def curate_docs(
     in_path: str,
     out_path: str | None = None,
     drop_exact_dups: bool = True,
+    benchmark_path: str | None = None,
 ) -> dict:
     """Training-data curation verb over a documents parquet
-    (doc_id, text, …): Gopher rule gate (llm/gopher.py) + optional exact
-    dedup (first fingerprint arrival wins), written as a curated parquet
-    when ``out_path`` is given. Returns the audit report — counts at each
-    gate so a 100 TB run's survivorship is explainable. Map-only gate +
-    one fingerprint shuffle when dedup is on; the write streams."""
+    (doc_id, text, …): optional exact dedup (first fingerprint arrival
+    wins) → optional benchmark decontamination (GPT-3-style k-gram
+    overlap vs the eval parquet at ``benchmark_path``) → Gopher rule gate
+    (llm/gopher.py), written as a curated parquet when ``out_path`` is
+    given. Returns the audit report — counts at each gate so a 100 TB
+    run's survivorship is explainable. Map-only gate + one fingerprint
+    shuffle when dedup is on + one broadcast anti-join when
+    decontaminating; the write streams."""
     from pyspark.sql import functions as F
 
     from udata_datalake_service_spark.llm.dedup import exact_dedup
@@ -188,6 +192,13 @@ def curate_docs(
         # persist: the dedup shuffle feeds both the count and the gate
         kept = exact_dedup(kept, text="text", id_col="doc_id").persist()
         n_after_dedup = kept.count()
+    n_after_decontam = n_after_dedup
+    if benchmark_path:
+        from udata_datalake_service_spark.llm.contamination import decontaminate
+
+        bench = spark.read.parquet(benchmark_path)
+        kept = decontaminate(kept, bench, text="text", id_col="doc_id").persist()
+        n_after_decontam = kept.count()
     verdicts = gopher_quality(kept).select("doc_id", "gopher_pass", "n_fail")
     survivors = kept.join(
         verdicts.filter(F.col("gopher_pass")).select("doc_id"), on="doc_id"
@@ -204,6 +215,7 @@ def curate_docs(
     return {
         "n_in": n_in,
         "n_after_exact_dedup": n_after_dedup,
+        "n_after_decontam": n_after_decontam,
         "n_gopher_pass": n_pass,
         "pass_rate": round(n_pass / n_in, 6) if n_in else 0.0,
         "out_path": out_path,
@@ -226,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact-table"); sp.add_argument("name"); sp.add_argument("--target-mb", type=int, default=128); sp.add_argument("--app-table", action="store_true")
     sp = sub.add_parser("select-batch"); sp.add_argument("--seed", default="s0")
     sp = sub.add_parser("insert-resource"); sp.add_argument("dataset_id"); sp.add_argument("resource_id"); sp.add_argument("url")
-    sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true")
+    sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true"); sp.add_argument("--benchmark")
     sp = sub.add_parser("datasheet"); sp.add_argument("in_path")
     sp = sub.add_parser("bpe-train"); sp.add_argument("in_path"); sp.add_argument("--merges", type=int, default=50); sp.add_argument("--table", default="bpe_merges")
     args = p.parse_args(argv)
@@ -273,7 +285,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "curate-docs":
         print(json.dumps(curate_docs(
             spark, args.in_path, out_path=args.out,
-            drop_exact_dups=not args.keep_dups)))
+            drop_exact_dups=not args.keep_dups,
+            benchmark_path=args.benchmark)))
     elif args.verb == "bpe-train":
         print(json.dumps(bpe_train_verb(
             spark, lake, args.in_path, num_merges=args.merges,
