@@ -188,9 +188,11 @@ def curate_docs(
     n_in = df.count()
     kept = df
     n_after_dedup = n_in
+    persisted = []
     if drop_exact_dups:
         # persist: the dedup shuffle feeds both the count and the gate
         kept = exact_dedup(kept, text="text", id_col="doc_id").persist()
+        persisted.append(kept)
         n_after_dedup = kept.count()
     n_after_decontam = n_after_dedup
     if benchmark_path:
@@ -198,6 +200,7 @@ def curate_docs(
 
         bench = spark.read.parquet(benchmark_path)
         kept = decontaminate(kept, bench, text="text", id_col="doc_id").persist()
+        persisted.append(kept)
         n_after_decontam = kept.count()
     verdicts = gopher_quality(kept).select("doc_id", "gopher_pass", "n_fail")
     survivors = kept.join(
@@ -210,8 +213,8 @@ def curate_docs(
         n_pass = spark.read.parquet(out_path).count()
     else:
         n_pass = survivors.count()
-    if drop_exact_dups:
-        kept.unpersist()
+    for p_ in persisted:
+        p_.unpersist()
     return {
         "n_in": n_in,
         "n_after_exact_dedup": n_after_dedup,

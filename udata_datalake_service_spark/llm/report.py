@@ -50,7 +50,6 @@ def corpus_datasheet(
         F.lit(metric).alias("metric"),
         value.cast("double").alias("value"),
     )
-    q = F.lit(0.5)
     quant = (
         F.expr("percentile(__ntok, array(0.5, 0.9))")
         if quantile_mode == "exact"
@@ -75,8 +74,11 @@ def corpus_datasheet(
             row("length", "p90_tokens", quant.getItem(1)),
         ).alias("rows")
     ).select(F.explode("rows").alias("r")).select("r.*")
+    # language mix straight off the input — routing it through per_doc
+    # would re-run the gopher mapInPandas stage for a branch that only
+    # needs (lang, count); the gate is 1:1 per doc so the counts agree
     langs = (
-        per_doc.groupBy("__lang")
+        df.groupBy(F.col(lang_col).alias("__lang"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("language").alias("section"),

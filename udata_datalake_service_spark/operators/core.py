@@ -251,6 +251,30 @@ def snapshot_diff_load(
     return joined.select(*out)
 
 
+def _es_wkey(weight: Column, salt_cols: Sequence[str], seed: str) -> Column:
+    """The shared Efraimidis–Spirakis race key: a deterministic md5
+    uniform u = (h32+1)/(2^32+1) ∈ (0,1), competing as round(ln(u)/w, 9).
+    One definition so the global and grouped samplers (and their SQL
+    oracles) can never diverge."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    return F.round(F.log(u) / weight, 9)
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
@@ -273,26 +297,9 @@ def weighted_sample(
     Appends the competition key as ``__wkey`` (callers drop it; the query
     surface keeps it for exact oracle attestation).
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols]
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) ∈ (0, 1)
-    wkey = F.round(F.log(u) / weight, 9)
     return (
         df.filter(weight > 0)
-        .withColumn("__wkey", wkey)
+        .withColumn("__wkey", _es_wkey(weight, salt_cols, seed))
         .orderBy(F.desc("__wkey"), *[F.asc(c) for c in salt_cols])
         .limit(n)
     )
@@ -314,29 +321,12 @@ def weighted_sample_grouped(
     becomes one row_number window partitioned by the group key — a single
     shuffle on the stratum, no global sort, winners only.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.lit(seed), *[F.col(c).cast("string") for c in salt_cols]
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(4294967297.0)
-    wkey = F.round(F.log(u) / weight, 9)
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("__wkey"), *[F.asc(c) for c in salt_cols]
     )
     return (
         df.filter(weight > 0)
-        .withColumn("__wkey", wkey)
+        .withColumn("__wkey", _es_wkey(weight, salt_cols, seed))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")

@@ -113,19 +113,31 @@ class Lake:
                 break
             except FileExistsError:
                 try:
-                    stale = time.time() - lock.stat().st_mtime > stale_after
+                    st = lock.stat()
+                    stale = time.time() - st.st_mtime > stale_after
+                    stale_token = lock.read_text() if stale else ""
                 except OSError:
                     continue  # holder released between exists and stat
                 if stale:
                     # single-winner takeover: rename is atomic, so exactly
-                    # one claimant breaks the orphan; a naive unlink here
-                    # could delete a NEW holder's lock created in between
+                    # one claimant breaks the orphan. Verify BY TOKEN that
+                    # what we claimed is the orphan we observed — if a new
+                    # holder recreated the lock in between, hand it back
+                    # (atomic link; no-op if a newer lock already exists).
                     claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
                     try:
                         os.rename(lock, claim)
-                        claim.unlink(missing_ok=True)
-                    except FileNotFoundError:
+                    except (FileNotFoundError, OSError):
+                        continue
+                    try:
+                        if claim.read_text() != stale_token:
+                            try:
+                                os.link(claim, lock)
+                            except (FileExistsError, OSError):
+                                pass
+                    except OSError:
                         pass
+                    claim.unlink(missing_ok=True)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
@@ -211,11 +223,20 @@ class Lake:
         for base in bases:
             current = self._manifest_version(base)
             for d in base.iterdir():
-                if not d.is_dir():
-                    continue
-                stale_staging = d.name.startswith("_staging-") and (
-                    time.time() - d.stat().st_mtime > staging_grace_s
-                )
+                try:
+                    if not d.is_dir():
+                        # crashed takeover leftovers next to MANIFEST
+                        if d.name.startswith("_COMMIT_LOCK.stale-") and (
+                            time.time() - d.stat().st_mtime > staging_grace_s
+                        ):
+                            d.unlink(missing_ok=True)
+                            removed.append(str(d))
+                        continue
+                    stale_staging = d.name.startswith("_staging-") and (
+                        time.time() - d.stat().st_mtime > staging_grace_s
+                    )
+                except OSError:
+                    continue  # renamed into place / released concurrently
                 if stale_staging or (
                     d.name.startswith("v-") and d.name != current
                 ):

@@ -91,8 +91,11 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         last_modified, content_length, checksum, seen = None, None, None, False
 
     rows = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["created_at", "id"])
+    # concat the key's Arrow chunks before the sort — per-chunk sorting
+    # would misorder rows straddling a chunk boundary
+    chunks = [c for c in pdf_iter if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["created_at", "id"])
         for r in pdf.itertuples(index=False):
             cur_lm = r.detected_last_modified_at
             if cur_lm is not None and pd.isna(cur_lm):  # NaT → None (state-safe)

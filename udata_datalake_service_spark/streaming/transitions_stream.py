@@ -49,8 +49,12 @@ def _emit_adjacencies(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     else:
         last_ts, last_event = None, None
     rows = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # concatenate the key's Arrow chunks BEFORE sorting: a per-chunk sort
+    # would misorder rows that straddle a chunk boundary (state is per-key,
+    # so memory stays bounded by the key's share of one micro-batch)
+    chunks = [c for c in pdf_iter if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for r in pdf.itertuples(index=False):
             if last_event is not None:
                 rows.append(
