@@ -83,3 +83,25 @@ def test_index_request_flows_into_lake_write(spark, lake_with_catalog, tmp_path)
     back = lake.read_table("conv_r2")
     # single coalesced file sorted on the requested column
     assert [r["id"] for r in back.collect()] == [1, 2, 3]
+
+
+def test_service_curation_plane_delegates(spark, tmp_path):
+    from udata_datalake_service_spark.service import HydraService
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    svc = HydraService(spark, Lake(spark, str(tmp_path / "lake")))
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en")], "doc_id long, text string, lang string"
+    )
+    ds = {(r["section"], r["metric"]) for r in svc.corpus_datasheet(docs).collect()}
+    assert ("volume", "n_docs") in ds and ("language", "n_docs:en") in ds
+    gq = svc.quality_gate(docs).collect()
+    assert len(gq) == 1 and "gopher_pass" in gq[0].asDict()
+    iw = svc.importance_weights(docs, F.col("lang") == "en").collect()
+    assert iw[0]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sd = {r["vec_id"]: r["is_dup"] for r in svc.semantic_dedup(emb).collect()}
+    assert sd == {1: False, 2: True}

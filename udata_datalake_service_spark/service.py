@@ -223,3 +223,28 @@ class HydraService:
         from udata_datalake_service_spark.operators.funnel import cohort_retention
 
         return cohort_retention(events, **kw)
+
+    # ------------------------------------------------- curation plane ----
+    def corpus_datasheet(self, docs: DataFrame, **kw) -> DataFrame:
+        """The corpus audit report (llm/report.corpus_datasheet)."""
+        from udata_datalake_service_spark.llm.report import corpus_datasheet
+
+        return corpus_datasheet(docs, **kw)
+
+    def quality_gate(self, docs: DataFrame, **kw) -> DataFrame:
+        """Gopher rule table per document (llm/gopher.gopher_quality)."""
+        from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+        return gopher_quality(docs, **kw)
+
+    def importance_weights(self, docs: DataFrame, is_target, **kw) -> DataFrame:
+        """DSIR log importance weights (llm/tfidf.dsir_log_weights)."""
+        from udata_datalake_service_spark.llm.tfidf import dsir_log_weights
+
+        return dsir_log_weights(docs, is_target, **kw)
+
+    def semantic_dedup(self, embeddings: DataFrame, **kw) -> DataFrame:
+        """SemDeDup verdicts per vector (llm/similarity.semantic_dedup)."""
+        from udata_datalake_service_spark.llm.similarity import semantic_dedup
+
+        return semantic_dedup(embeddings, **kw)
