@@ -139,3 +139,21 @@ def test_bpe_train_verb_persists_merge_table(spark, tmp_path):
     back = lake.read_app_table("bpe").orderBy("rank").collect()
     assert [r["rank"] for r in back] == [1, 2, 3]
     assert all(r["pair_count"] > 0 for r in back)
+
+
+def test_analyse_csv_reports_schema_drift_on_reanalysis(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    p1 = tmp_path / "r1.csv"
+    p1.write_text("id,price\n1,2.5\n2,3.5\n")
+    url = "https://a.org/drifting.csv"
+    seen: list = []
+    analyse_csv(spark, lake, str(p1), url=url, on_drift=seen.append)
+    assert seen == []  # first analysis: nothing to drift against
+
+    p2 = tmp_path / "r2.csv"
+    p2.write_text("id,price,qty\n1,hello,4\n2,world,5\n")
+    analyse_csv(spark, lake, str(p2), url=url, on_drift=seen.append)
+    assert len(seen) == 1
+    changes = {(d["column"], d["change"]) for d in seen[0]}
+    assert ("qty", "added") in changes
+    assert ("price", "retyped") in changes

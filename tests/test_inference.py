@@ -131,3 +131,33 @@ def test_gz_behind_lying_extension(spark, tmp_path):
     typed, insp = inspect_csv(spark, str(p))
     assert insp.columns["a"]["python_type"] == "int"
     assert sorted(r["a"] for r in typed.collect()) == [1, 2]
+
+
+def test_schema_drift_names_added_removed_retyped():
+    from udata_datalake_service_spark.sources.inference import Inspection, schema_drift
+
+    old = Inspection(
+        header=["id", "price", "gone"],
+        columns={
+            "id": {"python_type": "int", "score": 1.0},
+            "price": {"python_type": "float", "score": 1.0},
+            "gone": {"python_type": "string", "score": 1.0},
+        },
+    )
+    new = Inspection(
+        header=["id", "price", "fresh"],
+        columns={
+            "id": {"python_type": "int", "score": 1.0},
+            "price": {"python_type": "string", "score": 0.9},  # retyped
+            "fresh": {"python_type": "bool", "score": 1.0},
+        },
+    )
+    drift = schema_drift(old, new)
+    assert drift == [
+        {"column": "fresh", "change": "added", "old_type": None, "new_type": "bool"},
+        {"column": "gone", "change": "removed", "old_type": "string", "new_type": None},
+        {"column": "price", "change": "retyped", "old_type": "float", "new_type": "string"},
+    ]
+    assert schema_drift(old, old) == []
+    # dict form (the registry stores to_dict payloads) works identically
+    assert schema_drift(old.to_dict(), new.to_dict()) == drift

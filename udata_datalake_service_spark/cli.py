@@ -72,7 +72,7 @@ def check_urls(spark: SparkSession, urls: list[str], transport=None):
 
 def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = None,
                 resource_id: str = "", index_columns: list[str] | None = None,
-                sheet_name: str | None = None) -> str:
+                sheet_name: str | None = None, on_drift=None) -> str:
     """analysis/csv.py:108-199 — inspect, cast, write the md5(url)-named
     lake table, register. Returns the table name. Handles csv / csv.gz /
     xlsx / xls / ods via the magic-first format dispatch, like the
@@ -82,6 +82,28 @@ def analyse_csv(spark: SparkSession, lake: Lake, path: str, url: str | None = No
     url = url or f"file://{path}"
     name = hashlib.md5(url.encode()).hexdigest()
     typed, insp = inspect_tabular(spark, path, sheet_name=sheet_name)
+    # re-analysis of a known resource: surface schema drift vs the last
+    # registered inspection BEFORE the new row lands (ST4's schema-level
+    # sibling — content change detection can't name a retyped column)
+    from pyspark.sql import functions as F
+
+    try:
+        prev = (
+            lake.registry()
+            .filter(F.col("parsing_table") == name)
+            .orderBy(F.col("created_at").desc())
+            .limit(1)
+            .collect()
+        )
+    except Exception:
+        prev = []
+    if prev:
+        from udata_datalake_service_spark.sources.inference import schema_drift
+
+        drift = schema_drift(json.loads(prev[0]["csv_detective"]), insp.to_dict())
+        if drift:
+            (on_drift or (lambda d: print(
+                json.dumps({"schema_drift": d}), file=sys.stderr)))(drift)
     lake.write_table(
         typed, name, index_columns=index_columns, min_lines_for_parquet=0,
         expected_rows=insp.total_lines,

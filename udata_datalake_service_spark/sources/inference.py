@@ -433,3 +433,39 @@ def _zip_workbook_kind(path: str) -> str | None:
     except (zipfile.BadZipFile, OSError):
         pass
     return None
+
+
+def schema_drift(old: "Inspection | dict", new: "Inspection | dict") -> list[dict]:
+    """Column-level drift between two inspections of the same resource —
+    the signal the reference's change-detection cascade (ST4) lacks at
+    the SCHEMA level: it spots content changes, this names what changed
+    structurally before a reload breaks downstream consumers.
+
+    Returns one dict per drifted column, deterministic order (added /
+    removed by header position, retyped by name):
+    ``{"column", "change": added|removed|retyped, "old_type", "new_type"}``.
+    Driver-side over two metadata dicts — no Spark job.
+    """
+    o = old.to_dict() if hasattr(old, "to_dict") else old
+    n = new.to_dict() if hasattr(new, "to_dict") else new
+    ocols, ncols = o.get("columns", {}), n.get("columns", {})
+    out: list[dict] = []
+    for c in n.get("header", []) or ncols:
+        if c not in ocols and c in ncols:
+            out.append(
+                {"column": c, "change": "added", "old_type": None,
+                 "new_type": ncols[c].get("python_type")}
+            )
+    for c in o.get("header", []) or ocols:
+        if c not in ncols and c in ocols:
+            out.append(
+                {"column": c, "change": "removed",
+                 "old_type": ocols[c].get("python_type"), "new_type": None}
+            )
+    for c in sorted(set(ocols) & set(ncols)):
+        ot, nt = ocols[c].get("python_type"), ncols[c].get("python_type")
+        if ot != nt:
+            out.append(
+                {"column": c, "change": "retyped", "old_type": ot, "new_type": nt}
+            )
+    return out
