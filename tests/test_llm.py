@@ -1081,3 +1081,28 @@ def test_corpus_datasheet_reconciles(spark):
     assert got[("language", "n_docs:es")] == 1.0
     # exact interpolated percentiles over [3, 3, 4, 0]
     assert got[("length", "p50_tokens")] == 3.0
+
+
+def test_semantic_dedup_matmul_equals_expr(spark):
+    import random
+
+    from udata_datalake_service_spark.llm.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)
+    ]
+    rows += [(100, rows[0][1], 0), (101, rows[1][1], 1)]  # exact twins
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(4)
+    a = {
+        r["vec_id"]: (r["cluster"], r["centroid_cos"], r["is_dup"])
+        for r in semantic_dedup(df, threshold=0.6, method="matmul").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster"], r["centroid_cos"], r["is_dup"])
+        for r in semantic_dedup(df, threshold=0.6, method="expr").collect()
+    }
+    assert a == b
+    assert any(v[2] for v in a.values())  # the twins produced dups

