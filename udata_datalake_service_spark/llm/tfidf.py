@@ -344,14 +344,14 @@ def dsir_log_weights(
     ex = ex.select(
         "id", "tgt", (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).alias("bucket")
     )
+    # n_buckets rows; persisted so the corpus totals (Σ over buckets — no
+    # second pass over the exploded features) and the log-ratio table both
+    # come from ONE explode pass. The cache is n_buckets rows.
     bc = ex.groupBy("bucket").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
-    )
-    tot = ex.agg(
-        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("nr"),
-    ).collect()[0]
+    ).persist()
+    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")).collect()[0]
     nt, nr = int(tot["nt"] or 0), int(tot["nr"] or 0)
     lr = bc.select(
         "bucket",
