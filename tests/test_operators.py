@@ -678,3 +678,63 @@ def test_weighted_sample_grouped_quota_and_determinism(spark):
     assert all(len(v) == 5 for v in by_grp.values())
     out2 = weighted_sample_grouped(df, 5, F.col("w"), ["grp"], ["id"]).collect()
     assert {(r["grp"], r["id"]) for r in out} == {(r["grp"], r["id"]) for r in out2}
+
+
+def test_sessionize_null_ts_matches_sql_semantics(spark):
+    """NULL timestamps order last: the first folds into the key's final
+    session, subsequent ones each start a new session — the exact replay
+    of the oracle's LAG/CASE window (asserted here so Spark's NULLS FIRST
+    default can never silently diverge again)."""
+    from udata_datalake_service_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 09:00:00"),  # > 8h gap -> session 2
+        (3, 1, None),                   # folds into session 2
+        (4, 1, None),                   # lag is NULL-ts -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, ["user_id"], "ts", 8 * 3600, ["event_id"]).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_interval_join_left_keeps_null_column_matches_single(spark):
+    """A matched point carrying a NULL in a non-join column must NOT be
+    re-emitted as unmatched (the anti join is null-safe per column)."""
+    from udata_datalake_service_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, None, "2024-01-01 10:00:00"), (2, "u", "2024-01-05 10:00:00")],
+        "pid long, tag string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rng = spark.createDataFrame(
+        [(7, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "rid long, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = interval_join(pts, rng, "ts", "s", "e", how="left").collect()
+    rows = {(r["pid"], r["rid"]) for r in out}
+    # pid 1 matched exactly once despite its NULL tag; pid 2 unmatched once
+    assert rows == {(1, 7), (2, None)}
+    assert len(out) == 2
+
+
+def test_sketch_functions_accept_hostile_column_names(spark):
+    from udata_datalake_service_spark.operators.sketches import (
+        heavy_hitters,
+        merge_ndv,
+        ndv_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 2), ("x", 3)], "`a-b` string, `page views` long"
+    )
+    sk = ndv_sketch_table(df, [], ["a-b", "page views"])
+    est = merge_ndv(sk, ["a-b", "page views"]).collect()[0]
+    assert est["a-b_ndv"] == 2 and est["page views_ndv"] == 3
+    top = heavy_hitters(df, "a-b", k=2)
+    assert {r["item"] for r in top.collect()} == {"x", "y"}

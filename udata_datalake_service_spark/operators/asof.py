@@ -20,8 +20,8 @@ and a genuinely hot key can be range-bucketed by time first.
 Semantics match DuckDB's ASOF JOIN (the oracle): backward = right.ts <=
 left.ts, inclusive; ties between right rows at identical (key, ts) are
 broken by ``tie_break`` columns (latest wins), which the caller should make
-unique for determinism. Left rows with NULL timestamps never match
-(SQL inequality semantics).
+unique for determinism. Left rows with a NULL timestamp or a NULL in any
+join key never match (SQL equi/inequality semantics).
 """
 
 from __future__ import annotations
@@ -66,8 +66,10 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
 
+    # internal alias: a right value column literally named "ts" must not
+    # collide with the matched-timestamp field
     payload = F.struct(
-        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in value_cols]
+        F.col(right_ts).alias("__ats"), *[F.col(c).alias(c) for c in value_cols]
     )
     tb_names = [f"__asof_tb{i}" for i in range(len(tie_break))]
     r = right.select(
@@ -111,12 +113,18 @@ def asof_join(
     if tolerance_us is not None:
         gap = F.abs(
             F.unix_micros(F.col(_TS).cast("timestamp"))
-            - F.unix_micros(match["ts"].cast("timestamp"))
+            - F.unix_micros(match["__ats"].cast("timestamp"))
         )
         match = F.when(gap <= F.lit(tolerance_us), match)
-    match = F.when(F.col(_TS).isNotNull(), match)
+    # SQL equi/inequality semantics: a NULL timestamp OR a NULL in any
+    # join key never matches (the window would otherwise group NULL keys
+    # together, diverging from DuckDB ASOF JOIN — the stated oracle)
+    not_null = F.col(_TS).isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
+    match = F.when(not_null, match)
     out = out.withColumn(_MATCH, match).drop(_TS)
     sel = [F.col(c) for c in left.columns]
-    sel.append(F.col(_MATCH)["ts"].alias(f"asof_{right_ts}"))
+    sel.append(F.col(_MATCH)["__ats"].alias(f"asof_{right_ts}"))
     sel.extend(F.col(_MATCH)[c].alias(f"asof_{c}") for c in value_cols)
     return out.select(*sel)

@@ -71,13 +71,15 @@ def funnel_levels(
         )
     reached = levels.groupBy("k").agg(F.sum("level").alias("level"))
     # sum of one row per reached stage == deepest stage (stages are nested)
+    base = events.select(F.col(key).alias("k")).distinct().alias("base")
+    r = reached.alias("r")
+    # null-safe: a NULL key's computed depth must survive the join-back
+    # (a plain equi-join would silently report level 0 for it)
     return (
-        events.select(F.col(key).alias("k"))
-        .distinct()
-        .join(reached, on="k", how="left")
+        base.join(r, F.col("base.k").eqNullSafe(F.col("r.k")), "left")
         .select(
-            F.col("k").alias(key),
-            F.coalesce("level", F.lit(0)).cast("long").alias("level"),
+            F.col("base.k").alias(key),
+            F.coalesce(F.col("r.level"), F.lit(0)).cast("long").alias("level"),
         )
     )
 
@@ -106,13 +108,25 @@ def cohort_retention(
     """
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     bucket_us = int(bucket_days) * 86_400_000_000
-    ev = events.select(
-        F.col(key).alias("k"), (us / F.lit(bucket_us)).cast("long").alias("b")
+    # exact FLOOR division on integers (the oracle's `//`): double
+    # division would truncate toward zero for pre-epoch timestamps and
+    # lose precision past 2^53 µs — align to the bucket multiple with a
+    # positive mod, then the DIV is exact
+    ev = events.select(F.col(key).alias("k"), us.alias("__us")).select(
+        "k",
+        F.expr(
+            f"(__us - ((__us % {bucket_us} + {bucket_us}) % {bucket_us}))"
+            f" DIV {bucket_us}"
+        ).alias("b"),
     )
     cohorts = ev.groupBy("k").agg(F.min("b").alias("cohort_b"))
     active = ev.distinct()
     per = (
-        active.join(cohorts, on="k")
+        active.alias("a")
+        .join(
+            cohorts.alias("c"),
+            F.col("a.k").eqNullSafe(F.col("c.k")),  # NULL keys stay counted
+        )
         .groupBy(
             F.col("cohort_b").alias("cohort_bucket"),
             (F.col("b") - F.col("cohort_b")).alias("bucket_offset"),

@@ -80,12 +80,18 @@ def interval_join(
     # left: points with zero matching ranges re-enter with NULL range
     # columns. left_anti on the full point row keeps every copy of an
     # unmatched row and none of a matched one (every copy of a matched
-    # point is already in `out` via the inner join).
-    unmatched = points.join(
-        out.select(*points.columns).dropDuplicates(),
-        on=list(points.columns),
-        how="left_anti",
-    )
+    # point is already in `out` via the inner join). The anti condition is
+    # NULL-SAFE per column — plain equality would re-emit a matched point
+    # that carries a NULL in any column — and `out` is persisted so the
+    # bucketize-join pipeline isn't executed twice (union + anti build).
+    out = out.persist()
+    matched_pts = out.select(*points.columns).dropDuplicates().alias("m")
+    pts = points.alias("p")
+    anti_cond = None
+    for c in points.columns:
+        term = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    unmatched = pts.join(matched_pts, anti_cond, how="left_anti")
     range_cols = [c for c in ranges.columns if c not in keys]
     for c in range_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(ranges.schema[c].dataType))

@@ -41,15 +41,22 @@ def sessionize(
 
     ``tie_break`` orders events sharing a timestamp (pass a unique id for
     determinism). New session ⇔ first event of the key, or gap from the
-    previous event > ``gap_seconds`` (strict, matching session_window's
-    half-open [start, start+gap) semantics on the boundary).
+    previous event >= ``gap_seconds`` (an event landing exactly on the
+    boundary STARTS a new session, matching session_window's half-open
+    [start, start+gap) windows). NULL timestamps order LAST (matching the
+    SQL oracle's default ORDER BY): the first folds into the key's last
+    session (NULL gap ⇒ not a start, the SQL CASE's ELSE), and any
+    further NULL-ts rows each start a new one (their lag IS NULL) — the
+    exact replay of the oracle's window expression.
     """
-    order = [F.asc(ts_col), *[F.asc(c) for c in tie_break]]
+    order = [F.asc_nulls_last(ts_col), *[F.asc(c) for c in tie_break]]
     w = Window.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
     gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
         prev_ts.cast("timestamp")
     )
+    # NB: a NULL gap (NULL-ts row after a real one) yields NULL → the
+    # cast/sum treats it as not-a-start, replaying the SQL CASE's ELSE
     is_start = prev_ts.isNull() | (gap >= F.lit(int(gap_seconds) * 1_000_000))
     return df.withColumn(
         session_col,

@@ -42,7 +42,7 @@ def ndv_sketch_table(
     table keyed by the group (day, source, …).
     """
     aggs = [
-        F.expr(f"hll_sketch_agg({c}, {int(lg_k)})").alias(f"{c}__hll")
+        F.expr(f"hll_sketch_agg(`{c}`, {int(lg_k)})").alias(f"{c}__hll")
         for c in value_cols
     ]
     return df.groupBy(*group_cols).agg(*aggs)
@@ -57,7 +57,7 @@ def merge_ndv(
     ``by`` (subset of the sketch table's group columns); ``by=None`` gives
     the single global row."""
     aggs = [
-        F.expr(f"hll_sketch_estimate(hll_union_agg({c}__hll))").alias(f"{c}_ndv")
+        F.expr(f"hll_sketch_estimate(hll_union_agg(`{c}__hll`))").alias(f"{c}_ndv")
         for c in value_cols
     ]
     if by:
@@ -71,7 +71,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10, capacity: int = 1000) ->
     replacement for groupBy().count().orderBy().limit() when the column
     has unbounded cardinality. Returns (item, count) rows, most frequent
     first."""
-    top = df.agg(F.expr(f"approx_top_k({col}, {int(k)}, {int(capacity)})").alias("t"))
+    top = df.agg(F.expr(f"approx_top_k(`{col}`, {int(k)}, {int(capacity)})").alias("t"))
     return top.select(F.posexplode("t").alias("rank0", "e")).select(
         (F.col("rank0") + 1).alias("rank"),
         F.col("e.item").alias("item"),
