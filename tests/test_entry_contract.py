@@ -58,7 +58,7 @@ def test_past_window_entries_pinned():
         "k8_drop_table": "1b8eb091ab30ce71",
         "f3_smart_cast": "f8fb11589a877521",
         "f4_date_parse_multi": "9a8d132e6ecf1c91",
-        "f_scalar_surface": "093083c048cce294",
+        "f_scalar_surface": "79b10697749d9310",
         "a1_group_topk": "173db30ff25b6f72",
         "a5_st2_backoff_table": "e73f11376dac428d",
         "a8_purge_returning_count": "1aac74f23bb5e6f4",

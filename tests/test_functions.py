@@ -187,11 +187,14 @@ def test_domain_of_matches_parse_url(spark):
         "https://www.data.gouv.fr/fr/datasets/x?y=1",
         "http://static.data.gouv.fr/a/b.csv",
         "https://a.org/f.csv#frag",
+        "http://user:pw@Example.com/x",   # userinfo skipped, not returned
+        "not a url at all",               # no authority -> NULL both modes
     ]
     portable = _vals(spark, urls, lambda c: domain_of(c, portable=True))
     native = _vals(spark, urls, lambda c: domain_of(c, portable=False))
     assert portable == native == [
         "www.data.gouv.fr", "static.data.gouv.fr", "a.org",
+        "Example.com", None,
     ]
 
 
@@ -322,6 +325,11 @@ def test_canonicalize_url_golden_matrix(spark):
         "https://h.io/p?preference=2": "https://h.io/p?preference=2",
         # path case preserved; trailing slash on a real path preserved
         "https://Example.com/CamelPath/": "https://example.com/CamelPath/",
+        # scheme-less / non-hierarchical inputs pass through untouched
+        "example.com/path?utm_source=x": "example.com/path?utm_source=x",
+        "mailto:someone@example.com": "mailto:someone@example.com",
+        # userinfo dropped, host still lowercased
+        "http://user:pw@Example.COM/x": "http://example.com/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = {

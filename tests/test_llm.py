@@ -1106,3 +1106,38 @@ def test_semantic_dedup_matmul_equals_expr(spark):
     }
     assert a == b
     assert any(v[2] for v in a.values())  # the twins produced dups
+
+
+def test_mixing_null_keys_hash_distinctly_and_report_null_stratum(spark):
+    from udata_datalake_service_spark.llm.mixing import (
+        mixture_report,
+        stratified_mix,
+        uniform_unit_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), (None, None), ("a", "b")],
+        "k1 string, k2 string",
+    )
+    us = [r["u"] for r in df.select(uniform_unit_hash(["k1", "k2"], "s").alias("u")).collect()]
+    assert len(set(us)) == 4  # mirrored null patterns no longer collide
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "d1")], "doc_id long, dom string"
+    )
+    mixed = stratified_mix(docs, "dom", {"d1": 1.0}, ["doc_id"], default_rate=1.0)
+    rep = {r["dom"]: (r["n_in"], r["n_out"]) for r in mixture_report(docs, mixed, "dom").collect()}
+    # the NULL stratum's retained rows are reported, not shown as dropped
+    assert rep[None] == (2, 2) and rep["d1"] == (1, 1)
+
+
+def test_packing_rejects_nonpositive_budget(spark):
+    import pytest
+
+    from udata_datalake_service_spark.llm.packing import pack_greedy, pack_stream
+
+    df = spark.createDataFrame([(1, 3)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_stream(df, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_greedy(df, "doc_id", "n_tokens", budget=0)

@@ -3714,7 +3714,7 @@ def q_url_canonical(spark, sf_dir):
 
 
 _SQL_TRK_RUN = "(?:utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)=[^&#]*"
-_SQL_DOMAIN_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+_SQL_DOMAIN_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 
 
 def _sql_canonicalize(u: str) -> str:
@@ -3723,7 +3723,7 @@ def _sql_canonicalize(u: str) -> str:
     s = (
         f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' || "
         f"lower(regexp_extract({u}, '{_SQL_DOMAIN_RE}', 1)) || "
-        f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*', '')"
+        f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*', '')"
     )
     s = f"regexp_replace({s}, '#.*$', '')"
     s = f"regexp_replace({s}, '^(http://[^/:?#]+):80([/?])', '\\1\\2')"
@@ -3734,7 +3734,10 @@ def _sql_canonicalize(u: str) -> str:
     s = f"regexp_replace({s}, '[?&]{_SQL_TRK_RUN}(&{_SQL_TRK_RUN})*$', '')"
     s = f"regexp_replace({s}, '\\?$', '')"
     s = f"regexp_replace({s}, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')"
-    return s
+    return (
+        f"CASE WHEN regexp_matches({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://') "
+        f"THEN {s} ELSE {u} END"
+    )
 
 
 _SQL_URL_CANON = f"""

@@ -69,3 +69,14 @@ def morton_key(a, b, bits: int = 16):
             + F.shiftleft(bit_b, 2 * i).cast("long")
         )
     return acc
+
+
+def md5_32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 md5 hex chars → BIGINT in [0, 2³²).
+
+    The ONE definition of the md5-bucket device used by the hashing trick
+    (`llm/tfidf.hashed_features_sparse`), the DSIR bucket LMs, and
+    `llm/mixing.uniform_unit_hash` — DuckDB replay:
+    ``('0x' || substr(md5(x), 1, 8))::UBIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -11,17 +11,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# scheme:// then capture everything up to the first / ? # or :
-DOMAIN_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+# scheme:// then optional userinfo@ then capture the host up to the
+# first / ? # or : (the port); RE2-portable (non-capturing group only)
+DOMAIN_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+SCHEME_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
 
 def domain_of(url_col: Column, portable: bool = True) -> Column:
-    """Hostname of a URL. ``portable=True`` uses a regexp reproducible in
-    ANSI SQL / DuckDB; otherwise the native ``parse_url`` (same result,
-    marginally cheaper)."""
+    """Hostname of a URL (userinfo and port excluded). ``portable=True``
+    uses a regexp reproducible in ANSI SQL / DuckDB; otherwise the native
+    ``parse_url`` (same result, marginally cheaper). Both forms return
+    NULL for a string with no ``scheme://`` authority."""
     if portable:
-        return F.regexp_extract(url_col, DOMAIN_REGEX, 1)
-    return F.parse_url(url_col, F.lit("HOST"))
+        ext = F.regexp_extract(url_col, DOMAIN_REGEX, 1)
+        return F.when(ext != "", ext)  # '' on no-match → NULL, as parse_url
+    # try_: under ANSI mode plain parse_url RAISES on malformed input
+    return F.try_parse_url(url_col, F.lit("HOST"))
 
 
 # tracking params dropped during canonicalization (the industry-standard
@@ -48,12 +53,15 @@ def canonicalize_url(url_col: Column) -> Column:
     Pure regexp chain — whole-stage codegen, exactly replayable in the
     DuckDB oracle (no lookaround, no backrefs in the patterns).
     """
-    # 1: scheme+host lowercase. Split: scheme://host[rest] — rebuild with
-    # lowered first two groups. regexp_replace can't lower a backref, so
-    # lower the whole prefix via concat of extracted pieces instead.
+    # 1: scheme+host lowercase (userinfo dropped — credentials are not
+    # identity for dedup). Split: scheme://[user@]host[rest] — rebuild
+    # with lowered first two groups. regexp_replace can't lower a
+    # backref, so lower the whole prefix via concat of extracted pieces.
     scheme = F.lower(F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url_col, DOMAIN_REGEX, 1))
-    rest = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*", "")
+    rest = F.regexp_replace(
+        url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*", ""
+    )
     u = F.concat(scheme, F.lit("://"), host, rest)
     # 2: fragment
     u = F.regexp_replace(u, r"#.*$", "")
@@ -69,4 +77,6 @@ def canonicalize_url(url_col: Column) -> Column:
     # 5: empty query, bare root slash
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
-    return u
+    # scheme-less / non-hierarchical strings pass through untouched — the
+    # concat rebuild above would otherwise mangle them into '://' + url
+    return F.when(url_col.rlike(SCHEME_REGEX), u).otherwise(url_col)

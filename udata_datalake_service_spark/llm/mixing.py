@@ -25,21 +25,24 @@ HASH_SPACE = float(1 << 32)
 
 
 def uniform_unit_hash(key_cols: Sequence[str], seed: str) -> Column:
-    """Deterministic uniform in [0, 1): first 32 md5 bits of seed|key."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h / F.lit(HASH_SPACE)
+    """Deterministic uniform in [0, 1): first 32 md5 bits of seed|key.
+
+    NULL key components encode as a NUL-byte sentinel: ``concat_ws``
+    SKIPS nulls, so (NULL,'x') and ('x',NULL) would otherwise collide on
+    one hash and all-NULL keys would share a single u (all kept or all
+    dropped instead of the target rate). Non-null keys hash exactly as
+    before — the SQL oracles' strings are unchanged."""
+    from udata_datalake_service_spark.functions.hashing import md5_32
+
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in key_cols
+        ],
+    )
+    return md5_32(key) / F.lit(HASH_SPACE)
 
 
 def stratified_mix(
@@ -82,11 +85,21 @@ def mixture_report(
 ) -> DataFrame:
     """Before/after counts + achieved rate per stratum (strata dropped by
     the mix report n_out = 0 via the left join)."""
-    before = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_in"))
-    after = mixed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_out"))
+    before = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_in")).alias("b")
+    after = mixed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_out")).alias("a")
+    # null-safe: the NULL stratum's survivors must be reported, not shown
+    # as fully dropped (plain equality never joins NULL = NULL)
     return (
-        before.join(after, strata_col, "left")
-        .withColumn("n_out", F.coalesce(F.col("n_out"), F.lit(0)))
+        before.join(
+            after,
+            F.col(f"b.{strata_col}").eqNullSafe(F.col(f"a.{strata_col}")),
+            "left",
+        )
+        .select(
+            F.col(f"b.{strata_col}").alias(strata_col),
+            F.col("b.n_in").alias("n_in"),
+            F.coalesce(F.col("a.n_out"), F.lit(0)).alias("n_out"),
+        )
         .withColumn(
             "achieved_rate",
             F.round(F.col("n_out") / F.col("n_in"), 6),

@@ -48,6 +48,9 @@ def pack_stream(
     stream positions; filter those upstream — asserted here via the
     chunk_last >= chunk_first invariant only when tokens >= 1).
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
     bucket = (F.col(id_col) % F.lit(n_buckets)).cast("long")
     out = df.withColumn("bucket", bucket)
     w = (
@@ -87,6 +90,9 @@ def pack_greedy(
     ships. FFD is the standard 11/9·OPT approximation; determinism comes
     from the total sort order.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
     bucket = (F.col(id_col) % F.lit(n_buckets)).cast("long")
     slim = df.select(
         F.col(id_col).alias("id"),

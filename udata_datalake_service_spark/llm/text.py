@@ -57,6 +57,20 @@ def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> 
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs ("a b") from a token array — empty for fewer
+    than two tokens. The ONE bigram builder (repetition_ratio, DSIR)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_ratio(text_col: Column) -> Column:
     """Fraction of duplicated word bigrams — the classic repetition signal
     training-data pipelines gate on (boilerplate, keyword stuffing,
@@ -65,11 +79,7 @@ def repetition_ratio(text_col: Column) -> Column:
     replayable in DuckDB with list_transform/list_distinct."""
     toks = tokens(text_col)
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    bigrams = word_bigrams(toks)
     nb = F.size(bigrams)
     dup = nb - F.size(F.array_distinct(bigrams))
     return F.when(n >= 2, dup.cast("double") / nb).otherwise(F.lit(0.0))

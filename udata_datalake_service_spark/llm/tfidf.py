@@ -186,9 +186,11 @@ def hashed_features_sparse(
     Shape: explode → groupBy(id, bucket) integer sum — map-side combined,
     the shuffle carries (id, bucket, count) longs only.
     """
+    from udata_datalake_service_spark.functions.hashing import md5_32
+
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t"))
     h = F.md5(F.col("t"))
-    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    bucket = md5_32(F.col("t")) % n_buckets
     sgn = F.when(
         F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
@@ -261,8 +263,11 @@ def unigram_surprisal(
     0.0).
     """
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t"))
-    freqs = tok.groupBy("t").agg(F.count(F.lit(1)).alias("occ"))
-    total = tok.count()
+    # persisted: the vocab-sized aggregate feeds BOTH the corpus total
+    # (Σocc — no separate count pass over the exploded corpus) and the
+    # scoring join; the cache is vocabulary-bounded, not corpus-bounded
+    freqs = tok.groupBy("t").agg(F.count(F.lit(1)).alias("occ")).persist()
+    total = int(freqs.agg(F.sum("occ")).collect()[0][0] or 0)
     nll_q = F.round(-F.log(F.col("occ") / F.lit(float(total))) * quantum, 0).cast("long")
     scored = (
         tok.join(freqs, on="t")
@@ -324,35 +329,37 @@ def dsir_log_weights(
     Returns (id_col, n_feats, log_weight) — log_weight rounded to 6,
     token-less documents report 0.0.
     """
+    from udata_datalake_service_spark.llm.text import word_bigrams
+
     toks = tokens(F.col(text))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams) if use_bigrams else toks
+    feats = F.concat(toks, word_bigrams(toks)) if use_bigrams else toks
     ex = df.select(
         F.col(id_col).alias("id"),
         is_target.alias("tgt"),
         F.explode(feats).alias("f"),
     )
-    h = F.md5(F.col("f"))
-    ex = ex.select(
-        "id", "tgt", (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).alias("bucket")
+    from udata_datalake_service_spark.functions.hashing import md5_32
+
+    ex = ex.select("id", "tgt", (md5_32(F.col("f")) % n_buckets).alias("bucket"))
+    # ONE explode pass materializes the n_buckets-row count table, which
+    # is collected (bounded by n_buckets, never the corpus) — totals are
+    # Σ over buckets, and the log-ratio table is rebuilt as a LOCAL frame
+    # (so nothing stays persisted and the scorer join broadcasts it). The
+    # log itself still evaluates JVM-side, identical to the SQL oracle.
+    bc_rows = (
+        ex.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+        )
+        .collect()
     )
-    # n_buckets rows; persisted so the corpus totals (Σ over buckets — no
-    # second pass over the exploded features) and the log-ratio table both
-    # come from ONE explode pass. The cache is n_buckets rows.
-    bc = ex.groupBy("bucket").agg(
-        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
-    ).persist()
-    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")).collect()[0]
-    nt, nr = int(tot["nt"] or 0), int(tot["nr"] or 0)
+    nt = sum(int(r["ct"]) for r in bc_rows)
+    nr = sum(int(r["cr"]) for r in bc_rows)
+    bc = df.sparkSession.createDataFrame(
+        [(int(r["bucket"]), int(r["ct"]), int(r["cr"])) for r in bc_rows],
+        "bucket long, ct long, cr long",
+    )
     lr = bc.select(
         "bucket",
         F.round(
