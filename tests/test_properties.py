@@ -383,3 +383,27 @@ def test_weighted_sample_laws(spark, weights, n):
     assert all(weights[i] > 0 for i in got)
     assert got == pick(n)
     assert got <= pick(min(n + 3, max(n_pos, 1)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\tthe\nof x\x0b"),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_ngram_kernel_agrees_with_reference(texts):
+    """The batched factorize-chain n-gram kernel is a pure rewrite of the
+    Counter reference — identical output on arbitrary whitespace-mangled
+    batches (doc boundaries, empty docs, repeated grams, \x0b splits)."""
+    from udata_datalake_service_spark.llm.gopher import (
+        _ngram_stat_columns,
+        _ngram_stat_columns_py,
+    )
+
+    assert _ngram_stat_columns(texts) == _ngram_stat_columns_py(texts)

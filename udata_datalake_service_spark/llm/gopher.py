@@ -146,11 +146,10 @@ def base_signals(
     )
 
 
-def _ngram_stat_columns(texts):
-    """Per-document top/dup n-gram character sums for one pandas batch.
-
-    Pure per-document computation — Counter over word-tuple windows.
-    Returns a dict of 9 equal-length lists (_top2.._top4, _dup5.._dup10).
+def _ngram_stat_columns_py(texts):
+    """Reference (pure-Python Counter) form of `_ngram_stat_columns` —
+    kept as the agreement oracle for the vectorized kernel below; per
+    (doc, n) it builds a Counter over word-tuple windows.
     """
     import re as _re
     from collections import Counter
@@ -183,6 +182,96 @@ def _ngram_stat_columns(texts):
                 )
             out[key].append(val)
     return out
+
+
+def _ngram_stat_columns(texts):
+    """Per-document top/dup n-gram character sums for one pandas batch.
+
+    Vectorized whole-batch formulation (the Counter loop was the whole
+    pandas stage's cost — ~45 M tuple constructions at sf0.1): ALL
+    documents in the Arrow batch concatenate into one word stream, words
+    map to integer ids with ONE hash-based ``pd.factorize``, and gram
+    ids build by CHAINED factorization — the (n)-gram class at position
+    ``i`` is ``factorize(class_{n-1}[i] * K + word_id[i+n-1])`` with
+    ``K = total_words + 1`` (codes are dense < K, so the combine key is
+    injective — exact equivalence classes, no hash collisions). The
+    1-gram classes are DOC-AWARE (``factorize(doc_idx * K + word_id)``),
+    so counts never mix documents, and windows that straddle a document
+    boundary are remapped to unique negative sentinels before each
+    factorize so they form singleton classes that real grams can't
+    merge with. Per-doc reductions are ``np.bincount`` / ``maximum.at``
+    over the doc index of each position. With ``P`` the prefix sum of
+    word lengths, gram char length at position ``i`` is ``P[i+n]-P[i]``,
+    so
+
+    - top-n value  = max_count * max(charlen where count == max_count)
+      (identical to "count ties resolve to the longest gram" — every
+      distinct gram with count c occupies c positions);
+    - dup-n value  = Σ charlen over positions whose count > 1
+      (each distinct gram with count c contributes c×charlen).
+
+    Exact-match equality with `_ngram_stat_columns_py` is pinned by a
+    hypothesis agreement test. Returns a dict of 9 equal-length lists.
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+    docs_words = [
+        [w.lower() for w in ws.split(t or "") if w] for t in texts
+    ]
+    ndocs = len(docs_words)
+    res = {f"_top{n}": np.zeros(ndocs, dtype=np.int64) for n in TOP_NS}
+    res.update({f"_dup{n}": np.zeros(ndocs, dtype=np.int64) for n in DUP_NS})
+    nws = np.fromiter((len(w) for w in docs_words), dtype=np.int64, count=ndocs)
+    total = int(nws.sum())
+    if total == 0:
+        return {k: v.tolist() for k, v in res.items()}
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for wlist in docs_words:
+        flat[pos : pos + len(wlist)] = wlist
+        pos += len(wlist)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), nws)
+    ids = pd.factorize(flat)[0].astype(np.int64)
+    lens = np.fromiter((len(w) for w in flat), dtype=np.int64, count=total)
+    prefix = np.concatenate(([0], np.cumsum(lens)))
+    K = np.int64(total + 1)
+    # doc-aware 1-gram classes: same word in two docs is two classes
+    codes = pd.factorize(doc_of * K + ids)[0].astype(np.int64)
+    cur_n = 1
+    for n in sorted(TOP_NS + DUP_NS):
+        while cur_n < n:
+            combined = codes[:-1] * K + ids[cur_n:]
+            # windows straddling a doc boundary → unique sentinel classes
+            cross = np.nonzero(doc_of[: total - cur_n] != doc_of[cur_n:])[0]
+            if cross.size:
+                combined[cross] = -(cross + 1)
+            codes = pd.factorize(combined)[0].astype(np.int64)
+            cur_n += 1
+        m = total - n + 1
+        if m <= 0:
+            break  # no doc is long enough for this or any larger n
+        valid = doc_of[:m] == doc_of[n - 1 :]
+        cnt_pos = np.bincount(codes)[codes]
+        charlen = prefix[n:] - prefix[:-n]
+        dpos = doc_of[:m]
+        key = f"_top{n}" if n in TOP_NS else f"_dup{n}"
+        if n in TOP_NS:
+            mc = np.zeros(ndocs, dtype=np.int64)
+            np.maximum.at(mc, dpos[valid], cnt_pos[valid])
+            is_max = valid & (cnt_pos == mc[dpos])
+            ml = np.zeros(ndocs, dtype=np.int64)
+            np.maximum.at(ml, dpos[is_max], charlen[is_max])
+            res[key] = mc * ml
+        else:
+            mask = valid & (cnt_pos > 1)
+            res[key] = np.bincount(
+                dpos[mask], weights=charlen[mask], minlength=ndocs
+            ).astype(np.int64)
+    return {k: v.tolist() for k, v in res.items()}
 
 
 def ngram_repetition(

@@ -321,10 +321,12 @@ def dsir_log_weights(
     `unigram_surprisal`, so the mean is partition-order independent and
     SQL-replayable bit-for-bit.
 
-    Shape at 100 TB: one explode → bucket aggregate (n_buckets rows,
-    map-side combined), one broadcast join of that tiny table back onto
-    the exploded features, one groupBy(doc). The only driver-side data is
-    the two corpus totals (one aggregate row).
+    Shape at 100 TB: ONE explode pass collapsed map-side to the
+    (doc, bucket) grain (≤ docs × n_buckets rows, persisted — the
+    tokenize+hash never re-executes), a bucket aggregate over that grain
+    (n_buckets rows), and one broadcast join of the tiny log-ratio table
+    back onto the same grain → groupBy(doc). The only driver-side data
+    is the n_buckets-row count table.
 
     Returns (id_col, n_feats, log_weight) — log_weight rounded to 6,
     token-less documents report 0.0.
@@ -341,16 +343,22 @@ def dsir_log_weights(
     from udata_datalake_service_spark.functions.hashing import md5_32
 
     ex = ex.select("id", "tgt", (md5_32(F.col("f")) % n_buckets).alias("bucket"))
-    # ONE explode pass materializes the n_buckets-row count table, which
-    # is collected (bounded by n_buckets, never the corpus) — totals are
-    # Σ over buckets, and the log-ratio table is rebuilt as a LOCAL frame
-    # (so nothing stays persisted and the scorer join broadcasts it). The
-    # log itself still evaluates JVM-side, identical to the SQL oracle.
+    # The tokenize+md5 explode is the expensive pass, so it runs ONCE:
+    # collapse to the (id, tgt, bucket) grain first (map-side combined;
+    # bounded by docs × n_buckets rows — never the exploded corpus) and
+    # persist THAT. Both the n_buckets-row LM table (collected — bounded
+    # by n_buckets) and the per-doc scorer below reuse it; previously the
+    # full explode re-executed for the scoring join.
+    per_doc = (
+        ex.groupBy("id", "tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     bc_rows = (
-        ex.groupBy("bucket")
+        per_doc.groupBy("bucket")
         .agg(
-            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
-            F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+            F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("tgt"), F.col("n")).otherwise(0)).alias("cr"),
         )
         .collect()
     )
@@ -374,9 +382,9 @@ def dsir_log_weights(
         .alias("lrq"),
     )
     scored = (
-        ex.join(F.broadcast(lr), on="bucket")
+        per_doc.join(F.broadcast(lr), on="bucket")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lrq").alias("s"))
+        .agg(F.sum("n").alias("n_feats"), F.sum(F.col("n") * F.col("lrq")).alias("s"))
         .select(
             "id",
             "n_feats",
