@@ -45,7 +45,7 @@ def test_past_window_entries_pinned():
     pinned = {
         "dd_lsh_pairs": "3cde9e33635af869",
         "dd_dup_clusters": "017accaa03c700f0",
-        "dd_ngram_jaccard": "01f0088e6c8047d9",
+        "dd_ngram_jaccard": "4461e5948b0233ef",
         "dd_simhash": "8e7b1d1f94cc12b1",
         "ann_topk": "d4949705271c7d0e",
         "ann_near_dups_exact": "7ad62cec68310991",

@@ -2472,14 +2472,18 @@ FROM ({_SQL_A9T})
 
 def q_dd_ngram_jaccard_both(spark, sf_dir):
     """n-gram Jaccard pairs: exact inverted-index variant plus the
-    max_df=100 stop-shingle skew control, labeled."""
+    max_df=100 stop-shingle skew control, labeled. Both variants share
+    ONE persisted shingle index — the corpus shingling pass runs once."""
+    from udata_datalake_service_spark.llm.dedup import shingle_index
+
     d = _tw(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, k=2, threshold=0.35).withColumn(
+    idx = shingle_index(d, k=2).persist()
+    exact = ngram_jaccard_pairs(d, k=2, threshold=0.35, index=idx).withColumn(
         "variant", F.lit("exact")
     )
-    capped = ngram_jaccard_pairs(d, k=2, threshold=0.35, max_df=100).withColumn(
-        "variant", F.lit("maxdf100")
-    )
+    capped = ngram_jaccard_pairs(
+        d, k=2, threshold=0.35, max_df=100, index=idx
+    ).withColumn("variant", F.lit("maxdf100"))
     return exact.unionByName(capped)
 
 

@@ -84,6 +84,20 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_index(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """The (id, sh) inverted-index frame `ngram_jaccard_pairs` joins on:
+    distinct k-word shingles per doc, hashed to 8-byte ``xxhash64`` keys.
+    Build + persist it once when several variants (e.g. exact and
+    ``max_df``-capped) scan the same corpus — the shingling pass is the
+    corpus scan, everything downstream is index-sized."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("sh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
@@ -91,6 +105,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets via an inverted index.
 
@@ -105,17 +120,22 @@ def ngram_jaccard_pairs(
     arithmetic on the counts, so the result is identical to the string
     join (a 64-bit key collision would need ~2^32 distinct shingles to
     become likely; on text corpora the posting multiset is unchanged).
+
+    ``index`` optionally supplies a prebuilt (persisted) `shingle_index`
+    frame, letting several variants share one shingling pass.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"))
-    ).select("id", F.xxhash64("sh").alias("sh"))
+    prebuilt = index is not None
+    sh = index if prebuilt else shingle_index(df, text=text, id_col=id_col, k=k)
     if max_df is not None:
         rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(rare.select("sh"), on="sh", how="inner")
-    # the inverted index is read 3× (sizes + both join sides); persist it so
-    # shingling runs once (the production analogue is a materialized
-    # shingle-index table)
-    sh = sh.persist()
+    if not prebuilt:
+        # the inverted index is read 3× (sizes + both join sides); persist
+        # it so shingling runs once (the production analogue is a
+        # materialized shingle-index table). A caller-supplied ``index``
+        # is assumed already persisted — re-persisting its filtered
+        # derivative would just duplicate cache.
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("id").alias("id_a"), "sh")
