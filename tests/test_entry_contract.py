@@ -86,6 +86,7 @@ def test_past_window_entries_pinned():
         "j4_orphan_left_join": "6ed6a7cf750c5819",
         "u1_union_tiers": "97dd52a4afd825c5",
         "o5_ordered_scan": "dc79c138232fbe43",
+        "ann_recall": "618c9f8f3e29f01a",
     }
     qs = m.queries()
     sql = m.oracle_sql()

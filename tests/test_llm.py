@@ -1141,3 +1141,26 @@ def test_packing_rejects_nonpositive_budget(spark):
         pack_stream(df, "doc_id", "n_tokens", budget=0)
     with pytest.raises(ValueError, match="budget"):
         pack_greedy(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_recall_at_k_counts_hits_per_query(spark):
+    """recall@k laws: full overlap → 1.0, zero overlap → 0.0 row kept,
+    partial overlap → exact fraction; queries absent from approx still
+    report (the left join keeps the exact side's query grain)."""
+    from udata_datalake_service_spark.llm.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in recall_at_k(exact, approx).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)

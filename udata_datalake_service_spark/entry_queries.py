@@ -2601,6 +2601,48 @@ SELECT query_id, neighbor_id, cos, rnk, 'ivf' AS method FROM ({_SQL_ANN_IVF})
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the two approximate ANN paths against the exact
+    baseline, per probe query (vec_id < 5) — the index-quality gate run
+    before trusting an LSH/IVF configuration at scale (llm/similarity
+    .recall_at_k). The exact table persists: it feeds both methods'
+    scorecards (and each scorecard reads it twice — totals + hits)."""
+    from udata_datalake_service_spark.llm.similarity import recall_at_k
+
+    e = _tw(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=10, dim=64).persist()
+    lsh = recall_at_k(exact, lsh_bucketed_topk(e, q, k=10)).withColumn(
+        "method", F.lit("lsh")
+    )
+    ivf = recall_at_k(
+        exact, ivf_topk(e, q, k=10, num_lists=16, num_probes=4)
+    ).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+_SQL_ANN_RECALL = f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_TOPK})),
+ap AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM ({_SQL_ANN_LSH})
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ({_SQL_ANN_IVF})
+),
+m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+hits AS (
+  SELECT ap.method, ap.query_id, COUNT(*) AS n_hit
+  FROM ap JOIN ex ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT t.query_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+  ROUND(COALESCE(h.n_hit, 0) / CAST(t.n_exact AS DOUBLE), 6) AS recall,
+  m.method
+FROM m CROSS JOIN tot t
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = t.query_id
+"""
+
+
 def q_mm_media_meta(spark, sf_dir):
     """Image + audio decode plumbing joined per media id — both
     mapInPandas kernels run; the oracle replays both stubs' math."""
@@ -4748,6 +4790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j4_orphan_left_join": q_j4_orphan_left_join,
     "u1_union_tiers": q_u1_union_tiers,
     "o5_ordered_scan": q_o5_ordered_scan,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -4844,4 +4887,5 @@ ORACLES: dict[str, str] = {
     "j4_orphan_left_join": _SQL_J4,
     "u1_union_tiers": _SQL_U1,
     "o5_ordered_scan": _SQL_O5,
+    "ann_recall": _SQL_ANN_RECALL,
 }

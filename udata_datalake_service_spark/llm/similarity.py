@@ -297,6 +297,39 @@ def ivf_topk(
     )
 
 
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k table against the exact
+    one — the go/no-go metric before trusting an ANN index at scale
+    (an IVF/LSH configuration is only usable if recall@k on a probe set
+    clears the application's bar; this measures it inside the engine).
+
+    Both inputs are (query_id, neighbor_id, …) frames as produced by
+    `brute_force_topk` / `lsh_bucketed_topk` / `ivf_topk`. Output:
+    (query_id, n_exact, n_hit, recall) with recall = |approx ∩ exact| /
+    |exact| rounded to 6 — a left-semi join + two tiny aggregates, all
+    on the query grain (queries are the small side by construction).
+    """
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        e.join(approx.select("query_id", "neighbor_id"),
+               on=["query_id", "neighbor_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        tot.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def _round_half_up(x: np.ndarray, decimals: int = 6) -> np.ndarray:
     """Round half AWAY FROM ZERO — the semantics of both DuckDB ``ROUND``
     and Spark's ``F.round`` (BigDecimal HALF_UP), unlike ``np.round``'s
