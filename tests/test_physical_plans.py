@@ -148,6 +148,7 @@ _NESTED_LOOP_OK = {
     "a8_purge_returning_count",
     "k_lake_roundtrip",
     "ann_topk",  # folded entry includes the broadcast brute-force baseline
+    "ann_recall",  # scores LSH/IVF against that same broadcast baseline
     "tfidf_vocab",  # 1-row corpus-size anchor broadcast into the scorer
     "a9_quantiles",  # 1-row quantile-pass x 1-row distinct-pass cross join
     "ann_centroid_assign",  # documented broadcast of the k centroid rows

@@ -256,23 +256,24 @@ def unigram_surprisal(
     mean bit-identical across engines and partitionings — same device as
     the embedding centroids).
 
-    Shape: one token-frequency aggregate (term-grain shuffle), one join of
-    the exploded tokens against it (broadcast-eligible: the vocab is tiny
-    next to the corpus), one groupBy(doc). Returns (id_col, n_tokens,
-    mean_nll) — mean_nll rounded to 6, NULL-free (token-less docs report
-    0.0).
+    Shape: ONE tokenize+explode pass collapsed map-side to the
+    (doc, term) count grain and persisted — both the vocab-sized LM
+    aggregate (which also yields the corpus total, Σocc) and the scoring
+    join reuse it, so the corpus is tokenized exactly once. The LM join
+    is broadcast-eligible (the vocab is tiny next to the corpus); one
+    groupBy(doc) finishes. Returns (id_col, n_tokens, mean_nll) —
+    mean_nll rounded to 6, NULL-free (token-less docs report 0.0).
     """
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("t"))
-    # persisted: the vocab-sized aggregate feeds BOTH the corpus total
-    # (Σocc — no separate count pass over the exploded corpus) and the
-    # scoring join; the cache is vocabulary-bounded, not corpus-bounded
-    freqs = tok.groupBy("t").agg(F.count(F.lit(1)).alias("occ")).persist()
+    per_doc = tok.groupBy("id", "t").agg(F.count(F.lit(1)).alias("n")).persist()
+    # vocabulary-bounded, never corpus-bounded
+    freqs = per_doc.groupBy("t").agg(F.sum("n").alias("occ")).persist()
     total = int(freqs.agg(F.sum("occ")).collect()[0][0] or 0)
     nll_q = F.round(-F.log(F.col("occ") / F.lit(float(total))) * quantum, 0).cast("long")
     scored = (
-        tok.join(freqs, on="t")
+        per_doc.join(freqs, on="t")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(nll_q).alias("s"))
+        .agg(F.sum("n").alias("n_tokens"), F.sum(F.col("n") * nll_q).alias("s"))
         .select(
             "id",
             "n_tokens",
