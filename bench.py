@@ -66,6 +66,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # queries that persist intermediates (curate, DSIR, jaccard, …)
+        # never unpersist — builders hand back lazy plans, so the cache
+        # outlives the query. Dropping it here keeps 94 sequential
+        # queries from stealing each other's execution memory and makes
+        # per-query numbers isolation-honest.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
