@@ -87,6 +87,7 @@ def test_past_window_entries_pinned():
         "u1_union_tiers": "97dd52a4afd825c5",
         "o5_ordered_scan": "dc79c138232fbe43",
         "ann_recall": "618c9f8f3e29f01a",
+        "curriculum": "bf593dad005e1af9",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -1164,3 +1164,29 @@ def test_recall_at_k_counts_hits_per_query(spark):
     assert got[1] == (2, 2, 1.0)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 0.0)
+
+
+def test_curriculum_buckets_laws(spark):
+    """Curriculum binning laws: every row lands in exactly one bucket,
+    bucket ids are 1..n, ranges are ordered (max of bucket i ≤ min of
+    bucket i+1 can only be violated at shared boundary values), and the
+    fixed-point mean sits inside [min, max]."""
+    from udata_datalake_service_spark.llm.mixing import curriculum_buckets
+
+    rows = [(i, float(i % 10) / 10.0, 10 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, n_tokens long")
+    out = curriculum_buckets(df, "q", n_buckets=4, token_col="n_tokens")
+    got = {r["bucket"]: r for r in out.collect()}
+    assert sum(r["n_docs"] for r in got.values()) == 100
+    assert set(got) <= {1, 2, 3, 4} and 1 in got
+    buckets = sorted(got)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert got[lo]["score_max"] <= got[hi]["score_min"] + 1e-12
+    for r in got.values():
+        assert r["score_min"] - 1e-9 <= r["score_mean"] <= r["score_max"] + 1e-9
+        assert r["n_tokens"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        curriculum_buckets(df, "q", n_buckets=1)

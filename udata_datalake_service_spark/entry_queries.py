@@ -2643,6 +2643,47 @@ LEFT JOIN hits h ON h.method = m.method AND h.query_id = t.query_id
 """
 
 
+def q_curriculum(spark, sf_dir):
+    """Length-based curriculum binning over documents: 4 token-count
+    quantile buckets (short→long — the standard curriculum/packing
+    scheduling axis; the discrete 0.2-grid quality score collapses all
+    quartiles to one value, so length is the demonstrative continuous
+    score) with doc/token volume and length stats per bucket
+    (llm/mixing.curriculum_buckets; boundaries from one tiny percentile
+    aggregate, bucketing map-only)."""
+    from udata_datalake_service_spark.llm.mixing import curriculum_buckets
+
+    d = _tw(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        token_count(F.col("text")).cast("double").alias("len_score"),
+    )
+    return curriculum_buckets(
+        scored, score="len_score", n_buckets=4, token_col="n_tokens"
+    )
+
+
+_SQL_CURRICULUM = f"""
+WITH sc AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tokens,
+    CAST(len({_SQL_TOKS}) AS DOUBLE) AS q
+  FROM documents
+), b AS (SELECT quantile_cont(q, [0.25, 0.5, 0.75]) AS bs FROM sc)
+SELECT
+  CAST(1 + CASE WHEN q > bs[1] THEN 1 ELSE 0 END
+         + CASE WHEN q > bs[2] THEN 1 ELSE 0 END
+         + CASE WHEN q > bs[3] THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(q) AS score_min, MAX(q) AS score_max,
+  ROUND(SUM(CAST(round(q * 1000000, 0) AS BIGINT)) / (COUNT(q) * 1000000.0), 6)
+    AS score_mean
+FROM sc CROSS JOIN b
+GROUP BY 1
+"""
+
+
 def q_mm_media_meta(spark, sf_dir):
     """Image + audio decode plumbing joined per media id — both
     mapInPandas kernels run; the oracle replays both stubs' math."""
@@ -4791,6 +4832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u1_union_tiers": q_u1_union_tiers,
     "o5_ordered_scan": q_o5_ordered_scan,
     "ann_recall": q_ann_recall,
+    "curriculum": q_curriculum,
 }
 
 ORACLES: dict[str, str] = {
@@ -4888,4 +4930,5 @@ ORACLES: dict[str, str] = {
     "u1_union_tiers": _SQL_U1,
     "o5_ordered_scan": _SQL_O5,
     "ann_recall": _SQL_ANN_RECALL,
+    "curriculum": _SQL_CURRICULUM,
 }

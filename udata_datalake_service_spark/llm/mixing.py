@@ -168,3 +168,60 @@ def split_report(
     per = assigned.groupBy(out_col).agg(*aggs)
     total = F.sum("n_rows").over(Window.partitionBy())
     return per.withColumn("fraction", F.round(F.col("n_rows") / total, 6))
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score: str,
+    n_buckets: int = 4,
+    token_col: str | None = None,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Quality-curriculum binning: bucket documents by score QUANTILE so
+    a training scheduler can order data easy→hard or anneal the highest-
+    quality bucket last — the curriculum/annealing companion to
+    `stratified_mix` (which mixes by label, not by score distribution).
+
+    100 TB shape: the bucket boundaries come from ONE tiny aggregate
+    (n_buckets-1 interpolated percentiles — Spark ``percentile()`` ≡
+    DuckDB ``quantile_cont`` bit-for-bit, the a9q-verified pairing —
+    collected, bounded by n_buckets, never the corpus). Bucketing is then
+    a MAP-ONLY comparison chain: no global-sort ``NTILE``, which would
+    single-partition the corpus. The report is one groupBy over
+    n_buckets groups. The mean score is a fixed-point integer mean (the
+    `unigram_surprisal` device) so partial-aggregation order can't
+    wiggle the rounding.
+
+    Returns (bucket, n_docs[, n_tokens], score_min, score_max,
+    score_mean); bucket 1 holds the lowest scores. NULL scores land in
+    bucket 1 (every comparison is NULL-false) and are excluded from
+    min/max/mean by aggregate NULL semantics — replayed identically by
+    the oracle.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    plist = ", ".join(repr(p) for p in probs)
+    s = F.col(score)
+    row = df.agg(F.expr(f"percentile({score}, array({plist}))").alias("b")).collect()[0]
+    bounds = row["b"] or []
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(s > F.lit(float(b)), 1).otherwise(0)
+    sq = F.round(s * quantum, 0).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(s).alias("score_min"),
+        F.max(s).alias("score_max"),
+        F.round(
+            F.sum(sq) / (F.count(s) * F.lit(float(quantum))), 6
+        ).alias("score_mean"),
+    ]
+    if token_col is not None:
+        aggs.insert(1, F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    kept = [score] + ([token_col] if token_col else [])
+    return (
+        df.select(bucket.cast("long").alias("bucket"), *[F.col(c) for c in kept])
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
