@@ -1186,7 +1186,5 @@ def test_curriculum_buckets_laws(spark):
         assert r["score_min"] - 1e-9 <= r["score_mean"] <= r["score_max"] + 1e-9
         assert r["n_tokens"] > 0
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="n_buckets"):
+    with pytest.raises(ValueError, match="n_buckets"):
         curriculum_buckets(df, "q", n_buckets=1)

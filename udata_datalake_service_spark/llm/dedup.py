@@ -132,9 +132,13 @@ def ngram_jaccard_pairs(
     if not prebuilt:
         # the inverted index is read 3× (sizes + both join sides); persist
         # it so shingling runs once (the production analogue is a
-        # materialized shingle-index table). A caller-supplied ``index``
-        # is assumed already persisted — re-persisting its filtered
-        # derivative would just duplicate cache.
+        # materialized shingle-index table).
+        sh = sh.persist()
+    elif max_df is not None:
+        # the caller's index is already persisted, but the max_df semi-join
+        # derivative is NOT — without its own (small, capped) cache the
+        # df-count shuffle + filter join would re-execute for each of the
+        # 3 reads (no ReusedExchange in the executed plan)
         sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
