@@ -88,6 +88,7 @@ def test_past_window_entries_pinned():
         "o5_ordered_scan": "dc79c138232fbe43",
         "ann_recall": "618c9f8f3e29f01a",
         "curriculum": "bf593dad005e1af9",
+        "dd_jaccard_prefix": "9bfe7cd1af261cdd",
     }
     qs = m.queries()
     sql = m.oracle_sql()

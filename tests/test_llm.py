@@ -1188,3 +1188,29 @@ def test_curriculum_buckets_laws(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         curriculum_buckets(df, "q", n_buckets=1)
+
+
+def test_jaccard_prefix_filter_equals_exact(spark):
+    """AllPairs/PPJoin prefix filtering is LOSSLESS: identical pair set
+    and jaccard values to the full inverted-index join, across thresholds
+    (the prefix theorem's guarantee, exercised on overlapping docs)."""
+    from udata_datalake_service_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),
+        (3, "a b c d e f"),
+        (4, "x y z w"),
+        (5, "x y z w v a b"),
+        (6, "q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, t in [(1, 0.5), (2, 0.35), (2, 0.9)]:
+        ref = sorted(map(tuple, ngram_jaccard_pairs(df, k=k, threshold=t).collect()))
+        got = sorted(
+            map(tuple, ngram_jaccard_pairs_prefix(df, k=k, threshold=t).collect())
+        )
+        assert ref == got, (k, t)

@@ -2643,6 +2643,19 @@ LEFT JOIN hits h ON h.method = m.method AND h.query_id = t.query_id
 """
 
 
+def q_dd_jaccard_prefix(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered exact Jaccard pairs — the LOSSLESS
+    scale path (llm/dedup.ngram_jaccard_pairs_prefix): only each doc's
+    rarest |x|−⌈t|x|⌉+1 shingles enter the candidate join, verification
+    is array_intersect on the candidates. Oracle: the SAME full-join SQL
+    as dd_ngram_jaccard's exact variant — the prefix theorem says the
+    result set is identical, and the driver hash-checks that claim."""
+    from udata_datalake_service_spark.llm.dedup import ngram_jaccard_pairs_prefix
+
+    d = _tw(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(d, k=2, threshold=0.35)
+
+
 def q_curriculum(spark, sf_dir):
     """Length-based curriculum binning over documents: 4 token-count
     quantile buckets (short→long — the standard curriculum/packing
@@ -4833,6 +4846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_ordered_scan": q_o5_ordered_scan,
     "ann_recall": q_ann_recall,
     "curriculum": q_curriculum,
+    "dd_jaccard_prefix": q_dd_jaccard_prefix,
 }
 
 ORACLES: dict[str, str] = {
@@ -4931,4 +4945,5 @@ ORACLES: dict[str, str] = {
     "o5_ordered_scan": _SQL_O5,
     "ann_recall": _SQL_ANN_RECALL,
     "curriculum": _SQL_CURRICULUM,
+    "dd_jaccard_prefix": _SQL_DD_NGRAM,
 }

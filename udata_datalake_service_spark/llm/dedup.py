@@ -163,6 +163,95 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering — the
+    LOSSLESS scale path next to the ``max_df`` cap (which drops pairs).
+
+    Same result set as `ngram_jaccard_pairs` (equality pinned by test;
+    the query-level oracle is shared verbatim), different candidate
+    generator: shingles order globally by (document frequency ASC, hash
+    ASC) — rarest first — and only each document's PREFIX, its
+    ``|x| − ⌈t·|x|⌉ + 1`` rarest shingles, enters the inverted index.
+    Theorem (Chaudhuri et al. 2006; Bayardo et al. 2007, "Scaling Up All
+    Pairs Similarity Search"): if J(A,B) ≥ t the two prefixes share an
+    element, so the prefix equi-join loses no qualifying pair. Hot
+    stop-shingles sit at the END of the canonical order and almost never
+    enter a prefix, so the candidate join only ever touches RARE posting
+    lists — the frequency-ordered prefix collapses the quadratic blow-up
+    without the max_df variant's lossy drop. Verification is
+    per-candidate: the (small) candidate set joins back to the full
+    sorted-shingle arrays and the exact intersection size comes from
+    JVM-side ``array_intersect``.
+
+    Shape at 100 TB: one df-count aggregate over the index, one
+    aggregate to per-doc sorted arrays, a prefix self-equi-join on rare
+    8-byte keys, two array-lookup joins on doc id. No window, no
+    cross join; every shuffle key is short.
+
+    Measured crossover (sf0.1, local[32]): on THIS synthetic corpus the
+    shingle DF distribution is near-uniform — no Zipfian stop-grams — so
+    the plain posting join is already cheap (2.8-4.1 s) and the prefix
+    machinery's df-join + sort + per-candidate intersect overhead makes
+    it slower (6.1 s). The prefix path's advantage is precisely the
+    skewed corpus: with Zipf-distributed grams the full join's hot
+    posting lists grow O(hot²) candidate pairs while prefixes stay rare;
+    both forms are exported so the caller picks by corpus shape (and
+    `max_df` remains the lossy third option).
+    """
+    sh = index if index is not None else shingle_index(df, text=text, id_col=id_col, k=k)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingles sorted by the global (df, sh) canonical order;
+    # read 3x (prefix index + both verification sides) → persist
+    docs = (
+        sh.join(dfreq, on="sh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda s: s["sh"]).alias("shs"),
+            F.size("arr").alias("sz"),
+        )
+        .persist()
+    )
+    pre_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    pre = docs.select("id", F.explode(F.slice("shs", 1, pre_len)).alias("sh"))
+    cand = (
+        pre.select(F.col("id").alias("id_a"), "sh")
+        .join(pre.select(F.col("id").alias("id_b"), "sh"), on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # -------------------------------------------------------------- minhash ----
 def minhash_signatures(
     df: DataFrame,
