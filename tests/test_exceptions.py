@@ -105,3 +105,13 @@ def test_service_curation_plane_delegates(spark, tmp_path):
     )
     sd = {r["vec_id"]: r["is_dup"] for r in svc.semantic_dedup(emb).collect()}
     assert sd == {1: False, 2: True}
+    cb = svc.curriculum(
+        docs.select("doc_id", F.length("text").cast("double").alias("s")),
+        "s", n_buckets=2,
+    ).collect()
+    assert len(cb) == 1 and cb[0]["n_docs"] == 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "query_id long, neighbor_id long"
+    )
+    rc = svc.ann_recall(pairs, pairs.limit(1)).collect()
+    assert {r["recall"] for r in rc} == {0.5}

@@ -248,3 +248,16 @@ class HydraService:
         from udata_datalake_service_spark.llm.similarity import semantic_dedup
 
         return semantic_dedup(embeddings, **kw)
+
+    def curriculum(self, docs: DataFrame, score: str, **kw) -> DataFrame:
+        """Score-quantile curriculum buckets (llm/mixing.curriculum_buckets)."""
+        from udata_datalake_service_spark.llm.mixing import curriculum_buckets
+
+        return curriculum_buckets(docs, score, **kw)
+
+    def ann_recall(self, exact: DataFrame, approx: DataFrame) -> DataFrame:
+        """Recall@k of an ANN path vs the exact top-k (llm/similarity
+        .recall_at_k) — the index-quality gate."""
+        from udata_datalake_service_spark.llm.similarity import recall_at_k
+
+        return recall_at_k(exact, approx)
