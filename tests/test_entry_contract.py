@@ -43,9 +43,9 @@ def test_past_window_entries_pinned():
     import __spark_entry__ as m
 
     pinned = {
-        "dd_lsh_pairs": "3cde9e33635af869",
-        "dd_dup_clusters": "017accaa03c700f0",
-        "dd_ngram_jaccard": "4461e5948b0233ef",
+        "dd_lsh_pairs": "3b7845309cd805ec",
+        "dd_dup_clusters": "a942751482635865",
+        "dd_ngram_jaccard": "c8463be4c210baaa",
         "dd_simhash": "8e7b1d1f94cc12b1",
         "ann_topk": "d4949705271c7d0e",
         "ann_near_dups_exact": "7ad62cec68310991",
@@ -86,9 +86,15 @@ def test_past_window_entries_pinned():
         "j4_orphan_left_join": "6ed6a7cf750c5819",
         "u1_union_tiers": "97dd52a4afd825c5",
         "o5_ordered_scan": "dc79c138232fbe43",
-        "ann_recall": "618c9f8f3e29f01a",
+        "ann_recall": "4fa4216d2958a652",
         "curriculum": "bf593dad005e1af9",
-        "dd_jaccard_prefix": "9bfe7cd1af261cdd",
+        "dd_jaccard_prefix": "841578efc398949e",
+        # displaced past-window in r5 to make room for the three entries
+        # above (which had never had a driver row); all three were
+        # driver-green in CORRECTNESS_r04.json.
+        "tx_curate_pipeline": "6a8de6392d292531",
+        "dd_exact_prefix_groups": "917099a2c45e40f9",
+        "dd_minhash_signature": "00c84ec1ffc25d9f",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -1214,3 +1214,75 @@ def test_jaccard_prefix_filter_equals_exact(spark):
             map(tuple, ngram_jaccard_pairs_prefix(df, k=k, threshold=t).collect())
         )
         assert ref == got, (k, t)
+
+
+def test_jaccard_prefix_bound_survives_float_ceil_overshoot(spark):
+    """Regression for the prefix-length rounding hazard: with t=0.07 and
+    |x|=100, the old ``F.ceil(sz * t)`` computed ceil(7.000000000000001)=8,
+    shortening the prefix to 93 — and this corpus is built so the ONLY
+    qualifying pair's overlap is exactly A's 7 rarest-LAST shingles
+    (df=2 sorts after the 93 df=1 uniques in the canonical order), i.e.
+    entirely inside the wrongly-dropped suffix. The exact integer bound
+    (nano-rationalized threshold) keeps prefix=94 and finds the pair."""
+    from udata_datalake_service_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    shared = [f"s{i}" for i in range(7)]
+    doc_a = " ".join([f"u{i}" for i in range(93)] + shared)  # 100 tokens
+    doc_b = " ".join(shared)  # 7 tokens, all shared: J = 7/100 = 0.07
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    t = 0.07
+    ref = sorted(map(tuple, ngram_jaccard_pairs(df, k=1, threshold=t).collect()))
+    got = sorted(
+        map(tuple, ngram_jaccard_pairs_prefix(df, k=1, threshold=t).collect())
+    )
+    assert ref == got
+    assert ref == [(1, 2, 0.07)], "the boundary pair itself must be found"
+
+
+def test_jaccard_prefix_beats_plain_join_on_zipfian_corpus(spark):
+    """The whole point of AllPairs/PPJoin: on a skewed corpus where every
+    document shares a block of hot stop-shingles, the plain posting join
+    materializes O(N²) candidate rows through the hot lists while the
+    prefix join only touches the rare tail. This fixture makes the skew
+    real (the synthetic benchmark tables are near-uniform): 1500 docs ×
+    10 universal stop words + 5 uniques → the plain join grinds
+    ~11M candidate rows, the prefix join sees only the one true dup pair.
+    Asserts the lossless claim (identical pair sets) AND the measured
+    crossover (prefix wall-time strictly below plain)."""
+    import time
+
+    from udata_datalake_service_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    stop = "the of and to in is for on with as"  # 10 hot tokens, df = N
+    rows = [(i, f"{stop} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(1500)]
+    rows[1] = (1, rows[0][1].replace("u0", "u1"))  # make 0/1 J < 1
+    rows.append((1500, rows[0][1]))  # one true duplicate of doc 0: J = 1.0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.monotonic()
+    ref = sorted(
+        map(tuple, ngram_jaccard_pairs(df, k=1, threshold=0.8).collect())
+    )
+    plain_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    got = sorted(
+        map(tuple, ngram_jaccard_pairs_prefix(df, k=1, threshold=0.8).collect())
+    )
+    prefix_s = time.monotonic() - t0
+
+    assert ref == got
+    assert (1, 1500, 1.0) in [(a, b, j) for a, b, j in ref] or (0, 1500, 1.0) in ref
+    # measured crossover on the skewed shape (printed for the record)
+    print(f"\nzipf crossover: plain={plain_s:.2f}s prefix={prefix_s:.2f}s")
+    assert prefix_s < plain_s, (
+        f"prefix path should win on a skewed corpus: {prefix_s:.2f}s vs "
+        f"plain {plain_s:.2f}s"
+    )

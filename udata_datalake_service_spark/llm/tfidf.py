@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopt
 from udata_datalake_service_spark.llm.text import tokens
 
 
@@ -282,7 +283,7 @@ def unigram_surprisal(
             ),
         )
     )
-    return (
+    return adopt(
         df.select(F.col(id_col).alias("id"))
         .distinct()
         .join(scored, on="id", how="left")
@@ -290,7 +291,9 @@ def unigram_surprisal(
             F.col("id").alias(id_col),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
-        )
+        ),
+        per_doc,
+        freqs,
     )
 
 
@@ -392,7 +395,7 @@ def dsir_log_weights(
             F.round(F.col("s") / F.lit(float(quantum)), 6).alias("log_weight"),
         )
     )
-    return (
+    return adopt(
         df.select(F.col(id_col).alias("id"))
         .distinct()
         .join(scored, on="id", how="left")
@@ -400,5 +403,6 @@ def dsir_log_weights(
             F.col("id").alias(id_col),
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
-        )
+        ),
+        per_doc,
     )

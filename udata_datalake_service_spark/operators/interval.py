@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopt
+
 _B = "__iv_bucket"
 
 
@@ -95,7 +97,7 @@ def interval_join(
     range_cols = [c for c in ranges.columns if c not in keys]
     for c in range_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(ranges.schema[c].dataType))
-    return out.unionByName(unmatched.select(out.columns))
+    return adopt(out.unionByName(unmatched.select(out.columns)), out)
 
 
 def interval_join_ranges(
