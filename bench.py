@@ -66,33 +66,48 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
-        # queries that persist intermediates (curate, DSIR, jaccard, …)
-        # never unpersist — builders hand back lazy plans, so the cache
-        # outlives the query. Dropping it here keeps 94 sequential
+        # settling wrappers release their own adopted caches (caching.py),
+        # but localCheckpoint blocks and any un-settled persist would
+        # still linger; clearing between queries keeps 96 sequential
         # queries from stealing each other's execution memory and makes
         # per-query numbers isolation-honest.
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warm_sec": round(warm_sec, 3),
-                "n_queries": len(timings),
-                # 1-min loadavg at suite start/end: a high start (external
-                # load) or big delta flags a noisy run, so round-over-round
-                # regressions can be attributed without manual triage
-                "loadavg_start": round(load_start, 2),
-                "loadavg_end": round(os.getloadavg()[0], 2),
-            }
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warm_sec": round(warm_sec, 3),
+        "n_queries": len(timings),
+        # 1-min loadavg at suite start/end: a high start (external
+        # load) or big delta flags a noisy run, so round-over-round
+        # regressions can be attributed without manual triage
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(payload))
+    # the driver's artifact keeps only a ~4 KB tail of stdout, which
+    # truncates the per-query map on a 96-query suite; persist the full
+    # JSON locally so every round has a complete record.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        n_round = 1 + max(
+            [
+                int(f[7:9])
+                for f in os.listdir(here)
+                if f.startswith("BENCH_r") and f.endswith(".json") and f[7:9].isdigit()
+            ],
+            default=0,
         )
-    )
+        local = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json")
+        with open(local, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench: could not write local artifact: {e}", file=sys.stderr)
     spark.stop()
     return 0
 

@@ -416,6 +416,24 @@ class Lake:
     def registry(self) -> DataFrame:
         return self._read_dir(Path(self.registry_path), schema=TABLES_INDEX_SCHEMA)
 
+    @staticmethod
+    def _registry_arrow_schema():
+        import pyarrow as pa
+
+        # mirrors TABLES_INDEX_SCHEMA; timestamps µs/UTC so Spark reads
+        # TimestampType (isAdjustedToUTC=true), identical under the
+        # session's pinned UTC zone
+        return pa.schema(
+            [
+                ("parsing_table", pa.string()),
+                ("csv_detective", pa.string()),
+                ("resource_id", pa.string()),
+                ("url", pa.string()),
+                ("created_at", pa.timestamp("us", tz="UTC")),
+                ("indexes", pa.string()),
+            ]
+        )
+
     def register(
         self,
         parsing_table: str,
@@ -424,27 +442,70 @@ class Lake:
         url: str,
         indexes: dict | None = None,
     ) -> None:
-        """K7 — append one registry row (analysis/csv.py:398-408)."""
-        row = [
-            (
-                parsing_table,
-                json.dumps(inspection, default=str),
-                resource_id,
-                url,
-                datetime.now(timezone.utc).replace(tzinfo=None),
-                json.dumps(indexes or {}),
-            )
-        ]
-        self._append_write(
-            self.spark.createDataFrame(row, TABLES_INDEX_SCHEMA),
-            Path(self.registry_path),
+        """K7 — append one registry row (analysis/csv.py:398-408).
+
+        The registry is a bounded METADATA catalog (one row per converted
+        table; the reference keeps it in Postgres), so the row is written
+        driver-side with pyarrow — microseconds instead of a full Spark
+        job per registration. Appends stay atomic: the file lands under a
+        ``_tmp-*`` name (readers skip the ``_`` prefix) and renames into
+        visibility; first-ever write stages a version dir and commits the
+        manifest pointer like any other table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "parsing_table": [parsing_table],
+                "csv_detective": [json.dumps(inspection, default=str)],
+                "resource_id": [resource_id],
+                "url": [url],
+                "created_at": [datetime.now(timezone.utc)],
+                "indexes": [json.dumps(indexes or {})],
+            },
+            schema=self._registry_arrow_schema(),
         )
+        base = Path(self.registry_path)
+        cur = self._current_dir(base)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        if cur is None:
+            ver = self._new_version()
+            staging = base / f"_staging-{ver}"
+            staging.mkdir(parents=True, exist_ok=True)
+            pq.write_table(table, staging / fname)
+            self._commit_version(base, ver, staging=staging)
+            return
+        tmp = cur / f"_tmp-{fname}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cur / fname)
 
     def _delete_registry_rows(self, parsing_table: str) -> None:
-        reg = self.registry()
-        remaining = reg.filter(F.col("parsing_table") != parsing_table)
-        # rewrite-style delete: new version, then atomic manifest flip
-        self._replace_write(remaining, Path(self.registry_path))
+        """Rewrite-style delete, driver-side: the registry is catalog
+        metadata, so read→filter→stage→CAS-flip runs in pyarrow under the
+        same commit protocol (staged version dir + manifest flip) without
+        spinning up Spark jobs."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        base = Path(self.registry_path)
+        cur = self._current_dir(base)
+        schema = self._registry_arrow_schema()
+        if cur is None or not any(
+            f for f in cur.iterdir() if not f.name.startswith(("_", "."))
+        ):
+            remaining = schema.empty_table()
+        else:
+            reg = pq.read_table(cur)  # ignores _/.-prefixed files
+            remaining = reg.filter(
+                pc.not_equal(pc.field("parsing_table"), parsing_table)
+            )
+        ver = self._new_version()
+        staging = base / f"_staging-{ver}"
+        staging.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            remaining.cast(schema), staging / f"part-{uuid.uuid4().hex}.parquet"
+        )
+        self._commit_version(base, ver, staging=staging)
 
     def _append_write(
         self, df: DataFrame, base: Path, partition_by: list[str] | None = None
