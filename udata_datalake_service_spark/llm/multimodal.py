@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode kernels are IMPORT-GATED: when Pillow / soundfile are installed
-(neither ships in this container) each item is decoded for real; when they
-are absent — or when a payload isn't decodable media, as with the synthetic
-text-bytes corpus the fixtures use — the kernel falls back per item to a
-clearly-marked deterministic fake with the same signature, so the pipeline
-stays green in BOTH modes and the DuckDB oracles (which replay the fake's
-byte arithmetic) hold on the synthetic corpus. The Spark-side plumbing is
+The decode kernels are a LADDER: Pillow / soundfile when installed
+(neither ships in this container) → a vendored stdlib codec leg (the
+from-scratch PNG decoder in ``llm/png.py``; Python's ``wave`` module for
+PCM WAV) so REAL pixels/samples are exercised even in CI → a
+clearly-marked deterministic fake with the same signature for payloads
+that are not decodable media at all (the synthetic text-bytes corpus the
+fixtures use — a text payload can never carry the PNG signature or RIFF
+header, so the oracle-replayed stub arithmetic is unreachable by
+accident). The pipeline stays green in ALL modes and the DuckDB oracles
+(which replay the fake's byte arithmetic) hold on the synthetic corpus. The Spark-side plumbing is
 real and tested in both modes: typed schemas, ``mapInPandas`` batch
 iteration (Arrow), partition sizing, and the metadata projection.
 
@@ -92,13 +95,33 @@ def _decode_image_real(content: bytes) -> tuple[int, int, list[float]]:
     return w, h, [b / total for b in hist]
 
 
+def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
+    """From-scratch stdlib PNG decode (llm/png.py) — same feature
+    contract as the Pillow leg (dims + 8-bin ITU-R 601-2 luminance
+    histogram), so the REAL-pixel path executes even where Pillow is not
+    installed (this CI container). Raises for non-PNG payloads."""
+    from udata_datalake_service_spark.llm import png as _png
+
+    w, h, nch, pixels = _png.decode_png(content)
+    hist = [0.0] * 8
+    for v in _png.luminance(pixels, nch):
+        hist[v >> 5] += 1.0
+    total = sum(hist) or 1.0
+    return w, h, [b / total for b in hist]
+
+
 def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
-    """Real decode when Pillow is present AND the payload is decodable
-    media; the deterministic stub otherwise (library absent, or synthetic
-    non-image payloads like the text-bytes fixture corpus)."""
+    """Decode ladder: Pillow (any format) → vendored stdlib PNG codec →
+    deterministic stub (library absent AND payload not a PNG, e.g. the
+    synthetic text-bytes fixture corpus)."""
     if HAS_PIL and content is not None:
         try:
             return _decode_image_real(content)
+        except Exception:
+            pass
+    if content is not None:
+        try:
+            return _decode_image_vendored(content)
         except Exception:
             pass
     return _decode_image_stub(content)
@@ -168,12 +191,31 @@ def _decode_audio_real(content: bytes, target_rate: int) -> tuple[int, int, int]
     return n_out, target_rate, n_out * 1000 // target_rate
 
 
+def _decode_audio_wave(content: bytes, target_rate: int) -> tuple[int, int, int]:
+    """Stdlib ``wave`` leg: parses RIFF/WAVE PCM headers (frame count +
+    rate are all the features need), so the real-audio path executes
+    where soundfile is absent. Raises for non-WAV payloads."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+    n_out = n * target_rate // rate
+    return n_out, target_rate, n_out * 1000 // target_rate
+
+
 def _decode_audio(content: bytes, target_rate: int) -> tuple[int, int, int]:
-    """Real decode when soundfile is present AND the payload is decodable
-    audio; the deterministic stub otherwise."""
+    """Decode ladder: soundfile (any format) → stdlib ``wave`` (PCM WAV)
+    → deterministic stub."""
     if HAS_SOUNDFILE and content is not None:
         try:
             return _decode_audio_real(content, target_rate)
+        except Exception:
+            pass
+    if content is not None:
+        try:
+            return _decode_audio_wave(content, target_rate)
         except Exception:
             pass
     return _decode_audio_stub(content, target_rate)
@@ -206,7 +248,9 @@ def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFr
 
 
 def _resize_image_one(content: bytes, width: int, height: int) -> bytes:
-    """Pillow path: decode → resize → re-encode PNG. Fallback: a
+    """Pillow path: decode → resize → re-encode PNG. Second leg: the
+    vendored stdlib PNG codec (nearest-neighbor resample → filter-0
+    encode) so PNG payloads resize for real in CI. Last resort: a
     deterministic payload (target dims + content sha1) so batch shape,
     binary output schema, and downstream writes are exercised for real."""
     import hashlib
@@ -219,6 +263,15 @@ def _resize_image_one(content: bytes, width: int, height: int) -> bytes:
                 out = io.BytesIO()
                 im.resize((width, height)).save(out, format="PNG")
                 return out.getvalue()
+        except Exception:
+            pass
+    if content is not None:
+        try:
+            from udata_datalake_service_spark.llm import png as _png
+
+            w, h, nch, pixels = _png.decode_png(bytes(content))
+            resized = _png.resize_nearest(pixels, w, h, nch, width, height)
+            return _png.encode_png(width, height, nch, resized)
         except Exception:
             pass
     digest = hashlib.sha1(bytes(content)).digest()
