@@ -95,6 +95,11 @@ def test_past_window_entries_pinned():
         "tx_curate_pipeline": "6a8de6392d292531",
         "dd_exact_prefix_groups": "917099a2c45e40f9",
         "dd_minhash_signature": "00c84ec1ffc25d9f",
+        # displaced by the r5 corpus-diagnostics additions (tx_novelty /
+        # dd_paragraph_dedup / pack_waste); all three driver-green in r4.
+        "skew_salted_count": "08fd1a7c35533a0a",
+        "tx_text_metrics": "eb4f26191b646fd4",
+        "tx_fingerprint": "af504f92abbd4ecd",
     }
     qs = m.queries()
     sql = m.oracle_sql()

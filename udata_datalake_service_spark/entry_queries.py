@@ -4763,6 +4763,122 @@ FROM mem m LEFT JOIN dropped d ON m.id = d.id
 
 
 # =========================================================================
+# Round-5 operators: corpus diagnostics (llm/corpus.py)
+# =========================================================================
+def q_tx_novelty(spark, sf_dir):
+    """First-occurrence bigram novelty per doc under doc_id stream order
+    (llm/corpus.ngram_novelty) — the marginal-data-value curve: a gram is
+    owned by the smallest doc containing it, novelty = owned fraction.
+    One shuffle on the hashed gram key, one back on doc id."""
+    from udata_datalake_service_spark.llm.corpus import ngram_novelty
+
+    d = _tw(spark, sf_dir, "documents")
+    return ngram_novelty(d, k=2)
+
+
+_SQL_TX_NOVELTY = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i + 1]))) AS g
+  FROM x WHERE len(t) >= 2
+),
+counts AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+owners AS (SELECT g AS gg, min(doc_id) AS owner FROM g GROUP BY g),
+novel AS (
+  SELECT doc_id, count(*) AS n_novel FROM g JOIN owners ON g.g = owners.gg
+  WHERE doc_id = owner GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+  coalesce(n.n_novel, 0) AS n_novel,
+  CASE WHEN coalesce(c.n_grams, 0) > 0
+       THEN round(coalesce(n.n_novel, 0) / CAST(c.n_grams AS DOUBLE), 6)
+       ELSE 0.0 END AS novelty
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN counts c USING (doc_id) LEFT JOIN novel n USING (doc_id)
+"""
+
+
+def q_dd_paragraph_dedup(spark, sf_dir):
+    """C4-style global paragraph dedup WITH text reconstruction
+    (llm/corpus.paragraph_dedup): the corpus is documents plus a shifted
+    copy of every 5th doc (ids +10000), so exact duplicate paragraphs
+    exist and the copies must reconstruct to empty. Paragraph unit: fixed
+    10-token runs (the fixture corpus has no structural newlines; the
+    operator's split_regex leg serves real prose)."""
+    from udata_datalake_service_spark.llm.corpus import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return paragraph_dedup(d.unionByName(dup), para_tokens=10)
+
+
+_SQL_DD_PARAGRAPH = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+),
+x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM base),
+p0 AS (SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS i FROM x),
+p AS (
+  SELECT doc_id, i AS pidx,
+    array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS ptext
+  FROM p0
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn
+  FROM p
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(ptext, ' ' ORDER BY pidx) AS clean_text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(t2.n_paras, 0) AS n_paras,
+  coalesce(ka.n_kept, 0) AS n_kept, coalesce(ka.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN tot t2 USING (doc_id) LEFT JOIN keptagg ka USING (doc_id)
+"""
+
+
+def q_pack_waste(spark, sf_dir):
+    """Padding-waste report (llm/corpus.padding_waste_report): the
+    compute fraction burned on pad tokens at batch=32, arrival order vs
+    length-sorted — the measured case for length bucketing (~40% vs ~2%
+    on this corpus)."""
+    from udata_datalake_service_spark.llm.corpus import padding_waste_report
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return padding_waste_report(d, "n_tokens", batch_size=32)
+
+
+_SQL_PACK_WASTE = f"""
+WITH d AS (SELECT doc_id AS id, len({_SQL_TOKS}) AS ln FROM documents),
+a AS (SELECT id, ln, (row_number() OVER (ORDER BY id) - 1) // 32 AS batch FROM d),
+s AS (SELECT id, ln, (row_number() OVER (ORDER BY ln, id) - 1) // 32 AS batch FROM d),
+pa AS (SELECT batch, CAST(sum(ln) AS BIGINT) AS r,
+       CAST(max(ln) * count(*) AS BIGINT) AS p FROM a GROUP BY batch),
+ps AS (SELECT batch, CAST(sum(ln) AS BIGINT) AS r,
+       CAST(max(ln) * count(*) AS BIGINT) AS p FROM s GROUP BY batch)
+SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+  CAST(sum(r) AS BIGINT) AS real_tokens, CAST(sum(p) AS BIGINT) AS padded_tokens,
+  round((sum(p) - sum(r)) / CAST(sum(p) AS DOUBLE), 6) AS waste_ratio
+FROM pa
+UNION ALL
+SELECT 'length_sorted', CAST(count(*) AS BIGINT), CAST(sum(r) AS BIGINT),
+  CAST(sum(p) AS BIGINT), round((sum(p) - sum(r)) / CAST(sum(p) AS DOUBLE), 6)
+FROM ps
+"""
+
+
+# =========================================================================
 # The contract
 # =========================================================================
 # Registry order is load-bearing: the driver's correctness gate attests
@@ -4771,8 +4887,11 @@ FROM mem m LEFT JOIN dropped d ON m.id = d.id
 # entries past the window are untouched queries with green driver rows in
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # r5 rotation: the three round-4 additions that had never had a driver
-    # row (they were parked past the window) lead the catalog this round.
+    # r5 additions (corpus diagnostics) + the three round-4 additions that
+    # had never had a driver row lead the catalog this round.
+    "tx_novelty": q_tx_novelty,
+    "dd_paragraph_dedup": q_dd_paragraph_dedup,
+    "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
     "curriculum": q_curriculum,
     "dd_jaccard_prefix": q_dd_jaccard_prefix,
@@ -4874,6 +4993,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "tx_novelty": _SQL_TX_NOVELTY,
+    "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
+    "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,

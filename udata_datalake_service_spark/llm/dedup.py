@@ -198,14 +198,18 @@ def ngram_jaccard_pairs_prefix(
     8-byte keys, two array-lookup joins on doc id. No window, no
     cross join; every shuffle key is short.
 
-    Measured crossover (sf0.1, local[32]): on THIS synthetic corpus the
-    shingle DF distribution is near-uniform — no Zipfian stop-grams — so
-    the plain posting join is already cheap (2.8-4.1 s) and the prefix
-    machinery's df-join + sort + per-candidate intersect overhead makes
-    it slower (6.1 s). The prefix path's advantage is precisely the
-    skewed corpus: with Zipf-distributed grams the full join's hot
-    posting lists grow O(hot²) candidate pairs while prefixes stay rare;
-    both forms are exported so the caller picks by corpus shape (and
+    Measured crossover (sf0.1, local[32], idle machine, r5): on THIS
+    synthetic corpus the shingle DF distribution is near-uniform — no
+    Zipfian stop-grams — so the plain posting join is already cheap
+    (5.7-6.5 s for both exact+maxdf variants) and the prefix machinery's
+    df-join + sort + per-candidate intersect overhead makes it slower
+    (8.6-12.3 s; the r4 bench's 18.5 s row was loadavg-10+ noise). The
+    prefix path's advantage is precisely the skewed corpus: with
+    Zipf-distributed grams the full join's hot posting lists grow
+    O(hot²) candidate pairs while prefixes stay rare —
+    tests/test_llm.py::test_jaccard_prefix_beats_plain_join_on_zipfian_corpus
+    constructs that shape and measures the prefix path ~3× faster there.
+    Both forms are exported so the caller picks by corpus shape (and
     `max_df` remains the lossy third option).
     """
     prebuilt = index is not None
