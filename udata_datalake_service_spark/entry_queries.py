@@ -4773,7 +4773,7 @@ def q_tx_novelty(spark, sf_dir):
     from udata_datalake_service_spark.llm.corpus import ngram_novelty
 
     d = _tw(spark, sf_dir, "documents")
-    return ngram_novelty(d, k=2)
+    return settle(ngram_novelty(d, k=2))
 
 
 _SQL_TX_NOVELTY = f"""

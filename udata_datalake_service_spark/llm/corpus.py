@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopt
 from udata_datalake_service_spark.llm.text import tokens
 
 
@@ -57,32 +58,44 @@ def ngram_novelty(
     Returns (id_col, n_grams, n_novel, novelty) with novelty rounded
     to 6. Docs shorter than k tokens report 0 grams and novelty 0.0.
 
-    Shape: explode(distinct grams) hashed to xxhash64 → min(doc) per
-    gram (map-side combined, one shuffle on the 8-byte gram key) → the
-    ownership count rejoins the per-doc gram counts on doc id.
+    Shape: ONE explode(distinct grams) pass hashed to xxhash64 (persisted
+    — it feeds both aggregates) → per-doc gram counts, and min(doc) per
+    gram (map-side combined, one shuffle on the 8-byte gram key) whose
+    OWNER column regrouped is already the per-doc novel count — no
+    corpus-sized join back to the exploded grams. The only joins are the
+    two vocabulary/doc-sized left joins onto the id spine.
     """
     toks = tokens(F.col(text))
     # guard: F.sequence(0, n) DESCENDS for n < 0, so short docs need an
-    # explicit empty-gram branch
+    # explicit empty-gram branch. The gram strings hash AFTER the explode:
+    # xxhash64 inside the transform lambda runs on the interpreted
+    # higher-order-function path (~5× slower, measured 4.6 s vs 0.9 s at
+    # sf0.1); post-explode it's whole-stage codegen.
     grams = F.when(
         F.size(toks) >= k,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
             )
         ),
-    ).otherwise(F.expr("array()").cast("array<bigint>"))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.xxhash64("g").alias("g"))
+        .persist()
+    )
     counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    owners = ex.groupBy("g").agg(F.min("id").alias("owner"))
+    # min(id) per gram IS the ownership assignment; regrouping the owner
+    # column yields each doc's novel-gram count without ever joining back
+    # to the exploded corpus
     novel = (
-        ex.join(owners, on="g")
-        .filter(F.col("id") == F.col("owner"))
+        ex.groupBy("g")
+        .agg(F.min("id").alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    return (
+    return adopt(
         df.select(F.col(id_col).alias("id"))
         .distinct()
         .join(counts, on="id", how="left")
@@ -99,7 +112,8 @@ def ngram_novelty(
             )
             .otherwise(F.lit(0.0))
             .alias("novelty"),
-        )
+        ),
+        ex,
     )
 
 
