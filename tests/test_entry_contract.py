@@ -100,6 +100,8 @@ def test_past_window_entries_pinned():
         "skew_salted_count": "08fd1a7c35533a0a",
         "tx_text_metrics": "eb4f26191b646fd4",
         "tx_fingerprint": "af504f92abbd4ecd",
+        # displaced by the r5 url_quality addition; driver-green in r4.
+        "k9_webhook_payload": "3fb0bd573b5f29a8",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -337,3 +337,40 @@ def test_canonicalize_url_golden_matrix(spark):
         for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_url_quality_filter_verdicts(spark):
+    """RefinedWeb-style URL gate: each hand-built URL exercises one
+    rejection reason; the clean one survives."""
+    from udata_datalake_service_spark.functions.urls import url_quality_filter
+
+    rows = [
+        (1, "https://good.example.org/docs/page"),          # keep
+        (2, "https://spam.example.net/x"),                  # blocklist
+        (3, "http://10.0.0.1/x"),                           # raw IP host
+        (4, "https://dl.example.org/a.ZIP?m=1"),            # bad ext (case-insensitive)
+        (5, "https://d.example.org/" + "9" * 40),           # digit ratio
+        (6, "https://long.example.org/" + "a" * 200),       # length
+        (7, "not a url"),                                   # no host
+        (8, "https://u:p@h.example.org:8443/a/b/c?x=1&y=2"),  # port+params, kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r
+        for r in url_quality_filter(
+            df,
+            blocked_domains=("spam.example.net",),
+            max_len=120,
+            max_digit_ratio=0.3,
+        ).collect()
+    }
+    assert out[1]["url_keep"] and not out[1]["url_blocked"]
+    assert out[2]["url_blocked"] and not out[2]["url_keep"]
+    assert out[3]["is_ip_host"] and not out[3]["url_keep"]
+    assert out[4]["bad_ext"] and not out[4]["url_keep"]
+    assert not out[5]["url_keep"] and out[5]["digit_ratio"] > 0.3
+    assert not out[6]["url_keep"] and out[6]["url_len"] > 120
+    assert out[7]["host"] is None and not out[7]["url_keep"]
+    assert out[8]["url_keep"] and out[8]["has_port"] and out[8]["n_params"] == 2
+    assert out[8]["host"] == "h.example.org"
+    assert out[8]["path_depth"] == 3

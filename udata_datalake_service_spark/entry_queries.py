@@ -4878,6 +4878,80 @@ FROM ps
 """
 
 
+def q_url_quality(spark, sf_dir):
+    """RefinedWeb-style URL-level quality gate (functions/urls
+    .url_quality_filter): deterministic noisy URL variants per order row —
+    clean, deep-digit-path, raw-IP host, binary-payload extension, blocked
+    domain, param-stuffed — scored on pure-regexp signals with the final
+    keep verdict. The pre-fetch filter of a pretraining crawl; map-only."""
+    from udata_datalake_service_spark.functions.urls import url_quality_filter
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    m = F.pmod(F.col("o_orderkey"), F.lit(6))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://site"), k, F.lit(".example.org/docs/page")))
+        .when(m == 1, F.concat(F.lit("https://cdn.example.org/a/1/2/3/4/5/6/"), k, F.lit("9876543210")))
+        .when(m == 2, F.concat(F.lit("http://192.168.4.2:8080/r/"), k))
+        .when(m == 3, F.concat(F.lit("https://dl.example.org/pkg/"), k, F.lit(".zip?mirror=1")))
+        .when(m == 4, F.concat(F.lit("https://spam.example.net/offer/"), k))
+        .otherwise(
+            F.concat(F.lit("https://t.example.org/p?a=1&b=2&c=3&d=4&e=5&n="), k)
+        )
+    )
+    out = url_quality_filter(
+        o.select("o_orderkey", url.alias("url")),
+        blocked_domains=("spam.example.net",),
+        max_len=80,
+        max_digit_ratio=0.3,
+    )
+    return out.select(
+        "o_orderkey", "url", "host", "url_len", "path_depth", "digit_ratio",
+        "n_params", "has_port", "is_ip_host", "bad_ext", "url_blocked", "url_keep",
+    )
+
+
+_SQL_URL_QUALITY = """
+WITH u AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'https://site' || o_orderkey || '.example.org/docs/page'
+      WHEN 1 THEN 'https://cdn.example.org/a/1/2/3/4/5/6/' || o_orderkey || '9876543210'
+      WHEN 2 THEN 'http://192.168.4.2:8080/r/' || o_orderkey
+      WHEN 3 THEN 'https://dl.example.org/pkg/' || o_orderkey || '.zip?mirror=1'
+      WHEN 4 THEN 'https://spam.example.net/offer/' || o_orderkey
+      ELSE 'https://t.example.org/p?a=1&b=2&c=3&d=4&e=5&n=' || o_orderkey
+    END AS url
+  FROM orders
+),
+sig AS (
+  SELECT o_orderkey, url,
+    nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host,
+    CAST(length(url) AS INTEGER) AS url_len,
+    CAST(length(p) - length(replace(p, '/', '')) AS INTEGER) AS path_depth,
+    round((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))
+          / CAST(greatest(length(url), 1) AS DOUBLE), 6) AS digit_ratio,
+    CAST(CASE WHEN q = '' THEN 0
+         ELSE length(q) - length(replace(q, '&', '')) + 1 END AS INTEGER) AS n_params,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:(\\d+)', 1) <> '' AS has_port,
+    coalesce(regexp_matches(
+      nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), ''),
+      '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$'), FALSE) AS is_ip_host,
+    regexp_matches(url, '(?i)\\.(exe|zip|rar|7z|dmg|apk|iso|msi|bin|tar|gz)([?#].*)?$') AS bad_ext
+  FROM (
+    SELECT *,
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+      regexp_extract(url, '\\?([^#]*)', 1) AS q
+    FROM u)
+)
+SELECT *,
+  (host = 'spam.example.net') AS url_blocked,
+  (NOT (host = 'spam.example.net') AND NOT is_ip_host AND NOT bad_ext
+   AND url_len <= 80 AND digit_ratio < 0.3 AND host IS NOT NULL) AS url_keep
+FROM sig
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4890,6 +4964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 additions (corpus diagnostics) + the three round-4 additions that
     # had never had a driver row lead the catalog this round.
     "tx_novelty": q_tx_novelty,
+    "url_quality": q_url_quality,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -4994,6 +5069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "tx_novelty": _SQL_TX_NOVELTY,
+    "url_quality": _SQL_URL_QUALITY,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

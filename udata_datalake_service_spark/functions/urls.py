@@ -80,3 +80,77 @@ def canonicalize_url(url_col: Column) -> Column:
     # scheme-less / non-hierarchical strings pass through untouched — the
     # concat rebuild above would otherwise mangle them into '://' + url
     return F.when(url_col.rlike(SCHEME_REGEX), u).otherwise(url_col)
+
+
+# bad-payload path extensions a text-corpus crawler drops outright
+# (binary/installer/archive payloads; RefinedWeb Appendix G ships the same
+# idea as an extension blocklist)
+BAD_EXT_REGEX = r"(?i)\.(exe|zip|rar|7z|dmg|apk|iso|msi|bin|tar|gz)([?#].*)?$"
+_IP_HOST_REGEX = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def url_quality_signals(url_col: Column) -> dict[str, Column]:
+    """RefinedWeb/CCNet-style URL-level quality signals — the filter a
+    pretraining crawl applies BEFORE fetching a byte of content (Penedo
+    et al. 2023 §3.1 filter on the URL alone; the reference's analogue is
+    its EXCLUDED_PATTERNS clause, crawl/select_batch.py via
+    db/resource.py:116-129).
+
+    Every signal is a pure regexp/arithmetic expression (whole-stage
+    codegen, DuckDB-replayable): host, path depth, URL length, digit
+    ratio, query-param count, explicit-port / raw-IP-host / bad-extension
+    flags. Compose with a broadcast blocklist membership for the final
+    keep verdict (see ``url_quality_filter``).
+    """
+    host = domain_of(url_col)
+    path = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    n_digits = F.length(url_col) - F.length(F.regexp_replace(url_col, r"[0-9]", ""))
+    return {
+        "host": host,
+        "url_len": F.length(url_col).cast("int"),
+        "path_depth": (
+            F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+        ).cast("int"),
+        "digit_ratio": F.round(n_digits / F.greatest(F.length(url_col), F.lit(1)), 6),
+        "n_params": F.when(query == "", F.lit(0))
+        .otherwise(F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1)
+        .cast("int"),
+        "has_port": F.regexp_extract(
+            url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:(\d+)", 1
+        )
+        != "",
+        "is_ip_host": F.coalesce(host.rlike(_IP_HOST_REGEX), F.lit(False)),
+        "bad_ext": url_col.rlike(BAD_EXT_REGEX),
+    }
+
+
+def url_quality_filter(
+    df,
+    url_col: str = "url",
+    blocked_domains: tuple[str, ...] = (),
+    max_len: int = 512,
+    max_digit_ratio: float = 0.5,
+):
+    """Append the signal columns plus a ``url_keep`` verdict.
+
+    ``blocked_domains`` becomes a literal isin — at scale pass thousands
+    of domains via a broadcast join on ``host`` instead; the verdict
+    expression is the same. Map-only: no shuffle, the filter runs inside
+    the scan's codegen stage."""
+    sig = url_quality_signals(F.col(url_col))
+    out = df
+    for name, col in sig.items():
+        out = out.withColumn(name, col)
+    blocked = (
+        F.col("host").isin(*blocked_domains) if blocked_domains else F.lit(False)
+    )
+    keep = (
+        ~blocked
+        & ~F.col("is_ip_host")
+        & ~F.col("bad_ext")
+        & (F.col("url_len") <= max_len)
+        & (F.col("digit_ratio") < max_digit_ratio)
+        & F.col("host").isNotNull()
+    )
+    return out.withColumn("url_blocked", blocked).withColumn("url_keep", keep)
