@@ -326,3 +326,58 @@ def test_event_transitions_single_key_shuffle_before_matrix(spark):
     # exchanges: key shuffle for the lag window, (prev,next) aggregate,
     # prev_event window — all on compact keys
     assert n_exchanges(plan) <= 3
+
+
+# ------------------------------------------------- round-5 new operators ----
+def test_url_quality_filter_is_map_only(spark):
+    """The URL gate claims pre-fetch, scan-stage filtering — zero
+    Exchanges, pure projection."""
+    from udata_datalake_service_spark.functions.urls import url_quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id", "concat('https://h', doc_id % 7, '.org/p/', doc_id) AS url"
+    )
+    plan = formatted_plan(url_quality_filter(docs))
+    assert n_exchanges(plan) == 0
+
+
+def test_ngram_novelty_partial_aggregates_before_shuffle(spark):
+    """Both novelty aggregates (per-doc count, min-owner per gram) must
+    partial-aggregate map-side so the gram shuffle carries one row per
+    (partition, key), and no join may touch the exploded corpus — the
+    ownership regroup replaced it."""
+    from udata_datalake_service_spark.caching import settle
+    from udata_datalake_service_spark.llm.corpus import ngram_novelty
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_novelty(docs, k=2)
+    t = tree(formatted_plan(out))
+    assert t.count("HashAggregate") >= 4  # partial+final per aggregate
+    assert "SortMergeJoin" not in t or t.count("Generate") <= 1
+    settle(out)  # release the adopted explode cache
+
+
+def test_paragraph_dedup_shuffles_on_hash_and_id_only(spark):
+    """No cartesian/nested-loop; the ownership pass aggregates on the
+    hashed paragraph key (map-side combined min) before any join."""
+    from udata_datalake_service_spark.llm.corpus import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    t = tree(formatted_plan(paragraph_dedup(docs, para_tokens=10)))
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
+    assert "HashAggregate" in t
+
+
+def test_padding_waste_report_window_shape(spark):
+    """The report's only heavy nodes are the two documented global
+    row_number windows (single-partition exchanges over (id, len) pairs);
+    everything downstream partial-aggregates."""
+    from udata_datalake_service_spark.llm.corpus import padding_waste_report
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n")
+    )
+    t = tree(formatted_plan(padding_waste_report(docs, "n", batch_size=16)))
+    assert t.count("SinglePartition") <= 4  # 2 windows + 2 final 1-row aggs
+    assert "CartesianProduct" not in t
