@@ -157,3 +157,41 @@ def test_analyse_csv_reports_schema_drift_on_reanalysis(spark, tmp_path):
     changes = {(d["column"], d["change"]) for d in seen[0]}
     assert ("qty", "added") in changes
     assert ("price", "retyped") in changes
+
+
+def test_corpus_diagnostic_verbs(spark, tmp_path, capsys):
+    """The round-5 CLI verbs: novelty / paragraph-dedup / padding-waste
+    each print a JSON report over a documents parquet."""
+    import json as _json
+
+    from udata_datalake_service_spark import cli
+
+    src = str(tmp_path / "docs")
+    rows = [(i, f"tok{i} tok{i + 1} tok{i + 2} shared shared") for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    lake_root = str(tmp_path / "lake")
+
+    assert cli.main(["--lake-root", lake_root, "novelty", src, "--k", "2"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 30 and 0 < rep["corpus_novelty"] <= 1
+
+    out_dir = str(tmp_path / "cleaned")
+    assert (
+        cli.main(
+            ["--lake-root", lake_root, "paragraph-dedup", src,
+             "--para-tokens", "5", "--out", out_dir]
+        )
+        == 0
+    )
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 30 and rep["n_kept"] <= rep["n_paras"]
+    assert spark.read.parquet(out_dir).count() == 30
+
+    assert (
+        cli.main(["--lake-root", lake_root, "padding-waste", src,
+                  "--batch-size", "8"]) == 0
+    )
+    lines = [
+        _json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()[-2:]
+    ]
+    assert {r["strategy"] for r in lines} == {"arrival", "length_sorted"}

@@ -266,6 +266,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("curate-docs"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--keep-dups", action="store_true"); sp.add_argument("--benchmark")
     sp = sub.add_parser("datasheet"); sp.add_argument("in_path")
     sp = sub.add_parser("bpe-train"); sp.add_argument("in_path"); sp.add_argument("--merges", type=int, default=50); sp.add_argument("--table", default="bpe_merges")
+    sp = sub.add_parser("novelty"); sp.add_argument("in_path"); sp.add_argument("--k", type=int, default=2)
+    sp = sub.add_parser("paragraph-dedup"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--split-regex"); sp.add_argument("--para-tokens", type=int, default=50)
+    sp = sub.add_parser("padding-waste"); sp.add_argument("in_path"); sp.add_argument("--batch-size", type=int, default=32)
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -320,6 +323,46 @@ def main(argv: list[str] | None = None) -> int:
         from udata_datalake_service_spark.llm.report import corpus_datasheet
 
         for r in corpus_datasheet(spark.read.parquet(args.in_path)).collect():
+            print(json.dumps(r.asDict()))
+    elif args.verb == "novelty":
+        from udata_datalake_service_spark.caching import settle
+        from udata_datalake_service_spark.llm.corpus import ngram_novelty
+
+        out = settle(ngram_novelty(spark.read.parquet(args.in_path), k=args.k))
+        agg = out.selectExpr(
+            "count(*) AS n_docs",
+            "CAST(sum(n_grams) AS BIGINT) AS n_grams",
+            "CAST(sum(n_novel) AS BIGINT) AS n_novel",
+            "round(sum(n_novel) / greatest(sum(n_grams), 1), 6) AS corpus_novelty",
+        ).collect()[0]
+        print(json.dumps(agg.asDict()))
+    elif args.verb == "paragraph-dedup":
+        from udata_datalake_service_spark.llm.corpus import paragraph_dedup
+
+        out = paragraph_dedup(
+            spark.read.parquet(args.in_path),
+            para_tokens=args.para_tokens,
+            split_regex=args.split_regex,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        rep = out.selectExpr(
+            "count(*) AS n_docs",
+            "CAST(sum(n_paras) AS BIGINT) AS n_paras",
+            "CAST(sum(n_kept) AS BIGINT) AS n_kept",
+            "round(1 - sum(n_kept) / greatest(sum(n_paras), 1), 6) AS dropped_ratio",
+        ).collect()[0]
+        print(json.dumps({**rep.asDict(), "out_path": args.out}))
+    elif args.verb == "padding-waste":
+        from udata_datalake_service_spark.llm.corpus import padding_waste_report
+        from udata_datalake_service_spark.llm.text import token_count
+
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(args.in_path).withColumn(
+            "n_tokens", token_count(F.col("text"))
+        )
+        for r in padding_waste_report(d, "n_tokens", batch_size=args.batch_size).collect():
             print(json.dumps(r.asDict()))
     return 0
 

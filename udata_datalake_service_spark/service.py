@@ -261,3 +261,31 @@ class HydraService:
         from udata_datalake_service_spark.llm.similarity import recall_at_k
 
         return recall_at_k(exact, approx)
+
+    def novelty(self, docs: DataFrame, **kw) -> DataFrame:
+        """First-occurrence n-gram novelty per doc under stream order
+        (llm/corpus.ngram_novelty) — the marginal-data-value curve."""
+        from udata_datalake_service_spark.llm.corpus import ngram_novelty
+
+        return ngram_novelty(docs, **kw)
+
+    def paragraph_dedup(self, docs: DataFrame, **kw) -> DataFrame:
+        """C4-style global paragraph dedup with text reconstruction
+        (llm/corpus.paragraph_dedup)."""
+        from udata_datalake_service_spark.llm.corpus import paragraph_dedup
+
+        return paragraph_dedup(docs, **kw)
+
+    def padding_waste(self, docs: DataFrame, len_col: str, **kw) -> DataFrame:
+        """Pad-token overhead, arrival vs length-sorted batching
+        (llm/corpus.padding_waste_report)."""
+        from udata_datalake_service_spark.llm.corpus import padding_waste_report
+
+        return padding_waste_report(docs, len_col, **kw)
+
+    def url_filter(self, df: DataFrame, **kw) -> DataFrame:
+        """URL-level quality gate + signals (functions/urls
+        .url_quality_filter) — the pre-fetch crawl filter."""
+        from udata_datalake_service_spark.functions.urls import url_quality_filter
+
+        return url_quality_filter(df, **kw)
