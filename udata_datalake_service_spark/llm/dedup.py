@@ -256,14 +256,25 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = docs.select(
-        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")
+    # AllPairs LENGTH filter before any array moves: J(A,B) ≤ min/max of
+    # the set sizes, so a candidate with min·10⁹ < num·max can never reach
+    # the (slack-adjusted) threshold. The size probe joins the tiny
+    # (id, sz) projection; only surviving pairs pull the full shingle
+    # arrays for the exact intersect (lossless — same `num` slack as the
+    # prefix bound covers the rounded-jaccard final filter).
+    sizes = docs.select("id", "sz")
+    survivors = (
+        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .filter(
+            F.least("sz_a", "sz_b").cast("long") * F.lit(1_000_000_000)
+            >= F.lit(num) * F.greatest("sz_a", "sz_b").cast("long")
+        )
     )
-    b = docs.select(
-        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")
-    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     out = (
-        cand.join(a, on="id_a")
+        survivors.join(a, on="id_a")
         .join(b, on="id_b")
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
