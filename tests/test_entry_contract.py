@@ -102,6 +102,8 @@ def test_past_window_entries_pinned():
         "tx_fingerprint": "af504f92abbd4ecd",
         # displaced by the r5 url_quality addition; driver-green in r4.
         "k9_webhook_payload": "3fb0bd573b5f29a8",
+        # displaced by the r5 corpus_ingest addition; driver-green in r4.
+        "s7_mime_sniff": "c4a6522fbe1d5509",
     }
     qs = m.queries()
     sql = m.oracle_sql()

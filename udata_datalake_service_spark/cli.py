@@ -269,6 +269,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("novelty"); sp.add_argument("in_path"); sp.add_argument("--k", type=int, default=2)
     sp = sub.add_parser("paragraph-dedup"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--split-regex"); sp.add_argument("--para-tokens", type=int, default=50)
     sp = sub.add_parser("padding-waste"); sp.add_argument("in_path"); sp.add_argument("--batch-size", type=int, default=32)
+    sp = sub.add_parser("ingest-corpus"); sp.add_argument("in_path"); sp.add_argument("batch_id"); sp.add_argument("--table", default="corpus_docs"); sp.add_argument("--gopher-gate", action="store_true")
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -364,6 +365,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in padding_waste_report(d, "n_tokens", batch_size=args.batch_size).collect():
             print(json.dumps(r.asDict()))
+    elif args.verb == "ingest-corpus":
+        from udata_datalake_service_spark.llm.ingest import ingest_documents
+
+        print(json.dumps(ingest_documents(
+            lake, spark.read.parquet(args.in_path), args.batch_id,
+            table=args.table, apply_gopher_gate=args.gopher_gate)))
     return 0
 
 

@@ -4952,6 +4952,59 @@ FROM sig
 """
 
 
+def q_corpus_ingest(spark, sf_dir):
+    """Incremental corpus ingestion end-to-end (llm/ingest.py): batch b1
+    (docs with id%3≠0) into a fresh lake, then overlapping batch b2 (all
+    docs — only new content lands), then a RETRY of b2 (ledger no-ops it,
+    committed=false). One report row per ingest; the oracle recomputes
+    every count from fingerprint arithmetic over the documents table."""
+    import hashlib
+    import shutil
+
+    from udata_datalake_service_spark.llm.ingest import ingest_documents
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    root = f"/tmp/spark_hydra_ingest_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reports = [
+        ingest_documents(lake, d.filter(F.col("doc_id") % 3 != 0), "b1"),
+        ingest_documents(lake, d, "b2"),
+        ingest_documents(lake, d, "b2"),  # the lost-ack retry
+    ]
+    cols = (
+        "batch_id", "n_in", "n_batch_unique", "n_new_content",
+        "n_after_gate", "committed", "n_corpus_total",
+    )
+    return spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in reports],
+        "batch_id string, n_in long, n_batch_unique long, n_new_content long,"
+        " n_after_gate long, committed boolean, n_corpus_total long",
+    )
+
+
+_SQL_CORPUS_INGEST = f"""
+WITH f AS (
+  SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents
+),
+b1 AS (SELECT * FROM f WHERE doc_id % 3 <> 0),
+u1 AS (SELECT count(DISTINCT fp) AS n FROM b1),
+uall AS (SELECT count(DISTINCT fp) AS n FROM f),
+c1 AS (SELECT count(*) AS n FROM b1),
+call AS (SELECT count(*) AS n FROM f)
+SELECT 'b1' AS batch_id, c1.n AS n_in, u1.n AS n_batch_unique,
+  u1.n AS n_new_content, u1.n AS n_after_gate, TRUE AS committed,
+  u1.n AS n_corpus_total
+FROM c1, u1
+UNION ALL
+SELECT 'b2', call.n, uall.n, uall.n - u1.n, uall.n - u1.n, TRUE, uall.n
+FROM call, uall, u1
+UNION ALL
+SELECT 'b2', call.n, uall.n, 0, 0, FALSE, uall.n FROM call, uall
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -4965,6 +5018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # had never had a driver row lead the catalog this round.
     "tx_novelty": q_tx_novelty,
     "url_quality": q_url_quality,
+    "corpus_ingest": q_corpus_ingest,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5070,6 +5124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "tx_novelty": _SQL_TX_NOVELTY,
     "url_quality": _SQL_URL_QUALITY,
+    "corpus_ingest": _SQL_CORPUS_INGEST,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

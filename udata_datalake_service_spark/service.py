@@ -289,3 +289,10 @@ class HydraService:
         from udata_datalake_service_spark.functions.urls import url_quality_filter
 
         return url_quality_filter(df, **kw)
+
+    def ingest_corpus(self, docs: DataFrame, batch_id: str, **kw) -> dict:
+        """Idempotent dedup-on-arrival corpus ingestion
+        (llm/ingest.ingest_documents) into this service's lake."""
+        from udata_datalake_service_spark.llm.ingest import ingest_documents
+
+        return ingest_documents(self.lake, docs, batch_id, **kw)
