@@ -483,3 +483,50 @@ def test_transitions_stream_matches_batch_matrix(spark, tmp_path):
     }
     # b->a (user 1) crosses the micro-batch boundary via carried state
     assert got == batch and ("b", "a") in got
+
+
+def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
+    """The foreachBatch + ledger sink composition: drain a shard dir into
+    the corpus table, restart from the same checkpoint (no re-emission),
+    add a shard with overlapping content (state store drops the dup),
+    and replay one epoch manually (ledger no-ops it)."""
+    from udata_datalake_service_spark.llm.text import fingerprint as _fp
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.ingest_stream import (
+        corpus_ingest_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    def shard(rows, name):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    shard([(1, "alpha beta", "en", "web", 10), (2, "gamma delta", "en", "web", 11)], "s1")
+    q = corpus_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    assert lake.read_app_table("corpus_docs").count() == 2
+
+    # restart on the same checkpoint with nothing new: no duplicates
+    q = corpus_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    assert lake.read_app_table("corpus_docs").count() == 2
+
+    # overlapping shard: state store drops the re-crawled doc 1 content
+    shard([(3, "alpha  BETA!", "en", "web", 12), (4, "epsilon zeta", "en", "web", 13)], "s2")
+    q = corpus_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    got = lake.read_app_table("corpus_docs")
+    assert got.count() == 3
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {1, 2, 4}
+
+    # a replayed epoch (same ledger key) must no-op
+    replay = spark.createDataFrame(
+        [(9, "nu xi", "en", "web", 9)], DOCUMENTS_SCHEMA
+    ).withColumn("fp", _fp(F.col("text")))
+    assert lake.append_app_table_exactly_once(replay, "corpus_docs", "stream-ingest-0") is False
+    assert lake.read_app_table("corpus_docs").count() == 3
