@@ -104,6 +104,8 @@ def test_past_window_entries_pinned():
         "k9_webhook_payload": "3fb0bd573b5f29a8",
         # displaced by the r5 corpus_ingest addition; driver-green in r4.
         "s7_mime_sniff": "c4a6522fbe1d5509",
+        # displaced by the r5 tx_bigram_surprisal addition; driver-green in r4.
+        "st45_change_trigger": "209505748f8e3a8d",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -1286,3 +1286,27 @@ def test_jaccard_prefix_beats_plain_join_on_zipfian_corpus(spark):
         f"prefix path should win on a skewed corpus: {prefix_s:.2f}s vs "
         f"plain {plain_s:.2f}s"
     )
+
+
+def test_bigram_surprisal_orders_predictability(spark):
+    """A doc made of the corpus's dominant bigram chain must score lower
+    (more predictable) than a doc of one-off transitions; empty docs
+    report 0.0; caches release on settle."""
+    from udata_datalake_service_spark.caching import adopted, settle
+    from udata_datalake_service_spark.llm.tfidf import bigram_surprisal
+
+    common = "a b " * 20  # 'a b'/'b a' dominate the LM
+    rows = [
+        (1, common.strip()),
+        (2, "q w e r t y u i o p"),  # every transition unique
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_surprisal(df)
+    caches = adopted(out)
+    got = {r["doc_id"]: r for r in settle(out).collect()}
+    assert got[1]["mean_nll"] < got[2]["mean_nll"]
+    assert got[3]["n_tokens"] == 0 and got[3]["mean_nll"] == 0.0
+    assert caches and all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in caches
+    )

@@ -5005,6 +5005,68 @@ SELECT 'b2', call.n, uall.n, 0, 0, FALSE, uall.n FROM call, uall
 """
 
 
+def q_tx_bigram_surprisal(spark, sf_dir):
+    """Interpolated bigram-LM surprisal (llm/tfidf.bigram_surprisal) —
+    the stronger perplexity proxy next to tx_surprisal's unigram LM:
+    p(w|prev) = 0.75·c(prev w)/c(prev) + 0.25·c(w)/N, first token scored
+    unigram-only, fixed-point nll sums for engine-exact means."""
+    from udata_datalake_service_spark.llm.tfidf import bigram_surprisal
+
+    d = _tw(spark, sf_dir, "documents")
+    return settle(bigram_surprisal(d))
+
+
+_SQL_TX_BIGRAM_SURPRISAL = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+b AS (
+  SELECT doc_id, len(t) AS n_tokens, t[1] AS t1,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END AS bg
+  FROM x
+),
+pdb AS (
+  SELECT doc_id, bg1 AS bg, count(*) AS n
+  FROM (SELECT doc_id, unnest(bg) AS bg1 FROM b) GROUP BY 1, 2
+),
+bgc AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cbg FROM pdb GROUP BY bg),
+tokex AS (SELECT doc_id, unnest(t) AS tk FROM x),
+uni AS (SELECT tk, count(*) AS cu FROM tokex GROUP BY tk),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uni),
+prevc AS (
+  SELECT split_part(bg, ' ', 1) AS pk, CAST(sum(cbg) AS BIGINT) AS cprev
+  FROM bgc GROUP BY 1
+),
+lm AS (
+  SELECT bg, CAST(round(-ln(
+      0.75 * (cbg / CAST(cprev AS DOUBLE))
+      + 0.25 * (cu / CAST(total AS DOUBLE))
+    ) * 1000000, 0) AS BIGINT) AS nllq
+  FROM bgc
+  JOIN prevc ON split_part(bgc.bg, ' ', 1) = prevc.pk
+  JOIN uni ON split_part(bgc.bg, ' ', 2) = uni.tk
+  CROSS JOIN tot
+),
+sbg AS (
+  SELECT doc_id, CAST(sum(n * nllq) AS BIGINT) AS s_bg
+  FROM pdb JOIN lm USING (bg) GROUP BY doc_id
+),
+sfirst AS (
+  SELECT b.doc_id,
+    CAST(round(-ln(uni.cu / CAST(tot.total AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      AS s_first
+  FROM b JOIN uni ON b.t1 = uni.tk CROSS JOIN tot
+  WHERE b.t1 IS NOT NULL
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN b.n_tokens > 0
+       THEN round((coalesce(s_bg, 0) + coalesce(s_first, 0))
+                  / (b.n_tokens * 1000000.0), 6)
+       ELSE 0.0 END AS mean_nll
+FROM b LEFT JOIN sbg USING (doc_id) LEFT JOIN sfirst USING (doc_id)
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5019,6 +5081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_novelty": q_tx_novelty,
     "url_quality": q_url_quality,
     "corpus_ingest": q_corpus_ingest,
+    "tx_bigram_surprisal": q_tx_bigram_surprisal,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5125,6 +5188,7 @@ ORACLES: dict[str, str] = {
     "tx_novelty": _SQL_TX_NOVELTY,
     "url_quality": _SQL_URL_QUALITY,
     "corpus_ingest": _SQL_CORPUS_INGEST,
+    "tx_bigram_surprisal": _SQL_TX_BIGRAM_SURPRISAL,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

@@ -406,3 +406,120 @@ def dsir_log_weights(
         ),
         per_doc,
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    quantum: int = 1_000_000,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram-LM surprisal — the stronger perplexity proxy
+    next to `unigram_surprisal` (CCNet scores with a 5-gram KenLM; a
+    Jelinek-Mercer-interpolated bigram LM is the distributed-aggregate
+    form of the same signal, one corpus pass instead of a model file):
+
+        p(w_i | w_{i-1}) = λ · c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ) · c(w_i)/N
+
+    with the first token scored by its unigram term alone. λ=0.75 is
+    exactly binary-representable, so both engines compute identical
+    doubles before the fixed-point quantization (the per-EVENT nll is
+    rounded to 1/quantum and summed as exact integers — the same
+    partition-order-independence device as `unigram_surprisal`).
+
+    Shape at 100 TB: one tokenize pass collapsed to TWO count grains —
+    (doc, bigram) carrying n occurrences, persisted, and the bigram/
+    unigram LM tables derived from it (vocabulary-bounded). The LM joins
+    hit the (doc, bigram) grain, never raw positions; one groupBy(doc)
+    finishes. Returns (id_col, n_tokens, mean_nll) with mean over ALL
+    tokens (first-token unigram event included), rounded to 6.
+    """
+    toks = tokens(F.col(text))
+    from udata_datalake_service_spark.llm.text import word_bigrams
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+    ).select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        F.when(F.size("t") >= 1, F.element_at("t", 1)).alias("t1"),
+        word_bigrams(F.col("t")).alias("bg"),
+    )
+    # (doc, bigram) grain — the single expensive pass, persisted
+    per_doc_bg = (
+        base.select("id", F.explode("bg").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # LM tables: bigram counts, first-word counts, unigram counts + total
+    bg_counts = per_doc_bg.groupBy("bg").agg(F.sum("n").alias("cbg"))
+    tok_ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
+    uni = tok_ex.groupBy("tk").agg(F.count(F.lit(1)).alias("cu")).persist()
+    total = int(uni.agg(F.sum("cu")).collect()[0][0] or 0)
+    prev_counts = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("tk"),
+            "cbg",
+        )
+        .groupBy("tk")
+        .agg(F.sum("cbg").alias("cprev"))
+    )
+    # per-bigram interpolated nll, quantized once at the TYPE grain
+    lm = (
+        bg_counts.select("bg", "cbg", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("pk"),
+                         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("ck"))
+        .join(prev_counts.select(F.col("tk").alias("pk"), "cprev"), on="pk")
+        .join(uni.select(F.col("tk").alias("ck"), F.col("cu").alias("cu_cur")), on="ck")
+        .select(
+            "bg",
+            F.round(
+                -F.log(
+                    F.lit(float(lam)) * (F.col("cbg") / F.col("cprev"))
+                    + F.lit(1.0 - float(lam)) * (F.col("cu_cur") / F.lit(float(total)))
+                )
+                * quantum,
+                0,
+            )
+            .cast("long")
+            .alias("nllq"),
+        )
+    )
+    scored_bg = (
+        per_doc_bg.join(lm, on="bg")
+        .groupBy("id")
+        .agg(F.sum(F.col("n") * F.col("nllq")).alias("s_bg"))
+    )
+    # first-token unigram event
+    first_nll = (
+        base.filter(F.col("t1").isNotNull())
+        .join(uni.select(F.col("tk").alias("t1"), "cu"), on="t1")
+        .select(
+            "id",
+            F.round(-F.log(F.col("cu") / F.lit(float(total))) * quantum, 0)
+            .cast("long")
+            .alias("s_first"),
+        )
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(scored_bg, on="id", how="left")
+        .join(first_nll, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    (F.coalesce("s_bg", F.lit(0)) + F.coalesce("s_first", F.lit(0)))
+                    / (F.col("n_tokens") * F.lit(float(quantum))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_nll"),
+        )
+    )
+    return adopt(out, per_doc_bg, uni)
