@@ -106,6 +106,10 @@ def test_past_window_entries_pinned():
         "s7_mime_sniff": "c4a6522fbe1d5509",
         # displaced by the r5 tx_bigram_surprisal addition; driver-green in r4.
         "st45_change_trigger": "209505748f8e3a8d",
+        # displaced by the r5 tx_blocklist / mixture_plan additions;
+        # driver-green in r4.
+        "u456_point_dml": "909bf94a9669b931",
+        "p78_predicate_surface": "75b5086fa2f2052d",
     }
     qs = m.queries()
     sql = m.oracle_sql()

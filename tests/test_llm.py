@@ -1310,3 +1310,50 @@ def test_bigram_surprisal_orders_predictability(spark):
     assert caches and all(
         not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in caches
     )
+
+
+def test_blocklist_signals_token_exact(spark):
+    """Token-level exact matching: 'class' must NOT trip a blocklist
+    containing 'ass'; punctuation-attached hits still count."""
+    from udata_datalake_service_spark.llm.text import blocklist_signals
+
+    df = spark.createDataFrame(
+        [(1, "a class act"), (2, "you Ass, you"), (3, "")],
+        "doc_id long, text string",
+    )
+    sig = blocklist_signals(F.col("text"), ("ass",))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["n_blocked"].alias("n"),
+            sig["blocked_ratio"].alias("ratio"),
+            sig["blocklist_pass"].alias("ok"),
+        ).collect()
+    }
+    assert got[1]["n"] == 0 and got[1]["ok"]
+    assert got[2]["n"] == 1 and not got[2]["ok"]
+    assert got[3]["n"] == 0 and got[3]["ratio"] == 0.0 and got[3]["ok"]
+
+
+def test_mixture_plan_epochs_and_repeats(spark):
+    from udata_datalake_service_spark.llm.mixing import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 1000)],
+        "doc_id long, source string, n_tokens long",
+    )
+    got = {
+        r["source"]: r
+        for r in mixture_plan(df, {"a": 3.0, "b": 1.0}, budget_tokens=1000).collect()
+    }
+    # weights normalize to 0.75/0.25
+    assert got["a"]["target_tokens"] == 750 and got["a"]["epochs"] == 3.75
+    assert got["a"]["repeated"] is True
+    assert got["b"]["target_tokens"] == 250 and got["b"]["epochs"] == 0.25
+    assert got["b"]["repeated"] is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_plan(df, {"a": 0.0}, budget_tokens=10)

@@ -5067,6 +5067,79 @@ FROM b LEFT JOIN sbg USING (doc_id) LEFT JOIN sfirst USING (doc_id)
 """
 
 
+_BLOCKLIST = ("slow", "dup", "spam")
+
+
+def q_tx_blocklist(spark, sf_dir):
+    """C4-style bad-words gate (llm/text.blocklist_signals): token-level
+    exact matching on the canonical stream (no substring false
+    positives), per-doc hit count / ratio / pass verdict. Map-only."""
+    from udata_datalake_service_spark.llm.text import blocklist_signals
+
+    d = _t(spark, sf_dir, "documents")
+    sig = blocklist_signals(F.col("text"), _BLOCKLIST)
+    return d.select(
+        "doc_id",
+        sig["n_blocked"].alias("n_blocked"),
+        sig["blocked_ratio"].alias("blocked_ratio"),
+        sig["blocklist_pass"].alias("blocklist_pass"),
+    )
+
+
+_SQL_TX_BLOCKLIST = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(t, tk -> tk IN ('slow', 'dup', 'spam'))) AS BIGINT)
+    AS n_blocked,
+  CASE WHEN len(t) > 0
+       THEN round(len(list_filter(t, tk -> tk IN ('slow', 'dup', 'spam')))
+                  / CAST(len(t) AS DOUBLE), 6)
+       ELSE 0.0 END AS blocked_ratio,
+  len(list_filter(t, tk -> tk IN ('slow', 'dup', 'spam'))) = 0
+    AS blocklist_pass
+FROM x
+"""
+
+
+_MIX_BUDGET = 1_000_000
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.1}
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Domain-mixture sampling plan (llm/mixing.mixture_plan): target
+    weights + a 1M-token budget → per-source target tokens and EPOCHS
+    (the repeat factor The Pile/Llama data cards publish per subset).
+    One tiny per-source aggregate; the corpus never moves."""
+    from udata_datalake_service_spark.llm.mixing import mixture_plan
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return mixture_plan(d, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+_SQL_MIXTURE_PLAN = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  -- CAST: a DECIMAL literal would flow DECIMAL through the arithmetic
+  -- (pandas-conversion hazard the oracle-types guard rejects)
+  SELECT source, CAST(weight AS DOUBLE) AS weight FROM (VALUES
+    ('src0', 0.3), ('src1', 0.2), ('src2', 0.2), ('src3', 0.2), ('src4', 0.1)
+  ) AS t(source, weight)
+)
+SELECT per.source, per.n_docs, per.n_tokens,
+  round(w.weight, 6) AS weight,
+  CAST(round(w.weight * {_MIX_BUDGET}, 0) AS BIGINT) AS target_tokens,
+  round(w.weight * {_MIX_BUDGET} / per.n_tokens, 6) AS epochs,
+  (w.weight * {_MIX_BUDGET} > per.n_tokens) AS repeated
+FROM per JOIN w USING (source)
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5082,6 +5155,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_quality": q_url_quality,
     "corpus_ingest": q_corpus_ingest,
     "tx_bigram_surprisal": q_tx_bigram_surprisal,
+    "tx_blocklist": q_tx_blocklist,
+    "mixture_plan": q_mixture_plan,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5189,6 +5264,8 @@ ORACLES: dict[str, str] = {
     "url_quality": _SQL_URL_QUALITY,
     "corpus_ingest": _SQL_CORPUS_INGEST,
     "tx_bigram_surprisal": _SQL_TX_BIGRAM_SURPRISAL,
+    "tx_blocklist": _SQL_TX_BLOCKLIST,
+    "mixture_plan": _SQL_MIXTURE_PLAN,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

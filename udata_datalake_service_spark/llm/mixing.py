@@ -225,3 +225,49 @@ def curriculum_buckets(
         .groupBy("bucket")
         .agg(*aggs)
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Sampling plan that realizes a target domain mixture: given the
+    desired weight per source and a total training budget, how many
+    tokens each source must contribute and how many EPOCHS of it that
+    means (epochs > 1 ⇒ the source repeats — the number The Pile/Llama
+    data cards publish per subset).
+
+    Per source: available docs/tokens, normalized target weight, target
+    tokens = round(weight·budget), epochs = target/available (rounded to
+    6), and a repeated flag. One tiny aggregate (rows = #sources); the
+    corpus itself never moves — the plan feeds `stratified_mix` /
+    `write_training_shards` for the physical sample.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+    rows = [(s, float(w) / total_w) for s, w in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(rows, "src string, weight double")
+    per = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        per.join(F.broadcast(wdf), on="src", how="inner")
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            "n_tokens",
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") * budget_tokens, 0)
+            .cast("long")
+            .alias("target_tokens"),
+            F.round(
+                F.col("weight") * budget_tokens / F.col("n_tokens"), 6
+            ).alias("epochs"),
+            (F.col("weight") * budget_tokens > F.col("n_tokens")).alias("repeated"),
+        )
+    )

@@ -249,3 +249,24 @@ def clean_text(text_col: Column) -> Column:
     s = F.regexp_replace(s, "\n{3,}", "\n\n")
     s = F.regexp_replace(s, " ?\n ?", "\n")
     return F.trim(s)
+
+
+def blocklist_signals(
+    text_col: Column, blocked: tuple[str, ...]
+) -> dict[str, Column]:
+    """C4-style bad-words gate signals (Raffel et al. 2020 drop any page
+    containing a "List of Dirty, Naughty…" word; the block LIST here is
+    caller-supplied, the MECHANISM is the operator): per document, the
+    count of blocked-token occurrences, their share of all tokens, and
+    the pass verdict (zero hits). Token-level exact matching on the
+    canonical lowercase stream — substring false-positives ("class" vs
+    "ass") can't happen. Pure JVM array expressions, map-only."""
+    toks = tokens(text_col)
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked_arr, t)))
+    n = F.size(toks)
+    return {
+        "n_blocked": hits.cast("long"),
+        "blocked_ratio": F.when(n > 0, F.round(hits / n, 6)).otherwise(F.lit(0.0)),
+        "blocklist_pass": hits == 0,
+    }
