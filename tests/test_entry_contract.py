@@ -110,6 +110,8 @@ def test_past_window_entries_pinned():
         # driver-green in r4.
         "u456_point_dml": "909bf94a9669b931",
         "p78_predicate_surface": "75b5086fa2f2052d",
+        # displaced by the r5 dd_lsh_eval addition; driver-green in r4.
+        "a234_dashboard_aggs": "90dbb7b516754d5d",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -1357,3 +1357,20 @@ def test_mixture_plan_epochs_and_repeats(spark):
 
     with _pytest.raises(ValueError):
         mixture_plan(df, {"a": 0.0}, budget_tokens=10)
+
+
+def test_pair_set_eval_counts(spark):
+    from udata_datalake_service_spark.llm.dedup import pair_set_eval
+
+    approx = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    exact = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], "id_a long, id_b long")
+    r = pair_set_eval(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_hit"]) == (3, 3, 2)
+    assert r["precision"] == r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    z = pair_set_eval(empty, exact).collect()[0]
+    assert (z["precision"], z["recall"], z["f1"]) == (0.0, 0.0, 0.0)

@@ -5140,6 +5140,58 @@ FROM per JOIN w USING (source)
 """
 
 
+def q_dd_lsh_eval(spark, sf_dir):
+    """Dedup candidate-quality scorecard (llm/dedup.pair_set_eval): the
+    MinHash+LSH pair set (signature estimate ≥ 0.35) scored against the
+    exact n-gram Jaccard pairs at the same threshold — precision / recall
+    / F1, the gate before trusting a (hashes, bands) configuration at
+    scale (the dedup twin of ann_recall)."""
+    from udata_datalake_service_spark.llm.dedup import pair_set_eval
+
+    d = _tw(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    cand = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    approx = minhash_jaccard_estimate(sigs, cand).filter(
+        F.col("jaccard_est") >= 0.35
+    )
+    exact = ngram_jaccard_pairs(d, k=_MINHASH_K, threshold=0.35)
+    return settle(pair_set_eval(approx, exact), sigs, *adopted(exact))
+
+
+_SQL_DD_LSH_EVAL = f"""
+WITH approx AS (
+  SELECT id_a, id_b FROM ({_SQL_DD_LSH}) WHERE jaccard_est >= 0.35
+),
+x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest({_sql_shingles(_MINHASH_K)}) AS s FROM x),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.35
+),
+hit AS (SELECT count(*) AS n_hit FROM approx JOIN exact USING (id_a, id_b)),
+na AS (SELECT count(*) AS n_approx FROM approx),
+ne AS (SELECT count(*) AS n_exact FROM exact),
+pr AS (
+  SELECT ne.n_exact, na.n_approx, hit.n_hit,
+    CASE WHEN na.n_approx > 0
+         THEN hit.n_hit / CAST(na.n_approx AS DOUBLE) ELSE 0.0 END AS p,
+    CASE WHEN ne.n_exact > 0
+         THEN hit.n_hit / CAST(ne.n_exact AS DOUBLE) ELSE 0.0 END AS r
+  FROM ne, na, hit
+)
+SELECT n_exact, n_approx, n_hit,
+  round(p, 6) AS precision, round(r, 6) AS recall,
+  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+FROM pr
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5157,6 +5209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_bigram_surprisal": q_tx_bigram_surprisal,
     "tx_blocklist": q_tx_blocklist,
     "mixture_plan": q_mixture_plan,
+    "dd_lsh_eval": q_dd_lsh_eval,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5266,6 +5319,7 @@ ORACLES: dict[str, str] = {
     "tx_bigram_surprisal": _SQL_TX_BIGRAM_SURPRISAL,
     "tx_blocklist": _SQL_TX_BLOCKLIST,
     "mixture_plan": _SQL_MIXTURE_PLAN,
+    "dd_lsh_eval": _SQL_DD_LSH_EVAL,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

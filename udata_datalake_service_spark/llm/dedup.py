@@ -724,3 +724,44 @@ def near_dup_clusters(
         .join(resolved, on=id_col, how="left")
         .select(id_col, F.coalesce("__cc", F.col(id_col)).alias("cluster_id"))
     )
+
+
+def pair_set_eval(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Candidate-quality scorecard for a near-dup pipeline: precision /
+    recall / F1 of an approximate pair set (LSH bands, SimHash blocks,
+    prefix candidates…) against the exact pair set — the dedup twin of
+    `similarity.recall_at_k`, run before trusting an (hashes, bands,
+    threshold) configuration at scale.
+
+    Inputs need (id_a, id_b) columns with the id_a < id_b convention both
+    generators already emit. One row out: n_exact, n_approx, n_hit,
+    precision, recall, f1 (rounded to 6; empty sides score 0.0).
+
+    Shape: two count aggregates + one equi-join on the pair key — every
+    shuffle carries (id, id) pairs only.
+    """
+    a = approx.select("id_a", "id_b")
+    e = exact.select("id_a", "id_b")
+    hit = a.join(e, on=["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    na = a.agg(F.count(F.lit(1)).alias("n_approx"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = ne.crossJoin(na).crossJoin(hit)
+    prec = F.when(F.col("n_approx") > 0, F.col("n_hit") / F.col("n_approx")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("n_exact") > 0, F.col("n_hit") / F.col("n_exact")).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_approx").cast("long").alias("n_approx"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )
