@@ -112,6 +112,8 @@ def test_past_window_entries_pinned():
         "p78_predicate_surface": "75b5086fa2f2052d",
         # displaced by the r5 dd_lsh_eval addition; driver-green in r4.
         "a234_dashboard_aggs": "90dbb7b516754d5d",
+        # displaced by the r5 html_extract addition; driver-green in r4.
+        "cube_rollup": "374822c72a8809ba",
     }
     qs = m.queries()
     sql = m.oracle_sql()

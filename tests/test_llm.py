@@ -1374,3 +1374,29 @@ def test_pair_set_eval_counts(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     z = pair_set_eval(empty, exact).collect()[0]
     assert (z["precision"], z["recall"], z["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_html_to_text_extraction(spark):
+    """Script/style/comment content never leaks; block boundaries become
+    newlines; entities decode in the non-double-decoding order; nested
+    markup inside attributes/scripts with tags in strings is dropped."""
+    from udata_datalake_service_spark.llm.html import html_signals, html_to_text
+
+    html = (
+        "<html><head><style>p{a:b}</style>"
+        "<script>var s = '<p>fake</p>';</script></head>"
+        "<body><p>Hello &amp;amp; <b>world</b></p>"
+        "<!-- <p>ghost</p> --><div>Second&nbsp;block</div>"
+        "<a href='/x'>a link</a></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    sig = html_signals(F.col("h"))
+    row = df.select(
+        html_to_text(F.col("h")).alias("t"),
+        sig["n_links"].alias("links"),
+        sig["text_ratio"].alias("ratio"),
+    ).collect()[0]
+    # &amp;amp; decodes ONCE (to &amp;) because &amp; is replaced last
+    assert row["t"] == "Hello &amp; world\nSecond block\na link"
+    assert row["links"] == 1
+    assert 0 < row["ratio"] < 1

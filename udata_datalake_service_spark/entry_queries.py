@@ -5192,6 +5192,98 @@ FROM pr
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML→text extraction (llm/html.py): each document wrapped in a
+    deterministic page skeleton (head/style/script to drop, comment,
+    block tags, two anchors, an entity run), then the regexp-tier
+    extractor + boilerplate signals. The oracle replays the whole
+    cascade, so tag stripping, entity decode ORDER (&amp; last) and
+    whitespace collapse are all hash-pinned."""
+    from udata_datalake_service_spark.llm.html import html_signals, html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p {color: red}</style>"
+            "<script type='text/javascript'>var x = '<p>not text</p>';</script>"
+            "</head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden <b>comment</b> --><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><div><a href='/a'>first link</a> &amp; "
+            "<a href='/b'>second&nbsp;link</a></div>"
+            "<ul><li>&lt;item&gt;</li><li>&quot;quoted&#39;</li></ul>"
+            "</body></html>"
+        ),
+    )
+    sig = html_signals(html)
+    return d.select(
+        "doc_id",
+        html_to_text(html).alias("text_out"),
+        sig["n_links"].cast("long").alias("n_links"),
+        sig["n_tags"].cast("long").alias("n_tags"),
+        sig["text_ratio"].alias("text_ratio"),
+    )
+
+
+def _sql_html_pipeline(src: str) -> tuple[str, str]:
+    """(extracted_text_expr, html_expr) replaying llm/html.py in DuckDB."""
+    h = (
+        "'<html><head><title>t</title><style>p {color: red}</style>"
+        "<script type=''text/javascript''>var x = ''<p>not text</p>'';</script>"
+        "</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><!-- hidden <b>comment</b> --><p>' || " + src + " || "
+        "'</p><div><a href=''/a''>first link</a> &amp; "
+        "<a href=''/b''>second&nbsp;link</a></div>"
+        "<ul><li>&lt;item&gt;</li><li>&quot;quoted&#39;</li></ul>"
+        "</body></html>'"
+    )
+    t = h
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        t = f"regexp_replace({t}, '{pat}', ' ', 'g')"
+    t = (
+        f"regexp_replace({t}, "
+        "'(?i)</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)>|<br\\b[^>]*/?>',"
+        " chr(10), 'g')"
+    )
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, repl in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{repl}')"
+    t = f"regexp_replace({t}, '[ \\t]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    return f"trim({t})", h
+
+
+_SQL_HTML_TEXT, _SQL_HTML_RAW = _sql_html_pipeline("text")
+
+_SQL_HTML_EXTRACT = f"""
+SELECT doc_id,
+  {_SQL_HTML_TEXT} AS text_out,
+  CAST(len(regexp_extract_all({_SQL_HTML_RAW}, '(?i)<a\\b')) AS BIGINT)
+    AS n_links,
+  CAST(len(regexp_extract_all({_SQL_HTML_RAW}, '(?s)<[^>]*>')) AS BIGINT)
+    AS n_tags,
+  CASE WHEN length({_SQL_HTML_RAW}) > 0
+       THEN round(length({_SQL_HTML_TEXT})
+                  / CAST(length({_SQL_HTML_RAW}) AS DOUBLE), 6)
+       ELSE 0.0 END AS text_ratio
+FROM documents
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5210,6 +5302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_blocklist": q_tx_blocklist,
     "mixture_plan": q_mixture_plan,
     "dd_lsh_eval": q_dd_lsh_eval,
+    "html_extract": q_html_extract,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5320,6 +5413,7 @@ ORACLES: dict[str, str] = {
     "tx_blocklist": _SQL_TX_BLOCKLIST,
     "mixture_plan": _SQL_MIXTURE_PLAN,
     "dd_lsh_eval": _SQL_DD_LSH_EVAL,
+    "html_extract": _SQL_HTML_EXTRACT,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,

@@ -290,6 +290,17 @@ class HydraService:
 
         return url_quality_filter(df, **kw)
 
+    def html_text(self, df: DataFrame, html_col: str = "html") -> DataFrame:
+        """Visible-text extraction + boilerplate signals over an HTML
+        column (llm/html.py) — the raw-crawl-to-corpus boundary."""
+        from udata_datalake_service_spark.llm.html import html_signals, html_to_text
+
+        sig = html_signals(F.col(html_col))
+        out = df.withColumn("text", html_to_text(F.col(html_col)))
+        for name, col in sig.items():
+            out = out.withColumn(name, col)
+        return out
+
     def ingest_corpus(self, docs: DataFrame, batch_id: str, **kw) -> dict:
         """Idempotent dedup-on-arrival corpus ingestion
         (llm/ingest.ingest_documents) into this service's lake."""
