@@ -1,0 +1,150 @@
+"""Measured scaling curves for the headline corpus operators.
+
+"Would this hold at 100×?" answered with data instead of assertion: the
+sf0.1 documents/embeddings tables are materialized at 1×/4×/16× (copies
+id-shifted and content-salted so fingerprints stay distinct while the
+near-dup structure survives), each probe runs warm on the same session,
+and the fitted growth exponent alpha (t ∝ n^alpha) lands in SCALE.md.
+Linear-ish operators (alpha ≈ 1) scale with the corpus; anything
+super-linear is flagged — pair-producing operators (LSH candidates) are
+expected mildly super-linear since their OUTPUT grows faster than n.
+
+Usage: python tools/scale_probe.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SCALES = (1, 4, 16)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE.md"
+
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.session import get_spark
+
+    spark = get_spark()
+    root = "/tmp/spark_hydra_scale_probe"
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    for s in SCALES:
+        parts = []
+        eparts = []
+        for i in range(s):
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                    # salt: distinct fingerprints per copy, near-dup
+                    # structure (shared spans) intact
+                    F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+                    "lang",
+                    "source",
+                )
+            )
+            eparts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                    "label",
+                    "embedding",
+                )
+            )
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        e = eparts[0]
+        for p in eparts[1:]:
+            e = e.unionByName(p)
+        d.repartition(32).write.mode("overwrite").parquet(f"{root}/docs_{s}x")
+        e.repartition(32).write.mode("overwrite").parquet(f"{root}/emb_{s}x")
+
+    def probe_ops(s: int) -> dict[str, float]:
+        from udata_datalake_service_spark.caching import settle
+        from udata_datalake_service_spark.llm.corpus import ngram_novelty
+        from udata_datalake_service_spark.llm.dedup import (
+            exact_dedup,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from udata_datalake_service_spark.llm.gopher import gopher_quality
+        from udata_datalake_service_spark.llm.similarity import lsh_bucketed_topk
+        from udata_datalake_service_spark.llm.tfidf import unigram_surprisal
+
+        d = spark.read.parquet(f"{root}/docs_{s}x")
+        e = spark.read.parquet(f"{root}/emb_{s}x")
+        q = e.filter(F.col("vec_id") < 5)
+        out: dict[str, float] = {}
+
+        def run(name, thunk):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            thunk()
+            out[name] = round(time.monotonic() - t0, 2)
+
+        run("exact_dedup", lambda: exact_dedup(d).write.format("noop").mode("overwrite").save())
+        run(
+            "minhash_lsh_pairs",
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(d, num_hashes=8, k=2), num_bands=4, rows_per_band=2
+            ).write.format("noop").mode("overwrite").save(),
+        )
+        run(
+            "ngram_novelty",
+            lambda: settle(ngram_novelty(d, k=2)).write.format("noop").mode("overwrite").save(),
+        )
+        run("gopher_quality", lambda: gopher_quality(d).write.format("noop").mode("overwrite").save())
+        run(
+            "unigram_surprisal",
+            lambda: settle(unigram_surprisal(d)).write.format("noop").mode("overwrite").save(),
+        )
+        run(
+            "ann_lsh_topk",
+            lambda: lsh_bucketed_topk(e, q, k=10).write.format("noop").mode("overwrite").save(),
+        )
+        return out
+
+    # warm the session once so 1x isn't charged JVM/codegen startup
+    probe_ops(1)
+    results = {s: probe_ops(s) for s in SCALES}
+
+    ops = list(results[SCALES[0]])
+    with open(out_md, "w") as f:
+        f.write(
+            "# SCALE — measured operator scaling (`tools/scale_probe.py`, "
+            f"base={sf_dir}, {n_docs} docs ×{{1,4,16}})\n\n"
+            "Fitted growth exponent alpha from t ∝ n^alpha over the 1×→16× "
+            "span, warm session, cache cleared per probe. Reading: alpha "
+            "well below 1 means fixed per-job overhead (stage scheduling, "
+            "codegen) still dominates at probe scale — the corpus-dependent "
+            "cost is small, i.e. throughput headroom. The diagnostic value "
+            "is the ABSENCE of super-linear growth: a hidden cartesian or "
+            "quadratic candidate blow-up would push alpha toward 2 and be "
+            "unmistakable by 16×. Pair-producing operators (LSH candidates) "
+            "are expected highest — their OUTPUT grows faster than n.\n\n"
+            "| operator | t@1x s | t@4x s | t@16x s | alpha |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for op in ops:
+            t1, t4, t16 = (results[s][op] for s in SCALES)
+            alpha = math.log(max(t16, 1e-3) / max(t1, 1e-3)) / math.log(16)
+            f.write(f"| {op} | {t1} | {t4} | {t16} | {alpha:.2f} |\n")
+    print(f"wrote {out_md}")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
