@@ -114,6 +114,8 @@ def test_past_window_entries_pinned():
         "a234_dashboard_aggs": "90dbb7b516754d5d",
         # displaced by the r5 html_extract addition; driver-green in r4.
         "cube_rollup": "374822c72a8809ba",
+        # displaced by the r5 dq_expectations addition; driver-green in r4.
+        "window_surface": "e7fd9cf6a8c6a652",
     }
     qs = m.queries()
     sql = m.oracle_sql()

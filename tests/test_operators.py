@@ -738,3 +738,46 @@ def test_sketch_functions_accept_hostile_column_names(spark):
     assert est["a-b_ndv"] == 2 and est["page views_ndv"] == 3
     top = heavy_hitters(df, "a-b", k=2)
     assert {r["item"] for r in top.collect()} == {"x", "y"}
+
+
+def test_expectations_annotate_split_report(spark):
+    """Constraint layer: NULL rule results count as violations (ingest-
+    safe inversion of SQL CHECK), split partitions exactly, report
+    includes the _any_ roll-up and zero-violation rules."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.expectations import (
+        annotate,
+        report,
+        split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, -5, "A"), (3, 7, None), (4, None, "B")],
+        "id long, v long, s string",
+    )
+    rules = {
+        "v_positive": F.col("v") > 0,
+        "s_known": F.col("s").isin("A", "B"),
+        "id_small": F.col("id") <= 100,
+    }
+    ann = {r["id"]: r["__violations"] for r in annotate(df, rules).collect()}
+    assert ann[1] == []
+    assert ann[2] == ["v_positive"]
+    assert ann[3] == ["s_known"]          # NULL s -> violation
+    assert ann[4] == ["v_positive"]       # NULL v -> violation
+
+    valid, bad = split(df, rules)
+    assert {r["id"] for r in valid.collect()} == {1}
+    assert {r["id"] for r in bad.collect()} == {2, 3, 4}
+    assert "__violations" not in valid.columns
+
+    rep = {r["rule"]: (r["n_violations"], r["violation_rate"]) for r in report(df, rules).collect()}
+    assert rep["v_positive"] == (2, 0.5)
+    assert rep["s_known"] == (1, 0.25)
+    assert rep["id_small"] == (0, 0.0)
+    assert rep["_any_"] == (3, 0.75)
+
+    with _pytest.raises(ValueError):
+        annotate(df, {})

@@ -5284,6 +5284,59 @@ FROM documents
 """
 
 
+def q_dq_expectations(spark, sf_dir):
+    """Row-level data-quality gate (operators/expectations.py): a 5-rule
+    constraint set over orders → per-rule violation counts/rates plus the
+    ``_any_`` roll-up — the ingest scorecard of a Delta-CHECK / dbt-test
+    layer. Two rules are genuinely violated by the data (even-key parity,
+    the pre-2000 date bound), proving the counting; NULL rule results count as
+    violations (ingest-safe inversion of SQL CHECK)."""
+    from udata_datalake_service_spark.operators.expectations import report
+
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "even_key": F.col("o_orderkey") % 2 == 0,
+        "date_pre_2000": F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"),
+    }
+    return report(o, rules)
+
+
+_SQL_DQ = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+v AS (
+  SELECT 'date_pre_2000' AS rule,
+    count(*) FILTER (WHERE NOT coalesce(o_orderdate < TIMESTAMP '2000-01-01', FALSE)) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'even_key',
+    count(*) FILTER (WHERE NOT coalesce(o_orderkey % 2 = 0, FALSE)) FROM orders
+  UNION ALL
+  SELECT 'positive_price',
+    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)) FROM orders
+  UNION ALL
+  SELECT 'priority_format',
+    count(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) FROM orders
+  UNION ALL
+  SELECT 'status_known',
+    count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)) FROM orders
+  UNION ALL
+  SELECT '_any_',
+    count(*) FILTER (WHERE NOT coalesce(o_orderdate < TIMESTAMP '2000-01-01', FALSE)
+                        OR NOT coalesce(o_orderkey % 2 = 0, FALSE)
+                        OR NOT coalesce(o_totalprice > 0, FALSE)
+                        OR NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                        OR NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))
+  FROM orders
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+  round(n_violations / CAST(n.n_rows AS DOUBLE), 6) AS violation_rate
+FROM v CROSS JOIN n
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5303,6 +5356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": q_mixture_plan,
     "dd_lsh_eval": q_dd_lsh_eval,
     "html_extract": q_html_extract,
+    "dq_expectations": q_dq_expectations,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5414,6 +5468,7 @@ ORACLES: dict[str, str] = {
     "mixture_plan": _SQL_MIXTURE_PLAN,
     "dd_lsh_eval": _SQL_DD_LSH_EVAL,
     "html_extract": _SQL_HTML_EXTRACT,
+    "dq_expectations": _SQL_DQ,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,
