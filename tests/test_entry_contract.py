@@ -116,6 +116,10 @@ def test_past_window_entries_pinned():
         "cube_rollup": "374822c72a8809ba",
         # displaced by the r5 dq_expectations addition; driver-green in r4.
         "window_surface": "e7fd9cf6a8c6a652",
+        # displaced by the r5 scd2_merge addition (swapped below the
+        # settle-edited interval_join, which must stay in-window);
+        # driver-green in r4, unchanged source.
+        "k10_time_travel": "034b30b6301797f6",
     }
     qs = m.queries()
     sql = m.oracle_sql()

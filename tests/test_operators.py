@@ -781,3 +781,49 @@ def test_expectations_annotate_split_report(spark):
 
     with _pytest.raises(ValueError):
         annotate(df, {})
+
+
+def test_scd2_merge_version_lifecycle(spark):
+    """All four merge cases in one tiny dimension: change closes + reopens,
+    no-op leaves the open version untouched, new key inserts, absent key
+    passes through; historical rows never join. Within-batch duplicate
+    updates resolve to the latest timestamp."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.scd import scd2_merge
+
+    t0, t1, t2 = (_dt.datetime(2024, m, 1) for m in (1, 2, 3))
+    current = spark.createDataFrame(
+        [
+            (1, "a", t0, t1, False),   # historical closed version of key 1
+            (1, "b", t1, None, True),  # open version of key 1
+            (2, "x", t0, None, True),  # will change
+            (3, "y", t0, None, True),  # no-op re-send
+            (4, "z", t0, None, True),  # absent from updates
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "x2-stale", t1),  # superseded within the batch
+            (2, "x2", t2),
+            (3, "y", t2),         # unchanged -> no churn
+            (5, "new", t2),       # new key
+        ],
+        "k long, attr string, valid_from timestamp",
+    )
+    out = scd2_merge(current, updates, ["k"], ["attr"])
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 7
+    # key 2: old version closed at t2, new open version with latest attr
+    assert rows[(2, "x")]["valid_to"] == t2 and not rows[(2, "x")]["is_current"]
+    assert rows[(2, "x2")]["is_current"] and rows[(2, "x2")]["valid_to"] is None
+    assert (2, "x2-stale") not in rows
+    # key 3: no-op -> original open row intact
+    assert rows[(3, "y")]["is_current"] and rows[(3, "y")]["valid_from"] == t0
+    # key 5 inserted open; key 4 untouched; key 1 history + open preserved
+    assert rows[(5, "new")]["is_current"]
+    assert rows[(4, "z")]["is_current"]
+    assert not rows[(1, "a")]["is_current"] and rows[(1, "b")]["is_current"]

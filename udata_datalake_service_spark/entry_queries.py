@@ -5337,6 +5337,83 @@ FROM v CROSS JOIN n
 """
 
 
+def q_scd2_merge(spark, sf_dir):
+    """SCD Type-2 history-preserving merge (operators/scd.py): customers
+    seeded as an open-version dimension at t0, then one update batch at
+    t1 with all four cases — changed attributes (key%3=0 → balance
+    shift; the open row closes at t1 and a new version opens), verbatim
+    no-op re-sends (key%5=0, no version churn), brand-new keys
+    (key+1000000 for key%7=0), and untouched keys. Output = the full
+    post-merge table state."""
+    from udata_datalake_service_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t0 = F.expr("timestamp '2024-01-01 00:00:00'")
+    t1 = F.expr("timestamp '2024-02-01 00:00:00'")
+    current = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    k = F.col("c_custkey")
+    changed = cust.filter(k % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        t1.alias("valid_from"),
+    )
+    noop = cust.filter((k % 5 == 0) & (k % 3 != 0)).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", t1.alias("valid_from")
+    )
+    fresh = cust.filter(k % 7 == 0).select(
+        (k + 1_000_000).alias("c_custkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        t1.alias("valid_from"),
+    )
+    updates = changed.unionByName(noop).unionByName(fresh)
+    out = scd2_merge(
+        current, updates, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        _us(F.col("valid_from")).alias("valid_from_us"),
+        _us(F.col("valid_to")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+_SQL_SCD2 = """
+WITH t AS (SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS t0,
+                  epoch_us(TIMESTAMP '2024-02-01 00:00:00') AS t1),
+closed AS (  -- key%3=0: the t0 version closes at t1
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+    t.t0 AS valid_from_us, t.t1 AS valid_to_us, FALSE AS is_current
+  FROM customer, t WHERE c_custkey % 3 = 0
+),
+reopened AS (  -- ...and its t1 version opens with the shifted balance
+  SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment,
+    t.t1, NULL, TRUE
+  FROM customer, t WHERE c_custkey % 3 = 0
+),
+untouched AS (  -- no-op re-sends and never-updated keys keep t0 open
+  SELECT c_custkey, c_acctbal, c_mktsegment, t.t0, NULL, TRUE
+  FROM customer, t WHERE c_custkey % 3 <> 0
+),
+fresh AS (
+  SELECT c_custkey + 1000000, 1.0, 'NEW', t.t1, NULL, TRUE
+  FROM customer, t WHERE c_custkey % 7 = 0
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM reopened
+UNION ALL SELECT * FROM untouched
+UNION ALL SELECT * FROM fresh
+"""
+
+
 # =========================================================================
 # The contract
 # =========================================================================
@@ -5357,6 +5434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_lsh_eval": q_dd_lsh_eval,
     "html_extract": q_html_extract,
     "dq_expectations": q_dq_expectations,
+    "scd2_merge": q_scd2_merge,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "pack_waste": q_pack_waste,
     "ann_recall": q_ann_recall,
@@ -5396,8 +5474,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "domain_mix": q_domain_mix,
     "tfidf_vocab": q_tfidf_vocab,
-    "k10_time_travel": q_k10_time_travel,
     "interval_join": q_interval_join,
+    "k10_time_travel": q_k10_time_travel,
     "window_surface": q_window_surface,
     "cube_rollup": q_cube_rollup,
     "a234_dashboard_aggs": q_a234_dashboard_aggs,
@@ -5469,6 +5547,7 @@ ORACLES: dict[str, str] = {
     "dd_lsh_eval": _SQL_DD_LSH_EVAL,
     "html_extract": _SQL_HTML_EXTRACT,
     "dq_expectations": _SQL_DQ,
+    "scd2_merge": _SQL_SCD2,
     "dd_paragraph_dedup": _SQL_DD_PARAGRAPH,
     "pack_waste": _SQL_PACK_WASTE,
     "flagship_pricing_summary": _SQL_FLAGSHIP,
