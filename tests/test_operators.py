@@ -827,3 +827,34 @@ def test_scd2_merge_version_lifecycle(spark):
     assert rows[(5, "new")]["is_current"]
     assert rows[(4, "z")]["is_current"]
     assert not rows[(1, "a")]["is_current"] and rows[(1, "b")]["is_current"]
+
+
+def test_pagerank_known_fixed_points(spark):
+    """Closed-form checks: a symmetric 2-cycle splits rank evenly; the
+    3-node chain a->b->c (c dangling) matches the hand-solved fixed
+    point; total mass is 1 in every case; non-convergence raises."""
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.operators.graph import pagerank
+
+    # symmetric cycle: equal ranks
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["v"]: r["rank"] for r in pagerank(cyc).collect()}
+    assert abs(got["a"] - 0.5) < 1e-6 and abs(got["b"] - 0.5) < 1e-6
+
+    # chain with dangling sink: solve the 3x3 fixed point by hand
+    # r = base + d*(inflow + dangling/n), base=(1-d)/3, d=0.85
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["v"]: r["rank"] for r in pagerank(chain, tol=1e-12, max_iter=200).collect()}
+    d, n = 0.85, 3
+    ra, rb, rc = got["a"], got["b"], got["c"]
+    base = (1 - d) / n
+    assert abs(sum(got.values()) - 1.0) < 1e-8  # ranks rounded to 9dp
+    assert abs(ra - (base + d * rc / n)) < 1e-6           # a: only dangling mass
+    assert abs(rb - (base + d * (ra + rc / n))) < 1e-6    # b: a's full rank
+    assert abs(rc - (base + d * (rb + rc / n))) < 1e-6    # c: b's full rank
+    # authority ordering along the chain
+    assert rc > rb > ra
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        pagerank(chain, max_iter=1, tol=1e-15)
