@@ -301,6 +301,33 @@ class HydraService:
             out = out.withColumn(name, col)
         return out
 
+    def expectations_report(self, df: DataFrame, rules: dict) -> DataFrame:
+        """Per-rule data-quality violation scorecard
+        (operators/expectations.report)."""
+        from udata_datalake_service_spark.operators.expectations import report
+
+        return report(df, rules)
+
+    def expectations_split(self, df: DataFrame, rules: dict):
+        """(valid, quarantined) halves under a rule set
+        (operators/expectations.split)."""
+        from udata_datalake_service_spark.operators.expectations import split
+
+        return split(df, rules)
+
+    def scd2_merge(self, current: DataFrame, updates: DataFrame, keys, tracked, **kw) -> DataFrame:
+        """History-preserving dimension merge (operators/scd.scd2_merge)."""
+        from udata_datalake_service_spark.operators.scd import scd2_merge
+
+        return scd2_merge(current, updates, keys, tracked, **kw)
+
+    def pagerank(self, edges: DataFrame, **kw) -> DataFrame:
+        """Rank-by-reference over an edge list (operators/graph.pagerank)
+        — crawl-prioritization authority scores."""
+        from udata_datalake_service_spark.operators.graph import pagerank
+
+        return pagerank(edges, **kw)
+
     def ingest_corpus(self, docs: DataFrame, batch_id: str, **kw) -> dict:
         """Idempotent dedup-on-arrival corpus ingestion
         (llm/ingest.ingest_documents) into this service's lake."""
