@@ -201,3 +201,63 @@ def test_extract_audio_features_real_wav_leg(spark):
     assert got["n_samples"] == 1600
     assert got["sample_rate"] == 16000
     assert got["duration_ms"] == 100
+
+
+# ---------------------------------------------------------------------------
+# BMP companion decoder (llm/bmp.py)
+# ---------------------------------------------------------------------------
+def test_bmp_decode_hand_constructed():
+    """A 3x2 24-bit BMP built field-by-field from the spec (bottom-up
+    BGR rows, 4-byte padding) must decode to top-down RGB."""
+    import struct as _struct
+
+    from udata_datalake_service_spark.llm.bmp import BmpError, decode_bmp
+
+    # pixels top-down RGB: row0 = red, green, blue; row1 = white, black, gray
+    rows_topdown = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    stride = (3 * 3 + 3) & ~3  # 12 bytes, 3 pad
+    img = bytearray()
+    for row in reversed(rows_topdown):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        img += line
+    data = (
+        _struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(img), 0, 0, 0, 0)
+        + bytes(img)
+    )
+    w, h, nch, px = decode_bmp(data)
+    assert (w, h, nch) == (3, 2, 3)
+    flat = [tuple(px[i : i + 3]) for i in range(0, len(px), 3)]
+    assert flat == [p for row in rows_topdown for p in row]
+
+    import pytest as _pytest
+
+    with _pytest.raises(BmpError):
+        decode_bmp(b"not a bmp")
+    with _pytest.raises(BmpError):  # RLE compression rejected
+        bad = bytearray(data)
+        bad[30] = 1
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_encode_decode_roundtrip_and_spark_leg(spark):
+    from udata_datalake_service_spark.llm.bmp import decode_bmp, encode_bmp
+    from udata_datalake_service_spark.llm.multimodal import extract_image_features
+
+    w, h = 5, 4
+    px = bytes((x * 17) % 256 for x in range(w * h * 3))
+    bmp_payload = encode_bmp(w, h, px)
+    assert decode_bmp(bmp_payload) == (w, h, 3, px)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp_payload), "image/bmp", {})],
+        "media_id long, kind string, content binary, mime_type string, meta map<string,string>",
+    )
+    got = extract_image_features(df).collect()[0]
+    assert (got["width"], got["height"]) == (w, h)  # real decode, not stub

@@ -96,13 +96,19 @@ def _decode_image_real(content: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
-    """From-scratch stdlib PNG decode (llm/png.py) — same feature
-    contract as the Pillow leg (dims + 8-bin ITU-R 601-2 luminance
-    histogram), so the REAL-pixel path executes even where Pillow is not
-    installed (this CI container). Raises for non-PNG payloads."""
+    """From-scratch stdlib decode (PNG via llm/png.py, BMP via
+    llm/bmp.py) — same feature contract as the Pillow leg (dims + 8-bin
+    ITU-R 601-2 luminance histogram), so the REAL-pixel path executes
+    even where Pillow is not installed (this CI container). Raises for
+    payloads outside both formats."""
     from udata_datalake_service_spark.llm import png as _png
 
-    w, h, nch, pixels = _png.decode_png(content)
+    if content[:2] == b"BM":
+        from udata_datalake_service_spark.llm import bmp as _bmp
+
+        w, h, nch, pixels = _bmp.decode_bmp(content)
+    else:
+        w, h, nch, pixels = _png.decode_png(content)
     hist = [0.0] * 8
     for v in _png.luminance(pixels, nch):
         hist[v >> 5] += 1.0
@@ -269,7 +275,13 @@ def _resize_image_one(content: bytes, width: int, height: int) -> bytes:
         try:
             from udata_datalake_service_spark.llm import png as _png
 
-            w, h, nch, pixels = _png.decode_png(bytes(content))
+            raw = bytes(content)
+            if raw[:2] == b"BM":
+                from udata_datalake_service_spark.llm import bmp as _bmp
+
+                w, h, nch, pixels = _bmp.decode_bmp(raw)
+            else:
+                w, h, nch, pixels = _png.decode_png(raw)
             resized = _png.resize_nearest(pixels, w, h, nch, width, height)
             return _png.encode_png(width, height, nch, resized)
         except Exception:
