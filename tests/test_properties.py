@@ -407,3 +407,71 @@ def test_ngram_kernel_agrees_with_reference(texts):
     )
 
     assert _ngram_stat_columns(texts) == _ngram_stat_columns_py(texts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=25),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_paragraph_dedup_matches_python_reference(spark, token_lists):
+    """For any corpus over a tiny alphabet (dense with genuine repeats),
+    paragraph_dedup's keep set and reconstruction equal a direct Python
+    replay of the global-first-occurrence rule."""
+    from udata_datalake_service_spark.llm.corpus import paragraph_dedup
+
+    P = 4  # para_tokens
+    docs = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, para_tokens=P).collect()}
+
+    seen: set[str] = set()
+    for i, toks in enumerate(token_lists):
+        words = [f"w{t}" for t in toks]
+        paras = [" ".join(words[j : j + P]) for j in range(0, len(words), P)]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i]["n_paras"] == len(paras), (i, token_lists)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["clean_text"] == " ".join(kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=15),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ngram_novelty_matches_python_reference(spark, token_lists):
+    """Novelty counts equal a direct replay of the first-owner rule over
+    distinct bigrams."""
+    from udata_datalake_service_spark.llm.corpus import ngram_novelty
+
+    docs = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, k=2).collect()}
+
+    owner: dict[tuple, int] = {}
+    grams_per_doc: dict[int, set] = {}
+    for i, toks in enumerate(token_lists):
+        grams = {tuple(toks[j : j + 2]) for j in range(len(toks) - 1)}
+        grams_per_doc[i] = grams
+        for g in grams:
+            owner.setdefault(g, i)
+    for i in grams_per_doc:
+        n_grams = len(grams_per_doc[i])
+        n_novel = sum(1 for g in grams_per_doc[i] if owner[g] == i)
+        assert got[i]["n_grams"] == n_grams
+        assert got[i]["n_novel"] == n_novel
+        if n_grams:
+            assert abs(got[i]["novelty"] - round(n_novel / n_grams, 6)) < 1e-9
+        else:
+            assert got[i]["novelty"] == 0.0

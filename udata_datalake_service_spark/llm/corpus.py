@@ -148,12 +148,18 @@ def paragraph_dedup(
     else:
         toks = tokens(F.col(text))
         n_chunks = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
-        paras = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * para_tokens + 1, para_tokens)
+        # guard: F.sequence(0, n-1) DESCENDS for n = 0, fabricating two
+        # bogus empty paragraphs on token-less docs (caught by the
+        # hypothesis reference-replay property)
+        paras = F.when(
+            n_chunks >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * para_tokens + 1, para_tokens)
+                ),
             ),
-        )
+        ).otherwise(F.expr("array()").cast("array<string>"))
     ex = df.select(
         F.col(id_col).alias("id"), F.posexplode(paras).alias("pidx", "ptext")
     ).withColumn("ph", F.xxhash64("ptext"))
