@@ -332,8 +332,10 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     duration metadata — the real frame grab is the stubbed decode kernel.
     Pure DataFrame sequence/explode; no Python in the row path."""
     dur = F.col("meta")["duration_s"].cast("double")
+    # dur >= 0: F.sequence DESCENDS for a negative stop, so corrupt
+    # negative-duration metadata would fabricate frame timestamps
     return (
-        media.filter((F.col("kind") == "video") & dur.isNotNull())
+        media.filter((F.col("kind") == "video") & dur.isNotNull() & (dur >= 0))
         .withColumn(
             "frame_ts",
             F.explode(
