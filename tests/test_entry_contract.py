@@ -120,6 +120,12 @@ def test_past_window_entries_pinned():
         # settle-edited interval_join, which must stay in-window);
         # driver-green in r4, unchanged source.
         "k10_time_travel": "034b30b6301797f6",
+        # displaced so the settle-edited dedup/curation wrappers get r5
+        # driver rows; all four r4-green, source+oracle unchanged.
+        "weighted_group_sample": "482a4f899beafac4",
+        "corpus_datasheet": "a93ed12b3d91a2a5",
+        "event_transitions": "f59f3bd1cf1976f8",
+        "fuzzy_linkage": "e2e37b1caa9164e7",
     }
     qs = m.queries()
     sql = m.oracle_sql()

@@ -5445,10 +5445,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
-    "weighted_group_sample": q_weighted_group_sample,
-    "corpus_datasheet": q_corpus_datasheet,
-    "event_transitions": q_event_transitions,
-    "fuzzy_linkage": q_fuzzy_linkage,
+    # r5: the settle-edited dedup/curation wrappers take these four
+    # unchanged r4-green entries' window slots so their new source gets a
+    # driver row; the displaced four are pinned past-window.
+    "tx_curate_pipeline": q_tx_curate_pipeline,
+    "dd_lsh_pairs": q_dd_lsh_pairs,
+    "dd_dup_clusters": q_dd_dup_clusters,
+    "dd_ngram_jaccard": q_dd_ngram_jaccard_both,
     "embed_standardize": q_standardize_embeddings,
     "mm_embed_vq": q_mm_embed_vq,
     "dd_span_coverage": q_dd_span_coverage,
@@ -5487,9 +5490,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_count": q_skew_salted_count,
     "tx_text_metrics": q_tx_text_metrics,
     "tx_fingerprint": q_tx_fingerprint_both,
-    "dd_lsh_pairs": q_dd_lsh_pairs,
-    "dd_dup_clusters": q_dd_dup_clusters,
-    "dd_ngram_jaccard": q_dd_ngram_jaccard_both,
     "dd_simhash": q_dd_simhash,
     "ann_topk": q_ann_topk,
     "ann_near_dups_exact": q_ann_near_dups_exact,
@@ -5515,7 +5515,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_status_dashboard": q_j6_status_dashboard,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
-    "tx_curate_pipeline": q_tx_curate_pipeline,
+    "weighted_group_sample": q_weighted_group_sample,
+    "corpus_datasheet": q_corpus_datasheet,
+    "event_transitions": q_event_transitions,
+    "fuzzy_linkage": q_fuzzy_linkage,
     "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
     "dd_minhash_signature": q_dd_minhash_signature,
     "o3_deterministic_sample": q_o3_deterministic_sample,
