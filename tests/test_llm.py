@@ -1400,3 +1400,38 @@ def test_html_to_text_extraction(spark):
     assert row["t"] == "Hello &amp; world\nSecond block\na link"
     assert row["links"] == 1
     assert 0 < row["ratio"] < 1
+
+
+def test_distribution_match_sample_matches_target_shape(spark):
+    """Raw skews long (75% long docs), target is 50/50 short-long: the
+    sample must keep ~all of the under-represented short bin and scale
+    the long bin down to shape — realized per-bin fractions land within
+    hash noise of the target's, and the sample is deterministic."""
+    from udata_datalake_service_spark.llm.mixing import distribution_match_sample
+
+    raw = spark.createDataFrame(
+        [(i, 10.0 if i % 4 == 0 else 100.0) for i in range(2000)],
+        "doc_id long, ln double",
+    )
+    target = spark.createDataFrame(
+        [(i, 10.0 if i % 2 == 0 else 100.0) for i in range(400)],
+        "doc_id long, ln double",
+    )
+    out = distribution_match_sample(raw, target, "ln", ["doc_id"], n_bins=2)
+    rows = out.collect()
+    short = sum(1 for r in rows if r["ln"] == 10.0)
+    long_ = sum(1 for r in rows if r["ln"] == 100.0)
+    # short bin is most under-represented -> kept wholesale
+    assert short == 500
+    # long bin scales to ~short (50/50 target shape), hash-noise tolerance
+    assert abs(long_ - short) / short < 0.15
+    # deterministic: same call, same sample
+    again = distribution_match_sample(raw, target, "ln", ["doc_id"], n_bins=2)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distribution_match_sample(raw, target, "ln", ["doc_id"], n_bins=1)

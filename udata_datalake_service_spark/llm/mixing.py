@@ -271,3 +271,71 @@ def mixture_plan(
             (F.col("weight") * budget_tokens > F.col("n_tokens")).alias("repeated"),
         )
     )
+
+
+def distribution_match_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    score: str,
+    key_cols: Sequence[str],
+    n_bins: int = 8,
+    seed: str = "dm0",
+) -> DataFrame:
+    """Sample ``raw`` so its ``score`` distribution matches ``target``'s —
+    the structural companion to DSIR (which matches CONTENT via
+    importance weights; this matches a marginal like length, quality or
+    perplexity — the knob data teams turn when the raw crawl skews long
+    or low-quality relative to a curated reference).
+
+    Method: bin the score axis by the TARGET's quantile boundaries
+    (every target bin holds ≈1/n of target mass), measure raw's mass per
+    bin, and keep each raw row with probability
+    ``rate(bin) = (f_target / f_raw) / max_bins(f_target / f_raw)`` —
+    the most under-represented bin keeps 100% and everything else scales
+    down to its shape-matching fraction (maximum-volume exact matching
+    in expectation). The coin is the deterministic md5 unit hash on
+    ``key_cols`` + seed, so the sample is reproducible and stable under
+    corpus growth (same device as `split_assign`).
+
+    Shape: two tiny aggregates (target percentiles; raw per-bin counts,
+    both n_bins-bounded collects) + one map-only filter. Returns the
+    sampled raw rows with their ``__dm_bin`` attached for auditing.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be ≥ 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    plist = ", ".join(repr(p) for p in probs)
+    row = target.agg(F.expr(f"percentile({score}, array({plist}))").alias("b")).collect()[0]
+    bounds = [float(b) for b in (row["b"] or [])]
+
+    def bin_col(c):
+        b = F.lit(1)
+        for x in bounds:
+            b = b + F.when(c > F.lit(x), 1).otherwise(0)
+        return b
+
+    t_binned = target.select(bin_col(F.col(score)).alias("__dm_bin"))
+    t_counts = {
+        r["__dm_bin"]: r["n"]
+        for r in t_binned.groupBy("__dm_bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    r_binned = raw.withColumn("__dm_bin", bin_col(F.col(score)))
+    r_counts = {
+        r["__dm_bin"]: r["n"]
+        for r in r_binned.groupBy("__dm_bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nt = sum(t_counts.values()) or 1
+    nr = sum(r_counts.values()) or 1
+    ratios = {
+        b: (t_counts.get(b, 0) / nt) / (r_counts[b] / nr)
+        for b in r_counts
+        if r_counts[b] > 0
+    }
+    top = max(ratios.values(), default=0.0)
+    rates = {b: (r / top if top > 0 else 0.0) for b, r in ratios.items()}
+
+    rate_col = F.lit(0.0)
+    for b, r in sorted(rates.items()):
+        rate_col = F.when(F.col("__dm_bin") == b, F.lit(r)).otherwise(rate_col)
+    u = uniform_unit_hash(key_cols, seed)
+    return r_binned.filter(u < rate_col)
