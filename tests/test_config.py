@@ -75,3 +75,27 @@ def test_service_crawl_plane_uses_config(spark, tmp_path, catalog_df, checks_df)
     assert all("a.org" not in r["url"] for r in batch)  # pattern honored
     bt = svc.backoff_table()
     assert {"domain", "backoff"} <= set(bt.columns)
+
+
+def test_service_sql_escape_hatch(spark, tmp_path):
+    """HydraService.sql registers app tables, the registry and every
+    converted table (t_<md5>) plus caller views, then runs Catalyst SQL."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.service import HydraService
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    lake.write_table(df, "abc123", min_lines_for_parquet=1)
+    lake.register("abc123", {"total_lines": 5}, resource_id="r1", url="https://x/y.csv")
+
+    svc = HydraService(spark, lake)
+    got = svc.sql(
+        "SELECT ti.url, s.n FROM tables_index ti "
+        "JOIN (SELECT COUNT(*) AS n, SUM(v) AS sv FROM t_abc123) s ON TRUE"
+    ).collect()[0]
+    assert got["url"] == "https://x/y.csv" and got["n"] == 5
+
+    extra = spark.createDataFrame([(1, "x")], "k long, s string")
+    assert svc.sql("SELECT COUNT(*) AS c FROM my_view", {"my_view": extra}).collect()[0]["c"] == 1

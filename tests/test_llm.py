@@ -1435,3 +1435,29 @@ def test_distribution_match_sample_matches_target_shape(spark):
 
     with _pytest.raises(ValueError):
         distribution_match_sample(raw, target, "ln", ["doc_id"], n_bins=1)
+
+
+def test_temporal_split_embargo(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.llm.mixing import temporal_split
+
+    d = _dt.datetime
+    rows = [
+        (1, d(2024, 1, 1)),   # train
+        (2, d(2024, 2, 1)),   # embargo boundary: == train_end -> embargo
+        (3, d(2024, 2, 15)),  # embargo
+        (4, d(2024, 3, 1)),   # test boundary: == test_start -> test
+        (5, None),            # NULL -> embargo, never train
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(df, "ts", d(2024, 2, 1), d(2024, 3, 1)).collect()
+    }
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: "embargo"}
+
+    with _pytest.raises(ValueError):
+        temporal_split(df, "ts", d(2024, 3, 1), d(2024, 2, 1))

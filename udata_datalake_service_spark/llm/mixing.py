@@ -339,3 +339,27 @@ def distribution_match_sample(
         rate_col = F.when(F.col("__dm_bin") == b, F.lit(r)).otherwise(rate_col)
     u = uniform_unit_hash(key_cols, seed)
     return r_binned.filter(u < rate_col)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end,
+    test_start,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe time-based split with an EMBARGO gap: rows strictly
+    before ``train_end`` train, rows at/after ``test_start`` test, and
+    the (train_end, test_start) interval is quarantined as 'embargo' —
+    the purged-split idiom that keeps near-boundary leakage (events
+    whose effects straddle the cut) out of evaluation. NULL timestamps
+    land in 'embargo' (never silently in train). Map-only."""
+    if not train_end <= test_start:
+        raise ValueError("train_end must be <= test_start")
+    t = F.col(ts_col)
+    return df.withColumn(
+        split_col,
+        F.when(t < F.lit(train_end), "train")
+        .when(t >= F.lit(test_start), "test")
+        .otherwise(F.lit("embargo")),
+    )

@@ -44,6 +44,33 @@ class HydraService:
         self.lake = lake
         self.config = config or Config()
 
+    def sql(self, query: str, extra_views: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Ad-hoc SQL over the lake: registers the app tables (catalog,
+        checks — when present), the converted-tables registry as
+        ``tables_index``, every registered converted table under its
+        md5 name, and any ``extra_views``, then runs ``query`` through
+        Catalyst. The escape hatch the reference's Postgres users keep:
+        anything the facade doesn't wrap is one SELECT away."""
+        for name in ("catalog", "checks"):
+            try:
+                self.lake.read_app_table(name).createOrReplaceTempView(name)
+            except FileNotFoundError:
+                pass
+        try:
+            reg = self.lake.registry()
+            reg.createOrReplaceTempView("tables_index")
+            for r in reg.select("parsing_table").collect():
+                t = r["parsing_table"]
+                try:
+                    self.lake.read_table(t).createOrReplaceTempView(f"t_{t}")
+                except FileNotFoundError:
+                    pass
+        except FileNotFoundError:
+            pass
+        for name, df in (extra_views or {}).items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -------------------------------------------------------------- tables --
     @property
     def catalog(self) -> DataFrame:
