@@ -5423,8 +5423,12 @@ UNION ALL SELECT * FROM fresh
 # entries past the window are untouched queries with green driver rows in
 # every prior round, each pinned by test_entry_contract.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # r5 additions (corpus diagnostics) + the three round-4 additions that
-    # had never had a driver row lead the catalog this round.
+    # r5 head of window: the twelve round-5 additions (corpus
+    # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
+    # LSH scorecard, HTML extraction, DQ expectations, SCD2), the three
+    # round-4 queries that had never had a driver row, the four r4
+    # hash-reds (HUGEINT oracle casts), and every wrapper whose source
+    # changed this round (settle edits) — all inside the first 50.
     "tx_novelty": q_tx_novelty,
     "url_quality": q_url_quality,
     "corpus_ingest": q_corpus_ingest,
