@@ -464,3 +464,48 @@ def test_staging_dirs_survive_concurrent_commit_gc(spark, tmp_path):
     removed = lake.vacuum()
     assert not staged.exists()
     assert any("_staging-" in r for r in removed)
+
+
+def test_registry_concurrent_registers_and_drops_lose_nothing(spark, tmp_path):
+    """The registry critical section: N threads register concurrently on a
+    FRESH lake (first-write race — the losing thread must fall through to
+    the append path, not discard the winner's flip), then registers race
+    drop-rewrites of a disjoint table (an append between a drop's read
+    and flip must never be silently lost)."""
+    import threading
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    # phase 1: concurrent first-writes + appends
+    errs = []
+
+    def reg(i):
+        try:
+            lake.register(f"tbl{i}", {"n": i}, resource_id=f"r{i}", url=f"https://x/{i}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = {r["parsing_table"] for r in lake.registry().collect()}
+    assert got == {f"tbl{i}" for i in range(12)}
+
+    # phase 2: appends racing drop-rewrites of OTHER rows
+    def reg_more():
+        for i in range(12, 24):
+            lake.register(f"tbl{i}", {"n": i}, resource_id=f"r{i}", url=f"https://x/{i}")
+
+    def drop_some():
+        for i in range(0, 12, 2):
+            lake._delete_registry_rows(f"tbl{i}")
+
+    t1 = threading.Thread(target=reg_more)
+    t2 = threading.Thread(target=drop_some)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    got = {r["parsing_table"] for r in lake.registry().collect()}
+    expect = {f"tbl{i}" for i in range(24)} - {f"tbl{i}" for i in range(0, 12, 2)}
+    assert got == expect

@@ -175,33 +175,46 @@ class Lake:
         dirs are never eligible for GC, so a slow writer's data can't be
         reclaimed by a faster committer."""
         with Lake._commit_lock(base):
-            prev = Lake._manifest_version(base)
-            if expect is not _UNSET and prev != expect:
-                if staging is not None:
-                    shutil.rmtree(staging, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"{base}: expected version {expect!r}, found {prev!r}"
-                )
+            Lake._commit_version_locked(base, ver, expect=expect, staging=staging)
+
+    @staticmethod
+    def _commit_version_locked(
+        base: Path,
+        ver: str,
+        expect: object = _UNSET,
+        staging: Path | None = None,
+    ) -> None:
+        """`_commit_version` body for callers ALREADY holding the commit
+        lock (the O_EXCL lock is non-reentrant) — lets a caller serialize
+        a read-modify-write or an in-place append against the flip in one
+        critical section (see `register` / `_delete_registry_rows`)."""
+        prev = Lake._manifest_version(base)
+        if expect is not _UNSET and prev != expect:
             if staging is not None:
-                os.replace(staging, base / ver)
-            tmp = base / f"_manifest-{ver}.tmp"
-            with open(tmp, "w") as f:
-                f.write(ver)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, base / "MANIFEST")
-            dirfd = os.open(base, os.O_RDONLY)
-            try:
-                os.fsync(dirfd)
-            finally:
-                os.close(dirfd)
-            for d in base.iterdir():
-                if (
-                    d.is_dir()
-                    and d.name.startswith("v-")
-                    and d.name not in (ver, prev)
-                ):
-                    shutil.rmtree(d, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{base}: expected version {expect!r}, found {prev!r}"
+            )
+        if staging is not None:
+            os.replace(staging, base / ver)
+        tmp = base / f"_manifest-{ver}.tmp"
+        with open(tmp, "w") as f:
+            f.write(ver)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, base / "MANIFEST")
+        dirfd = os.open(base, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+        for d in base.iterdir():
+            if (
+                d.is_dir()
+                and d.name.startswith("v-")
+                and d.name not in (ver, prev)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     def vacuum(self, staging_grace_s: float = 3600.0) -> list[str]:
         """Reclaim version dirs no MANIFEST points at — crash leftovers
@@ -466,18 +479,25 @@ class Lake:
             schema=self._registry_arrow_schema(),
         )
         base = Path(self.registry_path)
-        cur = self._current_dir(base)
+        base.mkdir(parents=True, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
-        if cur is None:
-            ver = self._new_version()
-            staging = base / f"_staging-{ver}"
-            staging.mkdir(parents=True, exist_ok=True)
-            pq.write_table(table, staging / fname)
-            self._commit_version(base, ver, staging=staging)
-            return
-        tmp = cur / f"_tmp-{fname}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, cur / fname)
+        # the whole resolve→write runs under the commit lock: a concurrent
+        # first-register can't be discarded by a racing flip, and an append
+        # can't land in a version dir a concurrent drop-rewrite is about to
+        # supersede (the drop holds the same lock across its read+flip —
+        # the transaction Postgres gave the reference for free)
+        with self._commit_lock(base):
+            cur = self._current_dir(base)
+            if cur is None:
+                ver = self._new_version()
+                staging = base / f"_staging-{ver}"
+                staging.mkdir(parents=True, exist_ok=True)
+                pq.write_table(table, staging / fname)
+                self._commit_version_locked(base, ver, staging=staging)
+                return
+            tmp = cur / f"_tmp-{fname}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, cur / fname)
 
     def _delete_registry_rows(self, parsing_table: str) -> None:
         """Rewrite-style delete, driver-side: the registry is catalog
@@ -488,24 +508,30 @@ class Lake:
         import pyarrow.parquet as pq
 
         base = Path(self.registry_path)
-        cur = self._current_dir(base)
+        base.mkdir(parents=True, exist_ok=True)
         schema = self._registry_arrow_schema()
-        if cur is None or not any(
-            f for f in cur.iterdir() if not f.name.startswith(("_", "."))
-        ):
-            remaining = schema.empty_table()
-        else:
-            reg = pq.read_table(cur)  # ignores _/.-prefixed files
-            remaining = reg.filter(
-                pc.not_equal(pc.field("parsing_table"), parsing_table)
+        # read + rewrite + flip in ONE critical section: an append landing
+        # between an unlocked read and the flip would be silently dropped
+        # from `remaining` (the lost-append race `register` guards the
+        # other side of)
+        with self._commit_lock(base):
+            cur = self._current_dir(base)
+            if cur is None or not any(
+                f for f in cur.iterdir() if not f.name.startswith(("_", "."))
+            ):
+                remaining = schema.empty_table()
+            else:
+                reg = pq.read_table(cur)  # ignores _/.-prefixed files
+                remaining = reg.filter(
+                    pc.not_equal(pc.field("parsing_table"), parsing_table)
+                )
+            ver = self._new_version()
+            staging = base / f"_staging-{ver}"
+            staging.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                remaining.cast(schema), staging / f"part-{uuid.uuid4().hex}.parquet"
             )
-        ver = self._new_version()
-        staging = base / f"_staging-{ver}"
-        staging.mkdir(parents=True, exist_ok=True)
-        pq.write_table(
-            remaining.cast(schema), staging / f"part-{uuid.uuid4().hex}.parquet"
-        )
-        self._commit_version(base, ver, staging=staging)
+            self._commit_version_locked(base, ver, staging=staging)
 
     def _append_write(
         self, df: DataFrame, base: Path, partition_by: list[str] | None = None
