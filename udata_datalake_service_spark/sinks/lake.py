@@ -583,7 +583,18 @@ class Lake:
         Concurrent read-modify-writers silently clobber each other (last
         manifest flip wins); pass ``expected_version`` (the
         `table_version(name, app=True)` snapshot taken before reading) to
-        turn that lost update into a `ConcurrentWriteError` to retry."""
+        turn that lost update into a `ConcurrentWriteError` to retry.
+
+        Known hazard (documented, not closed): a concurrent IN-PLACE
+        append (`append_app_table`) landing between this rewrite's read
+        and its flip is absent from the rewritten table, and CAS can't
+        see it because appends don't bump the manifest version. The
+        registry closes the same race by serializing its (tiny, fast)
+        mutations under the commit lock; app-table appends are
+        Spark-sized writes that can't reasonably hold it. Run appenders
+        and rewriters of one table single-writer (the reference's daemon
+        does), or front the lake with Delta/Iceberg, whose commit log
+        versions appends too."""
         self._replace_write(
             df, Path(self.app_table_path(name)), expect=expected_version
         )
