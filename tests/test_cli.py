@@ -195,3 +195,24 @@ def test_corpus_diagnostic_verbs(spark, tmp_path, capsys):
         _json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()[-2:]
     ]
     assert {r["strategy"] for r in lines} == {"arrival", "length_sorted"}
+
+
+def test_dq_check_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from udata_datalake_service_spark import cli
+
+    src = str(tmp_path / "rows")
+    spark.createDataFrame(
+        [(1, 10), (2, -3), (3, 5)], "id long, v long"
+    ).write.parquet(src)
+    q = str(tmp_path / "bad")
+    rc = cli.main(
+        ["--lake-root", str(tmp_path / "lake"), "dq-check", src,
+         "v_positive:v > 0", "id_small:id <= 2", "--quarantine", q]
+    )
+    assert rc == 0
+    rep = {r["rule"]: r["n_violations"] for r in
+           (_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines())}
+    assert rep == {"_any_": 2, "id_small": 1, "v_positive": 1}
+    assert spark.read.parquet(q).count() == 2

@@ -11,7 +11,7 @@
 | insert-resource-into-catalog | ``insert_resource`` (U2 upsert)        |
 | drop-dbs / migrate           | n/a — the lake has no migrations; drop = path removal |
 | (maintenance)                | ``vacuum-lake`` — reclaim unreferenced version dirs; ``compact-table`` — coalesce small files into ~target-size files behind the manifest flip |
-| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report; ``datasheet`` — the corpus audit report; ``bpe-train`` — learn + persist a BPE merge table |
+| (beyond-ref, LLM plane)      | ``curate-docs`` — exact dedup + Gopher quality gate over a documents parquet, with a survivorship report; ``datasheet`` — the corpus audit report; ``bpe-train`` — learn + persist a BPE merge table; ``dq-check`` — SQL-predicate expectations report + optional quarantine parquet; ``novelty`` / ``paragraph-dedup`` / ``padding-waste`` / ``ingest-corpus`` — corpus diagnostics + idempotent ingest |
 
 Each verb is a plain function (driver-side orchestration of lazy Spark
 plans) plus an argparse front end: ``python -m
@@ -270,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("paragraph-dedup"); sp.add_argument("in_path"); sp.add_argument("--out"); sp.add_argument("--split-regex"); sp.add_argument("--para-tokens", type=int, default=50)
     sp = sub.add_parser("padding-waste"); sp.add_argument("in_path"); sp.add_argument("--batch-size", type=int, default=32)
     sp = sub.add_parser("ingest-corpus"); sp.add_argument("in_path"); sp.add_argument("batch_id"); sp.add_argument("--table", default="corpus_docs"); sp.add_argument("--gopher-gate", action="store_true")
+    sp = sub.add_parser("dq-check"); sp.add_argument("in_path"); sp.add_argument("rules", nargs="+", help="name:SQL-predicate pairs, e.g. 'positive:price > 0'"); sp.add_argument("--quarantine")
     args = p.parse_args(argv)
 
     from udata_datalake_service_spark.config import load_config
@@ -371,6 +372,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(ingest_documents(
             lake, spark.read.parquet(args.in_path), args.batch_id,
             table=args.table, apply_gopher_gate=args.gopher_gate)))
+    elif args.verb == "dq-check":
+        from pyspark.sql import functions as F
+
+        from udata_datalake_service_spark.operators.expectations import (
+            report,
+            split,
+        )
+
+        rules = {}
+        for spec in args.rules:
+            name, _, pred = spec.partition(":")
+            if not name or not pred:
+                raise SystemExit(f"bad rule spec (want name:predicate): {spec!r}")
+            rules[name] = F.expr(pred)
+        df = spark.read.parquet(args.in_path)
+        if args.quarantine:
+            _, bad = split(df, rules)
+            bad.write.mode("overwrite").parquet(args.quarantine)
+        for r in report(df, rules).collect():
+            print(json.dumps(r.asDict()))
     return 0
 
 
