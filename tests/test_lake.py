@@ -509,3 +509,23 @@ def test_registry_concurrent_registers_and_drops_lose_nothing(spark, tmp_path):
     got = {r["parsing_table"] for r in lake.registry().collect()}
     expect = {f"tbl{i}" for i in range(24)} - {f"tbl{i}" for i in range(0, 12, 2)}
     assert got == expect
+
+
+def test_registry_first_write_is_versioned(spark, tmp_path):
+    """A fresh registry's first register must land behind a MANIFEST
+    (regression: an early mkdir made the bare dir read as legacy-plain,
+    skipping the versioned branch entirely)."""
+    from pathlib import Path
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.register("tbl_v", {"n": 1}, resource_id="r", url="https://x/v.csv")
+    base = Path(lake.registry_path)
+    assert (base / "MANIFEST").exists()
+    ver = (base / "MANIFEST").read_text().strip()
+    assert (base / ver).is_dir()
+    # appends keep landing INSIDE the versioned dir, not the base
+    lake.register("tbl_w", {"n": 2}, resource_id="r2", url="https://x/w.csv")
+    files_in_base = [f for f in base.iterdir()
+                     if f.is_file() and f.suffix == ".parquet"]
+    assert files_in_base == []
+    assert lake.registry().count() == 2

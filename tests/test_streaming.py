@@ -524,9 +524,12 @@ def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
     assert got.count() == 3
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {1, 2, 4}
 
-    # a replayed epoch (same ledger key) must no-op
+    # a replayed epoch (same checkpoint-derived ledger key) must no-op
+    import hashlib as _hashlib
+
+    prefix = "stream-ingest-" + _hashlib.md5(ckpt.encode()).hexdigest()[:8]
     replay = spark.createDataFrame(
         [(9, "nu xi", "en", "web", 9)], DOCUMENTS_SCHEMA
     ).withColumn("fp", _fp(F.col("text")))
-    assert lake.append_app_table_exactly_once(replay, "corpus_docs", "stream-ingest-0") is False
+    assert lake.append_app_table_exactly_once(replay, "corpus_docs", f"{prefix}-0") is False
     assert lake.read_app_table("corpus_docs").count() == 3

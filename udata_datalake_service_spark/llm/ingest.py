@@ -58,7 +58,10 @@ def ingest_documents(
     """
     n_in = docs.count()
     batch = docs.withColumn("fp", fingerprint(F.col(text)))
-    # within-batch exact dedup: smallest id per fingerprint wins
+    # within-batch exact dedup: smallest id per fingerprint wins. The
+    # deduped batch feeds a count, the anti-join, the optional gate AND
+    # the final append — persist so the tokenize+md5+window pass runs
+    # once (this function owns its actions, so it releases explicitly).
     batch = (
         batch.withColumn(
             "__rn",
@@ -68,6 +71,7 @@ def ingest_documents(
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .persist()
     )
     n_batch_unique = batch.count()
 
@@ -76,6 +80,8 @@ def ingest_documents(
         fresh = batch.join(existing_fp, on="fp", how="left_anti")
     except FileNotFoundError:
         fresh = batch
+    fresh = fresh.persist()
+    fresh_cached = fresh  # the gate branch rebinds `fresh`; release THIS
     n_fresh = fresh.count()
 
     n_gated = n_fresh
@@ -92,6 +98,8 @@ def ingest_documents(
 
     committed = lake.append_app_table_exactly_once(fresh, table, batch_id)
     n_total = lake.read_app_table(table).count()
+    fresh_cached.unpersist()
+    batch.unpersist()
     return {
         "batch_id": batch_id,
         "n_in": n_in,

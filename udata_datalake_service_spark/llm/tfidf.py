@@ -428,12 +428,15 @@ def bigram_surprisal(
     rounded to 1/quantum and summed as exact integers — the same
     partition-order-independence device as `unigram_surprisal`).
 
-    Shape at 100 TB: one tokenize pass collapsed to TWO count grains —
-    (doc, bigram) carrying n occurrences, persisted, and the bigram/
-    unigram LM tables derived from it (vocabulary-bounded). The LM joins
-    hit the (doc, bigram) grain, never raw positions; one groupBy(doc)
-    finishes. Returns (id_col, n_tokens, mean_nll) with mean over ALL
-    tokens (first-token unigram event included), rounded to 6.
+    Shape at 100 TB: TWO map-only tokenize passes over the corpus scan —
+    one collapsed to the persisted (doc, bigram) grain, one to the
+    unigram counts (persisted; deriving unigrams from the bigram grain
+    would need a position window, i.e. a corpus-sized shuffle — strictly
+    worse than re-tokenizing in the scan stage). The LM tables are
+    vocabulary-bounded; the LM joins hit the (doc, bigram) grain, never
+    raw positions; one groupBy(doc) finishes. Returns (id_col, n_tokens,
+    mean_nll) with mean over ALL tokens (first-token unigram event
+    included), rounded to 6.
     """
     toks = tokens(F.col(text))
     from udata_datalake_service_spark.llm.text import word_bigrams

@@ -42,6 +42,8 @@ def pagerank(
     between more rounds or a looser tolerance, never silently ship a
     half-converged ranking.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     verts = (
         e.select(F.col("src").alias("v"))
@@ -51,7 +53,9 @@ def pagerank(
     )
     n = verts.count()
     if n == 0:
-        return verts.select(F.col("v"), F.lit(0.0).alias("rank"))
+        out = verts.select(F.col("v"), F.lit(0.0).alias("rank")).localCheckpoint()
+        verts.unpersist()
+        return out
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edge side enriched once; reused every round

@@ -48,7 +48,13 @@ def scd2_merge(
     keys = list(key_cols)
     tracked = list(tracked_cols)
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    # latest-per-key with a DETERMINISTIC tiebreak: equal-timestamp
+    # duplicate updates (two sources emitting in one batch window) order
+    # by the tracked values themselves, so the same merge on the same
+    # inputs always closes the open row with the same winner
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(t).desc_nulls_last() for t in tracked]
+    )
     upd = (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -47,26 +47,31 @@ class HydraService:
     def sql(self, query: str, extra_views: dict[str, DataFrame] | None = None) -> DataFrame:
         """Ad-hoc SQL over the lake: registers the app tables (catalog,
         checks — when present), the converted-tables registry as
-        ``tables_index``, every registered converted table under its
-        md5 name, and any ``extra_views``, then runs ``query`` through
-        Catalyst. The escape hatch the reference's Postgres users keep:
-        anything the facade doesn't wrap is one SELECT away."""
+        ``tables_index``, the converted tables the QUERY actually names
+        (``t_<md5>`` — only referenced ones resolve, so a catalog with
+        thousands of tables costs nothing on unrelated queries), and any
+        ``extra_views``, then runs ``query`` through Catalyst. The
+        escape hatch the reference's Postgres users keep: anything the
+        facade doesn't wrap is one SELECT away. A table that exists in
+        the registry but can't be read (dropped mid-flight, corrupt
+        version dir) is skipped — the query then fails with Catalyst's
+        table-not-found naming it, instead of this method aborting."""
+        import re
+
         for name in ("catalog", "checks"):
             try:
                 self.lake.read_app_table(name).createOrReplaceTempView(name)
             except FileNotFoundError:
                 pass
         try:
-            reg = self.lake.registry()
-            reg.createOrReplaceTempView("tables_index")
-            for r in reg.select("parsing_table").collect():
-                t = r["parsing_table"]
-                try:
-                    self.lake.read_table(t).createOrReplaceTempView(f"t_{t}")
-                except FileNotFoundError:
-                    pass
+            self.lake.registry().createOrReplaceTempView("tables_index")
         except FileNotFoundError:
             pass
+        for t in set(re.findall(r"\bt_([0-9a-f]{6,32})\b", query)):
+            try:
+                self.lake.read_table(t).createOrReplaceTempView(f"t_{t}")
+            except Exception:  # noqa: BLE001 — Catalyst names the gap
+                pass
         for name, df in (extra_views or {}).items():
             df.createOrReplaceTempView(name)
         return self.spark.sql(query)

@@ -488,7 +488,15 @@ class Lake:
         # the transaction Postgres gave the reference for free)
         with self._commit_lock(base):
             cur = self._current_dir(base)
-            if cur is None:
+            # first write ⇔ no data files yet: the mkdir above makes the
+            # bare base dir "exist", so `cur is None` alone would misread
+            # a fresh registry as a legacy-plain table and skip the
+            # versioned-manifest branch (leaving table_version None and
+            # stranding plain part files under later flips)
+            has_data = cur is not None and any(
+                f for f in cur.iterdir() if not f.name.startswith(("_", "."))
+            )
+            if not has_data:
                 ver = self._new_version()
                 staging = base / f"_staging-{ver}"
                 staging.mkdir(parents=True, exist_ok=True)

@@ -38,7 +38,7 @@ def corpus_ingest_stream(
     checkpoint_dir: str,
     table: str = "corpus_docs",
     available_now: bool = True,
-    ledger_prefix: str = "stream-ingest",
+    ledger_prefix: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream; returns the running query.
 
@@ -47,7 +47,23 @@ def corpus_ingest_stream(
     runs continuously. The checkpoint carries both the source offsets
     and the dedup state, so a restart resumes mid-stream without
     re-emitting survivors already written.
+
+    ``ledger_prefix`` defaults to a hash of ``checkpoint_dir``: epoch
+    ids are only unique PER CHECKPOINT, so a fixed prefix would let a
+    second stream (new checkpoint, same table) silently no-op its
+    epochs 0..N against the first stream's ledger entries. Binding the
+    prefix to the checkpoint keeps replays of the SAME checkpoint
+    exactly-once while fresh checkpoints commit independently; only
+    wiping and recreating a checkpoint at the same path reuses ids —
+    pass an explicit prefix in that recovery scenario.
     """
+    import hashlib
+
+    if ledger_prefix is None:
+        ledger_prefix = (
+            "stream-ingest-"
+            + hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:8]
+        )
     deduped = exact_dedup_stream(stream_documents(spark, docs_dir))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
