@@ -529,3 +529,51 @@ def test_registry_first_write_is_versioned(spark, tmp_path):
                      if f.is_file() and f.suffix == ".parquet"]
     assert files_in_base == []
     assert lake.registry().count() == 2
+
+
+def test_compact_and_exactly_once_preserve_partition_layout(spark, tmp_path):
+    """Maintenance rewrites must keep the physical col=value layout:
+    compaction and the first exactly-once append on a date-partitioned
+    table both used to flatten it (breaking partition-drop retention and
+    pruning)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.range(40).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("day"),
+    )
+    lake.append_app_table(df, "evts", partition_by=["day"])
+
+    def partition_dirs():
+        cur = lake._current_dir(Path(lake.app_table_path("evts")))
+        return sorted(
+            d.name for d in cur.iterdir() if d.is_dir() and d.name.startswith("day=")
+        )
+
+    before = partition_dirs()
+    assert len(before) == 3
+
+    lake.compact_table("evts", target_bytes=1, app_table=True)
+    assert partition_dirs() == before
+    assert lake.read_app_table("evts").count() == 40
+
+    batch = spark.range(40, 44).select(
+        F.col("id"), F.lit("2024-01-09").alias("day")
+    )
+    assert lake.append_app_table_exactly_once(batch, "evts", "b1") is True
+    assert sorted(partition_dirs()) == sorted(before + ["day=2024-01-09"])
+    assert lake.read_app_table("evts").count() == 44
+
+
+def test_write_bucketed_table_refuses_versioned_target(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    lake.write_table(df, "vt", min_lines_for_parquet=1)
+    with _pytest.raises(ValueError, match="versioned"):
+        lake.write_bucketed_table(df, "vt", ["k"])

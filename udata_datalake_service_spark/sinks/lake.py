@@ -112,35 +112,59 @@ class Lake:
                 os.fsync(fd)
                 break
             except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
                 try:
                     st = lock.stat()
                     stale = time.time() - st.st_mtime > stale_after
                     stale_token = lock.read_text() if stale else ""
                 except OSError:
-                    continue  # holder released between exists and stat
+                    # holder released between exists and stat — retry,
+                    # with a sleep so a persistent stat failure (EACCES)
+                    # can't busy-spin, and bounded by the deadline above
+                    time.sleep(0.02)
+                    continue
                 if stale:
                     # single-winner takeover: rename is atomic, so exactly
-                    # one claimant breaks the orphan. Verify BY TOKEN that
-                    # what we claimed is the orphan we observed — if a new
-                    # holder recreated the lock in between, hand it back
-                    # (atomic link; no-op if a newer lock already exists).
+                    # one claimant breaks the orphan. Verify on the CLAIM
+                    # WE NOW OWN — both token and a fresh staleness stat —
+                    # closing the stat→read_text window where a live
+                    # holder could recreate the lock and be stolen.
                     claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
                     try:
                         os.rename(lock, claim)
                     except (FileNotFoundError, OSError):
+                        time.sleep(0.02)
                         continue
                     try:
-                        if claim.read_text() != stale_token:
-                            try:
-                                os.link(claim, lock)
-                            except (FileExistsError, OSError):
-                                pass
+                        still_stale = (
+                            time.time() - claim.stat().st_mtime > stale_after
+                        )
+                        claim_token = claim.read_text()
                     except OSError:
-                        pass
+                        still_stale, claim_token = False, ""
+                    if claim_token == stale_token and still_stale:
+                        claim.unlink(missing_ok=True)  # orphan broken
+                        continue
+                    # we stole a LIVE lock: give it back (atomic link),
+                    # waiting out any third claimant that grabbed the
+                    # vacant name — loud timeout beats silent loss of
+                    # mutual exclusion
+                    while True:
+                        try:
+                            os.link(claim, lock)
+                            break
+                        except FileExistsError:
+                            if time.monotonic() > deadline:
+                                claim.unlink(missing_ok=True)
+                                raise TimeoutError(
+                                    f"commit lock giveback contended: {lock}"
+                                )
+                            time.sleep(0.02)
+                        except OSError:
+                            break
                     claim.unlink(missing_ok=True)
                     continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"commit lock busy: {lock}")
                 time.sleep(0.02)
         try:
             yield
@@ -234,27 +258,40 @@ class Lake:
             if p.is_dir()
         }
         for base in bases:
-            current = self._manifest_version(base)
-            for d in base.iterdir():
-                try:
-                    if not d.is_dir():
-                        # crashed takeover leftovers next to MANIFEST
-                        if d.name.startswith("_COMMIT_LOCK.stale-") and (
+            # deletions run under the base's commit lock with MANIFEST
+            # re-read inside it: an unlocked sweep could read a stale
+            # current, then rmtree a version a concurrent writer commits
+            # in between — permanent data loss. A busy table just waits
+            # for the next vacuum.
+            try:
+                lock_ctx = self._commit_lock(base, timeout=5.0)
+                lock_ctx.__enter__()
+            except (TimeoutError, OSError):
+                continue
+            try:
+                current = self._manifest_version(base)
+                for d in base.iterdir():
+                    try:
+                        if not d.is_dir():
+                            # crashed takeover leftovers next to MANIFEST
+                            if d.name.startswith("_COMMIT_LOCK.stale-") and (
+                                time.time() - d.stat().st_mtime > staging_grace_s
+                            ):
+                                d.unlink(missing_ok=True)
+                                removed.append(str(d))
+                            continue
+                        stale_staging = d.name.startswith("_staging-") and (
                             time.time() - d.stat().st_mtime > staging_grace_s
-                        ):
-                            d.unlink(missing_ok=True)
-                            removed.append(str(d))
-                        continue
-                    stale_staging = d.name.startswith("_staging-") and (
-                        time.time() - d.stat().st_mtime > staging_grace_s
-                    )
-                except OSError:
-                    continue  # renamed into place / released concurrently
-                if stale_staging or (
-                    d.name.startswith("v-") and d.name != current
-                ):
-                    shutil.rmtree(d, ignore_errors=True)
-                    removed.append(str(d))
+                        )
+                    except OSError:
+                        continue  # renamed into place / released concurrently
+                    if stale_staging or (
+                        d.name.startswith("v-") and d.name != current
+                    ):
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed.append(str(d))
+            finally:
+                lock_ctx.__exit__(None, None, None)
         return removed
 
     def _replace_write(
@@ -283,6 +320,24 @@ class Lake:
         manifest yet) — the snapshot token for CAS rewrites."""
         base = Path(self.app_table_path(name) if app else self.table_path(name))
         return self._manifest_version(base)
+
+    @staticmethod
+    def _detect_partition_cols(cur: Path) -> list[str]:
+        """Partition columns of an on-disk dir, from its ``col=value``
+        subdirectory chain — lets rewrite-style maintenance (compaction,
+        exactly-once appends) preserve the physical layout it read."""
+        cols: list[str] = []
+        d = cur
+        while True:
+            subs = [
+                x
+                for x in d.iterdir()
+                if x.is_dir() and "=" in x.name and not x.name.startswith(("_", "."))
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].name.split("=", 1)[0])
+            d = subs[0]
 
     def _read_dir(self, base: Path, schema=None) -> DataFrame:
         cur = self._current_dir(base)
@@ -352,6 +407,18 @@ class Lake:
         bucket metadata lives in the session catalog, not the files).
         """
         table = f"lake_{name}"
+        # bucketed tables live OUTSIDE the versioned MANIFEST protocol —
+        # the Spark catalog owns their layout, and saveAsTable overwrites
+        # the base path in place (a crash mid-write has the torn-state
+        # window the versioned tables eliminated; production bucketing
+        # belongs to Delta/Iceberg). Refuse to destroy an existing
+        # versioned table's commit log rather than silently clobber it.
+        if (Path(self.table_path(name)) / "MANIFEST").exists():
+            raise ValueError(
+                f"{name!r} is a versioned lake table; write the bucketed "
+                "copy under a different name instead of overwriting its "
+                "commit log"
+            )
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -371,10 +438,7 @@ class Lake:
         short ``delta.logRetentionDuration``. Version names embed a UTC
         timestamp, so lexicographic order is commit order."""
         base = Path(self.table_path(name))
-        try:
-            current = (base / "MANIFEST").read_text().strip()
-        except OSError:
-            current = None
+        current = self._manifest_version(base)
         out = []
         for d in sorted(base.iterdir()) if base.exists() else []:
             if d.is_dir() and d.name.startswith("v-"):
@@ -505,7 +569,20 @@ class Lake:
                 return
             tmp = cur / f"_tmp-{fname}"
             pq.write_table(table, tmp)
+            # durability before visibility: fsync the file, rename, fsync
+            # the dir — a crash can't leave a visible half-written part
+            # file that bricks every later registry read
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
             os.replace(tmp, cur / fname)
+            dirfd = os.open(cur, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)
+            finally:
+                os.close(dirfd)
 
     def _delete_registry_rows(self, parsing_table: str) -> None:
         """Rewrite-style delete, driver-side: the registry is catalog
@@ -643,11 +720,33 @@ class Lake:
         self._replace_write(
             sharded, Path(self.app_table_path(name)), partition_by=["shard"]
         )
+        # audit from the COMMITTED files, not the input lineage: a
+        # re-evaluation of `df` could describe rows that were never
+        # written (non-deterministic upstream, source changed between the
+        # two jobs) — the manifest must certify what is on disk
+        committed = self.read_app_table(name)
+        h2 = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            *[F.col(c).cast("string") for c in key_cols],
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
         manifest = (
-            sharded.groupBy("shard")
+            committed.groupBy(F.col("shard").cast("long").alias("shard"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(h).alias("content_checksum"),
+                F.sum(h2).alias("content_checksum"),
             )
             .orderBy("shard")
         )
@@ -676,6 +775,7 @@ class Lake:
         Returns {files_before, files_after, bytes}.
         """
         base = Path(self.app_table_path(name) if app_table else self.table_path(name))
+        snapshot = self._manifest_version(base)
         cur = self._current_dir(base)
         if cur is None:
             raise FileNotFoundError(f"no committed version to compact: {base}")
@@ -684,8 +784,20 @@ class Lake:
         ]
         total = sum(p.stat().st_size for p in data_files)
         n_out = max(1, -(-total // int(target_bytes)))
+        # preserve the physical partition layout (check_date/shard dirs):
+        # a bare rewrite would flatten it, breaking partition-drop
+        # retention and pruning. Partition-column TYPES re-infer through
+        # Spark partition discovery, as on any partitioned read.
+        pcols = self._detect_partition_cols(cur)
         df = self.spark.read.parquet(str(cur))
-        self._replace_write(df.coalesce(int(n_out)), base)
+        # CAS on the manifest read above: a rewrite committed while the
+        # compaction was reading raises ConcurrentWriteError instead of
+        # being clobbered (in-place appends remain invisible to the CAS —
+        # the documented rewrite_app_table hazard)
+        self._replace_write(
+            df.coalesce(int(n_out)), base, partition_by=pcols or None,
+            expect=snapshot,
+        )
         return {
             "files_before": len(data_files),
             "files_after": int(n_out),
@@ -732,7 +844,14 @@ class Lake:
         new = df if cur is None else self.spark.read.parquet(str(cur)).unionByName(df)
         ver = self._new_version()
         staging = base / f"_staging-{ver}"
-        new.write.mode("overwrite").parquet(str(staging))
+        # preserve the current version's partition layout (a bare rewrite
+        # would flatten e.g. checks' check_date dirs on the first
+        # idempotent append)
+        pcols = self._detect_partition_cols(cur) if cur is not None else []
+        w = new.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(str(staging))
         lf = staging / "_batches.json"
         lf.write_text(_json.dumps(ledger + [batch_id]))
         fd = os.open(lf, os.O_RDONLY)
