@@ -39,7 +39,7 @@ def test_paragraph_dedup_split_regex_prose(spark):
         r["doc_id"]: r
         for r in paragraph_dedup(df, split_regex=r"\n\n+").collect()
     }
-    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["clean_text"] == "alpha beta\n\ngamma delta"
     assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
     assert got[2]["clean_text"] == "epsilon zeta"
     assert (got[3]["n_kept"], got[3]["clean_text"]) == (0, "")
@@ -53,7 +53,7 @@ def test_paragraph_dedup_intra_doc_repeat(spark):
     )
     got = paragraph_dedup(df, split_regex=r"\n\n+").collect()[0]
     assert (got["n_paras"], got["n_kept"]) == (3, 2)
-    assert got["clean_text"] == "p q r s"
+    assert got["clean_text"] == "p q\n\nr s"
 
 
 def test_padding_waste_invariants(spark):
@@ -91,3 +91,23 @@ def test_paragraph_dedup_reconstruction_is_lossless_without_dups(spark):
     )
     bad = joined.filter(~F.col("ok") | ~F.col("all_kept")).count()
     assert bad == 0
+
+
+def test_paragraph_dedup_whitespace_variant_collapses(spark):
+    """Leading/trailing whitespace must not let repeated boilerplate
+    escape the dedup key (paragraphs trim before hashing)."""
+    df = spark.createDataFrame(
+        [(1, "x\n\ngamma delta"), (2, "y\n\n  gamma delta \n\nz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, split_regex=r"\n\n+").collect()}
+    assert got[2]["n_kept"] == 2
+    assert got[2]["clean_text"] == "y\n\nz"
+
+
+def test_padding_waste_empty_input_reports_zeros(spark):
+    df = spark.createDataFrame([], "doc_id long, n long")
+    rows = {r["strategy"]: r for r in padding_waste_report(df, "n").collect()}
+    for r in rows.values():
+        assert (r["n_batches"], r["real_tokens"], r["padded_tokens"]) == (0, 0, 0)
+        assert r["waste_ratio"] == 0.0

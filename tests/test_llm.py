@@ -187,9 +187,15 @@ def test_simhash_map_matches_table_form(spark, docs, sf_dir):
 
 
 def test_simhash_near_dups_blocking(spark, docs):
-    out = simhash_near_dups(docs, max_hamming=16, num_blocks=4)
+    # max_hamming must stay below num_blocks for pigeonhole completeness
+    out = simhash_near_dups(docs, max_hamming=15, num_blocks=16)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=16, num_blocks=4)
 
 
 # ------------------------------------------------------------- similarity --

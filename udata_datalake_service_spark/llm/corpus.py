@@ -141,9 +141,17 @@ def paragraph_dedup(
     SURVIVING paragraph text shuffles to the reassembly; the ownership
     aggregate moves hashes.
     """
+    # regex mode reassembles with a blank line so paragraph BOUNDARIES
+    # survive (a space-joined output could never be paragraph-deduped
+    # again); token mode joins with the space the chunks were cut on
+    join_sep = "\n\n" if split_regex is not None else " "
     if split_regex is not None:
+        # trim each paragraph BEFORE hashing: ' gamma delta' and
+        # 'gamma delta' are the same boilerplate, and the emptiness
+        # filter already treats them alike
         paras = F.filter(
-            F.split(F.col(text), split_regex), lambda p: F.length(F.trim(p)) > 0
+            F.transform(F.split(F.col(text), split_regex), lambda p: F.trim(p)),
+            lambda p: F.length(p) > 0,
         )
     else:
         toks = tokens(F.col(text))
@@ -178,7 +186,7 @@ def paragraph_dedup(
                     F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
                     lambda s: s["ptext"],
                 ),
-                " ",
+                join_sep,
             ).alias("clean_text"),
         )
     )
@@ -234,11 +242,18 @@ def padding_waste_report(
         return per_batch.agg(
             F.lit(label).alias("strategy"),
             F.count(F.lit(1)).cast("long").alias("n_batches"),
-            F.sum("real").cast("long").alias("real_tokens"),
-            F.sum("padded").cast("long").alias("padded_tokens"),
-            F.round(
-                (F.sum("padded") - F.sum("real")) / F.sum("padded"), 6
-            ).alias("waste_ratio"),
+            F.coalesce(F.sum("real"), F.lit(0)).cast("long").alias("real_tokens"),
+            F.coalesce(F.sum("padded"), F.lit(0)).cast("long").alias("padded_tokens"),
+            # empty input (or all-NULL lengths): 0.0, not NULL — the same
+            # empty-denominator guard every sibling operator carries
+            F.when(
+                F.coalesce(F.sum("padded"), F.lit(0)) > 0,
+                F.round(
+                    (F.sum("padded") - F.sum("real")) / F.sum("padded"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("waste_ratio"),
         )
 
     arrival = leg([F.asc("id")], "arrival")

@@ -126,21 +126,20 @@ def ngram_jaccard_pairs(
     frame, letting several variants share one shingling pass.
     """
     prebuilt = index is not None
-    sh = index if prebuilt else shingle_index(df, text=text, id_col=id_col, k=k)
-    if max_df is not None:
-        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
-        sh = sh.join(rare.select("sh"), on="sh", how="inner")
+    raw = index if prebuilt else shingle_index(df, text=text, id_col=id_col, k=k)
     if not prebuilt:
-        # the inverted index is read 3× (sizes + both join sides); persist
-        # it so shingling runs once (the production analogue is a
-        # materialized shingle-index table).
-        sh = sh.persist()
-    elif max_df is not None:
-        # the caller's index is already persisted, but the max_df semi-join
-        # derivative is NOT — without its own (small, capped) cache the
-        # df-count shuffle + filter join would re-execute for each of the
-        # 3 reads (no ReusedExchange in the executed plan)
-        sh = sh.persist()
+        # persist the RAW index before deriving anything from it: with
+        # max_df the raw index feeds both the df-count aggregate and the
+        # semi-join probe side, so persisting only the filtered
+        # derivative would still shingle the corpus twice.
+        raw = raw.persist()
+    sh = raw
+    if max_df is not None:
+        rare = raw.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+        # the capped derivative gets its own (small) cache — it is read
+        # 3× below (sizes + both join sides) and would otherwise re-run
+        # the df-count shuffle per read (no ReusedExchange in the plan)
+        sh = raw.join(rare.select("sh"), on="sh", how="inner").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("id").alias("id_a"), "sh")
@@ -161,9 +160,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # whichever branch persisted `sh` above, hand it to the action owner
-    # for release (see caching.adopt/settle)
-    return adopt(out, sh) if (not prebuilt or max_df is not None) else out
+    # hand every internally-persisted frame to the action owner for
+    # release (see caching.adopt/settle)
+    caches = ([] if prebuilt else [raw]) + ([sh] if max_df is not None else [])
+    return adopt(out, *caches) if caches else out
 
 
 def ngram_jaccard_pairs_prefix(
@@ -340,7 +340,22 @@ def lsh_candidate_pairs(
 
     All band keys are derived in ONE pass over the signatures (posexplode),
     not one re-read of the upstream per band.
+
+    Bands must fit the signature: a slice past the end would yield the
+    SAME md5('') key for every document in the trailing bands, turning
+    the banding into an all-pairs cross candidate set — so a
+    ``num_bands × rows_per_band`` larger than the signature raises
+    (validated against one probed row; an empty frame skips the probe
+    and returns no candidates anyway).
     """
+    probe = signatures.select("sig").head(1)
+    if probe:
+        sig_len = len(probe[0]["sig"])
+        if num_bands * rows_per_band > sig_len:
+            raise ValueError(
+                f"banding needs num_bands*rows_per_band <= len(signature): "
+                f"{num_bands}*{rows_per_band} > {sig_len}"
+            )
     keys = F.array(
         *[
             F.md5(
@@ -508,10 +523,20 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit hash into ``num_blocks`` 16-bit
-    blocks; any pair within distance d < num_blocks must agree on ≥1 block →
+    Pigeonhole blocking: split the 64-bit hash into ``num_blocks`` blocks;
+    any pair within distance d < num_blocks must agree on ≥1 block →
     equi-join per block, then exact popcount filter. No cross join.
+
+    The guarantee REQUIRES ``max_hamming < num_blocks`` — a looser radius
+    would silently drop qualifying pairs whose differing bits spread
+    across every block, so the mismatch raises instead.
     """
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"pigeonhole blocking is complete only for max_hamming < "
+            f"num_blocks (got {max_hamming} >= {num_blocks}); raise "
+            "num_blocks (it need not divide 64 evenly)"
+        )
     with_h = simhash_map(df, text=text, id_col=id_col, out="h")
     block_bits = 64 // num_blocks
 
