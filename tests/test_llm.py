@@ -1467,3 +1467,70 @@ def test_temporal_split_embargo(spark):
 
     with _pytest.raises(ValueError):
         temporal_split(df, "ts", d(2024, 3, 1), d(2024, 2, 1))
+
+
+def test_cosine_zero_vector_is_safe_under_ansi(spark):
+    """A zero-norm vector must score 0.0 (not raise DIVIDE_BY_ZERO under
+    the ANSI session) through every expression-side cosine path."""
+    from udata_datalake_service_spark.llm.similarity import (
+        assign_nearest_centroid,
+        brute_force_topk,
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"] == 0.0
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2).collect()
+    assert all(r["cos"] == 0.0 for r in got)
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    a = assign_nearest_centroid(vecs, cents).collect()
+    zero_row = [r for r in a if r["vec_id"] == 1][0]
+    assert zero_row["cos"] == 0.0 and zero_row["assigned_label"] == 0  # tie -> lower
+
+
+def test_semantic_dedup_string_labels_and_ids(spark):
+    """Output id/cluster types derive from the input (string labels used
+    to crash the matmul path's hardcoded int64 schema)."""
+    from udata_datalake_service_spark.llm.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], "web"),
+            ("b", [0.99, 0.01], "web"),
+            ("c", [0.0, 1.0], "wiki"),
+        ],
+        "vec_id string, embedding array<double>, label string",
+    )
+    for method in ("matmul", "expr"):
+        out = semantic_dedup(df, threshold=0.9, method=method)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert set(rows) == {"a", "b", "c"}
+        assert isinstance(rows["a"]["cluster"], str)
+        # the near-identical pair: exactly one of a/b is the dup
+        assert rows["a"]["is_dup"] != rows["b"]["is_dup"]
+        assert not rows["c"]["is_dup"]
+
+
+def test_kmeans_raises_on_empty_cluster(spark):
+    """Duplicate seed vectors collapse a cluster; the harness contract is
+    a loud failure, not a silent k-1 result."""
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.llm.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)],  # all identical vectors
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(RuntimeError, match="empty"):
+        kmeans_fit(df, k=2, max_iterations=3)

@@ -58,7 +58,15 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    """Cosine similarity, zero-norm-safe: a zero vector scores 0.0
+    against everything. The session runs ANSI mode, so an unguarded
+    ``/0`` would RAISE and kill the job — and zero vectors are reachable
+    through ordinary preprocessing (`standardize_embeddings` zeroes any
+    row equal to the per-dimension mean). 0.0 matches the numpy kernels'
+    guard (`semantic_dedup` clamps zero norms), keeping the pinned
+    expr≡matmul equality."""
+    denom = norm(a, dim) * norm(b, dim)
+    return F.when(denom > 0, dot(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -89,7 +97,15 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+            # zero-norm-safe under the ANSI session (see `cosine`)
+            F.round(
+                F.when(
+                    F.col("qn") * F.col("cn") > 0,
+                    dot(F.col("qv"), F.col("cv"), dim)
+                    / (F.col("qn") * F.col("cn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -208,7 +224,15 @@ def lsh_bucketed_topk(
         .join(c, on="neighbor_id")
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+            # zero-norm-safe under the ANSI session (see `cosine`)
+            F.round(
+                F.when(
+                    F.col("qn") * F.col("cn") > 0,
+                    dot(F.col("qv"), F.col("cv"), dim)
+                    / (F.col("qn") * F.col("cn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -283,10 +307,21 @@ def ivf_topk(
     scored = (
         probed.join(assigned, on="list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # NO dedup needed (unlike the LSH path's distinct): each corpus
+        # vector carries exactly one list_id and a query's probed lists
+        # are distinct argsort indices, so candidates are already unique
+        # — a dropDuplicates here would be a pure extra shuffle
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6),
+            # zero-norm-safe under the ANSI session (see `cosine`)
+            F.round(
+                F.when(
+                    F.col("qn") * F.col("cn") > 0,
+                    dot(F.col("qv"), F.col("cv"), dim)
+                    / (F.col("qn") * F.col("cn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -379,12 +414,16 @@ def exact_near_dup_pairs(
         num_blocks = max(1, -(-n // block_rows))
     nb = int(num_blocks)
 
-    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+    # pid arithmetic in LONG: blk*nb reaches ~nb² and overflows int32
+    # around nb≈46k (≈400M rows at the default block size) — ANSI mode
+    # would kill the job, non-ANSI would silently collide block pairs
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("long")
     # A-side: block i participates in pairs (i, j) for j in i..nb-1.
     a_pids = F.transform(
         F.sequence(F.col("blk"), F.lit(nb - 1)),
         lambda j: F.struct(
-            (F.col("blk") * nb + j).alias("pid"), F.lit(0).alias("side")
+            (F.col("blk") * F.lit(nb).cast("long") + j).alias("pid"),
+            F.lit(0).alias("side"),
         ),
     )
     # B-side: block j participates in pairs (i, j) for i in 0..j-1 (the
@@ -395,7 +434,8 @@ def exact_near_dup_pairs(
             F.sequence(F.lit(0), F.col("blk")), lambda i: i < F.col("blk")
         ),
         lambda i: F.struct(
-            (i * nb + F.col("blk")).alias("pid"), F.lit(1).alias("side")
+            (i.cast("long") * F.lit(nb).cast("long") + F.col("blk")).alias("pid"),
+            F.lit(1).alias("side"),
         ),
     )
     exploded = (
@@ -503,8 +543,6 @@ def label_centroids(
     combined) → per-label ordered collect. Shuffles carry (label, pos)
     longs, never vectors. Returns (label_col, centroid, n_vectors).
     """
-    from udata_datalake_service_spark.llm.similarity import _as_double
-
     ex = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(_as_double(F.col(vec))).alias("pos", "x"),
@@ -543,13 +581,27 @@ def assign_nearest_centroid(
     Returns (id_col, assigned_label, cos)."""
     from pyspark.sql import Window
 
+    # norms precompute BEFORE the k-way blow-up (1 dot per pair instead
+    # of 3 — the brute_force_topk convention; identical arithmetic to
+    # `cosine`, so values are bit-equal), zero-norm-safe under ANSI
     c = centroids.select(
         F.col(label_col).alias("__clabel"), F.col("centroid").alias("__c")
+    ).withColumn("__cn", norm(F.col("__c")))
+    scored = (
+        df.select(F.col(id_col), _as_double(F.col(vec)).alias("__v"))
+        .withColumn("__vn", norm(F.col("__v")))
+        .crossJoin(F.broadcast(c))
     )
-    scored = df.select(F.col(id_col), _as_double(F.col(vec)).alias("__v")).crossJoin(
-        F.broadcast(c)
+    scored = scored.withColumn(
+        "cos",
+        F.round(
+            F.when(
+                F.col("__vn") * F.col("__cn") > 0,
+                dot(F.col("__v"), F.col("__c")) / (F.col("__vn") * F.col("__cn")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
     )
-    scored = scored.withColumn("cos", F.round(cosine(F.col("__v"), F.col("__c")), 6))
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("__clabel"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -625,6 +677,13 @@ def kmeans_fit(
             label_col="label",
             quantum=quantum,
         ).select("label", "centroid").localCheckpoint(eager=True)
+        n_live = centroids.count()
+        if n_live < k:
+            raise RuntimeError(
+                "k-means cluster became empty (duplicate seed vectors or k "
+                f"too large for the data): {n_live} < {k} centroids — lower "
+                "k or dedup the corpus first"
+            )
     else:
         raise RuntimeError(
             f"kmeans_fit did not converge within {max_iterations} rounds"
@@ -688,15 +747,27 @@ def semantic_dedup(
         .join(base, on="id")
     )
     if method == "matmul":
-        import numpy as np
-        import pandas as pd
+        # np/pd are module-level imports (pandas_udf hint resolution
+        # requires it); output id/cluster types derive from the INPUT
+        # frames, so string labels and ids work exactly as they do in
+        # label_centroids / assign_nearest_centroid
+        from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("cluster", df.schema[label_col].dataType),
+                StructField("centroid_cos", DoubleType()),
+                StructField("is_dup", BooleanType()),
+            ]
+        )
 
         def scan(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
             out = pd.DataFrame(
                 {
                     id_col: pdf["id"].values,
-                    "cluster": pdf["cluster"].astype("int64").values,
+                    "cluster": pdf["cluster"].values,
                     "centroid_cos": pdf["centroid_cos"].values,
                 }
             )
@@ -717,10 +788,7 @@ def semantic_dedup(
             out["is_dup"] = (eligible & dom).any(axis=1)
             return out
 
-        return mem.groupBy("cluster").applyInPandas(
-            scan,
-            schema=f"{id_col} long, cluster long, centroid_cos double, is_dup boolean",
-        )
+        return mem.groupBy("cluster").applyInPandas(scan, schema=out_schema)
     x, y = mem.alias("x"), mem.alias("y")
     pair_cos = F.round(cosine(F.col("x.v"), F.col("y.v")), 6)
     dominated = (
@@ -742,7 +810,7 @@ def semantic_dedup(
         mem.join(dropped, on="id", how="left")
         .select(
             F.col("id").alias(id_col),
-            F.col("cluster").cast("long").alias("cluster"),
+            F.col("cluster"),
             F.col("centroid_cos"),
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
