@@ -4303,8 +4303,8 @@ WITH noisy AS (
   {source}
 ), split0 AS (
   SELECT doc_id, t,
-    list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'), w -> w <> '') AS w,
-    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+    list_filter(string_split_regex(coalesce(t, ''), '[ \\t\\n\\r\\f\\v]+'), w -> w <> '') AS w,
+    list_filter(string_split_regex(coalesce(t, ''), '\\r?\\n'), l -> trim(l) <> '') AS lines
   FROM noisy
 ), b AS (
   SELECT doc_id, w, lines,
@@ -4317,8 +4317,8 @@ WITH noisy AS (
     len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
       [{stop_list}])) AS n_stop_hits,
     len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•‣▪\\-\\*]'))) AS n_bullet,
-    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellip,
+    len(list_filter(lines, l -> regexp_matches(l, '^[ \\t\\n\\r\\f\\x0B]*[•‣▪\\-\\*]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$'))) AS n_ellip,
     len(lines) - len(list_distinct(lines)) AS n_dup_lines,
     len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
       + len(regexp_extract_all(t, '…')) AS n_symbols

@@ -57,6 +57,12 @@ DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 MIN_WORDS, MAX_WORDS = 50, 100_000
 MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+# Deviation from Rae et al. Table A1, kept deliberately: the paper applies
+# the 0.10 bound to the hash ratio and the ellipsis ratio SEPARATELY; this
+# gate sums them into one symbol_word_ratio before the same bound, i.e. a
+# strictly stricter rejection. Both engines implement the summed form, so
+# the oracle replay is exact; splitting it is a one-line change on each
+# side if paper-exact behavior is ever needed.
 MAX_SYMBOL_WORD_RATIO = 0.10
 MAX_BULLET_LINE_FRAC = 0.90
 MAX_ELLIPSIS_LINE_FRAC = 0.30
@@ -65,8 +71,10 @@ MIN_STOPWORD_HITS = 2
 MAX_DUP_LINE_FRAC = 0.30
 MAX_DUP_LINE_CHAR_FRAC = 0.20
 
-_BULLET_RE = r"^\s*[•‣▪\-\*]"
-_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+# explicit whitespace class, not \s: Java's \s includes \x0B, RE2's
+# (the DuckDB oracle) does not — same portability rule as WS_CLASS below
+_BULLET_RE = r"^[ \t\n\r\f\x0B]*[•‣▪\-\*]"
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t\n\r\f\x0B]*$"
 
 
 # Explicit ASCII whitespace class, identical in all three engines: Java's
@@ -81,8 +89,12 @@ def _words(text_col: Column) -> Column:
 
 
 def _lines(text_col: Column) -> Column:
-    """Non-blank lines (a blank line is structure, not content)."""
-    return F.filter(F.split(text_col, r"\n"), lambda l: F.trim(l) != "")
+    """Non-blank lines (a blank line is structure, not content).
+
+    Splits on ``\r?\n`` so CRLF documents don't turn every blank line
+    into a non-blank '\r' line (trim strips only spaces), which inflated
+    dup_line_frac enough to flunk clean Windows-formatted text."""
+    return F.filter(F.split(text_col, r"\r?\n"), lambda l: F.trim(l) != "")
 
 
 def base_signals(
@@ -94,7 +106,10 @@ def base_signals(
     """The map-only signal block: one projection, no shuffle.
     ``keep_text`` carries the raw text through as ``__text`` so
     `gopher_quality` can fuse the n-gram pandas stage with zero joins."""
-    t = F.col(text)
+    # total over NULL text: size(NULL) would propagate to a NULL verdict
+    # that belongs to neither the pass nor the fail partition, breaking
+    # survivorship reconciliation — NULL reads as the empty document
+    t = F.coalesce(F.col(text), F.lit(""))
     w = _words(t)
     lines = _lines(t)
     nw = F.size(w)
@@ -292,8 +307,15 @@ def ngram_repetition(
     """
     import pandas as pd
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     fields = [f"_top{n}" for n in TOP_NS] + [f"_dup{n}" for n in DUP_NS]
-    schema = f"{id_col} long, " + ", ".join(f"{f} long" for f in fields)
+    # id type derives from the input (string/uuid doc ids are routine in
+    # dedup pipelines; a hardcoded long schema crashed Arrow conversion)
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType)]
+        + [StructField(f, LongType()) for f in fields]
+    )
 
     def compute(batches):
         for pdf in batches:

@@ -58,6 +58,14 @@ def pack_stream(
         .orderBy(F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL token counts would silently emit NULL chunk bounds here (and
+    # crash pack_greedy's kernel) — fail loudly at the first NULL instead
+    out = out.withColumn(
+        "__nn",
+        F.assert_true(
+            F.col(token_col).isNotNull(), f"NULL {token_col} in pack_stream"
+        ),
+    ).drop("__nn")
     cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     out = out.withColumn("cum_before", cum_before)
     b = int(budget)
@@ -67,7 +75,9 @@ def pack_stream(
         out.withColumn("chunk_first", F.expr(f"cum_before DIV {b}"))
         .withColumn(
             "chunk_last",
-            F.expr(f"(cum_before + CAST({token_col} AS BIGINT) - 1) DIV {b}"),
+            # backticks: a token column named with a space/hyphen must not
+            # break the one SQL-string expression in this module
+            F.expr(f"(cum_before + CAST(`{token_col}` AS BIGINT) - 1) DIV {b}"),
         )
         .withColumn("n_chunks", F.col("chunk_last") - F.col("chunk_first") + 1)
         .withColumn("offset_in_chunk", F.col("cum_before") % F.lit(b))
@@ -101,22 +111,35 @@ def pack_greedy(
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["tokens"].isna().any():
+            # Arrow converts a nullable long column to float64 NaN; NaN
+            # fails every fit test and int(NaN) raises mid-pack — fail
+            # with a nameable error instead
+            raise ValueError(f"NULL {token_col} in pack_greedy")
         pdf = pdf.sort_values(
             ["tokens", "id"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
-        pack_totals: list[int] = []
+        # first-fit scan vectorized with numpy: identical placement to the
+        # Python loop (argmax returns the FIRST open pack with room), but
+        # the per-doc scan runs in C — the pure-Python form was
+        # O(docs × packs) interpreter work and became the straggler on
+        # million-doc buckets
+        import numpy as np
+
+        remaining = np.empty(len(pdf), dtype=np.int64)
+        n_packs = 0
         assignment = []
-        for t in pdf["tokens"]:
-            placed = None
-            for i, total in enumerate(pack_totals):
-                if total + t <= budget:
-                    placed = i
-                    break
-            if placed is None:
-                pack_totals.append(0)
-                placed = len(pack_totals) - 1
-            pack_totals[placed] += int(t)
-            assignment.append(placed)
+        for t in pdf["tokens"].to_numpy():
+            if n_packs:
+                fits = remaining[:n_packs] >= t
+                idx = int(np.argmax(fits))
+                if fits[idx]:
+                    remaining[idx] -= t
+                    assignment.append(idx)
+                    continue
+            remaining[n_packs] = budget - t
+            assignment.append(n_packs)
+            n_packs += 1
         pdf["pack_id"] = assignment
         return pdf
 
