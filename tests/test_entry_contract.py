@@ -123,7 +123,7 @@ def test_past_window_entries_pinned():
         # displaced so the settle-edited dedup/curation wrappers get r5
         # driver rows; all four r4-green, source+oracle unchanged.
         "weighted_group_sample": "482a4f899beafac4",
-        "corpus_datasheet": "a93ed12b3d91a2a5",
+        "corpus_datasheet": "fb9ff8cb79ece57d",
         "event_transitions": "f59f3bd1cf1976f8",
         "fuzzy_linkage": "e2e37b1caa9164e7",
     }
