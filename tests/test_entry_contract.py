@@ -28,117 +28,73 @@ def test_entry_runs(spark):
     }
 
 
-def test_past_window_entries_pinned():
-    """The driver attests only the first 50 queries() entries; anything
-    past that window is never correctness-checked again. Pin the stable
-    entries' oracle SQL + builder source so any edit fails here and forces
-    either a registry reorder (back into the window) or a conscious local
-    re-attestation via `python tools/parity.py /root/testdata/sf0.01 <q>`
-    (then update the hash). Every past-window entry MUST be pinned; pinned
-    entries that happen to sit inside the window are also hash-checked
-    (they are pinned precisely because they are meant to be frozen)."""
-    import hashlib
-    import inspect
+def test_rotation_invariants():
+    """Round-6 structural fix (VERDICT r5 #2): the registry order is the
+    attestation rotation, not a hand-curated list. Invariants:
 
+    1. insertion order == attestation.rotation_order (the driver reads
+       insertion order, so this IS the window assignment);
+    2. every NEW_OR_CHANGED entry that exists sits inside the 50-slot
+       window (new/changed code always gets a driver row this round);
+    3. no entry past the window is staler than CURRENT_ROUND - 2 — with
+       108+ queries and 50 slots the rotation re-attests everything every
+       ceil(N/50) = 3 rounds, so a past-window entry last attested more
+       than 2 rounds ago means the ledger was not regenerated
+       (tools/attest_map.py) or the rotation was bypassed;
+    4. every entry is either in the ledger or flagged NEW_OR_CHANGED —
+       a query cannot dodge the window by missing from both."""
     import __spark_entry__ as m
-
-    pinned = {
-        "dd_lsh_pairs": "3b7845309cd805ec",
-        "dd_dup_clusters": "a942751482635865",
-        "dd_ngram_jaccard": "c8463be4c210baaa",
-        "dd_simhash": "8e7b1d1f94cc12b1",
-        "ann_topk": "d4949705271c7d0e",
-        "ann_near_dups_exact": "7ad62cec68310991",
-        "mm_media_meta": "ede64cd4e7afb19f",
-        "mm_frame_sample": "fa24ac249be1dd08",
-        "s4_excel_load": "401bc40bea948163",
-        "s5_catalog_load": "8c916450d8a84b71",
-        "s6_csv_ingest_inference": "e98a7ff3cb51a3dd",
-        "k_lake_roundtrip": "d79d5ac34c6a09e0",
-        "k8_drop_table": "1b8eb091ab30ce71",
-        "f3_smart_cast": "f8fb11589a877521",
-        "f4_date_parse_multi": "9a8d132e6ecf1c91",
-        "f_scalar_surface": "79b10697749d9310",
-        "a1_group_topk": "173db30ff25b6f72",
-        "a5_st2_backoff_table": "e73f11376dac428d",
-        "a8_purge_returning_count": "1aac74f23bb5e6f4",
-        "a9_profile": "872ecd117c841a16",
-        "o4_csv_sample": "43da0e2e8471d4f8",
-        "u2_upsert_merge": "cd93589d050220f9",
-        "u3_snapshot_diff": "13243a6a600c8ebd",
-        "j3_u7_batch_select_claim": "731bb8eca36e081e",
-        "j5_latest_per_key": "3b7b90703f42942a",
-        "j6_status_dashboard": "55da63d3f0ca2c67",
-        "o3_deterministic_sample": "f57294af8cb626fe",
-        "p10_retention_survivors": "03df8f025f9aff43",
-        "st3_next_check_ladder": "b26551684817f595",
-        "a6_max_booland": "d72b2911f07575a2",
-        "a7_count_over_all": "ace81c51ce0b79a6",
-        "o1_top2_per_key": "87f8b4d1bdf8a45e",
-        "p1_point_lookup": "11ba53a3858917bc",
-        "p3_exclusion_filter": "6a510929d218eacd",
-        "p4_date_cast_filter": "c5dcc6b839857a50",
-        "p5_json_extract": "01fe1502c2d73977",
-        "p6_range_predicate": "53b8e2ef7b6c976e",
-        "p9_time_window": "939d5e4c8cdbae60",
-        "j1_current_state_join": "cbb933d8a8de71bf",
-        "j2_history_join": "9246c11565ed03f3",
-        "j4_orphan_left_join": "6ed6a7cf750c5819",
-        "u1_union_tiers": "97dd52a4afd825c5",
-        "o5_ordered_scan": "dc79c138232fbe43",
-        "ann_recall": "4fa4216d2958a652",
-        "curriculum": "bf593dad005e1af9",
-        "dd_jaccard_prefix": "841578efc398949e",
-        # displaced past-window in r5 to make room for the three entries
-        # above (which had never had a driver row); all three were
-        # driver-green in CORRECTNESS_r04.json.
-        "tx_curate_pipeline": "6a8de6392d292531",
-        "dd_exact_prefix_groups": "917099a2c45e40f9",
-        "dd_minhash_signature": "00c84ec1ffc25d9f",
-        # displaced by the r5 corpus-diagnostics additions (tx_novelty /
-        # dd_paragraph_dedup / pack_waste); all three driver-green in r4.
-        "skew_salted_count": "08fd1a7c35533a0a",
-        "tx_text_metrics": "eb4f26191b646fd4",
-        "tx_fingerprint": "af504f92abbd4ecd",
-        # displaced by the r5 url_quality addition; driver-green in r4.
-        "k9_webhook_payload": "3fb0bd573b5f29a8",
-        # displaced by the r5 corpus_ingest addition; driver-green in r4.
-        "s7_mime_sniff": "c4a6522fbe1d5509",
-        # displaced by the r5 tx_bigram_surprisal addition; driver-green in r4.
-        "st45_change_trigger": "209505748f8e3a8d",
-        # displaced by the r5 tx_blocklist / mixture_plan additions;
-        # driver-green in r4.
-        "u456_point_dml": "909bf94a9669b931",
-        "p78_predicate_surface": "75b5086fa2f2052d",
-        # displaced by the r5 dd_lsh_eval addition; driver-green in r4.
-        "a234_dashboard_aggs": "90dbb7b516754d5d",
-        # displaced by the r5 html_extract addition; driver-green in r4.
-        "cube_rollup": "374822c72a8809ba",
-        # displaced by the r5 dq_expectations addition; driver-green in r4.
-        "window_surface": "e7fd9cf6a8c6a652",
-        # displaced by the r5 scd2_merge addition (swapped below the
-        # settle-edited interval_join, which must stay in-window);
-        # driver-green in r4, unchanged source.
-        "k10_time_travel": "034b30b6301797f6",
-        # displaced so the settle-edited dedup/curation wrappers get r5
-        # driver rows; all four r4-green, source+oracle unchanged.
-        "weighted_group_sample": "482a4f899beafac4",
-        "corpus_datasheet": "fb9ff8cb79ece57d",
-        "event_transitions": "f59f3bd1cf1976f8",
-        "fuzzy_linkage": "e2e37b1caa9164e7",
-    }
-    qs = m.queries()
-    sql = m.oracle_sql()
-    past_window = list(qs)[50:]
-    assert set(past_window) <= set(pinned), (
-        "un-pinned entries escaped the attestation window - re-pin after "
-        f"re-attesting: {sorted(set(past_window) - set(pinned))}"
+    from udata_datalake_service_spark.attestation import (
+        CURRENT_ROUND,
+        LAST_DRIVER_ROUND,
+        NEW_OR_CHANGED,
+        rotation_order,
     )
-    for name in pinned:
-        h = hashlib.sha256(
-            (sql.get(name, "") + inspect.getsource(qs[name])).encode()
-        ).hexdigest()[:16]
-        assert h == pinned[name], (
-            f"{name} changed since its last attestation - run tools/parity.py "
-            "on it at sf0.01, then update the hash"
-        )
+
+    names = list(m.queries())
+    assert names == rotation_order(names)
+    window = set(names[:50])
+    present_new = NEW_OR_CHANGED & set(names)
+    assert present_new <= window, sorted(present_new - window)
+    stale = {
+        n: LAST_DRIVER_ROUND.get(n, 0)
+        for n in names[50:]
+        if LAST_DRIVER_ROUND.get(n, 0) < CURRENT_ROUND - 2
+    }
+    assert not stale, f"past-window entries too stale: {stale}"
+    unledgered = [
+        n for n in names if n not in LAST_DRIVER_ROUND and n not in NEW_OR_CHANGED
+    ]
+    assert not unledgered, unledgered
+
+
+def test_attested_entries_pinned():
+    """Every entry NOT new/changed this round is pinned as
+    sha256(oracle + source): an edit to an already-attested query fails
+    here and forces a conscious re-attestation (tools/parity.py at
+    sf0.01) followed by `python tools/pin_hashes.py`. Combined with
+    test_rotation_invariants this gives the full guarantee: changed code
+    is either flagged NEW_OR_CHANGED (and driver-attested this round) or
+    caught as pin drift."""
+    import json
+    import os
+
+    import __spark_entry__ as m  # noqa: F401  (registry import side effects)
+    from tools.pin_hashes import compute_pins
+
+    path = os.path.join(os.path.dirname(__file__), "pinned_queries.json")
+    pinned = json.load(open(path))
+    current = compute_pins()
+    drift = {
+        k: (pinned.get(k), v) for k, v in current.items() if pinned.get(k) != v
+    }
+    assert not drift, (
+        "pinned queries changed since their last attestation - run "
+        f"tools/parity.py on them at sf0.01, then tools/pin_hashes.py: {drift}"
+    )
+    # and nothing pinned may silently vanish from the registry
+    assert set(pinned) <= set(current) | set(
+        __import__(
+            "udata_datalake_service_spark.attestation", fromlist=["NEW_OR_CHANGED"]
+        ).NEW_OR_CHANGED
+    ), sorted(set(pinned) - set(current))

@@ -5418,10 +5418,12 @@ UNION ALL SELECT * FROM fresh
 # The contract
 # =========================================================================
 # Registry order is load-bearing: the driver's correctness gate attests
-# the FIRST 50 entries, so the whole catalog is ordered with the
-# most-recently-changed / least-historically-attested queries first; the
-# entries past the window are untouched queries with green driver rows in
-# every prior round, each pinned by test_entry_contract.py.
+# the FIRST 50 entries. Since round 6 the order is no longer hand-curated:
+# attestation.rotation_order sorts by (new/changed this round first, then
+# least-recently driver-attested), so every query structurally re-enters
+# the 50-slot window at least every ceil(N/50) rounds — see attestation.py
+# and the invariants in tests/test_entry_contract.py. The literal dict
+# below is therefore just the catalog; its textual order is irrelevant.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -5654,3 +5656,12 @@ ORACLES: dict[str, str] = {
     "curriculum": _SQL_CURRICULUM,
     "dd_jaccard_prefix": _SQL_DD_NGRAM,
 }
+
+# Apply the structural attestation rotation (attestation.py): the driver
+# reads insertion order, so rebuilding the dicts in rotation_order IS the
+# window assignment for this round.
+from udata_datalake_service_spark.attestation import rotation_order as _rot  # noqa: E402
+
+_ORDER = _rot(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _ORDER}
+ORACLES = {name: ORACLES[name] for name in _ORDER if name in ORACLES}
