@@ -1,0 +1,134 @@
+"""WARC/WET reader: spec-constructed byte fixtures, no warcio anywhere."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from udata_datalake_service_spark.sources.warc import (
+    gunzip_members,
+    iter_warc_records,
+    read_warc,
+    split_http_payload,
+    write_warc,
+)
+
+
+def _resp(uri: str, body: bytes, status: int = 200) -> tuple[dict, bytes]:
+    payload = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode() + body
+    )
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{uri}>",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        payload,
+    )
+
+
+def _fixture_records():
+    return [
+        ({"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+         b"software: test\r\n"),
+        ({"WARC-Type": "request", "WARC-Target-URI": "http://a/"},
+         b"GET / HTTP/1.1\r\nHost: a\r\n\r\n"),
+        _resp("http://a/", b"<html><body><p>hello</p></body></html>"),
+        # payload that CONTAINS the record delimiter text: a length-driven
+        # parser must not split here
+        _resp("http://b/", b"about WARC/1.0\r\n\r\nWARC/1.0 inline"),
+        ({"WARC-Type": "conversion", "WARC-Target-URI": "http://c/",
+          "Content-Type": "text/plain"}, b"wet extracted text"),
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = _fixture_records()
+    for gz in (False, True):
+        data = write_warc(recs, gzip_members=gz)
+        back = list(iter_warc_records(data))
+        assert len(back) == 5
+        assert [h["warc-type"] for h, _ in back] == [
+            "warcinfo", "request", "response", "response", "conversion",
+        ]
+        # length-driven framing: the delimiter-alike payload survives intact
+        _, p = back[3]
+        assert b"WARC/1.0 inline" in p
+        _, wet = back[4]
+        assert wet == b"wet extracted text"
+
+
+def test_gunzip_members_multi():
+    a = gzip.compress(b"one"), gzip.compress(b"two")
+    assert gunzip_members(a[0] + a[1]) == b"onetwo"
+    with pytest.raises(ValueError, match="truncated"):
+        gunzip_members(a[0][:-4])
+    with pytest.raises(ValueError, match="trailing"):
+        gunzip_members(a[0] + b"junk")
+
+
+def test_http_split():
+    status, hdr, body = split_http_payload(
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+        b"X-Folded: a\r\n  b\r\n\r\n<p>x</p>"
+    )
+    assert status == 404
+    assert hdr["content-type"] == "text/html"
+    assert hdr["x-folded"] == "a b"
+    assert body == b"<p>x</p>"
+    # WET conversion payloads are not HTTP messages
+    status, hdr, body = split_http_payload(b"plain text")
+    assert status is None and hdr == {} and body == b"plain text"
+
+
+def test_malformed_framing_is_loud():
+    good = write_warc([_resp("http://a/", b"x")])
+    with pytest.raises(ValueError, match="truncated payload"):
+        list(iter_warc_records(good[:-8]))
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"NOT-WARC\r\n\r\n"))
+    # shrink Content-Length so the terminator check lands mid-payload
+    n = len(b"HTTP/1.1 200 X\r\nContent-Type: text/html\r\n\r\nx")
+    bad = good.replace(
+        f"Content-Length: {n}".encode(), f"Content-Length: {n - 2}".encode()
+    )
+    assert bad != good
+    with pytest.raises(ValueError, match="terminator"):
+        list(iter_warc_records(bad))
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    # two files — one plain, one per-record-gzip — exercising both codec
+    # legs through the binaryFile + mapInPandas path
+    (tmp_path / "a.warc").write_bytes(write_warc(_fixture_records()))
+    (tmp_path / "b.warc.gz").write_bytes(
+        write_warc([_resp("http://gz/", b"<p>gz body</p>", status=301)],
+                   gzip_members=True)
+    )
+    df = read_warc(spark, str(tmp_path)).cache()
+    try:
+        assert df.count() == 6
+        resp = {
+            r["target_uri"]: r
+            for r in df.filter("warc_type = 'response'").collect()
+        }
+        assert set(resp) == {"http://a/", "http://b/", "http://gz/"}
+        assert resp["http://a/"]["http_status"] == 200
+        assert resp["http://gz/"]["http_status"] == 301
+        assert bytes(resp["http://a/"]["payload"]) == (
+            b"<html><body><p>hello</p></body></html>"
+        )
+        # conversion record payload is the raw extracted text
+        wet = df.filter("warc_type = 'conversion'").collect()[0]
+        assert bytes(wet["payload"]) == b"wet extracted text"
+        assert wet["http_status"] is None
+        # record_seq preserves in-file order for reproducible ids
+        seqs = [r["record_seq"] for r in df.filter(
+            "warc_file like '%a.warc'").orderBy("record_seq").collect()]
+        assert seqs == [0, 1, 2, 3, 4]
+    finally:
+        df.unpersist()

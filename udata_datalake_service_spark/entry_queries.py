@@ -5284,6 +5284,268 @@ FROM documents
 """
 
 
+def q_corpus_warc_ingest(spark, sf_dir):
+    """Raw-crawl boundary end-to-end (sources/warc.py): render documents
+    (doc_id%3=0) as a two-file WARC crawl — one plain, one per-record-gzip
+    (the CommonCrawl member layout) — then run the distributed path:
+    binaryFile → length-driven record split (mapInPandas) → HTTP envelope
+    parse → url_quality gate → html_to_text extraction on the 200s.
+    Fixture quirks attest the parser: a warcinfo + request record per file
+    head must be type-filtered out, doc_id%5=0 responses are 404 (no
+    extraction), doc_id%11=0 URLs are .zip downloads the URL gate drops.
+    The oracle replays record synthesis, URL signals and the extraction
+    cascade in SQL from documents directly — framing bugs (payload
+    truncation, gzip member loss, header misparse) surface as hash or row
+    diffs. Reference anchor: the download→analyse boundary at
+    udata_hydra/utils/file.py:34-75 (this stage sits upstream of it)."""
+    import hashlib
+    import os
+
+    from udata_datalake_service_spark.functions.urls import url_quality_filter
+    from udata_datalake_service_spark.llm.html import html_to_text
+    from udata_datalake_service_spark.sources.warc import read_warc, write_warc
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    files: dict[bool, list] = {False: [], True: []}
+    for gz in files:
+        files[gz].append(
+            (
+                {"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+                b"software: udata-datalake-service-spark\r\n",
+            )
+        )
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        i = r["doc_id"]
+        url = (
+            f"https://files.crawl.test/dl/doc-{i}.zip"
+            if i % 11 == 0
+            else f"https://crawl.test/{r['lang']}/doc-{i}"
+        )
+        status = 404 if i % 5 == 0 else 200
+        html = (
+            f"<html><body><h1>Doc {i}</h1><p>{r['text']}</p></body></html>"
+            if status == 200
+            else "<html><body><p>gone</p></body></html>"
+        )
+        files[i % 2 == 1].append(
+            (
+                {
+                    "WARC-Type": "request",
+                    "WARC-Target-URI": url,
+                    "Content-Type": "application/http; msgtype=request",
+                },
+                f"GET /doc-{i} HTTP/1.1\r\nHost: crawl.test\r\n\r\n".encode(),
+            )
+        )
+        files[i % 2 == 1].append(
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{i}>",
+                    "WARC-Target-URI": url,
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode()
+                + html.encode(),
+            )
+        )
+    d = f"/tmp/spark_warc_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "crawl-00.warc"), "wb") as f:
+        f.write(write_warc(files[False]))
+    with open(os.path.join(d, "crawl-01.warc.gz"), "wb") as f:
+        f.write(write_warc(files[True], gzip_members=True))
+
+    recs = read_warc(spark, d).filter(F.col("warc_type") == "response")
+    gated = url_quality_filter(recs.withColumn("url", F.col("target_uri")), "url")
+    return gated.select(
+        F.regexp_extract("url", r"doc-(\d+)", 1).cast("long").alias("doc_id"),
+        "url",
+        F.col("http_status").cast("int").alias("http_status"),
+        "host",
+        "bad_ext",
+        "url_keep",
+        F.length("payload").cast("long").alias("n_body_bytes"),
+        F.when(
+            (F.col("http_status") == 200) & F.col("url_keep"),
+            html_to_text(F.col("payload").cast("string")),
+        ).alias("text_out"),
+    )
+
+
+def q_dist_match_sample(spark, sf_dir):
+    """Distribution-matched sampling (llm/mixing.py:distribution_match_sample):
+    resample documents so the LENGTH distribution matches a deliberately
+    short-skewed target slice (doc_id%4=0 AND n_chars<300) across 4
+    target-quantile bins. Deterministic end-to-end — target quantile
+    boundaries (percentile ≡ DuckDB quantile_cont), per-bin keep rates
+    computed in the same float-op order on both sides, md5 unit-hash coin —
+    so the oracle replays the whole device and the kept ROW SET is
+    hash-pinned, not just counts."""
+    from udata_datalake_service_spark.llm.mixing import distribution_match_sample
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.col("n_chars").cast("double").alias("s"))
+    target = d.filter((F.col("doc_id") % 4 == 0) & (F.col("n_chars") < 300)).select(
+        F.col("n_chars").cast("double").alias("s")
+    )
+    kept = distribution_match_sample(
+        raw, target, score="s", key_cols=["doc_id"], n_bins=4, seed="dm0"
+    )
+    return kept.select(
+        "doc_id", "s", F.col("__dm_bin").cast("int").alias("dm_bin")
+    )
+
+
+_SQL_DIST_MATCH = """
+WITH raw AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents),
+tgt AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+        WHERE doc_id % 4 = 0 AND n_chars < 300),
+b AS (SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS bs FROM tgt),
+rb AS (
+  SELECT doc_id, s,
+    1 + CASE WHEN s > bs[1] THEN 1 ELSE 0 END
+      + CASE WHEN s > bs[2] THEN 1 ELSE 0 END
+      + CASE WHEN s > bs[3] THEN 1 ELSE 0 END AS dm_bin
+  FROM raw CROSS JOIN b),
+tb AS (
+  SELECT 1 + CASE WHEN s > bs[1] THEN 1 ELSE 0 END
+           + CASE WHEN s > bs[2] THEN 1 ELSE 0 END
+           + CASE WHEN s > bs[3] THEN 1 ELSE 0 END AS dm_bin
+  FROM tgt CROSS JOIN b),
+tc AS (SELECT dm_bin, count(*) AS n FROM tb GROUP BY 1),
+rc AS (SELECT dm_bin, count(*) AS n FROM rb GROUP BY 1),
+sums AS (SELECT (SELECT sum(n) FROM tc) AS nt, (SELECT sum(n) FROM rc) AS nr),
+ratios AS (
+  SELECT rc.dm_bin,
+    (coalesce(tc.n, 0) / CAST(nt AS DOUBLE)) / (rc.n / CAST(nr AS DOUBLE))
+      AS ratio
+  FROM rc LEFT JOIN tc USING (dm_bin) CROSS JOIN sums),
+rates AS (SELECT dm_bin, ratio / max(ratio) OVER () AS rate FROM ratios)
+SELECT doc_id, s, CAST(dm_bin AS INTEGER) AS dm_bin
+FROM rb JOIN rates USING (dm_bin)
+WHERE ('0x' || substr(md5('dm0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 < rate
+"""
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-safe temporal split with embargo (llm/mixing.py:temporal_split):
+    orders before 1996-01-01 train, at/after 1997-01-01 test, the year
+    between is embargoed, and NULLed timestamps (o_orderkey%97=0 here)
+    land in embargo — never silently in train. Pure map-only expressions;
+    the oracle restates the predicate ladder directly."""
+    from udata_datalake_service_spark.llm.mixing import temporal_split
+
+    import datetime
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("ts"),
+    )
+    return temporal_split(
+        o,
+        "ts",
+        datetime.datetime(1996, 1, 1),
+        datetime.datetime(1997, 1, 1),
+    )
+
+
+_SQL_TEMPORAL_SPLIT = """
+WITH o AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS ts
+  FROM orders)
+SELECT o_orderkey, ts,
+  CASE WHEN ts < TIMESTAMP '1996-01-01' THEN 'train'
+       WHEN ts >= TIMESTAMP '1997-01-01' THEN 'test'
+       ELSE 'embargo' END AS split
+FROM o
+"""
+
+
+def _sql_html_cascade(expr: str) -> str:
+    """Replay llm/html.py's html_to_text over an arbitrary SQL HTML
+    expression (DuckDB RE2 flavor, same pattern order as the Spark side)."""
+    t = expr
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script>",
+        r"(?is)<style\b[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        t = f"regexp_replace({t}, '{pat}', ' ', 'g')"
+    t = (
+        f"regexp_replace({t}, "
+        "'(?i)</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)>|<br\\b[^>]*/?>',"
+        " chr(10), 'g')"
+    )
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, repl in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{repl}')"
+    t = f"regexp_replace({t}, '[ \\t]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    return f"trim({t})"
+
+
+_SQL_WARC_HTML = (
+    "'<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text "
+    "|| '</p></body></html>'"
+)
+
+_SQL_CORPUS_WARC_INGEST = f"""
+WITH sel AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 11 = 0
+      THEN 'https://files.crawl.test/dl/doc-' || CAST(doc_id AS VARCHAR) || '.zip'
+      ELSE 'https://crawl.test/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+    END AS url,
+    CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS http_status,
+    CASE WHEN doc_id % 5 = 0
+      THEN '<html><body><p>gone</p></body></html>'
+      ELSE {_SQL_WARC_HTML} END AS html
+  FROM documents WHERE doc_id % 3 = 0
+),
+sig AS (
+  SELECT *,
+    nullif(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS host,
+    regexp_matches(url,
+      '(?i)\\.(exe|zip|rar|7z|dmg|apk|iso|msi|bin|tar|gz)([?#].*)?$') AS bad_ext,
+    round((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))
+          / CAST(greatest(length(url), 1) AS DOUBLE), 6) AS digit_ratio
+  FROM sel
+)
+SELECT doc_id, url, http_status, host, bad_ext,
+  (NOT bad_ext AND length(url) <= 512 AND digit_ratio < 0.5
+   AND NOT coalesce(regexp_matches(host,
+     '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$'), FALSE)
+   AND host IS NOT NULL) AS url_keep,
+  CAST(octet_length(encode(html)) AS BIGINT) AS n_body_bytes,
+  CASE WHEN http_status = 200
+        AND (NOT bad_ext AND length(url) <= 512 AND digit_ratio < 0.5
+             AND NOT coalesce(regexp_matches(host,
+               '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$'), FALSE)
+             AND host IS NOT NULL)
+       THEN {_sql_html_cascade("html")} END AS text_out
+FROM sig
+"""
+
+
 def q_dq_expectations(spark, sf_dir):
     """Row-level data-quality gate (operators/expectations.py): a 5-rule
     constraint set over orders → per-rule violation counts/rates plus the
@@ -5519,6 +5781,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_u7_batch_select_claim": q_j3_u7_batch_select_claim,
     "j5_latest_per_key": q_j5_latest_per_key,
     "j6_status_dashboard": q_j6_status_dashboard,
+    # ---- round 6 ----
+    "corpus_warc_ingest": q_corpus_warc_ingest,
+    "dist_match_sample": q_dist_match_sample,
+    "temporal_split": q_temporal_split,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -5655,6 +5921,10 @@ ORACLES: dict[str, str] = {
     "ann_recall": _SQL_ANN_RECALL,
     "curriculum": _SQL_CURRICULUM,
     "dd_jaccard_prefix": _SQL_DD_NGRAM,
+    # ---- round 6 ----
+    "corpus_warc_ingest": _SQL_CORPUS_WARC_INGEST,
+    "dist_match_sample": _SQL_DIST_MATCH,
+    "temporal_split": _SQL_TEMPORAL_SPLIT,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
