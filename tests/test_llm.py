@@ -148,6 +148,48 @@ def test_near_dup_clusters_raises_on_exhausted_budget(spark):
         near_dup_clusters(ids, pairs, max_iterations=2)
 
 
+def test_star_clusters_beats_minlabel_on_long_chains(spark):
+    """The VERDICT-r5 scale gap: a path graph whose diameter exceeds the
+    min-label budget fails LOUDLY on the default method and converges on
+    method='star' (large-star/small-star is O(log²n) rounds regardless of
+    diameter). Both methods share the output contract, so star labels the
+    whole 64-path with its min id."""
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(ids, pairs, max_iterations=8)
+    got = near_dup_clusters(ids, pairs, max_iterations=12, method="star").agg(
+        F.count_distinct("cluster_id").alias("k"), F.min("cluster_id").alias("m")
+    ).collect()[0]
+    assert (got["k"], got["m"]) == (1, 0)
+
+
+def test_star_clusters_matches_minlabel(spark):
+    """Drop-in interchangeability: on a mixed graph (chains, a triangle,
+    reversed/duplicate/self pairs, singletons) the two methods produce
+    identical (doc_id → cluster_id) maps."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    raw = [
+        (1, 2), (2, 3), (3, 1),      # triangle
+        (5, 6), (6, 7), (7, 8),      # chain
+        (9, 10), (10, 9), (9, 9),    # duplicate + reversed + self pair
+    ]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    a = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(ids, pairs).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(ids, pairs, method="star").collect()
+    }
+    assert a == b
+    assert a[3] == 1 and a[8] == 5 and a[10] == 9 and a[0] == 0 and a[11] == 11
+
+
 def test_minhash_lsh_pipeline(spark, docs):
     sigs = minhash_signatures(docs, num_hashes=16, k=2)
     assert sigs.select(F.size("sig")).distinct().collect()[0][0] == 16

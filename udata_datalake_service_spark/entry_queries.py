@@ -1945,6 +1945,45 @@ SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
 """
 
 
+def q_dd_star_clusters(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    (llm/dedup.py:star_clusters, Kiveris et al. 2014) on a pair graph
+    min-label propagation CANNOT resolve: 120-node duplicate chains
+    (edges doc_id→doc_id+1 broken every 120th), diameter 119 > the
+    min-label default budget of 50. Star contracts each chain to its
+    min-id root in O(log²n) alternations; the oracle replays the
+    components as a recursive CTE. Same output contract as
+    dd_dup_clusters (every doc labeled, singletons label themselves)."""
+    from udata_datalake_service_spark.llm.dedup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .filter(F.col("id_a") % 120 != 119)
+        .join(
+            d.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    return near_dup_clusters(d, pairs, id_col="doc_id", method="star")
+
+
+_SQL_DD_STAR = """
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 120 <> 119
+),
+edges AS (SELECT s AS a, t AS b FROM e UNION ALL SELECT t AS a, s AS b FROM e),
+cc(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.id = e.a
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+"""
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
     d = _tw(spark, sf_dir, "documents")
@@ -2699,6 +2738,43 @@ SELECT
     AS score_mean
 FROM sc CROSS JOIN b
 GROUP BY 1
+"""
+
+
+def q_mm_jpeg_meta(spark, sf_dir):
+    """Real-JPEG decode end-to-end (llm/jpeg.py): executors ENCODE one
+    baseline grayscale JPEG per 5th document (flat gray, doc_id-varying
+    dims, every 10th with restart markers), then the decode ladder's
+    vendored codec DECODES them distributedly (Huffman → dequant → IDCT)
+    inside extract_image_features. Flat blocks at unit quantization are
+    DCT-exact, so the oracle can state true width/height and the exact
+    single-bin luminance histogram per doc — any codec defect (bit
+    alignment, predictor reset, crop, level shift) breaks the hash."""
+    from udata_datalake_service_spark.llm.multimodal import (
+        extract_image_features,
+        jpeg_media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_image_features(jpeg_media_from_documents(d))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        (F.array_position(F.col("histogram"), 1.0) - 1)
+        .cast("int")
+        .alias("dominant_bin"),
+        F.array_max("histogram").alias("bin_share"),
+    )
+
+
+_SQL_MM_JPEG = """
+SELECT doc_id AS media_id,
+  CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS width,
+  CAST(8 + 8 * (doc_id % 2) AS INTEGER) AS height,
+  CAST(((doc_id * 37) % 256) // 32 AS INTEGER) AS dominant_bin,
+  CAST(1.0 AS DOUBLE) AS bin_share
+FROM documents WHERE doc_id % 5 = 0
 """
 
 
@@ -5785,6 +5861,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_warc_ingest": q_corpus_warc_ingest,
     "dist_match_sample": q_dist_match_sample,
     "temporal_split": q_temporal_split,
+    "dd_star_clusters": q_dd_star_clusters,
+    "mm_jpeg_meta": q_mm_jpeg_meta,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -5925,6 +6003,8 @@ ORACLES: dict[str, str] = {
     "corpus_warc_ingest": _SQL_CORPUS_WARC_INGEST,
     "dist_match_sample": _SQL_DIST_MATCH,
     "temporal_split": _SQL_TEMPORAL_SPLIT,
+    "dd_star_clusters": _SQL_DD_STAR,
+    "mm_jpeg_meta": _SQL_MM_JPEG,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

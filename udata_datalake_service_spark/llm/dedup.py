@@ -676,6 +676,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    method: str = "minlabel",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS — the capstone every
     pair-producing operator above feeds: connected components over the
@@ -689,14 +690,20 @@ def near_dup_clusters(
     rounds (near-dup components are overwhelmingly tiny — diameter ≤ a
     few hops — so 3-4 rounds in practice). Each round is one equi-join +
     one groupBy on the node id; the driver loop only reads a single
-    changed-count per round (no data collected). At extreme scale swap
-    the propagation body for the alternating large-star/small-star
-    rounds of Kiveris et al. "Connected Components in MapReduce" — the
-    loop harness, convergence check, and output contract stay the same.
+    changed-count per round (no data collected). For graphs where a
+    component's diameter can exceed the round budget (duplicate CHAINS —
+    boilerplate families, mirror cascades), pass ``method="star"`` to run
+    the alternating large-star/small-star rounds of ``star_clusters``
+    (Kiveris et al. "Connected Components in MapReduce and Beyond"):
+    O(log²n) rounds regardless of diameter, same output contract.
 
     Returns (id_col, cluster_id) for EVERY input id; non-duplicated
     documents are singleton clusters of themselves.
     """
+    if method == "star":
+        return star_clusters(ids, pairs, id_col=id_col, max_iterations=max_iterations)
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r} (minlabel|star)")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # the edge set is re-joined every round — materialize it once.
@@ -740,13 +747,117 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge within {max_iterations} "
             "rounds; a component's diameter exceeds the budget — raise "
-            "max_iterations or switch the loop body to large-star/small-star"
+            'max_iterations or pass method="star" (diameter-independent)'
         )
     resolved = labels.select(F.col("a").alias(id_col), F.col("label").alias("__cc"))
     return (
         ids.select(id_col)
         .distinct()
         .join(resolved, on=id_col, how="left")
+        .select(id_col, F.coalesce("__cc", F.col(id_col)).alias("cluster_id"))
+    )
+
+
+def star_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the diameter-independent rung above min-label
+    propagation. Min-label needs diameter-many rounds, so a duplicate
+    CHAIN longer than the budget (mirror cascades, boilerplate families
+    at 100 TB) kills it; the star rules contract every component to a
+    star rooted at its minimum node in O(log²n) rounds regardless of
+    diameter.
+
+    Per round, on a directed big→small edge set:
+
+    * large-star: for each node u, attach every LARGER neighbor to
+      min(Γ(u) ∪ {u}) — one symmetric groupBy-min + one equi-join;
+    * small-star: attach every smaller neighbor (and u) to the minimum —
+      one groupBy-min + one equi-join.
+
+    Fixed point (edge set unchanged by a full round) means every edge
+    points directly at its component minimum. Convergence is detected
+    from a 1-row (count, hash-sum) aggregate per round — no data is
+    collected to the driver; each round localCheckpoints to truncate
+    lineage like the min-label loop. Returns (id_col, cluster_id) for
+    every input id, singletons labeling themselves — the exact contract
+    of ``near_dup_clusters``, so the two are drop-in interchangeable
+    (pinned equal by tests/test_llm.py).
+    """
+    e = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # canonical directed big→small edges (the small-star invariant)
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # (count, xor-of-hashes): xor can't overflow under ANSI mode and
+        # identifies a SET exactly up to 64-bit collisions — which the
+        # star certificate below would catch anyway.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(edges)
+    for _ in range(max_iterations):
+        # ---- large-star over the symmetric neighborhood view
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the (strictly big→small) large-star output
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(small)
+        edges = small
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star_clusters did not converge within {max_iterations} rounds "
+            "— at O(log²n) rounds this means a malformed edge set, not a "
+            "long chain; inspect the pair generator"
+        )
+    # star certificate: in a star forest no edge target is itself a source
+    # (roots have no out-edges). One cheap self-join turns a wrong early
+    # stop — however unlikely — into a loud error instead of split clusters.
+    non_star = (
+        edges.join(edges.select(F.col("u").alias("v")).distinct(), on="v")
+        .limit(1)
+        .count()
+    )
+    if non_star:
+        raise RuntimeError("star_clusters: converged state is not a star forest")
+    labels = edges.select(F.col("u").alias(id_col), F.col("v").alias("__cc"))
+    return (
+        ids.select(id_col)
+        .distinct()
+        .join(labels, on=id_col, how="left")
         .select(id_col, F.coalesce("__cc", F.col(id_col)).alias("cluster_id"))
     )
 

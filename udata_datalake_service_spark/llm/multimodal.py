@@ -96,17 +96,28 @@ def _decode_image_real(content: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
-    """From-scratch stdlib decode (PNG via llm/png.py, BMP via
-    llm/bmp.py) — same feature contract as the Pillow leg (dims + 8-bin
-    ITU-R 601-2 luminance histogram), so the REAL-pixel path executes
-    even where Pillow is not installed (this CI container). Raises for
-    payloads outside both formats."""
+    """From-scratch decode (PNG via llm/png.py, BMP via llm/bmp.py,
+    baseline JPEG via llm/jpeg.py) — same feature contract as the Pillow
+    leg (dims + 8-bin ITU-R 601-2 luminance histogram), so the REAL-pixel
+    path executes even where Pillow is not installed (this CI container).
+    Raises for payloads outside the three formats."""
     from udata_datalake_service_spark.llm import png as _png
 
     if content[:2] == b"BM":
         from udata_datalake_service_spark.llm import bmp as _bmp
 
         w, h, nch, pixels = _bmp.decode_bmp(content)
+    elif content[:2] == b"\xff\xd8":
+        from udata_datalake_service_spark.llm import jpeg as _jpeg
+
+        try:
+            w, h, nch, pixels = _jpeg.decode_jpeg(content)
+        except NotImplementedError:
+            # progressive/arithmetic scan: dimensions are still real —
+            # report them over the stub's byte histogram rather than
+            # falling back to fake dimensions
+            w, h, _nc = _jpeg.parse_jpeg_dimensions(content)
+            return w, h, _decode_image_stub(content)[2]
     else:
         w, h, nch, pixels = _png.decode_png(content)
     hist = [0.0] * 8
@@ -360,6 +371,53 @@ def fake_media_from_documents(documents: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.lit("application/octet-stream").alias("mime_type"),
         F.create_map(F.lit("origin"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+def jpeg_media_from_documents(documents: DataFrame, modulus: int = 5) -> DataFrame:
+    """REAL-JPEG media fixture: one baseline grayscale JPEG per document
+    (doc_id % modulus == 0), ENCODED IN THE EXECUTORS (Arrow-batched
+    mapInPandas over llm/jpeg.py) — flat gray g=(doc_id*37)%256 with
+    doc_id-varying dimensions, every 10th file using restart markers, so
+    the distributed decode path downstream exercises Huffman + IDCT +
+    RST handling on bytes no driver ever saw. Flat blocks under unit
+    quantization round-trip pixel-exactly, which is what lets a SQL
+    oracle state the decoded luminance."""
+    from udata_datalake_service_spark.llm.jpeg import encode_jpeg_gray
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+                g = (i * 37) % 256
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "image",
+                        "content": encode_jpeg_gray(
+                            w,
+                            h,
+                            bytes([g]) * (w * h),
+                            restart_interval=1 if i % 10 == 0 else 0,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return (
+        documents.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(gen, schema)
     )
 
 
