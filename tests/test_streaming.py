@@ -533,3 +533,87 @@ def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
     ).withColumn("fp", _fp(F.col("text")))
     assert lake.append_app_table_exactly_once(replay, "corpus_docs", f"{prefix}-0") is False
     assert lake.read_app_table("corpus_docs").count() == 3
+
+
+@pytest.mark.slow
+def test_watermark_late_data_contract(spark, tmp_path):
+    """The event-time late-data contract for the ST2 rate windows
+    (VERDICT r5 #8): two checkpointed availableNow runs — run 1 advances
+    the watermark (max event 10:05:10 − 120 s = 10:03:10), run 2 delivers
+    two LATE arrivals after restart. Contract:
+
+    * late-but-within-watermark (10:04:00): accepted — every open window
+      containing it matches a trailing-window batch recompute exactly;
+    * beyond-watermark (09:57:05, all of whose windows had closed):
+      dropped — the closed [09:57, 10:03) window keeps its run-1 count,
+      diverging from the batch recompute by EXACTLY the dropped row.
+
+    The watermark survives the restart via the checkpoint, which is what
+    makes the drop deterministic rather than racy."""
+    from udata_datalake_service_spark.plans.backoff import domain_backoff_table
+
+    src = str(tmp_path / "checks_late")
+    ck = str(tmp_path / "ck_late")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = (
+        "id long, resource_id string, url string, domain string, "
+        "created_at timestamp, status int"
+    )
+
+    emitted: list = []
+
+    def run():
+        # the memory sink cannot recover from a checkpoint; foreachBatch
+        # can, and in local mode it collects on the driver
+        q = (
+            domain_rate_windows(
+                stream_checks(spark, src), period_s=360, slide_s=60, watermark_s=120
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    on_time = [
+        (i, f"a{i}", "u", "hot.org", base + dt.timedelta(seconds=10 + 60 * i), 200)
+        for i in range(6)  # 10:00:10 .. 10:05:10
+    ]
+    _write_checks_batch(spark, spark.createDataFrame(on_time, schema), src)
+    run()
+
+    late = [
+        # within watermark (10:03:10): accepted
+        (20, "l1", "u", "hot.org", base + dt.timedelta(seconds=240), 200),
+        # beyond watermark: every window it belongs to ended <= 10:03:00
+        (21, "l2", "u", "hot.org", base - dt.timedelta(seconds=175), 200),
+    ]
+    _write_checks_batch(spark, spark.createDataFrame(late, schema), src)
+    run()
+
+    final: dict = {}
+    for r in emitted:  # update mode: later emissions supersede earlier
+        final[(r["window"]["end"], r["domain"])] = max(
+            r["n_checks"], final.get((r["window"]["end"], r["domain"]), 0)
+        )
+
+    def batch_recent(now):
+        rows = domain_backoff_table(
+            spark.read.parquet(src).filter(F.col("created_at") < F.lit(now)),
+            now=F.lit(now),
+        ).collect()
+        return {r["domain"]: r["recent_checks"] for r in rows}
+
+    # within the watermark: stream == batch (6 on-time + the accepted late)
+    t_open = base + dt.timedelta(seconds=360)
+    assert final[(t_open, "hot.org")] == 7
+    assert batch_recent(t_open)["hot.org"] == 7
+    # beyond it: the closed window froze at its run-1 count; the batch
+    # recompute (which always sees late rows) counts one more
+    t_closed = base + dt.timedelta(seconds=180)
+    assert final[(t_closed, "hot.org")] == 3
+    assert batch_recent(t_closed)["hot.org"] == 4
