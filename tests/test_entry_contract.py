@@ -98,3 +98,36 @@ def test_attested_entries_pinned():
             "udata_datalake_service_spark.attestation", fromlist=["NEW_OR_CHANGED"]
         ).NEW_OR_CHANGED
     ), sorted(set(pinned) - set(current))
+
+
+def test_ledger_matches_committed_artifacts():
+    """ADVICE r6: LAST_DRIVER_ROUND is hand-pasted from tools/attest_map.py
+    output; the staleness bound catches too-LOW values but an inflated
+    value would let a query dodge re-attestation. Recompute the ledger
+    from the committed CORRECTNESS_r*.json artifacts and require exact
+    equality, so the pasted dict can be neither stale nor inflated."""
+    import os
+
+    from tools.attest_map import last_green_rounds
+    from udata_datalake_service_spark.attestation import LAST_DRIVER_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recomputed = last_green_rounds(repo)
+    # ledger keys are exactly the registry ∩ ever-green set; compare on
+    # the ledger's own keys plus any recomputed key it dropped.
+    diff = {
+        k: (LAST_DRIVER_ROUND.get(k), recomputed.get(k))
+        for k in set(LAST_DRIVER_ROUND) | set(recomputed)
+        if LAST_DRIVER_ROUND.get(k) != recomputed.get(k)
+    }
+    # recomputed may contain queries since renamed/removed from the
+    # registry; those are fine to drop from the ledger but a ledger entry
+    # must never disagree with the artifacts.
+    import __spark_entry__ as m
+
+    names = set(m.queries())
+    real_diff = {k: v for k, v in diff.items() if k in names}
+    assert not real_diff, (
+        "attestation ledger disagrees with committed CORRECTNESS artifacts "
+        f"- rerun tools/attest_map.py and paste: {real_diff}"
+    )

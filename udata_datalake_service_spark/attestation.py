@@ -30,51 +30,49 @@ CURRENT_ROUND - 2) so staleness can never silently regrow.
 from __future__ import annotations
 
 # Round currently being built (the driver will write CORRECTNESS_r{CURRENT_ROUND}).
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # Queries that are new this round or whose source/oracle changed this
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
-    # round-6 additions
-    "corpus_warc_ingest",
-    "dist_match_sample",
-    "temporal_split",
-    "dd_star_clusters",
-    "mm_jpeg_meta",
+    # round-7 changes (populated as queries are added/edited this round)
 })
 
 # query name -> last round with a green driver row (regenerate with
 # tools/attest_map.py after each round's CORRECTNESS artifact lands).
 LAST_DRIVER_ROUND: dict[str, int] = {
-    "a1_group_topk": 3,
-    "a234_dashboard_aggs": 4,
-    "a5_st2_backoff_table": 3,
-    "a6_max_booland": 3,
-    "a7_count_over_all": 3,
-    "a8_purge_returning_count": 3,
-    "a9_profile": 3,
+    "a1_group_topk": 6,
+    "a234_dashboard_aggs": 6,
+    "a5_st2_backoff_table": 6,
+    "a6_max_booland": 6,
+    "a7_count_over_all": 6,
+    "a8_purge_returning_count": 6,
+    "a9_profile": 6,
     "a9_quantiles": 5,
     "ann_centroid_assign": 5,
-    "ann_near_dups_exact": 3,
+    "ann_near_dups_exact": 6,
     "ann_recall": 5,
-    "ann_topk": 3,
+    "ann_topk": 6,
     "asof_join": 5,
     "cohort": 5,
     "contamination": 5,
-    "corpus_datasheet": 4,
+    "corpus_datasheet": 6,
     "corpus_ingest": 5,
-    "cube_rollup": 4,
+    "corpus_warc_ingest": 6,
+    "cube_rollup": 6,
     "curriculum": 5,
     "dd_dup_clusters": 5,
-    "dd_exact_prefix_groups": 4,
+    "dd_exact_prefix_groups": 6,
     "dd_jaccard_prefix": 5,
     "dd_lsh_eval": 5,
     "dd_lsh_pairs": 5,
-    "dd_minhash_signature": 4,
+    "dd_minhash_signature": 6,
     "dd_ngram_jaccard": 5,
     "dd_paragraph_dedup": 5,
-    "dd_simhash": 3,
+    "dd_simhash": 6,
     "dd_span_coverage": 5,
+    "dd_star_clusters": 6,
+    "dist_match_sample": 6,
     "domain_mix": 5,
     "domain_split": 5,
     "dq_expectations": 5,
@@ -82,57 +80,59 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "dsir_weights": 5,
     "embed_standardize": 5,
     "event_transitions": 4,
-    "f3_smart_cast": 3,
-    "f4_date_parse_multi": 3,
-    "f_scalar_surface": 3,
+    "f3_smart_cast": 6,
+    "f4_date_parse_multi": 6,
+    "f_scalar_surface": 6,
     "flagship_pricing_summary": 5,
     "funnel": 5,
     "fuzzy_linkage": 4,
     "gopher_quality": 5,
     "html_extract": 5,
     "interval_join": 5,
-    "j1_current_state_join": 2,
-    "j2_history_join": 2,
-    "j3_u7_batch_select_claim": 3,
-    "j4_orphan_left_join": 2,
-    "j5_latest_per_key": 3,
-    "j6_status_dashboard": 3,
+    "j1_current_state_join": 6,
+    "j2_history_join": 6,
+    "j3_u7_batch_select_claim": 6,
+    "j4_orphan_left_join": 6,
+    "j5_latest_per_key": 6,
+    "j6_status_dashboard": 6,
     "k10_time_travel": 4,
-    "k8_drop_table": 3,
+    "k8_drop_table": 6,
     "k9_webhook_payload": 4,
-    "k_lake_roundtrip": 3,
+    "k_lake_roundtrip": 6,
     "mix_shards": 5,
     "mixture_plan": 5,
     "mm_embed_vq": 5,
-    "mm_frame_sample": 3,
-    "mm_media_meta": 3,
-    "o1_top2_per_key": 3,
-    "o3_deterministic_sample": 3,
-    "o4_csv_sample": 3,
-    "o5_ordered_scan": 2,
-    "p10_retention_survivors": 3,
-    "p1_point_lookup": 2,
-    "p3_exclusion_filter": 2,
-    "p4_date_cast_filter": 2,
-    "p5_json_extract": 2,
-    "p6_range_predicate": 2,
+    "mm_frame_sample": 6,
+    "mm_jpeg_meta": 6,
+    "mm_media_meta": 6,
+    "o1_top2_per_key": 6,
+    "o3_deterministic_sample": 6,
+    "o4_csv_sample": 6,
+    "o5_ordered_scan": 6,
+    "p10_retention_survivors": 6,
+    "p1_point_lookup": 6,
+    "p3_exclusion_filter": 6,
+    "p4_date_cast_filter": 6,
+    "p5_json_extract": 6,
+    "p6_range_predicate": 6,
     "p78_predicate_surface": 4,
-    "p9_time_window": 2,
+    "p9_time_window": 6,
     "pack_stream": 5,
     "pack_waste": 5,
     "pii_redact": 5,
     "pivot_activity": 5,
-    "s4_excel_load": 3,
-    "s5_catalog_load": 3,
-    "s6_csv_ingest_inference": 3,
+    "s4_excel_load": 6,
+    "s5_catalog_load": 6,
+    "s6_csv_ingest_inference": 6,
     "s7_mime_sniff": 4,
     "scd2_merge": 5,
     "semantic_dedup": 5,
     "sessionize": 5,
     "skew_salted_count": 4,
     "sla_streaks": 5,
-    "st3_next_check_ladder": 3,
+    "st3_next_check_ladder": 6,
     "st45_change_trigger": 4,
+    "temporal_split": 6,
     "tfidf_vocab": 5,
     "tx_bigram_surprisal": 5,
     "tx_blocklist": 5,
@@ -145,9 +145,9 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "tx_surprisal": 5,
     "tx_text_metrics": 4,
     "tx_vocab_coverage": 5,
-    "u1_union_tiers": 2,
-    "u2_upsert_merge": 3,
-    "u3_snapshot_diff": 3,
+    "u1_union_tiers": 6,
+    "u2_upsert_merge": 6,
+    "u3_snapshot_diff": 6,
     "u456_point_dml": 4,
     "url_canonical": 5,
     "url_quality": 5,
