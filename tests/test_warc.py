@@ -132,3 +132,87 @@ def test_read_warc_distributed(spark, tmp_path):
         assert seqs == [0, 1, 2, 3, 4]
     finally:
         df.unpersist()
+
+
+def test_streaming_yields_before_exhausting_input():
+    """Round-7 memory contract: the parser is a true stream. Feed one
+    chunk per record through a counting iterator and require the first
+    record OUT before the last chunk is pulled IN — i.e. peak buffer is
+    O(record), not O(file)."""
+    from udata_datalake_service_spark.sources.warc import write_warc
+
+    n = 50
+    recs = [_resp(f"http://site/{i}", b"x" * 4096) for i in range(n)]
+
+    # plain path: one uncompressed record per chunk
+    pulled: list[int] = []
+
+    def plain_chunks():
+        for i, r in enumerate(recs):
+            pulled.append(i)
+            yield write_warc([r])
+
+    gen = iter_warc_records(plain_chunks())
+    first = next(gen)
+    assert first[0]["warc-target-uri"] == "http://site/0"
+    assert len(pulled) < n, "parser consumed every chunk before yielding"
+    assert list(gen)  # and the rest still parses cleanly
+
+    # gzip path: one gzip member per chunk (the CommonCrawl layout)
+    pulled.clear()
+
+    def gz_chunks():
+        for i, r in enumerate(recs):
+            pulled.append(i)
+            yield write_warc([r], gzip_members=True)
+
+    gen = iter_warc_records(gz_chunks())
+    first = next(gen)
+    assert first[0]["warc-target-uri"] == "http://site/0"
+    assert len(pulled) < n
+    assert len(list(gen)) == n - 1
+
+
+def test_inflate_stream_bounded_chunks():
+    """_inflate_stream caps every output burst at 1 MiB even when a
+    single member inflates far larger (zlib max_length), so a
+    pathological member cannot blow task memory through one burst."""
+    from udata_datalake_service_spark.sources.warc import _CHUNK, _inflate_stream
+
+    big = b"a" * (5 * _CHUNK)  # highly compressible: one small member
+    data = gzip.compress(big)
+    out = []
+    for chunk in _inflate_stream(data):
+        assert len(chunk) <= _CHUNK
+        out.append(chunk)
+    assert b"".join(out) == big
+    assert len(out) >= 5  # it really was released in bounded bursts
+
+
+def test_inflate_stream_empty_and_errors():
+    from udata_datalake_service_spark.sources.warc import _inflate_stream
+
+    assert list(_inflate_stream(b"")) == []
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(_inflate_stream(gzip.compress(b"abc")[:-4]))
+    with pytest.raises(ValueError, match="trailing non-gzip"):
+        list(_inflate_stream(gzip.compress(b"abc") + b"junk"))
+
+
+def test_split_http_payload_lf_only_headers():
+    """ADVICE r6: LF-only (and mixed) HTTP line endings appear in real
+    crawls; the split must still strip the transport envelope."""
+    status, hdr, body = split_http_payload(
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\nX-A: b\n\n<html>hi</html>"
+    )
+    assert status == 200
+    assert hdr["content-type"] == "text/html"
+    assert body == b"<html>hi</html>"
+
+    # mixed endings: CRLF status line, LF header, LF-LF blank
+    status, hdr, body = split_http_payload(
+        b"HTTP/1.1 301 Moved\r\nLocation: http://x/\n\nbody"
+    )
+    assert status == 301
+    assert hdr["location"] == "http://x/"
+    assert body == b"body"

@@ -36,6 +36,7 @@ CURRENT_ROUND = 7
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-7 changes (populated as queries are added/edited this round)
+    "corpus_warc_ingest",  # streaming WARC parser + staged fixture path
 })
 
 # query name -> last round with a green driver row (regenerate with

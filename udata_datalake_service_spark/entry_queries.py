@@ -5431,12 +5431,26 @@ def q_corpus_warc_ingest(spark, sf_dir):
                 + html.encode(),
             )
         )
-    d = f"/tmp/spark_warc_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # Fixture staging (ADVICE r6): key the directory by (sf_dir, pid) so
+    # concurrent runs against the same sf_dir never interleave writes
+    # under a reader's binaryFile scan, and write each file via
+    # os.replace so a scan in THIS process never sees a partial file.
+    # Local-mode assumption (documented): executors share the driver
+    # filesystem; on a real cluster this staging path must be a shared
+    # location (s3a/HDFS), exactly like any other Spark input.
+    d = (
+        f"/tmp/spark_warc_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        f"_{os.getpid()}"
+    )
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, "crawl-00.warc"), "wb") as f:
-        f.write(write_warc(files[False]))
-    with open(os.path.join(d, "crawl-01.warc.gz"), "wb") as f:
-        f.write(write_warc(files[True], gzip_members=True))
+    for fname, blob in (
+        ("crawl-00.warc", write_warc(files[False])),
+        ("crawl-01.warc.gz", write_warc(files[True], gzip_members=True)),
+    ):
+        tmp = os.path.join(d, f".{fname}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(d, fname))
 
     recs = read_warc(spark, d).filter(F.col("warc_type") == "response")
     gated = url_quality_filter(recs.withColumn("url", F.col("target_uri")), "url")

@@ -31,11 +31,26 @@ through an Arrow-batched ``mapInPandas``; at 100 TB that is ~100k files
 → ~100k tasks, comfortably above any executor count, with no shuffle —
 record extraction runs at decompression speed and everything downstream
 is ordinary column expressions.
+
+Memory model (round-7 fix): decompression and record framing are both
+STREAMING. ``_inflate_stream`` yields bounded (≤1 MiB) inflated chunks —
+``zlib.decompressobj(max_length=...)`` caps each output burst, and member
+boundaries roll into a fresh decompressobj — and ``iter_warc_records``
+parses records out of a rolling ``bytearray`` whose consumed prefix is
+deleted after every record.  Peak task memory is therefore
+O(one record), not O(one inflated file): a 1 GB .warc.gz that inflates
+4-5× never holds more than the current record (+1 MiB of lookahead) per
+task.  The compressed file bytes themselves are one ``binaryFile`` row —
+Spark's documented contract for unsplittable containers (2 GiB row cap;
+CommonCrawl segments are ~1 GB).  ``tests/test_warc.py`` pins the
+laziness: the first record is yielded before the last input chunk is
+consumed.
 """
 
 from __future__ import annotations
 
 import io
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -54,26 +69,81 @@ _CRLF = b"\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def gunzip_members(data: bytes) -> bytes:
-    """Inflate a (possibly multi-member) gzip stream with zlib alone.
+_CHUNK = 1 << 20  # 1 MiB: bounds both input slices and inflated bursts
+
+
+def _iter_chunks(data: bytes | Iterator[bytes]) -> Iterator[bytes]:
+    """Normalize bytes-or-chunk-iterator input to a chunk iterator.
+    Whole ``bytes`` are sliced to ``_CHUNK`` so downstream code never
+    depends on receiving everything at once."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        b = bytes(data)
+        for pos in range(0, len(b), _CHUNK):
+            yield b[pos : pos + _CHUNK]
+    else:
+        yield from data
+
+
+def _inflate_stream(data: bytes | Iterator[bytes]) -> Iterator[bytes]:
+    """Streaming inflate of a (possibly multi-member) gzip stream with
+    zlib alone, yielding chunks of at most ``_CHUNK`` bytes.
 
     CommonCrawl .warc.gz concatenates one gzip member per record;
-    ``zlib.decompressobj(wbits=47)`` stops at each member boundary, so
-    loop on ``unused_data`` until the stream is exhausted. Trailing
-    garbage that is not a gzip member fails loudly (a truncated transfer
-    should never silently drop records)."""
-    out = io.BytesIO()
-    rest = data
-    while rest:
-        d = zlib.decompressobj(wbits=47)
-        out.write(d.decompress(rest))
-        out.write(d.flush())
-        if not d.eof:
+    ``zlib.decompressobj(wbits=47)`` stops at each member boundary, so a
+    fresh decompressobj picks up on ``unused_data``. ``max_length``
+    bounds every output burst, so peak memory is O(_CHUNK) regardless of
+    member or file size. Trailing garbage that is not a gzip member fails
+    loudly (a truncated transfer should never silently drop records)."""
+    chunks = _iter_chunks(data)
+    exhausted = False
+
+    def pull() -> bytes:
+        nonlocal exhausted
+        if exhausted:
+            return b""
+        try:
+            return next(chunks)
+        except StopIteration:
+            exhausted = True
+            return b""
+
+    d = zlib.decompressobj(wbits=47)
+    pending = b""  # compressed bytes handed back by zlib or not yet fed
+    while not pending and not exhausted:
+        pending = pull()
+    if not pending:
+        return  # empty stream inflates to nothing
+    while True:
+        if not pending:
+            pending = pull()
+        out = d.decompress(pending, _CHUNK) if pending else b""
+        pending = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:
+            leftover = d.unused_data + pending
+            # the next member's magic may straddle the chunk boundary
+            while 0 < len(leftover) < 2 and not exhausted:
+                leftover += pull()
+            if not leftover:
+                leftover = pull()
+                if not leftover and exhausted:
+                    return
+            if leftover and not leftover.startswith(_GZIP_MAGIC):
+                raise ValueError("warc: trailing non-gzip bytes after member")
+            d = zlib.decompressobj(wbits=47)
+            pending = leftover
+            continue
+        if not pending and exhausted and not out:
             raise ValueError("warc: truncated gzip member")
-        rest = d.unused_data
-        if rest and not rest.startswith(_GZIP_MAGIC):
-            raise ValueError("warc: trailing non-gzip bytes after member")
-    return out.getvalue()
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream fully into memory.
+    Convenience/test wrapper over the streaming ``_inflate_stream`` —
+    the Spark ingest path never calls this (it would re-create the
+    whole-file buffer the streaming design exists to avoid)."""
+    return b"".join(_inflate_stream(data))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -97,61 +167,137 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield ``(headers, payload)`` per record from raw WARC bytes
-    (gzip-sniffed). Length-driven: after the header block, exactly
-    ``Content-Length`` payload bytes are consumed, then the two-CRLF
-    record terminator is required — malformed framing raises rather than
-    resynchronizing (silent resync turns one corrupt record into an
-    unbounded number of wrong ones)."""
-    if data[:2] == _GZIP_MAGIC:
-        data = gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
+def iter_warc_records(
+    data: bytes | Iterator[bytes],
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield ``(headers, payload)`` per record from WARC input —
+    ``bytes`` (gzip-sniffed on the magic) or an iterator of raw chunks.
+
+    Length-driven: after the header block, exactly ``Content-Length``
+    payload bytes are consumed, then the two-CRLF record terminator is
+    required — malformed framing raises rather than resynchronizing
+    (silent resync turns one corrupt record into an unbounded number of
+    wrong ones).
+
+    STREAMING: records are parsed out of a rolling buffer whose consumed
+    prefix is deleted after every record, so peak memory is O(largest
+    record), never O(file). A record is yielded as soon as its bytes are
+    available — before later input chunks are consumed (pinned by
+    tests/test_warc.py::test_streaming_yields_before_exhausting_input)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        chunks = (
+            _inflate_stream(data)
+            if bytes(data[:2]) == _GZIP_MAGIC
+            else _iter_chunks(data)
+        )
+    else:
+        chunks = iter(data)
+        first = next(chunks, b"")
+        while not first:
+            nxt = next(chunks, None)
+            if nxt is None:
+                return
+            first = nxt
+
+        def _rechain(head: bytes, rest: Iterator[bytes]) -> Iterator[bytes]:
+            yield head
+            yield from rest
+
+        chunks = _rechain(first, chunks)
+        if first[:2] == _GZIP_MAGIC:
+            chunks = _inflate_stream(chunks)
+
+    buf = bytearray()
+    exhausted = False
+
+    def fill() -> bool:
+        """Append one more chunk to ``buf``; False when input is done."""
+        nonlocal exhausted
+        if exhausted:
+            return False
+        nxt = next(chunks, None)
+        if nxt is None:
+            exhausted = True
+            return False
+        buf.extend(nxt)
+        return True
+
+    while True:
         # tolerate extra blank lines between records (some writers pad)
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            return
-        eol = data.index(_CRLF, pos)
-        version = data[pos:eol]
+        while True:
+            while len(buf) < 2 and fill():
+                pass
+            if buf[:2] == _CRLF:
+                del buf[:2]
+            else:
+                break
+        if not buf:
+            if not fill():
+                return
+            continue
+        # header block: everything up to the first blank line
+        while True:
+            head_end = buf.find(_CRLF + _CRLF)
+            if head_end >= 0:
+                break
+            if not fill():
+                raise ValueError("warc: truncated header block")
+        head = bytes(buf[:head_end])
+        eol = head.find(_CRLF)
+        version = head if eol < 0 else head[:eol]
         if not version.startswith(b"WARC/"):
             raise ValueError(f"warc: expected version line, got {version[:30]!r}")
-        head_end = data.index(_CRLF + _CRLF, eol)
-        headers = _parse_headers(data[eol + 2 : head_end])
+        headers = _parse_headers(head[eol + 2 :] if eol >= 0 else b"")
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError("warc: missing/invalid Content-Length") from e
         body_start = head_end + 4
         body_end = body_start + length
-        if body_end > n:
-            raise ValueError("warc: truncated payload")
-        if data[body_end : body_end + 4] != _CRLF + _CRLF and body_end != n:
+        while len(buf) < body_end:
+            if not fill():
+                raise ValueError("warc: truncated payload")
+        payload = bytes(buf[body_start:body_end])
+        del buf[:body_end]  # drop the consumed prefix: memory stays O(record)
+        # record terminator: required unless the record ends exactly at EOF
+        while len(buf) < 4 and fill():
+            pass
+        if buf[:4] == _CRLF + _CRLF:
+            del buf[:4]
+        elif buf:
             raise ValueError("warc: missing record terminator")
-        yield headers, data[body_start:body_end]
-        pos = body_end + 4
+        yield headers, payload
+
+
+_HTTP_BLANK = re.compile(rb"\r?\n\r?\n")
 
 
 def split_http_payload(payload: bytes) -> tuple[int | None, dict[str, str], bytes]:
     """A WARC 'response' payload is a full HTTP/1.1 message: status line,
     headers, blank line, body. Returns (status, headers, body); a payload
     that is not an HTTP message (e.g. a WET conversion record) comes back
-    as (None, {}, payload)."""
+    as (None, {}, payload).
+
+    Real crawl responses are not always CRLF-strict: LF-only (and mixed)
+    line endings appear in the wild, and RFC 7230 §3.5 says a tolerant
+    parser MAY accept a lone LF as a terminator — so the head/body split
+    and the header lines both accept ``\\r?\\n`` (ADVICE r6: a strict
+    CRLF split silently left raw HTTP headers inside such payloads)."""
     if not payload.startswith(b"HTTP/"):
         return None, {}, payload
-    sep = payload.find(_CRLF + _CRLF)
-    if sep < 0:
+    m = _HTTP_BLANK.search(payload)
+    if m is None:
         return None, {}, payload
-    head = payload[:sep]
-    status_line, _, header_block = head.partition(_CRLF)
-    parts = status_line.split(b" ", 2)
+    head = payload[: m.start()]
+    lines = re.split(rb"\r?\n", head)
+    parts = lines[0].split(b" ", 2)
     try:
         status: int | None = int(parts[1])
     except (IndexError, ValueError):
         status = None
-    return status, _parse_headers(header_block), payload[sep + 4 :]
+    # re-join as strict CRLF so the shared WARC header parser applies
+    header_block = _CRLF.join(lines[1:])
+    return status, _parse_headers(header_block), payload[m.end() :]
 
 
 WARC_RECORD_SCHEMA = StructType(
