@@ -137,30 +137,59 @@ def test_near_dup_clusters_long_chain_converges(spark):
 
 
 def test_near_dup_clusters_raises_on_exhausted_budget(spark):
-    """Exhausting max_iterations with labels still changing must raise,
-    not silently split one component into several clusters."""
+    """Explicit method='minlabel' exhausting max_iterations with labels
+    still changing must raise, not silently split one component into
+    several clusters."""
     n = 10
     ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(ids, pairs, max_iterations=2)
+        near_dup_clusters(ids, pairs, max_iterations=2, method="minlabel")
+
+
+def test_near_dup_clusters_auto_falls_back_to_star(spark):
+    """method='auto' (the default) must NOT raise on a long chain: when
+    min-label exhausts its budget it switches to the diameter-independent
+    star method on the already-checkpointed edges and still returns the
+    correct single cluster."""
+    n = 24
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = near_dup_clusters(ids, pairs, max_iterations=3).agg(
+        F.count_distinct("cluster_id").alias("k"), F.min("cluster_id").alias("m")
+    ).collect()[0]
+    assert (got["k"], got["m"]) == (1, 0)
+
+
+def test_near_dup_clusters_auto_star_threshold(spark):
+    """method='auto' with a tiny star_threshold routes straight to the
+    star method (no min-label rounds) and keeps the output contract."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(ids, pairs, star_threshold=1).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
 
 
 def test_star_clusters_beats_minlabel_on_long_chains(spark):
     """The VERDICT-r5 scale gap: a path graph whose diameter exceeds the
-    min-label budget fails LOUDLY on the default method and converges on
-    method='star' (large-star/small-star is O(log²n) rounds regardless of
-    diameter). Both methods share the output contract, so star labels the
-    whole 64-path with its min id."""
+    min-label budget fails LOUDLY on explicit method='minlabel' and
+    converges on method='star' (large-star/small-star is O(log²n) rounds
+    regardless of diameter). Both methods share the output contract, so
+    star labels the whole 64-path with its min id."""
     n = 64
     ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(ids, pairs, max_iterations=8)
+        near_dup_clusters(ids, pairs, max_iterations=8, method="minlabel")
     got = near_dup_clusters(ids, pairs, max_iterations=12, method="star").agg(
         F.count_distinct("cluster_id").alias("k"), F.min("cluster_id").alias("m")
     ).collect()[0]

@@ -37,6 +37,8 @@ CURRENT_ROUND = 7
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-7 changes (populated as queries are added/edited this round)
     "corpus_warc_ingest",  # streaming WARC parser + staged fixture path
+    "dd_dup_clusters",  # CC default is now auto (1 job/round minlabel + star fallback)
+    "tx_curate_pipeline",  # consumes near_dup_clusters' new auto default
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -671,12 +671,22 @@ def duplicated_span_coverage(
 
 
 # ------------------------------------------------- cluster resolution ----
+
+# ``method="auto"`` switches from min-label to the star method at this
+# many (symmetric) edges: below it, tiny near-dup components converge in
+# 2-4 cheap min-label rounds; above it, the exposure to a long-diameter
+# chain — whose cost is rounds × whole-edge-set shuffles — outweighs the
+# star method's ~2× heavier per-round plan. Overridable per call.
+AUTO_STAR_EDGES = 1 << 20
+
+
 def near_dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
-    method: str = "minlabel",
+    method: str = "auto",
+    star_threshold: int = AUTO_STAR_EDGES,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS — the capstone every
     pair-producing operator above feeds: connected components over the
@@ -685,25 +695,36 @@ def near_dup_clusters(
     pairwise dropping (drop id_b per pair) cannot express for chains like
     a-b, b-c.
 
-    Iterative min-label propagation: each round every node takes the min
-    label over itself and its neighbors; converges in graph-diameter
-    rounds (near-dup components are overwhelmingly tiny — diameter ≤ a
-    few hops — so 3-4 rounds in practice). Each round is one equi-join +
-    one groupBy on the node id; the driver loop only reads a single
-    changed-count per round (no data collected). For graphs where a
-    component's diameter can exceed the round budget (duplicate CHAINS —
-    boilerplate families, mirror cascades), pass ``method="star"`` to run
-    the alternating large-star/small-star rounds of ``star_clusters``
-    (Kiveris et al. "Connected Components in MapReduce and Beyond"):
-    O(log²n) rounds regardless of diameter, same output contract.
+    Methods (result-identical; pinned equal by tests/test_llm.py):
+
+    * ``"minlabel"`` — iterative min-label propagation: each round every
+      node takes the min label over itself and its neighbors; converges
+      in graph-diameter rounds (near-dup components are overwhelmingly
+      tiny — diameter ≤ a few hops — so 3-4 rounds in practice). ONE
+      Spark job per round (round-7 fix): the new labels localCheckpoint
+      lazily and the changed-count aggregate is the action that
+      materializes them, so the driver reads a single scalar per round
+      with no second materialization pass. Raises if the budget is
+      exhausted (returning intermediate labels would silently split a
+      cluster).
+    * ``"star"`` — alternating large-star/small-star rounds
+      (``star_clusters``, Kiveris et al. "Connected Components in
+      MapReduce and Beyond"): O(log²n) rounds regardless of diameter.
+    * ``"auto"`` (default) — min-label while the (checkpointed) edge set
+      is below ``star_threshold``, the star method above it; and if
+      min-label exhausts its round budget — a longer-than-expected
+      duplicate chain — auto falls back to the star method on the
+      already-checkpointed edges instead of raising. At 100 TB this is
+      the setting you want: cheap rounds for the common tiny-component
+      graph, diameter-independence the moment the graph stops being one.
 
     Returns (id_col, cluster_id) for EVERY input id; non-duplicated
     documents are singleton clusters of themselves.
     """
     if method == "star":
         return star_clusters(ids, pairs, id_col=id_col, max_iterations=max_iterations)
-    if method != "minlabel":
-        raise ValueError(f"unknown method {method!r} (minlabel|star)")
+    if method not in ("minlabel", "auto"):
+        raise ValueError(f"unknown method {method!r} (auto|minlabel|star)")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # the edge set is re-joined every round — materialize it once.
@@ -711,12 +732,26 @@ def near_dup_clusters(
     # lineage each round or the plan re-analyzed at round N contains all
     # N-1 previous rounds — exponential planning, then stack overflow.)
     sym = sym.localCheckpoint(eager=True)
+
+    def _star_on_sym() -> DataFrame:
+        # reuse the checkpointed edges: the pair-generator plan (often an
+        # expensive LSH/shingle join) must not be recomputed for the
+        # method switch.
+        return star_clusters(
+            ids,
+            sym.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+            id_col=id_col,
+        )
+
+    if method == "auto" and sym.count() >= star_threshold:
+        return _star_on_sym()
     # only nodes with ≥1 edge take part in propagation — in a dedup
     # workload that's a tiny fraction of the corpus; everyone else is a
     # singleton and joins back at the end, never entering the loop
     labels = sym.select("a").distinct().withColumn("label", F.col("a")).localCheckpoint(
         eager=True
     )
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(
@@ -726,6 +761,9 @@ def near_dup_clusters(
             .groupBy("a")
             .agg(F.min("nlabel").alias("nbr_label"))
         )
+        # lazy localCheckpoint + the changed-count aggregate as the
+        # materializing action = ONE job per round (the eager-checkpoint
+        # + separate count() pattern was two driver-synchronized jobs).
         new_labels = (
             labels.join(nbr_min, on="a", how="left")
             .select(
@@ -733,17 +771,26 @@ def near_dup_clusters(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__chg")).count()
+        changed = (
+            new_labels.agg(
+                F.sum(F.when(F.col("__chg"), 1).otherwise(0)).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         # exhausting the budget with changes still flowing means some
         # component's diameter exceeds max_iterations — returning the
         # intermediate labels would silently split one duplicate cluster
-        # into several. Fail loudly instead.
+        # into several. Auto switches to the diameter-independent method;
+        # explicit minlabel fails loudly.
+        if method == "auto":
+            return _star_on_sym()
         raise RuntimeError(
             f"near_dup_clusters did not converge within {max_iterations} "
             "rounds; a component's diameter exceeds the budget — raise "
