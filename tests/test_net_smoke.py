@@ -1,0 +1,190 @@
+"""S1 live-socket smoke leg (VERDICT r6 task 6): the REAL urllib
+transport driven against a localhost http.server fixture — never the
+internet. Until this file, the mock transport was the only executor of
+the fetch path; these tests push real bytes through real sockets for the
+reference behavior matrix (crawl/check_resources.py:56-206): HEAD kept
+when "nice", HEAD→GET fallback when metadata is missing or status is
+bad, error statuses recorded (not raised), gzip content-encoding headers
+lowered into the row, and the timeout branch.
+
+Gating: runs when loopback networking is available (probed at import) or
+when SPARK_HYDRA_NET_TESTS=1 forces it; skips cleanly on machines whose
+sandbox blocks even 127.0.0.1.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import socket
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from udata_datalake_service_spark.plans.fetch import (
+    REQUEST_TIMEOUT_S,
+    _check_one,
+    check_batch,
+    urllib_transport,
+)
+
+
+def _loopback_available() -> bool:
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.bind(("127.0.0.1", 0))
+        s.close()
+        return True
+    except OSError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (os.environ.get("SPARK_HYDRA_NET_TESTS") == "1" or _loopback_available()),
+    reason="no loopback networking (set SPARK_HYDRA_NET_TESTS=1 to force)",
+)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Behavior matrix endpoints (reference: crawl/check_resources.py)."""
+
+    def _route(self, include_body: bool) -> None:
+        if self.path == "/ok":
+            body = b"hello world"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Last-Modified", "Wed, 01 Jan 2026 00:00:00 GMT")
+            self.end_headers()
+            if include_body:
+                self.wfile.write(body)
+        elif self.path == "/no-meta":
+            # HEAD gives neither content-length nor last-modified -> the
+            # client must fall back to GET (crawl/helpers.py:47-53)
+            self.send_response(200)
+            if include_body:
+                body = b"fallback body"
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.end_headers()
+        elif self.path == "/gzip":
+            raw = gzip.compress(b"gzipped payload bytes")
+            self.send_response(200)
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            if include_body:
+                self.wfile.write(raw)
+        elif self.path == "/gone":
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif self.path == "/slow":
+            time.sleep(float(self.headers.get("X-Sleep", "3")))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        else:
+            self.send_response(500)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    def do_HEAD(self):  # noqa: N802
+        self._route(False)
+
+    def do_GET(self):  # noqa: N802
+        self._route(True)
+
+    def log_message(self, *args):  # silence per-request stderr lines
+        pass
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_real_transport_head_kept_when_nice(base_url):
+    row = _check_one(f"{base_url}/ok", urllib_transport)
+    assert row["status"] == 200
+    assert row["method"] == "head"  # nice HEAD: no GET issued
+    assert row["headers"]["content-length"] == "11"
+    assert "last-modified" in row["headers"]
+    assert row["error"] is None and row["timeout"] is False
+    assert row["response_time"] > 0
+
+
+def test_real_transport_head_to_get_fallback(base_url):
+    row = _check_one(f"{base_url}/no-meta", urllib_transport)
+    assert row["status"] == 200
+    assert row["method"] == "get"  # metadata-free HEAD forced the GET
+    assert row["headers"].get("content-length") == "13"
+
+
+def test_real_transport_error_status_recorded_not_raised(base_url):
+    row = _check_one(f"{base_url}/gone", urllib_transport)
+    # 404 is "not nice" -> GET fallback, which also 404s; the status is
+    # DATA (check_resources records it), never an exception
+    assert row["status"] == 404
+    assert row["method"] == "get"
+    assert row["timeout"] is False
+
+
+def test_real_transport_gzip_content_encoding_header(base_url):
+    row = _check_one(f"{base_url}/gzip", urllib_transport)
+    assert row["status"] == 200
+    assert row["headers"]["content-encoding"] == "gzip"
+
+
+def test_real_transport_timeout_branch(base_url):
+    """A response slower than the deadline lands in the timeout branch
+    (timeout=True, status NULL) — same 1 s-scaled shape as the
+    reference's 5 s budget at check_resources.py:101."""
+
+    def fast_timeout_transport(url: str, method: str):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, method=method.upper(), headers={"X-Sleep": "3"}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=1.0) as resp:
+                return resp.status, dict(resp.headers.items()), None
+        except urllib.error.URLError as e:
+            if isinstance(getattr(e, "reason", None), TimeoutError):
+                raise TimeoutError(str(e)) from e
+            return None, {}, str(e)
+
+    row = _check_one(f"{base_url}/slow", fast_timeout_transport)
+    assert row["timeout"] is True
+    assert row["status"] is None
+    assert 0.9 < row["response_time"] < REQUEST_TIMEOUT_S
+
+
+def test_check_batch_distributed_real_sockets(spark, base_url):
+    """The full S1 path on executors: claimed batch -> mapInPandas ->
+    REAL urllib sockets from Python workers back to the fixture server —
+    connection handling, HEAD/GET verbs and header lowering all live."""
+    batch = spark.createDataFrame(
+        [
+            ("r1", f"{base_url}/ok"),
+            ("r2", f"{base_url}/no-meta"),
+            ("r3", f"{base_url}/gone"),
+            ("r4", f"{base_url}/gzip"),
+        ],
+        "resource_id string, url string",
+    )
+    rows = {r["resource_id"]: r for r in check_batch(batch, fan_out=2).collect()}
+    assert rows["r1"]["status"] == 200 and rows["r1"]["method"] == "head"
+    assert rows["r2"]["status"] == 200 and rows["r2"]["method"] == "get"
+    assert rows["r3"]["status"] == 404
+    assert rows["r4"]["headers"]["content-encoding"] == "gzip"
+    assert all(r["domain"].startswith("127.0.0.1:") for r in rows.values())

@@ -381,3 +381,41 @@ def test_padding_waste_report_window_shape(spark):
     t = tree(formatted_plan(padding_waste_report(docs, "n", batch_size=16)))
     assert t.count("SinglePartition") <= 4  # 2 windows + 2 final 1-row aggs
     assert "CartesianProduct" not in t
+
+
+# --------------------------------------------------- raw-crawl boundary ----
+def test_read_warc_is_scan_plus_single_mapinpandas(spark, tmp_path):
+    """read_warc's scale contract: one binaryFile row per file exploded by
+    exactly one Arrow-batched MapInPandas, ZERO Exchange — record
+    extraction runs at decompression speed with file-level parallelism
+    and nothing shuffles until a downstream operator asks for it."""
+    from udata_datalake_service_spark.sources.warc import read_warc, write_warc
+
+    f = tmp_path / "a.warc"
+    f.write_bytes(
+        write_warc(
+            [(
+                {"WARC-Type": "response",
+                 "Content-Type": "application/http; msgtype=response"},
+                b"HTTP/1.1 200 X\r\n\r\nhi",
+            )]
+        )
+    )
+    plan = formatted_plan(read_warc(spark, str(tmp_path)))
+    t = tree(plan)
+    assert t.count("MapInPandas") == 1
+    assert "Scan binaryFile" in t
+    assert n_exchanges(plan) == 0
+    assert "Join" not in t and "Window" not in t and "Aggregate" not in t
+
+
+def test_jpeg_meta_is_shuffle_free_mapinpandas(spark):
+    """mm_jpeg_meta's decode ladder is a pure per-partition pipeline:
+    MapInPandas stages over the parquet scan with ZERO Exchange — no
+    join, window or aggregate anywhere, so JPEG decode parallelism equals
+    scan parallelism at any corpus size."""
+    plan = formatted_plan(QUERIES["mm_jpeg_meta"](spark, SF_DIR))
+    t = tree(plan)
+    assert "MapInPandas" in t
+    assert n_exchanges(plan) == 0
+    assert "Join" not in t and "Window" not in t and "Aggregate" not in t

@@ -9,6 +9,16 @@ Linear-ish operators (alpha ≈ 1) scale with the corpus; anything
 super-linear is flagged — pair-producing operators (LSH candidates) are
 expected mildly super-linear since their OUTPUT grows faster than n.
 
+Two probe groups:
+* library primitives (exact_dedup, LSH pairs, novelty, gopher,
+  surprisal, ANN top-k) on scaled in-memory frames;
+* the registry HEAVYWEIGHTS (r5 task 6 / r6 task 4) — the suite's most
+  expensive end-to-end queries (dd_dup_clusters, dd_star_clusters,
+  dd_jaccard_prefix, tx_curate_pipeline, dd_lsh_eval, corpus_ingest,
+  corpus_warc_ingest) — run through their real ``queries()`` callables
+  against scaled sf-shaped directories, so fixture synthesis, lake
+  commits and the WARC explode path are inside the measurement.
+
 Usage: python tools/scale_probe.py [sf_dir] [out_md]
 """
 
@@ -44,14 +54,17 @@ def main() -> int:
         parts = []
         eparts = []
         for i in range(s):
+            salted = F.concat(F.lit(f"c{i} "), F.col("text"))
             parts.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
                     # salt: distinct fingerprints per copy, near-dup
                     # structure (shared spans) intact
-                    F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+                    salted.alias("text"),
                     "lang",
                     "source",
+                    # full sf-dir schema so registry callables run as-is
+                    F.length(salted).cast("long").alias("n_chars"),
                 )
             )
             eparts.append(
@@ -67,8 +80,13 @@ def main() -> int:
         e = eparts[0]
         for p in eparts[1:]:
             e = e.unionByName(p)
-        d.repartition(32).write.mode("overwrite").parquet(f"{root}/docs_{s}x")
-        e.repartition(32).write.mode("overwrite").parquet(f"{root}/emb_{s}x")
+        # sf-shaped layout: registry queries read {dir}/documents.parquet
+        d.repartition(32).write.mode("overwrite").parquet(
+            f"{root}/sf_{s}x/documents.parquet"
+        )
+        e.repartition(32).write.mode("overwrite").parquet(
+            f"{root}/sf_{s}x/embeddings.parquet"
+        )
 
     def probe_ops(s: int) -> dict[str, float]:
         from udata_datalake_service_spark.caching import settle
@@ -82,8 +100,8 @@ def main() -> int:
         from udata_datalake_service_spark.llm.similarity import lsh_bucketed_topk
         from udata_datalake_service_spark.llm.tfidf import unigram_surprisal
 
-        d = spark.read.parquet(f"{root}/docs_{s}x")
-        e = spark.read.parquet(f"{root}/emb_{s}x")
+        d = spark.read.parquet(f"{root}/sf_{s}x/documents.parquet")
+        e = spark.read.parquet(f"{root}/sf_{s}x/embeddings.parquet")
         q = e.filter(F.col("vec_id") < 5)
         out: dict[str, float] = {}
 
@@ -115,9 +133,35 @@ def main() -> int:
         )
         return out
 
+    HEAVY = (
+        "dd_dup_clusters",
+        "dd_star_clusters",
+        "dd_jaccard_prefix",
+        "tx_curate_pipeline",
+        "dd_lsh_eval",
+        "corpus_ingest",
+        "corpus_warc_ingest",
+    )
+
+    def probe_registry(s: int) -> dict[str, float]:
+        from udata_datalake_service_spark.entry_queries import QUERIES
+
+        out: dict[str, float] = {}
+        for name in HEAVY:
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            QUERIES[name](spark, f"{root}/sf_{s}x").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.monotonic() - t0, 2)
+        return out
+
     # warm the session once so 1x isn't charged JVM/codegen startup
     probe_ops(1)
     results = {s: probe_ops(s) for s in SCALES}
+    probe_registry(1)
+    for s in SCALES:
+        results[s].update(probe_registry(s))
 
     ops = list(results[SCALES[0]])
     with open(out_md, "w") as f:
@@ -132,7 +176,10 @@ def main() -> int:
             "is the ABSENCE of super-linear growth: a hidden cartesian or "
             "quadratic candidate blow-up would push alpha toward 2 and be "
             "unmistakable by 16×. Pair-producing operators (LSH candidates) "
-            "are expected highest — their OUTPUT grows faster than n.\n\n"
+            "are expected highest — their OUTPUT grows faster than n. The "
+            "second block is the registry heavyweights run end-to-end "
+            "through their `queries()` callables (fixture synthesis, lake "
+            "commits and WARC explode inside the measurement).\n\n"
             "| operator | t@1x s | t@4x s | t@16x s | alpha |\n"
             "|---|---|---|---|---|\n"
         )
