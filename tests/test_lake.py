@@ -577,3 +577,147 @@ def test_write_bucketed_table_refuses_versioned_target(spark, tmp_path):
     lake.write_table(df, "vt", min_lines_for_parquet=1)
     with _pytest.raises(ValueError, match="versioned"):
         lake.write_bucketed_table(df, "vt", ["k"])
+
+
+# ----------------------------------------------- storage-semantics matrix ----
+import pytest  # noqa: E402
+
+from udata_datalake_service_spark.sinks.lake import ConcurrentWriteError  # noqa: E402
+from udata_datalake_service_spark.sinks.store import (  # noqa: E402
+    PosixStore,
+    S3SemanticsStore,
+)
+
+
+@pytest.mark.parametrize("store_cls", [PosixStore, S3SemanticsStore],
+                         ids=["posix", "s3-semantics"])
+class TestCommitProtocolAcrossBackends:
+    """VERDICT r6 task 7: the OCC commit protocol exercised against both
+    POSIX and object-store semantics (non-atomic copy+delete renames, no
+    hard links, no directory fsync — sinks/store.py emulating the
+    reference's MinIO leg, utils/minio.py:28-45). Every invariant must
+    hold under BOTH backends."""
+
+    def test_write_read_overwrite_time_travel_drop(self, spark, tmp_path, store_cls):
+        lake = Lake(spark, str(tmp_path / "lake"), store=store_cls())
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+        lake.write_table(df1, "t")
+        v1 = lake.table_version("t")
+        assert sorted(r["v"] for r in lake.read_table("t").collect()) == ["a", "b"]
+        lake.write_table(df2, "t")
+        assert [r["v"] for r in lake.read_table("t").collect()] == ["c"]
+        # previous version retained for in-flight readers / time travel
+        assert sorted(r["v"] for r in lake.read_table_at("t", v1).collect()) == [
+            "a", "b",
+        ]
+        lake.register("t", {}, "r1", "https://x/t.csv")
+        assert lake.registry().count() == 1
+        lake.drop_table("t")
+        assert lake.registry().count() == 0
+        import os as _os
+
+        assert not _os.path.exists(lake.table_path("t"))
+
+    def test_compact_table_preserves_rows(self, spark, tmp_path, store_cls):
+        lake = Lake(spark, str(tmp_path / "lakec"), store=store_cls())
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        lake.write_app_table(df, "t")
+        for _ in range(3):
+            lake.append_app_table(df, "t")  # one+ new file per append
+        report = lake.compact_table("t", app_table=True)
+        assert report["files_before"] >= 4
+        assert report["files_after"] == 1
+        assert lake.read_app_table("t").count() == 400
+
+    def test_cas_conflict_is_loud(self, spark, tmp_path, store_cls):
+        lake = Lake(spark, str(tmp_path / "lakecas"), store=store_cls())
+        df = spark.createDataFrame([(1,)], "id long")
+        lake.write_table(df, "t")
+        snapshot = lake.table_version("t")
+        lake.write_table(spark.createDataFrame([(2,)], "id long"), "t")
+        from pathlib import Path
+
+        base = Path(lake.table_path("t"))
+        ver = lake._new_version()
+        staging = base / f"_staging-{ver}"
+        df.write.mode("overwrite").parquet(str(staging))
+        with pytest.raises(ConcurrentWriteError):
+            lake._commit_version(base, ver, expect=snapshot, staging=staging)
+        # loser's staging discarded, winner's data intact
+        assert not staging.exists()
+        assert [r["id"] for r in lake.read_table("t").collect()] == [2]
+
+    def test_registry_append_then_rewrite(self, spark, tmp_path, store_cls):
+        lake = Lake(spark, str(tmp_path / "lakereg"), store=store_cls())
+        df = spark.createDataFrame([(1,)], "id long")
+        for i in range(3):
+            lake.write_table(df, f"t{i}")
+            lake.register(f"t{i}", {}, f"r{i}", f"https://x/{i}.csv")
+        assert lake.registry().count() == 3
+        lake.drop_table("t1")
+        got = sorted(r["parsing_table"] for r in lake.registry().collect())
+        assert got == ["t0", "t2"]
+
+
+def test_s3_publish_crash_leaves_readers_on_previous_version(spark, tmp_path):
+    """The torn-rename window POSIX doesn't have: an object-store publish
+    that dies mid-copy must leave (a) the MANIFEST on the previous
+    version, (b) readers returning the previous rows, and (c) the partial
+    destination reclaimable by vacuum. This is the exact behavior the
+    staged-dir + manifest-PUT protocol exists to guarantee."""
+    from pathlib import Path
+
+    store = S3SemanticsStore(fail_after_copies=0)  # die before the 1st copy
+    lake = Lake(spark, str(tmp_path / "lake"), store=PosixStore())
+    df1 = spark.createDataFrame([(1, "old")], "id long, v string")
+    lake.write_table(df1, "t")
+    v1 = lake.table_version("t")
+
+    # swap in the crashing object-store backend for the second commit
+    lake.store = store
+    df2 = spark.createDataFrame([(2, "new")], "id long, v string")
+    with pytest.raises(RuntimeError, match="injected object-store crash"):
+        lake.write_table(df2, "t")
+
+    # (a) manifest still points at v1, (b) readers see the old rows
+    assert lake.table_version("t") == v1
+    assert [r["v"] for r in lake.read_table("t").collect()] == ["old"]
+
+    # (c) the partial destination dir (a v-* not in the manifest) plus the
+    # intact staging source are both reclaimed by vacuum
+    lake.store = S3SemanticsStore()  # healed backend
+    base = Path(lake.table_path("t"))
+    leftovers = [
+        d.name for d in base.iterdir()
+        if d.is_dir() and d.name != v1 and not d.name.startswith("_COMMIT_LOCK")
+    ]
+    assert leftovers, "expected a partial publish leftover"
+    removed = lake.vacuum(staging_grace_s=0.0)
+    assert removed
+    still = [
+        d.name for d in base.iterdir()
+        if d.is_dir() and d.name.startswith(("v-", "_staging-")) and d.name != v1
+    ]
+    assert still == []
+    # and the table still reads fine afterwards
+    assert [r["v"] for r in lake.read_table("t").collect()] == ["old"]
+
+
+def test_s3_store_primitive_semantics(tmp_path):
+    """The shim's primitives behave like the object store they model:
+    exclusive create is single-winner, rename is copy+delete (window with
+    both names), relink refuses an existing destination."""
+    st = S3SemanticsStore()
+    a, b = tmp_path / "a", tmp_path / "b"
+    assert st.try_create_exclusive(a, b"tok1")
+    assert not st.try_create_exclusive(a, b"tok2")
+    assert st.read_text(a) == "tok1"
+    st.rename(a, b)
+    assert not a.exists() and b.read_text() == "tok1"
+    with pytest.raises(FileExistsError):
+        st.relink(b, b)
+    st.relink(b, a)
+    assert a.read_text() == "tok1"
+    st.delete(a)
+    st.delete(a)  # idempotent

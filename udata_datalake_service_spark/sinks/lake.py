@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udata_datalake_service_spark.schemas import TABLES_INDEX_SCHEMA
+from udata_datalake_service_spark.sinks.store import PosixStore
 
 _UNSET = object()
 
@@ -63,10 +64,14 @@ class Lake:
     `ConcurrentWriteError` and retry) — the optimistic-concurrency
     protocol Delta/Iceberg implement on their commit logs."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, store=None):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # storage-semantics backend (sinks/store.py): PosixStore by
+        # default; S3SemanticsStore exercises the protocol against
+        # object-store rename/visibility semantics (tests/test_lake.py)
+        self.store = store if store is not None else PosixStore()
 
     # ------------------------------------------------- versioned commits ----
     @staticmethod
@@ -92,95 +97,92 @@ class Lake:
         p = base / ver
         return p if p.exists() else None
 
-    @staticmethod
     @contextmanager
-    def _commit_lock(base: Path, timeout: float = 30.0, stale_after: float = 120.0):
-        """Serialize manifest flips per table with an O_EXCL lock file.
+    def _commit_lock(self, base: Path, timeout: float = 30.0, stale_after: float = 120.0):
+        """Serialize manifest flips per table with an exclusive-create
+        lock file (POSIX: O_EXCL; object store: conditional PUT
+        If-None-Match — ``store.try_create_exclusive`` either way).
 
         Readers never take it (they see old-or-new via the manifest);
         writers hold it only across the CAS check + rename + manifest
         replace + GC — milliseconds, never across the parquet write. A
         crashed holder's lock is taken over once it is ``stale_after``
         seconds old (commits are short; a lock that old is an orphan)."""
+        st = self.store
         lock = base / "_COMMIT_LOCK"
         token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.fsync(fd)
+            if st.try_create_exclusive(lock, token.encode()):
                 break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"commit lock busy: {lock}")
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock busy: {lock}")
+            try:
+                mt = st.mtime(lock)
+                stale = time.time() - mt > stale_after
+                stale_token = st.read_text(lock) if stale else ""
+            except OSError:
+                # holder released between exists and stat — retry,
+                # with a sleep so a persistent stat failure (EACCES)
+                # can't busy-spin, and bounded by the deadline above
+                time.sleep(0.02)
+                continue
+            if stale:
+                # single-winner takeover: move the orphan aside, then
+                # verify on the CLAIM WE NOW OWN — both token and a fresh
+                # staleness stat — closing the stat→read_text window
+                # where a live holder could recreate the lock and be
+                # stolen. (On POSIX the move is an atomic rename; on an
+                # object store it is copy+delete, so the token check on
+                # the claim is what keeps the takeover single-winner.)
+                claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
                 try:
-                    st = lock.stat()
-                    stale = time.time() - st.st_mtime > stale_after
-                    stale_token = lock.read_text() if stale else ""
-                except OSError:
-                    # holder released between exists and stat — retry,
-                    # with a sleep so a persistent stat failure (EACCES)
-                    # can't busy-spin, and bounded by the deadline above
+                    st.rename(lock, claim)
+                except (FileNotFoundError, OSError):
                     time.sleep(0.02)
                     continue
-                if stale:
-                    # single-winner takeover: rename is atomic, so exactly
-                    # one claimant breaks the orphan. Verify on the CLAIM
-                    # WE NOW OWN — both token and a fresh staleness stat —
-                    # closing the stat→read_text window where a live
-                    # holder could recreate the lock and be stolen.
-                    claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(lock, claim)
-                    except (FileNotFoundError, OSError):
-                        time.sleep(0.02)
-                        continue
-                    try:
-                        still_stale = (
-                            time.time() - claim.stat().st_mtime > stale_after
-                        )
-                        claim_token = claim.read_text()
-                    except OSError:
-                        still_stale, claim_token = False, ""
-                    if claim_token == stale_token and still_stale:
-                        claim.unlink(missing_ok=True)  # orphan broken
-                        continue
-                    # we stole a LIVE lock: give it back (atomic link),
-                    # waiting out any third claimant that grabbed the
-                    # vacant name — loud timeout beats silent loss of
-                    # mutual exclusion
-                    while True:
-                        try:
-                            os.link(claim, lock)
-                            break
-                        except FileExistsError:
-                            if time.monotonic() > deadline:
-                                claim.unlink(missing_ok=True)
-                                raise TimeoutError(
-                                    f"commit lock giveback contended: {lock}"
-                                )
-                            time.sleep(0.02)
-                        except OSError:
-                            break
-                    claim.unlink(missing_ok=True)
+                try:
+                    still_stale = time.time() - st.mtime(claim) > stale_after
+                    claim_token = st.read_text(claim)
+                except OSError:
+                    still_stale, claim_token = False, ""
+                if claim_token == stale_token and still_stale:
+                    st.delete(claim)  # orphan broken
                     continue
-                time.sleep(0.02)
+                # we stole a LIVE lock: give it back (copy-if-absent),
+                # waiting out any third claimant that grabbed the
+                # vacant name — loud timeout beats silent loss of
+                # mutual exclusion
+                while True:
+                    try:
+                        st.relink(claim, lock)
+                        break
+                    except FileExistsError:
+                        if time.monotonic() > deadline:
+                            st.delete(claim)
+                            raise TimeoutError(
+                                f"commit lock giveback contended: {lock}"
+                            )
+                        time.sleep(0.02)
+                    except OSError:
+                        break
+                st.delete(claim)
+                continue
+            time.sleep(0.02)
         try:
             yield
         finally:
-            os.close(fd)
             try:
                 # release only if still ours — if a (mis-tuned) stale
                 # takeover stole the lock mid-commit, don't cascade the
                 # loss by deleting the thief's lock too
-                if lock.read_text() == token:
-                    lock.unlink(missing_ok=True)
+                if st.read_text(lock) == token:
+                    st.delete(lock)
             except OSError:
                 pass
 
-    @staticmethod
     def _commit_version(
+        self,
         base: Path,
         ver: str,
         expect: object = _UNSET,
@@ -198,11 +200,11 @@ class Lake:
         ``_staging-*`` dir to rename into place under the lock — staged
         dirs are never eligible for GC, so a slow writer's data can't be
         reclaimed by a faster committer."""
-        with Lake._commit_lock(base):
-            Lake._commit_version_locked(base, ver, expect=expect, staging=staging)
+        with self._commit_lock(base):
+            self._commit_version_locked(base, ver, expect=expect, staging=staging)
 
-    @staticmethod
     def _commit_version_locked(
+        self,
         base: Path,
         ver: str,
         expect: object = _UNSET,
@@ -215,30 +217,27 @@ class Lake:
         prev = Lake._manifest_version(base)
         if expect is not _UNSET and prev != expect:
             if staging is not None:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.store.delete_dir(staging)
             raise ConcurrentWriteError(
                 f"{base}: expected version {expect!r}, found {prev!r}"
             )
         if staging is not None:
-            os.replace(staging, base / ver)
-        tmp = base / f"_manifest-{ver}.tmp"
-        with open(tmp, "w") as f:
-            f.write(ver)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, base / "MANIFEST")
-        dirfd = os.open(base, os.O_RDONLY)
-        try:
-            os.fsync(dirfd)
-        finally:
-            os.close(dirfd)
+            # POSIX: atomic directory rename. Object store: per-object
+            # copy + delete — NON-atomic, but invisible either way: the
+            # destination v-* dir is not in any MANIFEST until the PUT
+            # below, and a crash mid-copy leaves readers on `prev` with
+            # the partial dir reclaimed by vacuum/next-commit GC.
+            self.store.publish_dir(staging, base / ver)
+        # manifest flip = one atomic object PUT (POSIX: fsync+rename)
+        self.store.put_text(base / "MANIFEST", ver)
+        self.store.sync_dir(base)
         for d in base.iterdir():
             if (
                 d.is_dir()
                 and d.name.startswith("v-")
                 and d.name not in (ver, prev)
             ):
-                shutil.rmtree(d, ignore_errors=True)
+                self.store.delete_dir(d)
 
     def vacuum(self, staging_grace_s: float = 3600.0) -> list[str]:
         """Reclaim version dirs no MANIFEST points at — crash leftovers
@@ -277,7 +276,7 @@ class Lake:
                             if d.name.startswith("_COMMIT_LOCK.stale-") and (
                                 time.time() - d.stat().st_mtime > staging_grace_s
                             ):
-                                d.unlink(missing_ok=True)
+                                self.store.delete(d)
                                 removed.append(str(d))
                             continue
                         stale_staging = d.name.startswith("_staging-") and (
@@ -288,7 +287,7 @@ class Lake:
                     if stale_staging or (
                         d.name.startswith("v-") and d.name != current
                     ):
-                        shutil.rmtree(d, ignore_errors=True)
+                        self.store.delete_dir(d)
                         removed.append(str(d))
             finally:
                 lock_ctx.__exit__(None, None, None)
@@ -483,7 +482,7 @@ class Lake:
         self._delete_registry_rows(name)
         p = Path(self.table_path(name))
         if p.exists():
-            shutil.rmtree(p)
+            self.store.delete_dir(p)
 
     # -------------------------------------------------------- registry ----
     @property
@@ -569,20 +568,11 @@ class Lake:
                 return
             tmp = cur / f"_tmp-{fname}"
             pq.write_table(table, tmp)
-            # durability before visibility: fsync the file, rename, fsync
-            # the dir — a crash can't leave a visible half-written part
-            # file that bricks every later registry read
-            fd = os.open(tmp, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-            os.replace(tmp, cur / fname)
-            dirfd = os.open(cur, os.O_RDONLY)
-            try:
-                os.fsync(dirfd)
-            finally:
-                os.close(dirfd)
+            # durability before visibility: a crash can't leave a visible
+            # half-written part file that bricks every later registry
+            # read (POSIX: fsync+rename+dirsync; object store: one
+            # atomic object PUT)
+            self.store.publish_file(tmp, cur / fname)
 
     def _delete_registry_rows(self, parsing_table: str) -> None:
         """Rewrite-style delete, driver-side: the registry is catalog

@@ -1,0 +1,181 @@
+"""Storage-semantics backends for the lake commit protocol.
+
+The Lake's crash-safety story (staged version dirs + an atomically
+replaced MANIFEST pointer, ``sinks/lake.py``) was written against POSIX
+semantics. A real deployment fronts an object store through s3a, whose
+semantics differ in exactly the ways that break naive commit protocols
+(reference anchor: the MinIO leg at
+/root/reference/udata_hydra/utils/minio.py:28-45):
+
+* **no atomic rename** — s3a "rename" is a per-object server-side COPY
+  followed by a DELETE of the source: O(data), non-atomic, observable
+  half-done;
+* **no hard links, no directories** — "directories" are key prefixes;
+  there is nothing to fsync;
+* **atomic single-object PUT** — a reader GETs the old object or the new
+  one, never a torn mix (S3 is strongly consistent since 2020-12);
+* **conditional PUT (If-None-Match: *)** — the exclusive-create
+  primitive locks are built from (supported by AWS S3 since 2024-08 and
+  by MinIO).
+
+``PosixStore`` is the local-filesystem implementation (the previous
+inline behavior, verbatim). ``S3SemanticsStore`` emulates the object
+-store semantics above over a local directory so the commit protocol can
+be exercised against them in CI without a MinIO process: publishes are
+per-file copy-then-delete (with optional crash injection mid-copy),
+renames are copy+delete, links are copy-if-absent, and directory fsync
+is a no-op. The protocol invariants the Lake tests assert
+(old-or-new reads, CAS conflicts loud, crash leaves the previous version
+intact, vacuum reclaims partial publishes) must hold under BOTH.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+
+class PosixStore:
+    """POSIX filesystem semantics: atomic same-directory rename, O_EXCL
+    exclusive create, hard links, fsync-able directories."""
+
+    name = "posix"
+
+    # ------------------------------------------------- lock primitives ----
+    def try_create_exclusive(self, path: Path, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data`` iff it does not exist."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    def read_text(self, path: Path) -> str:
+        return Path(path).read_text()
+
+    def mtime(self, path: Path) -> float:
+        return Path(path).stat().st_mtime
+
+    def rename(self, src: Path, dst: Path) -> None:
+        """Atomic move (overwrites dst)."""
+        os.rename(src, dst)
+
+    def relink(self, src: Path, dst: Path) -> None:
+        """Make ``dst`` name the same content as ``src`` WITHOUT claiming
+        it exclusively twice — raises FileExistsError if dst exists."""
+        os.link(src, dst)
+
+    def delete(self, path: Path) -> None:
+        Path(path).unlink(missing_ok=True)
+
+    # ----------------------------------------------- commit primitives ----
+    def put_text(self, path: Path, text: str) -> None:
+        """Object-PUT visibility: readers of ``path`` see its old content
+        or ``text``, never a torn write. POSIX: temp + fsync + rename."""
+        path = Path(path)
+        tmp = path.parent / f"_put-{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def publish_dir(self, staging: Path, final: Path) -> None:
+        """Move a fully-written staging directory to its final name."""
+        os.replace(staging, final)
+
+    def publish_file(self, tmp: Path, dst: Path) -> None:
+        """Durably publish a written temp file at ``dst``: fsync file,
+        atomic rename, fsync the parent directory."""
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, dst)
+        self.sync_dir(Path(dst).parent)
+
+    def delete_dir(self, path: Path) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def sync_dir(self, path: Path) -> None:
+        dirfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+
+
+class S3SemanticsStore(PosixStore):
+    """Object-store semantics over a local directory (see module doc).
+
+    ``fail_after_copies`` injects a crash after N successful per-object
+    copies inside ``publish_dir`` — the torn-rename window s3a has and
+    POSIX doesn't — so tests can prove readers stay on the previous
+    MANIFEST and vacuum reclaims the partial publish.
+    """
+
+    name = "s3-semantics"
+
+    def __init__(self, fail_after_copies: int | None = None):
+        self.fail_after_copies = fail_after_copies
+        self.copies_done = 0
+
+    # conditional PUT (If-None-Match: *) gives the same exclusive-create
+    # contract as O_EXCL, so try_create_exclusive is inherited; the
+    # primitives S3 genuinely lacks are overridden below.
+
+    def rename(self, src: Path, dst: Path) -> None:
+        """S3 'rename' of a single object: server-side COPY then DELETE —
+        two operations, a window where both names exist."""
+        shutil.copyfile(src, dst)
+        Path(src).unlink(missing_ok=True)
+
+    def relink(self, src: Path, dst: Path) -> None:
+        """No hard links: copy-if-absent (conditional PUT of a copy)."""
+        if Path(dst).exists():
+            raise FileExistsError(dst)
+        shutil.copyfile(src, dst)
+
+    def put_text(self, path: Path, text: str) -> None:
+        """Single-object PUT is atomic on S3 — emulate that visibility
+        contract locally (temp in a shim-private name + rename)."""
+        super().put_text(path, text)
+
+    def publish_dir(self, staging: Path, final: Path) -> None:
+        """s3a directory 'rename': list the prefix, COPY each object to
+        the destination key, then DELETE the sources. O(data), and a
+        crash mid-way leaves a PARTIAL destination prefix plus the intact
+        source — exactly the window the commit protocol must tolerate."""
+        staging, final = Path(staging), Path(final)
+        for src in sorted(p for p in staging.rglob("*") if p.is_file()):
+            rel = src.relative_to(staging)
+            dst = final / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if (
+                self.fail_after_copies is not None
+                and self.copies_done >= self.fail_after_copies
+            ):
+                raise RuntimeError(
+                    f"injected object-store crash mid-publish ({self.copies_done}"
+                    f" objects copied to {final})"
+                )
+            shutil.copyfile(src, dst)
+            self.copies_done += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def publish_file(self, tmp: Path, dst: Path) -> None:
+        """Single-object upload: atomic PUT visibility, then delete the
+        local temp; no directory fsync exists."""
+        shutil.copyfile(tmp, dst)
+        Path(tmp).unlink(missing_ok=True)
+
+    def sync_dir(self, path: Path) -> None:
+        """No directories on an object store — nothing to fsync."""
