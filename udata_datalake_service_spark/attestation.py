@@ -39,6 +39,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "corpus_warc_ingest",  # streaming WARC parser + staged fixture path
     "dd_dup_clusters",  # CC default is now auto (1 job/round minlabel + star fallback)
     "tx_curate_pipeline",  # consumes near_dup_clusters' new auto default
+    "mm_jpeg_meta",  # fixture now includes progressive (SOF2) files
 })
 
 # query name -> last round with a green driver row (regenerate with

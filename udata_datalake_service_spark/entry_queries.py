@@ -2743,13 +2743,16 @@ GROUP BY 1
 
 def q_mm_jpeg_meta(spark, sf_dir):
     """Real-JPEG decode end-to-end (llm/jpeg.py): executors ENCODE one
-    baseline grayscale JPEG per 5th document (flat gray, doc_id-varying
-    dims, every 10th with restart markers), then the decode ladder's
-    vendored codec DECODES them distributedly (Huffman → dequant → IDCT)
-    inside extract_image_features. Flat blocks at unit quantization are
-    DCT-exact, so the oracle can state true width/height and the exact
-    single-bin luminance histogram per doc — any codec defect (bit
-    alignment, predictor reset, crop, level shift) breaks the hash."""
+    grayscale JPEG per 5th document (flat gray, doc_id-varying dims,
+    every 10th with restart markers, every 3rd PROGRESSIVE/SOF2 — the
+    majority coding of web-crawl JPEG), then the decode ladder's vendored
+    codec DECODES them distributedly (Huffman → dequant → IDCT; Annex G
+    scan ladder for the progressive files) inside
+    extract_image_features. Flat blocks at unit quantization are
+    DCT-exact in BOTH codings, so the oracle can state true width/height
+    and the exact single-bin luminance histogram per doc — any codec
+    defect (bit alignment, predictor reset, EOB-run bookkeeping, crop,
+    level shift) breaks the hash."""
     from udata_datalake_service_spark.llm.multimodal import (
         extract_image_features,
         jpeg_media_from_documents,

@@ -111,9 +111,10 @@ def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
         from udata_datalake_service_spark.llm import jpeg as _jpeg
 
         try:
+            # baseline AND progressive (SOF2) decode for real pixels
             w, h, nch, pixels = _jpeg.decode_jpeg(content)
         except NotImplementedError:
-            # progressive/arithmetic scan: dimensions are still real —
+            # arithmetic/lossless coding: dimensions are still real —
             # report them over the stub's byte histogram rather than
             # falling back to fake dimensions
             w, h, _nc = _jpeg.parse_jpeg_dimensions(content)
@@ -375,15 +376,21 @@ def fake_media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def jpeg_media_from_documents(documents: DataFrame, modulus: int = 5) -> DataFrame:
-    """REAL-JPEG media fixture: one baseline grayscale JPEG per document
+    """REAL-JPEG media fixture: one grayscale JPEG per document
     (doc_id % modulus == 0), ENCODED IN THE EXECUTORS (Arrow-batched
     mapInPandas over llm/jpeg.py) — flat gray g=(doc_id*37)%256 with
-    doc_id-varying dimensions, every 10th file using restart markers, so
-    the distributed decode path downstream exercises Huffman + IDCT +
-    RST handling on bytes no driver ever saw. Flat blocks under unit
-    quantization round-trip pixel-exactly, which is what lets a SQL
-    oracle state the decoded luminance."""
-    from udata_datalake_service_spark.llm.jpeg import encode_jpeg_gray
+    doc_id-varying dimensions, every 10th file using restart markers, and
+    every 3rd file PROGRESSIVE (SOF2, the majority coding of web-crawl
+    JPEG): multi-scan successive approximation through the same oracle,
+    so the distributed decode path downstream exercises baseline Huffman
+    + IDCT + RST handling AND the Annex G scan ladder on bytes no driver
+    ever saw. Flat blocks under unit quantization round-trip
+    pixel-exactly in both codings, which is what lets a SQL oracle state
+    the decoded luminance."""
+    from udata_datalake_service_spark.llm.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
 
     schema = T.StructType(
         [
@@ -400,18 +407,21 @@ def jpeg_media_from_documents(documents: DataFrame, modulus: int = 5) -> DataFra
                 i = int(raw)
                 w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
                 g = (i * 37) % 256
-                rows.append(
-                    {
-                        "media_id": i,
-                        "kind": "image",
-                        "content": encode_jpeg_gray(
-                            w,
-                            h,
-                            bytes([g]) * (w * h),
-                            restart_interval=1 if i % 10 == 0 else 0,
-                        ),
-                    }
-                )
+                if (i // modulus) % 3 == 0:
+                    content = encode_jpeg_gray_progressive(
+                        w,
+                        h,
+                        bytes([g]) * (w * h),
+                        restart_interval=2 if i % 10 == 0 else 0,
+                    )
+                else:
+                    content = encode_jpeg_gray(
+                        w,
+                        h,
+                        bytes([g]) * (w * h),
+                        restart_interval=1 if i % 10 == 0 else 0,
+                    )
+                rows.append({"media_id": i, "kind": "image", "content": content})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
     return (
