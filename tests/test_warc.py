@@ -216,3 +216,46 @@ def test_split_http_payload_lf_only_headers():
     assert status == 301
     assert hdr["location"] == "http://x/"
     assert body == b"body"
+
+
+def test_chunk_boundary_invariance_property():
+    """Hypothesis law: however the input byte stream is chunked —
+    including chunks that split a record header, a Content-Length body,
+    a gzip member, or the record terminator — the parsed (headers,
+    payload) sequence is identical to the whole-bytes parse. This is the
+    streaming parser's core invariant; a boundary bug here silently
+    corrupts records at scale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    recs = [
+        _resp(f"http://x/{i}", bytes([i % 251]) * (17 * i % 300 + 1))
+        for i in range(12)
+    ]
+    from udata_datalake_service_spark.sources.warc import write_warc
+
+    plain = write_warc(recs)
+    gz = write_warc(recs, gzip_members=True)
+    want_plain = list(iter_warc_records(plain))
+    want_gz = list(iter_warc_records(gz))
+    assert want_plain == want_gz and len(want_plain) == 12
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def law(data):
+        for blob, want in ((plain, want_plain), (gz, want_gz)):
+            n_cuts = data.draw(st.integers(min_value=0, max_value=12))
+            cuts = sorted(
+                data.draw(
+                    st.lists(
+                        st.integers(min_value=1, max_value=len(blob) - 1),
+                        min_size=n_cuts,
+                        max_size=n_cuts,
+                    )
+                )
+            )
+            bounds = [0, *cuts, len(blob)]
+            chunks = [blob[a:b] for a, b in zip(bounds, bounds[1:])]
+            assert list(iter_warc_records(iter(chunks))) == want
+
+    law()

@@ -192,12 +192,16 @@ def iter_warc_records(
         )
     else:
         chunks = iter(data)
-        first = next(chunks, b"")
-        while not first:
+        # accumulate ≥2 bytes before sniffing: a 1-byte first chunk must
+        # not defeat gzip detection (chunk boundaries are arbitrary)
+        first = b""
+        while len(first) < 2:
             nxt = next(chunks, None)
             if nxt is None:
-                return
-            first = nxt
+                break
+            first += nxt
+        if not first:
+            return
 
         def _rechain(head: bytes, rest: Iterator[bytes]) -> Iterator[bytes]:
             yield head
