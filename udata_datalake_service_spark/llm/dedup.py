@@ -877,7 +877,10 @@ def star_clusters(
             .union(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the signature aggregate below is the materializing
+            # action, so each round costs ONE Spark job (same round-7 fix
+            # as the min-label loop)
+            .localCheckpoint(eager=False)
         )
         cur = _sig(small)
         edges = small
