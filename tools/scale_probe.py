@@ -2,12 +2,23 @@
 
 "Would this hold at 100×?" answered with data instead of assertion: the
 sf0.1 documents/embeddings tables are materialized at 1×/4×/16× (copies
-id-shifted and content-salted so fingerprints stay distinct while the
-near-dup structure survives), each probe runs warm on the same session,
+id-shifted and TOKEN-salted), each probe runs warm on the same session,
 and the fitted growth exponent alpha (t ∝ n^alpha) lands in SCALE.md.
 Linear-ish operators (alpha ≈ 1) scale with the corpus; anything
-super-linear is flagged — pair-producing operators (LSH candidates) are
-expected mildly super-linear since their OUTPUT grows faster than n.
+super-linear is flagged.
+
+Salting model (round-7 fix): the salt token is interleaved between
+words, so every shingle of copy *i* contains it. Documents that were
+near-dups of each other stay near-dups WITHIN a copy (identical salting)
+but copies of the same document are NOT near-dups of each other — the
+scale-up grows the NUMBER of duplicate families, holding family sizes
+constant. This is the control an engine probe needs: the prefix-salt
+fixture used through r6 made every family 16× larger, so pair-producing
+operators faced 256× pairs BY CONSTRUCTION — a workload quadratic that
+masked (and dwarfed) any engine quadratic; its 16× dd_jaccard_prefix
+probe ran >10 minutes on verification work the fixture itself created.
+An accidental engine quadratic (cartesian, unbucketed join) still pushes
+alpha toward 2 under family-count scaling and stays unmistakable.
 
 Two probe groups:
 * library primitives (exact_dedup, LSH pairs, novelty, gopher,
@@ -54,12 +65,17 @@ def main() -> int:
         parts = []
         eparts = []
         for i in range(s):
-            salted = F.concat(F.lit(f"c{i} "), F.col("text"))
+            # token-level salt: every shingle of copy i contains s<i>, so
+            # intra-copy near-dup structure survives while cross-copy
+            # similarity is zero — family COUNT scales, family size
+            # doesn't (see module docstring)
+            salted = F.concat(
+                F.lit(f"s{i} "),
+                F.regexp_replace(F.col("text"), r"\s+", f" s{i} "),
+            )
             parts.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
-                    # salt: distinct fingerprints per copy, near-dup
-                    # structure (shared spans) intact
                     salted.alias("text"),
                     "lang",
                     "source",
