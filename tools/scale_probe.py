@@ -7,18 +7,25 @@ and the fitted growth exponent alpha (t ∝ n^alpha) lands in SCALE.md.
 Linear-ish operators (alpha ≈ 1) scale with the corpus; anything
 super-linear is flagged.
 
-Salting model (round-7 fix): the salt token is interleaved between
-words, so every shingle of copy *i* contains it. Documents that were
-near-dups of each other stay near-dups WITHIN a copy (identical salting)
-but copies of the same document are NOT near-dups of each other — the
-scale-up grows the NUMBER of duplicate families, holding family sizes
-constant. This is the control an engine probe needs: the prefix-salt
-fixture used through r6 made every family 16× larger, so pair-producing
-operators faced 256× pairs BY CONSTRUCTION — a workload quadratic that
-masked (and dwarfed) any engine quadratic; its 16× dd_jaccard_prefix
-probe ran >10 minutes on verification work the fixture itself created.
-An accidental engine quadratic (cartesian, unbucketed join) still pushes
-alpha toward 2 under family-count scaling and stays unmistakable.
+Salting model (round-7 fix): every alphanumeric run of copy *i* gets
+the suffix ``s<i>`` appended DIRECTLY (no separator — the corpus
+tokenizer splits on ``[^a-z0-9]+``, so a separator would turn the salt
+into its own ultra-common token). This is a near-bijective token mapping
+per copy: within a copy, similarity structure (shingle sets, near-dup
+families, token distributions) is preserved; across copies, token
+vocabularies are disjoint, so copies of the same document share zero
+shingles. The scale-up therefore grows the NUMBER of duplicate families
+at constant family size — the control an engine probe needs. Rejected
+designs, measured: the r6 prefix salt ("c<i> " prepended) left copies
+near-dups of EACH OTHER, so families grew 16× and pair-producing
+operators faced 256× pairs by construction (its 16× dd_jaccard_prefix
+probe ran >10 minutes on fixture-created verification work); separator
+salts ("w1 s<i> w2 s<i>" or "w1_s<i>") tokenize into an interleaved
+common token that collapses shingle distinctiveness — LSH candidate
+pairs measured 45,695 (raw) vs 64,420 (suffix salt) vs 10,370,321
+(separator salt) on the same 1× corpus. An accidental engine quadratic
+(cartesian, unbucketed join) still pushes alpha toward 2 under
+family-count scaling and stays unmistakable.
 
 Two probe groups:
 * library primitives (exact_dedup, LSH pairs, novelty, gopher,
@@ -65,14 +72,10 @@ def main() -> int:
         parts = []
         eparts = []
         for i in range(s):
-            # token-level salt: every shingle of copy i contains s<i>, so
-            # intra-copy near-dup structure survives while cross-copy
-            # similarity is zero — family COUNT scales, family size
-            # doesn't (see module docstring)
-            salted = F.concat(
-                F.lit(f"s{i} "),
-                F.regexp_replace(F.col("text"), r"\s+", f" s{i} "),
-            )
+            # per-copy token mapping: append s<i> to every alphanumeric
+            # run — intra-copy similarity structure preserved, cross-copy
+            # shingle overlap zero, tokenizer-transparent (module doc)
+            salted = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]+)", f"$1s{i}")
             parts.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
