@@ -466,15 +466,29 @@ def test_staging_dirs_survive_concurrent_commit_gc(spark, tmp_path):
     assert any("_staging-" in r for r in removed)
 
 
-def test_registry_concurrent_registers_and_drops_lose_nothing(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("store_name", ["posix", "s3"])
+def test_registry_concurrent_registers_and_drops_lose_nothing(
+    spark, tmp_path, store_name
+):
     """The registry critical section: N threads register concurrently on a
     FRESH lake (first-write race — the losing thread must fall through to
     the append path, not discard the winner's flip), then registers race
     drop-rewrites of a disjoint table (an append between a drop's read
-    and flip must never be silently lost)."""
+    and flip must never be silently lost). Parameterized over POSIX and
+    object-store semantics (r7): the conditional-PUT lock must give the
+    same mutual exclusion the O_EXCL lock does."""
     import threading
 
-    lake = Lake(spark, str(tmp_path / "lake"))
+    from udata_datalake_service_spark.sinks.store import (
+        PosixStore,
+        S3SemanticsStore,
+    )
+
+    store = PosixStore() if store_name == "posix" else S3SemanticsStore()
+    lake = Lake(spark, str(tmp_path / "lake"), store=store)
 
     # phase 1: concurrent first-writes + appends
     errs = []
