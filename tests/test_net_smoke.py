@@ -78,6 +78,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             if include_body:
                 self.wfile.write(raw)
+        elif self.path == "/moved":
+            self.send_response(302)
+            self.send_header("Location", "/ok")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/gone":
             self.send_response(404)
             self.send_header("Content-Length", "0")
@@ -135,6 +140,15 @@ def test_real_transport_error_status_recorded_not_raised(base_url):
     assert row["status"] == 404
     assert row["method"] == "get"
     assert row["timeout"] is False
+
+
+def test_real_transport_follows_redirects(base_url):
+    """3xx + Location is followed transparently (urllib default, matching
+    the reference's aiohttp session): the recorded row carries the FINAL
+    status and the final response's metadata."""
+    row = _check_one(f"{base_url}/moved", urllib_transport)
+    assert row["status"] == 200
+    assert row["headers"]["content-length"] == "11"  # /ok's body
 
 
 def test_real_transport_gzip_content_encoding_header(base_url):
