@@ -40,6 +40,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "dd_dup_clusters",  # CC default is now auto (1 job/round minlabel + star fallback)
     "tx_curate_pipeline",  # consumes near_dup_clusters' new auto default
     "mm_jpeg_meta",  # fixture now includes progressive (SOF2) files
+    "s9_f10_http_surface",  # NEW: S9+F10 scalar surface upgraded to oracle
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -5779,6 +5779,107 @@ UNION ALL SELECT * FROM fresh
 # the 50-slot window at least every ceil(N/50) rounds — see attestation.py
 # and the invariants in tests/test_entry_contract.py. The literal dict
 # below is therefore just the catalog; its textual order is irrelevant.
+
+def q_s9_f10_http_surface(spark, sf_dir):
+    """S9 + F10 scalar surface with a value-hash oracle (upgraded from
+    pytest-only in r7): per document, synthesize a content-type from an
+    8-entry cycle (incl. NULL, mixed case, gzip types) and a URL
+    (every 3rd a .csv.gz download), then drive the real column
+    expressions — ``sniff_tabular`` (utils/csv.py:4-43 when-cascade,
+    first-match order attested), ``lower_keys`` + ``header`` extraction
+    through a MIXED-CASE header map (crawl/helpers.py:24-35: extraction
+    only works if the keys really were lowered), and
+    ``split_content_type``. The oracle replays the cascade and the
+    extractions in SQL; any ordering or case-handling drift breaks the
+    hash."""
+    from udata_datalake_service_spark.functions.http import (
+        header,
+        lower_keys,
+        sniff_tabular,
+        split_content_type,
+    )
+
+    cts = [
+        "text/csv; charset=utf-8",
+        "application/octet-stream",
+        "application/vnd.ms-excel",
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "application/json",
+        "TEXT/PLAIN",
+        None,
+        "application/x-gzip",
+    ]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ct = F.element_at(
+        F.array(*[F.lit(x).cast("string") for x in cts]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://files.test/dl/f"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".csv.gz")).otherwise(F.lit(".bin")),
+    )
+    headers = F.map_from_arrays(
+        F.array(F.lit("Content-Type"), F.lit("X-Custom-HDR")),
+        F.array(ct, F.concat(F.lit("v"), F.col("doc_id").cast("string"))),
+    )
+    lowered = lower_keys(headers)
+    sn = sniff_tabular(ct, url)
+    return d.select(
+        "doc_id",
+        sn["is_tabular"].alias("is_tabular"),
+        sn["format"].alias("fmt"),
+        header(lowered, "Content-Type").alias("ct_extracted"),
+        header(lowered, "X-CUSTOM-HDR").alias("custom_extracted"),
+        split_content_type(F.coalesce(ct, F.lit(""))).alias("ct_base"),
+    )
+
+
+_SQL_S9_F10 = """
+WITH f AS (
+  SELECT doc_id,
+    (['text/csv; charset=utf-8','application/octet-stream',
+      'application/vnd.ms-excel',
+      'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet',
+      'application/json','TEXT/PLAIN',NULL,
+      'application/x-gzip'])[(doc_id % 8) + 1] AS ct,
+    'https://files.test/dl/f' || doc_id ||
+      CASE WHEN doc_id % 3 = 0 THEN '.csv.gz' ELSE '.bin' END AS url
+  FROM documents
+),
+g AS (SELECT doc_id, ct, url, lower(coalesce(ct, '')) AS lct FROM f)
+SELECT doc_id,
+  CASE
+    WHEN lct LIKE 'application/csv%' OR lct LIKE 'text/plain%'
+      OR lct LIKE 'text/csv%' THEN TRUE
+    WHEN (lct LIKE 'application/octet-stream%' OR lct LIKE 'application/x-gzip%'
+      OR lct LIKE 'application/gzip%')
+      AND coalesce(url, '') LIKE '%csv.gz%' THEN TRUE
+    WHEN lct LIKE 'application/vnd.ms-excel%' THEN TRUE
+    WHEN lct LIKE
+      'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet%'
+      THEN TRUE
+    ELSE FALSE
+  END AS is_tabular,
+  CASE
+    WHEN lct LIKE 'application/csv%' OR lct LIKE 'text/plain%'
+      OR lct LIKE 'text/csv%' THEN 'csv'
+    WHEN (lct LIKE 'application/octet-stream%' OR lct LIKE 'application/x-gzip%'
+      OR lct LIKE 'application/gzip%')
+      AND coalesce(url, '') LIKE '%csv.gz%' THEN 'csvgz'
+    WHEN lct LIKE 'application/vnd.ms-excel%' THEN 'xls'
+    WHEN lct LIKE
+      'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet%'
+      THEN 'xlsx'
+    ELSE 'csv'
+  END AS fmt,
+  ct AS ct_extracted,
+  'v' || doc_id AS custom_extracted,
+  trim(string_split(coalesce(ct, ''), ';')[1]) AS ct_base
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -5864,6 +5965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_smart_cast": q_f3_smart_cast,
     "f4_date_parse_multi": q_f4_date_parse_multi,
     "f_scalar_surface": q_f_scalar_surface_full,
+    "s9_f10_http_surface": q_s9_f10_http_surface,
     "a1_group_topk": q_a1_group_topk_both,
     "a5_st2_backoff_table": q_a5_st2_backoff_table,
     "a8_purge_returning_count": q_a8_purge_returning_count,
@@ -5986,6 +6088,7 @@ ORACLES: dict[str, str] = {
     "f3_smart_cast": _SQL_F3,
     "f4_date_parse_multi": _SQL_F4,
     "f_scalar_surface": _SQL_FSC_FULL,
+    "s9_f10_http_surface": _SQL_S9_F10,
     "a1_group_topk": _SQL_A1_BOTH,
     "a5_st2_backoff_table": _SQL_A5,
     "a8_purge_returning_count": _SQL_A8,
