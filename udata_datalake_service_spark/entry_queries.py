@@ -5880,6 +5880,154 @@ FROM g
 """
 
 
+
+_FETCH_FIXTURE = {"server": None, "base": None}
+
+
+def _fetch_fixture_base() -> str | None:
+    """Start (once per process) the S1 live-fetch fixture server — a
+    localhost ThreadingHTTPServer with a fixed behavior matrix. Returns
+    the base URL, or None when loopback networking is unavailable (the
+    query then degrades to a mock transport with the identical matrix).
+    Local-mode assumption: executors share the driver host, so
+    127.0.0.1 resolves to this server from worker processes."""
+    if _FETCH_FIXTURE["base"] is not None:
+        return _FETCH_FIXTURE["base"]
+    import socket
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    try:
+        probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        probe.bind(("127.0.0.1", 0))
+        probe.close()
+    except OSError:
+        return None
+
+    class H(BaseHTTPRequestHandler):
+        def _route(self, body_ok):
+            if self.path == "/ok":
+                body = b"hello world"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Last-Modified", "Wed, 01 Jan 2026 00:00:00 GMT")
+                self.end_headers()
+                if body_ok:
+                    self.wfile.write(body)
+            elif self.path == "/no-meta":
+                self.send_response(200)
+                if body_ok:
+                    body = b"fallback body"
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.end_headers()
+            elif self.path == "/gzip":
+                import gzip as _gz
+
+                raw = _gz.compress(b"gzip payload", mtime=0)
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                if body_ok:
+                    self.wfile.write(raw)
+            else:  # /gone and anything else
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        def do_HEAD(self):  # noqa: N802
+            self._route(False)
+
+        def do_GET(self):  # noqa: N802
+            self._route(True)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _FETCH_FIXTURE["server"] = srv
+    _FETCH_FIXTURE["base"] = f"http://127.0.0.1:{srv.server_address[1]}"
+    return _FETCH_FIXTURE["base"]
+
+
+def _mock_fixture_transport(url, method):
+    """Fallback transport replaying the fixture server's matrix exactly
+    (used only when loopback is unavailable in the host environment)."""
+    path = "/" + url.rsplit("/", 1)[1]
+    if path == "/ok":
+        h = {"Content-Length": "11", "Last-Modified": "Wed, 01 Jan 2026 00:00:00 GMT"}
+        return 200, h, None
+    if path == "/no-meta":
+        return (200, {}, None) if method == "head" else (200, {"Content-Length": "13"}, None)
+    if path == "/gzip":
+        import gzip as _gz
+
+        raw = _gz.compress(b"gzip payload", mtime=0)
+        return 200, {"Content-Encoding": "gzip", "Content-Length": str(len(raw))}, None
+    return 404, {"Content-Length": "0"}, None
+
+
+def q_s1_live_fetch(spark, sf_dir):
+    """S1 with a value-hash oracle over REAL sockets (upgraded from
+    pytest-only in r7): a localhost fixture server with the reference's
+    behavior matrix (crawl/check_resources.py:56-206 / helpers.py:47-53)
+    is fetched by the REAL urllib transport from executor Python workers
+    through check_batch's mapInPandas — connection handling, HEAD/GET
+    verbs, header lowering, all live. One check per doc_id%7==0 document,
+    endpoint cycling by doc_id%4: nice-HEAD kept (/ok), metadata-free
+    HEAD forcing the GET fallback (/no-meta), 404 recorded as data
+    (/gone), gzip content-encoding lowered into the row (/gzip). Output
+    keeps only the deterministic fields (status/method/headers), never
+    response_time. Degrades to a mock transport with the identical
+    matrix where loopback is blocked."""
+    from udata_datalake_service_spark.plans.fetch import check_batch, urllib_transport
+
+    base = _fetch_fixture_base()
+    transport = urllib_transport if base is not None else _mock_fixture_transport
+    if base is None:
+        base = "http://fixture.invalid"
+    paths = ["/ok", "/no-meta", "/gone", "/gzip"]
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    batch = d.select(
+        F.col("doc_id").cast("string").alias("resource_id"),
+        F.concat(
+            F.lit(base),
+            F.element_at(
+                F.array(*[F.lit(x) for x in paths]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    out = check_batch(batch, transport=transport, fan_out=4)
+    return out.select(
+        F.col("resource_id").cast("long").alias("doc_id"),
+        F.col("status").cast("int").alias("status"),
+        "method",
+        F.col("timeout").alias("timed_out"),
+        F.element_at(F.col("headers"), "content-encoding").alias("content_encoding"),
+        F.when(
+            F.col("status") != 404,
+            F.element_at(F.col("headers"), "content-length").cast("long"),
+        ).alias("body_bytes"),
+    )
+
+
+_SQL_S1_LIVE = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 2 THEN 404 ELSE 200 END AS status,
+  CASE doc_id % 4 WHEN 0 THEN 'head' WHEN 3 THEN 'head' ELSE 'get' END AS method,
+  FALSE AS timed_out,
+  CASE doc_id % 4 WHEN 3 THEN 'gzip' ELSE NULL END AS content_encoding,
+  CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 13 WHEN 3 THEN 32 ELSE NULL END
+    AS body_bytes
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -5966,6 +6114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f4_date_parse_multi": q_f4_date_parse_multi,
     "f_scalar_surface": q_f_scalar_surface_full,
     "s9_f10_http_surface": q_s9_f10_http_surface,
+    "s1_live_fetch": q_s1_live_fetch,
     "a1_group_topk": q_a1_group_topk_both,
     "a5_st2_backoff_table": q_a5_st2_backoff_table,
     "a8_purge_returning_count": q_a8_purge_returning_count,
@@ -6089,6 +6238,7 @@ ORACLES: dict[str, str] = {
     "f4_date_parse_multi": _SQL_F4,
     "f_scalar_surface": _SQL_FSC_FULL,
     "s9_f10_http_surface": _SQL_S9_F10,
+    "s1_live_fetch": _SQL_S1_LIVE,
     "a1_group_topk": _SQL_A1_BOTH,
     "a5_st2_backoff_table": _SQL_A5,
     "a8_purge_returning_count": _SQL_A8,
