@@ -42,6 +42,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "mm_jpeg_meta",  # fixture now includes progressive (SOF2) files
     "s9_f10_http_surface",  # NEW: S9+F10 scalar surface upgraded to oracle
     "s1_live_fetch",  # NEW: S1 over real localhost sockets, oracle-checked
+    "st1_microbatch_rates",  # NEW: ST1/ST2 through the streaming engine, oracle-checked
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -6028,6 +6028,106 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+
+def q_st1_microbatch_rates(spark, sf_dir):
+    """ST1+ST2 through the REAL Structured Streaming engine with a
+    value-hash oracle (upgraded from pytest-only in r7): synthesize a
+    deterministic checks lake from documents (one check per doc, event
+    time = epoch + doc_id*47 s, domain cycling over 5 hosts, every 6th a
+    429), stream it through the file-source ``stream_checks`` reader and
+    the ST2 ``domain_rate_windows`` sliding-window aggregation
+    (360 s window / 60 s slide) under an availableNow trigger into a
+    memory sink, and return the finalized per-(window, domain) counts.
+    Complete output mode makes the result watermark-independent, so the
+    DuckDB oracle replays the slide arithmetic exactly: each event lands
+    in the 6 windows whose start lies in (t-360, t] on the 60 s grid.
+    The streaming ENGINE (micro-batch planner, state store, window
+    assignment) is inside the attested path — not a batch restatement."""
+    import hashlib
+    import os
+    import uuid
+
+    from udata_datalake_service_spark.streaming.checks_stream import (
+        domain_rate_windows,
+        stream_checks,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    checks = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").cast("string").alias("resource_id"),
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".test/r"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".test")).alias("domain"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 47)
+            .alias("created_at"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(429)).otherwise(F.lit(200))
+            .cast("int").alias("status"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        F.lit(False).alias("timeout"),
+        F.lit(0.1).alias("response_time"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.lit(None).cast("long").alias("filesize"),
+        F.lit("text/csv").alias("mime_type"),
+        F.lit(None).cast("string").alias("analysis_error"),
+        F.lit(None).cast("timestamp").alias("detected_last_modified_at"),
+        F.lit(None).cast("string").alias("parsing_error"),
+        F.lit(None).cast("string").alias("parsing_table"),
+        F.lit(None).cast("timestamp").alias("parsing_started_at"),
+        F.lit(None).cast("timestamp").alias("parsing_finished_at"),
+        F.lit(None).cast("timestamp").alias("next_check_at"),
+        F.lit(None).cast("string").alias("parquet_url"),
+        F.lit(None).cast("long").alias("parquet_size"),
+    )
+    root = (
+        f"/tmp/spark_st1_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        f"_{os.getpid()}"
+    )
+    checks.write.mode("overwrite").parquet(root)
+
+    rates = domain_rate_windows(stream_checks(spark, root))
+    qname = f"st1_rates_{uuid.uuid4().hex[:10]}"
+    q = (
+        rates.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.unix_timestamp("window.start").alias("w_start"),
+        F.unix_timestamp("window.end").alias("w_end"),
+        "domain",
+        F.col("n_checks").cast("long").alias("n_checks"),
+        F.col("n_429").cast("long").alias("n_429"),
+    )
+
+
+_SQL_ST1_RATES = """
+WITH ev AS (
+  SELECT doc_id,
+    'h' || (doc_id % 5) || '.test' AS domain,
+    1700000000 + doc_id * 47 AS t,
+    CASE WHEN doc_id % 6 = 0 THEN 429 ELSE 200 END AS status
+  FROM documents
+),
+wins AS (
+  SELECT ev.domain, ev.status,
+    (ev.t // 60) * 60 - 60 * off.o AS w_start
+  FROM ev CROSS JOIN (SELECT unnest(range(0, 6)) AS o) off
+  WHERE ev.t >= (ev.t // 60) * 60 - 60 * off.o
+    AND ev.t < (ev.t // 60) * 60 - 60 * off.o + 360
+)
+SELECT w_start, w_start + 360 AS w_end, domain,
+  count(*) AS n_checks,
+  count(*) FILTER (WHERE status = 429) AS n_429
+FROM wins GROUP BY w_start, domain
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6115,6 +6215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_scalar_surface": q_f_scalar_surface_full,
     "s9_f10_http_surface": q_s9_f10_http_surface,
     "s1_live_fetch": q_s1_live_fetch,
+    "st1_microbatch_rates": q_st1_microbatch_rates,
     "a1_group_topk": q_a1_group_topk_both,
     "a5_st2_backoff_table": q_a5_st2_backoff_table,
     "a8_purge_returning_count": q_a8_purge_returning_count,
@@ -6239,6 +6340,7 @@ ORACLES: dict[str, str] = {
     "f_scalar_surface": _SQL_FSC_FULL,
     "s9_f10_http_surface": _SQL_S9_F10,
     "s1_live_fetch": _SQL_S1_LIVE,
+    "st1_microbatch_rates": _SQL_ST1_RATES,
     "a1_group_topk": _SQL_A1_BOTH,
     "a5_st2_backoff_table": _SQL_A5,
     "a8_purge_returning_count": _SQL_A8,
