@@ -682,15 +682,19 @@ def test_s3_publish_crash_leaves_readers_on_previous_version(spark, tmp_path):
     staged-dir + manifest-PUT protocol exists to guarantee."""
     from pathlib import Path
 
-    store = S3SemanticsStore(fail_after_copies=0)  # die before the 1st copy
+    store = S3SemanticsStore(fail_after_copies=1)  # die MID-publish
     lake = Lake(spark, str(tmp_path / "lake"), store=PosixStore())
     df1 = spark.createDataFrame([(1, "old")], "id long, v string")
     lake.write_table(df1, "t")
     v1 = lake.table_version("t")
 
-    # swap in the crashing object-store backend for the second commit
+    # swap in the crashing object-store backend for the second commit:
+    # a multi-file version dies after one object has landed, leaving a
+    # genuinely partial destination prefix
     lake.store = store
-    df2 = spark.createDataFrame([(2, "new")], "id long, v string")
+    df2 = spark.createDataFrame(
+        [(2, "new"), (3, "newer")], "id long, v string"
+    ).repartition(2)
     with pytest.raises(RuntimeError, match="injected object-store crash"):
         lake.write_table(df2, "t")
 
