@@ -858,3 +858,70 @@ def test_pagerank_known_fixed_points(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         pagerank(chain, max_iter=1, tol=1e-15)
+
+
+# ------------------------------------------------------------ dense_ids ----
+def test_dense_ids_matches_global_row_number(spark):
+    from udata_datalake_service_spark.caching import adopted, settle
+    from udata_datalake_service_spark.operators.ids import dense_ids
+
+    rows = [(i % 7, 1000 - i) for i in range(500)]  # non-unique first key
+    df = spark.createDataFrame(rows, "grp int, k int")
+    r = dense_ids(df, ["grp", "k"], num_partitions=6)
+    r = settle(r, *adopted(r))
+    got = sorted((x["rid"], x["grp"], x["k"]) for x in r.collect())
+    exp = sorted(rows, key=lambda t: (t[0], t[1]))
+    assert [t[0] for t in got] == list(range(500))  # dense, 0-based, gap-free
+    assert [(g, k) for _, g, k in got] == exp  # ordered exactly like the sort
+
+
+def test_dense_ids_single_and_excess_partitions(spark):
+    from udata_datalake_service_spark.caching import adopted, settle
+    from udata_datalake_service_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    for parts in (1, 64):  # 64 >> 10 rows: most partitions empty
+        r = dense_ids(df, ["k"], num_partitions=parts)
+        r = settle(r, *adopted(r))
+        assert sorted((x["k"], x["rid"]) for x in r.collect()) == [
+            (i, i) for i in range(10)
+        ]
+
+
+def test_dense_ids_empty_and_validation(spark):
+    from udata_datalake_service_spark.caching import adopted, settle
+    from udata_datalake_service_spark.operators.ids import dense_ids
+
+    empty = spark.createDataFrame([], "k int")
+    r = dense_ids(empty, ["k"], num_partitions=4)
+    assert settle(r, *adopted(r)).count() == 0
+    with pytest.raises(ValueError, match="order_by"):
+        dense_ids(empty, [])
+
+
+# ------------------------------------------------------ reduced joins ----
+def test_reduced_joins_row_identical_to_plain(spark):
+    from udata_datalake_service_spark.caching import adopted, settle
+    from udata_datalake_service_spark.operators.reduction import (
+        reduced_anti_join,
+        reduced_semi_join,
+    )
+
+    # duplicate keys on BOTH sides + a multi-column key: the rewrite must
+    # not dedup batch rows, and candidate dedup must be per composite key
+    batch = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 11), (2, "b", 12), (3, "a", 13), (3, "c", 14)],
+        "k int, s string, payload int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "x"), (3, "c"), (9, "z")], "k int, s string"
+    )
+    for fn, how in ((reduced_anti_join, "left_anti"), (reduced_semi_join, "left_semi")):
+        plain = sorted(
+            map(tuple, batch.join(corpus, ["k", "s"], how).collect())
+        )
+        red = fn(batch, corpus, ["k", "s"])
+        red = settle(red, *adopted(red))
+        assert sorted(map(tuple, red.collect())) == plain
+    with pytest.raises(ValueError, match="on"):
+        reduced_anti_join(batch, corpus, [])

@@ -419,3 +419,66 @@ def test_jpeg_meta_is_shuffle_free_mapinpandas(spark):
     assert "MapInPandas" in t
     assert n_exchanges(plan) == 0
     assert "Join" not in t and "Window" not in t and "Aggregate" not in t
+
+
+def test_exif_meta_is_shuffle_free_mapinpandas(spark):
+    """mm_exif_meta is the same map-only shape as the other media
+    featurizers: build + parse are MapInPandas stages over the scan,
+    ZERO Exchange — EXIF scanning parallelism equals scan parallelism."""
+    plan = formatted_plan(QUERIES["mm_exif_meta"](spark, SF_DIR))
+    t = tree(plan)
+    assert "MapInPandas" in t
+    assert n_exchanges(plan) == 0
+    assert "Join" not in t and "Window" not in t and "Aggregate" not in t
+
+
+def test_dense_ids_never_single_partition(spark):
+    """dense_ids' reason to exist: the naive global ROW_NUMBER() funnels
+    the table through Exchange SinglePartition; the operator's plan is a
+    RANGE exchange + MapInPandas and contains neither a single-partition
+    exchange nor a Window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.ids import dense_ids
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    naive = orders.withColumn(
+        "rid", F.row_number().over(Window.orderBy("o_orderkey")) - 1
+    )
+    assert "SinglePartition" in formatted_plan(naive)  # the anti-pattern
+
+    plan = formatted_plan(
+        dense_ids(orders.select("o_orderkey"), ["o_orderkey"], num_partitions=8)
+    )
+    assert "SinglePartition" not in plan
+    assert "Window" not in tree(plan)
+    assert "MapInPandas" in tree(plan)
+    assert "rangepartitioning" in plan
+
+
+def test_reduced_anti_join_never_exchanges_corpus(spark):
+    """The semi-join-reduction contract: the corpus (lineitem) side is
+    scanned once and reaches both joins only through BroadcastExchange of
+    key sets — zero shuffle exchanges, no SortMergeJoin, both joins are
+    broadcast-hash."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.reduction import reduced_anti_join
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    batch = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderdate"
+    )
+    corpus = li.select(F.col("l_orderkey").alias("o_orderkey"))
+    plan = formatted_plan(
+        reduced_anti_join(batch, corpus, "o_orderkey", persist_candidates=False)
+    )
+    t = tree(plan)
+    assert "SortMergeJoin" not in t
+    assert "Exchange hashpartitioning" not in t
+    assert t.count("BroadcastHashJoin") == 2
+    # 3 scans: batch keys (reduction build), corpus (once), batch (probe) —
+    # the corpus is the only side that matters and it appears exactly once
+    assert t.count("Scan parquet") == 3

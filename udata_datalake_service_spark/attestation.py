@@ -43,6 +43,9 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "s9_f10_http_surface",  # NEW: S9+F10 scalar surface upgraded to oracle
     "s1_live_fetch",  # NEW: S1 over real localhost sockets, oracle-checked
     "st1_microbatch_rates",  # NEW: ST1/ST2 through the streaming engine, oracle-checked
+    "dense_ids",  # NEW: scalable contiguous row numbering (operators/ids.py)
+    "reduced_antijoin",  # NEW: semi-join-reduction anti/semi join (operators/reduction.py)
+    "mm_exif_meta",  # NEW: EXIF/TIFF metadata codec end-to-end (llm/exif.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

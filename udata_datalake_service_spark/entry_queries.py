@@ -6128,6 +6128,126 @@ FROM wins GROUP BY w_start, domain
 """
 
 
+def q_dense_ids(spark, sf_dir):
+    """Scalable contiguous row numbering (operators/ids.py): a dense
+    0-based ordinal over orders by (o_orderdate, o_orderkey) — the
+    range-exchange + per-partition-count + Arrow-stamp plan, NOT the
+    single-partition window the naive ROW_NUMBER() compiles to (the
+    oracle IS that window; at sf the two agree row-for-row, at 100 TB
+    only one of them finishes). num_partitions pinned so the partition
+    layout — which the id math must be independent of — is exercised
+    with multiple non-empty partitions at every sf."""
+    from udata_datalake_service_spark.operators.ids import dense_ids
+
+    o = _t(spark, sf_dir, "orders")
+    r = dense_ids(
+        o.select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
+        id_col="rid",
+        num_partitions=8,
+    )
+    return settle(r, *adopted(r))
+
+
+_SQL_DENSE_IDS = """
+SELECT o_orderkey, o_orderdate,
+  ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS rid
+FROM orders
+"""
+
+
+def q_reduced_antijoin(spark, sf_dir):
+    """Semi-join-reduction rewrite (operators/reduction.py): the
+    incremental-ingest join shape — batch = every 7th order, corpus =
+    lineitem — through BOTH reduced forms, tagged by leg. The rewrite is
+    row-identical to the plain anti/semi join (exactness argued in the
+    module docstring), so the oracle is the plain NOT EXISTS / EXISTS;
+    what the Spark side adds is the plan: the corpus side is scanned
+    once and never exchanged (pinned by test_physical_plans.py)."""
+    from udata_datalake_service_spark.operators.reduction import (
+        reduced_anti_join,
+        reduced_semi_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    batch = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderdate"
+    )
+    corpus = li.select(F.col("l_orderkey").alias("o_orderkey"))
+    anti = reduced_anti_join(batch, corpus, "o_orderkey")
+    semi = reduced_semi_join(batch, corpus, "o_orderkey")
+    out = anti.withColumn("leg", F.lit("anti")).unionByName(
+        semi.withColumn("leg", F.lit("semi"))
+    )
+    return settle(out, *adopted(anti), *adopted(semi))
+
+
+_SQL_REDUCED_ANTIJOIN = """
+WITH batch AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT b.o_orderkey, b.o_orderdate, 'anti' AS leg FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = b.o_orderkey)
+UNION ALL
+SELECT b.o_orderkey, b.o_orderdate, 'semi' AS leg FROM batch b
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = b.o_orderkey)
+"""
+
+
+def q_mm_exif_meta(spark, sf_dir):
+    """Camera-metadata plane end-to-end (llm/exif.py): executors BUILD
+    EXIF-tagged JPEGs (APP1 spliced by llm/exif.build_exif_app1,
+    alternating II/MM byte order, model absent every 7th file, GPS on
+    the exact 1/3600-degree grid), then parse them back distributedly
+    with the from-scratch TIFF walker — header-only, no pixel decode.
+    Every field is a closed form of doc_id, which the oracle restates;
+    the GPS doubles go through IDENTICAL integer-arcsecond arithmetic
+    (deg + min/60 + sec/3600, then a tie-free round to 6) on both
+    engines, so the value hash attests the full rational → decimal
+    conversion."""
+    from udata_datalake_service_spark.llm.multimodal import (
+        exif_media_from_documents,
+        extract_exif_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_exif_features(exif_media_from_documents(d))
+
+
+_SQL_MM_EXIF = """
+WITH g AS (
+  SELECT doc_id,
+    ((doc_id % 180) - 90) * 3600 + (doc_id % 60) * 60 + (doc_id % 2) * 30
+      AS lat_sec,
+    (((doc_id * 3) % 360) - 180) * 3600 + ((doc_id * 7) % 60) * 60 AS lon_sec
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+  'Cam' || CAST(doc_id % 3 AS VARCHAR) AS make,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       ELSE 'M-' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+  '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' '
+    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00'
+    AS datetime_original,
+  CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS pixel_x,
+  CAST(8 + 8 * (doc_id % 2) AS INTEGER) AS pixel_y,
+  CAST(100 * (1 + doc_id % 4) AS INTEGER) AS iso,
+  CAST(10 + doc_id % 40 AS DOUBLE) / 10 AS f_number,
+  ROUND(CASE WHEN lat_sec < 0 THEN -1 ELSE 1 END
+    * (abs(lat_sec) // 3600
+       + (abs(lat_sec) // 60 % 60) / 60.0
+       + (abs(lat_sec) % 60) / 3600.0), 6) AS gps_lat,
+  ROUND(CASE WHEN lon_sec < 0 THEN -1 ELSE 1 END
+    * (abs(lon_sec) // 3600
+       + (abs(lon_sec) // 60 % 60) / 60.0
+       + (abs(lon_sec) % 60) / 3600.0), 6) AS gps_lon
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6232,6 +6352,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_split": q_temporal_split,
     "dd_star_clusters": q_dd_star_clusters,
     "mm_jpeg_meta": q_mm_jpeg_meta,
+    # ---- round 7 ----
+    "dense_ids": q_dense_ids,
+    "reduced_antijoin": q_reduced_antijoin,
+    "mm_exif_meta": q_mm_exif_meta,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -6377,6 +6501,9 @@ ORACLES: dict[str, str] = {
     "temporal_split": _SQL_TEMPORAL_SPLIT,
     "dd_star_clusters": _SQL_DD_STAR,
     "mm_jpeg_meta": _SQL_MM_JPEG,
+    "dense_ids": _SQL_DENSE_IDS,
+    "reduced_antijoin": _SQL_REDUCED_ANTIJOIN,
+    "mm_exif_meta": _SQL_MM_EXIF,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -76,12 +76,16 @@ def _segments(data: bytes):
             raise ValueError(f"jpeg: expected marker at {pos}")
         while pos < n and data[pos] == 0xFF:  # fill bytes are legal
             pos += 1
+        if pos >= n:
+            raise ValueError("jpeg: truncated at marker")
         marker = data[pos]
         pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             continue
         if marker == 0xD9:  # EOI
             return
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment length")
         (length,) = struct.unpack(">H", data[pos : pos + 2])
         payload = data[pos + 2 : pos + length]
         pos += length
@@ -509,12 +513,16 @@ def decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"jpeg: expected marker at {pos}")
         while pos < n and data[pos] == 0xFF:
             pos += 1
+        if pos >= n:
+            raise ValueError("jpeg: truncated at marker")
         marker = data[pos]
         pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment length")
         (length,) = struct.unpack(">H", data[pos : pos + 2])
         payload = data[pos + 2 : pos + length]
         pos += length

@@ -455,3 +455,122 @@ def embed_media(
         for k in range(dim)
     ]
     return media.select(F.col(id_col), F.array(*comps).alias("embedding"))
+
+
+EXIF_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+        T.StructField("iso", T.IntegerType()),
+        T.StructField("f_number", T.DoubleType()),
+        # decimal degrees, rounded(6) so Spark and the SQL oracle agree
+        # on the last printed digit of deg + min/60 + sec/3600
+        T.StructField("gps_lat", T.DoubleType()),
+        T.StructField("gps_lon", T.DoubleType()),
+    ]
+)
+
+
+def exif_media_from_documents(documents: DataFrame, modulus: int = 4) -> DataFrame:
+    """EXIF-bearing JPEG fixture: one tagged grayscale JPEG per document
+    (doc_id % modulus == 0), assembled IN THE EXECUTORS — llm/jpeg.py
+    encodes the pixels, llm/exif.py builds the APP1 (alternating II/MM
+    byte order per file, model tag absent every 7th file, GPS on a
+    1/3600-degree grid so the rational triplets round-trip exactly).
+    Every field is a closed form of doc_id, which is what lets the
+    mm_exif_meta oracle restate the full parse in SQL."""
+    from udata_datalake_service_spark.llm.exif import build_exif_app1, insert_app1
+    from udata_datalake_service_spark.llm.jpeg import encode_jpeg_gray
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                if i % modulus:
+                    continue
+                w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+                jpeg = encode_jpeg_gray(w, h, bytes([(i * 37) % 256]) * (w * h))
+                lat = (i % 180) - 90 + (i % 60) / 60 + (i % 2) * 30 / 3600
+                lon = ((i * 3) % 360) - 180 + ((i * 7) % 60) / 60
+                app1 = build_exif_app1(
+                    byte_order="MM" if i % 3 == 0 else "II",
+                    make=f"Cam{i % 3}",
+                    model=None if i % 7 == 0 else f"M-{i % 5}",
+                    orientation=1 + i % 8,
+                    datetime_original=(
+                        f"2026:01:{1 + i % 28:02d} {i % 24:02d}:00:00"
+                    ),
+                    pixel_x=w,
+                    pixel_y=h,
+                    iso=100 * (1 + i % 4),
+                    f_number=(10 + i % 40, 10),
+                    gps=(lat, lon),
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "image",
+                        "content": insert_app1(jpeg, app1),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return documents.select("doc_id").mapInPandas(gen, schema)
+
+
+def extract_exif_features(media: DataFrame) -> DataFrame:
+    """Header-only distributed EXIF scan (llm/exif.py): Arrow-batched
+    ``mapInPandas``, no entropy decode — the 100 TB shape for camera
+    metadata (the APP1 segment sits in the first KB of the file, so a
+    production reader needs only a ranged head read per object)."""
+    from udata_datalake_service_spark.llm.exif import parse_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                m = parse_exif(bytes(content))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "byte_order": m.get("byte_order"),
+                        "make": m.get("make"),
+                        "model": m.get("model"),
+                        "orientation": m.get("orientation"),
+                        "datetime_original": m.get("datetime_original"),
+                        "pixel_x": m.get("pixel_x"),
+                        "pixel_y": m.get("pixel_y"),
+                        "iso": m.get("iso"),
+                        "f_number": m.get("f_number"),
+                        "gps_lat": (
+                            None
+                            if m.get("gps_lat") is None
+                            else round(m["gps_lat"], 6)
+                        ),
+                        "gps_lon": (
+                            None
+                            if m.get("gps_lon") is None
+                            else round(m["gps_lon"], 6)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in EXIF_FEATURES_SCHEMA])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(batches, EXIF_FEATURES_SCHEMA)
