@@ -1605,3 +1605,79 @@ def test_kmeans_raises_on_empty_cluster(spark):
     )
     with _pytest.raises(RuntimeError, match="empty"):
         kmeans_fit(df, k=2, max_iterations=3)
+
+
+# ------------------------------------------------- incremental LSH probe --
+def test_incremental_lsh_partitions_the_full_pair_set(spark, docs):
+    """corpus-internal ∪ batch-internal ∪ cross(incremental) must equal
+    lsh_candidate_pairs over everything — the incremental decomposition
+    loses no pair and invents none."""
+    from udata_datalake_service_spark.llm.dedup import incremental_lsh_pairs
+
+    sigs = minhash_signatures(docs, num_hashes=16, k=2)
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in lsh_candidate_pairs(sigs, 4, 4).collect()
+    }
+    corpus = sigs.filter(F.col("id") % 2 == 1)  # 1, 3, 5
+    batch = sigs.filter(F.col("id") % 2 == 0)  # 2, 4, 6
+    внутр = None  # noqa: F841 — guard against copy-paste of the var below
+    internal = {
+        frozenset((r["id_a"], r["id_b"]))
+        for part in (corpus, batch)
+        for r in lsh_candidate_pairs(part, 4, 4).collect()
+    }
+    cross = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in incremental_lsh_pairs(corpus, batch, 4, 4).collect()
+    }
+    assert internal | cross == full
+    assert internal & cross == set()  # disjoint decomposition
+    assert frozenset((1, 2)) in cross  # the exact-dup pair straddles the split
+
+
+def test_incremental_lsh_excludes_self_pairs(spark, docs):
+    """A re-crawled document (same id on both sides) must not pair with
+    itself."""
+    from udata_datalake_service_spark.llm.dedup import incremental_lsh_pairs
+
+    sigs = minhash_signatures(docs, num_hashes=16, k=2)
+    got = incremental_lsh_pairs(sigs, sigs, 4, 4).collect()
+    assert all(r["id_a"] != r["id_b"] for r in got)
+
+
+def test_incremental_lsh_bucketed_index_shuffles_only_the_batch(
+    spark, docs, tmp_path
+):
+    """The 100 TB contract: with the corpus band table persisted bucketed
+    by (band, bkey), the probe join's plan contains exactly ONE Exchange
+    — the batch side — and no shuffle of the index."""
+    from udata_datalake_service_spark.llm.dedup import lsh_band_table
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    sigs = minhash_signatures(docs, num_hashes=16, k=2)
+    lake = Lake(spark, str(tmp_path))
+    idx = lake.write_bucketed_table(
+        lsh_band_table(sigs.filter(F.col("id") % 2 == 1), 4, 4),
+        "lsh_idx",
+        ["band", "bkey"],
+        8,
+    )
+    batch_bands = lsh_band_table(sigs.filter(F.col("id") % 2 == 0), 4, 4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(idx).join(
+            batch_bands.select(
+                F.col("id").alias("id_b"), "band", "bkey"
+            ),
+            on=["band", "bkey"],
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -46,6 +46,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "dense_ids",  # NEW: scalable contiguous row numbering (operators/ids.py)
     "reduced_antijoin",  # NEW: semi-join-reduction anti/semi join (operators/reduction.py)
     "mm_exif_meta",  # NEW: EXIF/TIFF metadata codec end-to-end (llm/exif.py)
+    "dd_lsh_incremental",  # NEW: probe-side LSH for incremental ingest
 })
 
 # query name -> last round with a green driver row (regenerate with

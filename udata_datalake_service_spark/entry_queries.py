@@ -1878,6 +1878,38 @@ def q_dd_lsh_pairs(spark, sf_dir):
     return settle(minhash_jaccard_estimate(sigs, pairs), sigs)
 
 
+def q_dd_lsh_incremental(spark, sf_dir):
+    """Incremental near-dup probe (llm/dedup.incremental_lsh_pairs): the
+    daily-ingest shape — corpus = documents with doc_id % 3 != 0 (the
+    already-indexed 2/3), batch = the doc_id % 3 == 0 arrivals. Band
+    both sides, probe the corpus index with ONE equi-join (never
+    corpus×corpus again), estimate Jaccard from signature overlap. Ids
+    are disjoint by construction, so the union signature table the
+    estimator joins is key-unique. At production scale the corpus band
+    table is a bucketed lake table and this plan re-shuffles only the
+    batch (pytest-pinned via write_bucketed_table)."""
+    from udata_datalake_service_spark.llm.dedup import (
+        incremental_lsh_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    d = _tw(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    csigs = minhash_signatures(corpus, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    bsigs = minhash_signatures(batch, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    pairs = incremental_lsh_pairs(
+        csigs, bsigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS
+    )
+    est = minhash_jaccard_estimate(csigs.unionByName(bsigs), pairs)
+    out = est.select(
+        F.col("id_a").alias("corpus_id"),
+        F.col("id_b").alias("batch_id"),
+        "jaccard_est",
+    )
+    return settle(out, csigs, bsigs)
+
+
 def _sql_band_key(b: int) -> str:
     mins = _sql_minhash_mins()[b * _LSH_ROWS : (b + 1) * _LSH_ROWS]
     return f"md5(concat_ws('|', {', '.join(mins)}))"
@@ -1897,6 +1929,24 @@ pairs AS (
 SELECT p.id_a, p.id_b,
   ROUND(CAST(len(list_filter(range(1, {_MINHASH_N + 1}), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS DOUBLE) / {_MINHASH_N}, 6) AS jaccard_est
 FROM pairs p JOIN sigs sa ON p.id_a = sa.doc_id JOIN sigs sb ON p.id_b = sb.doc_id
+"""
+
+
+_SQL_DD_LSH_INCR = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x),
+sigs AS (SELECT doc_id, [{', '.join(_sql_minhash_mins())}] AS sig FROM s),
+buckets AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS bkey FROM s" for b in range(_LSH_BANDS))}
+),
+pairs AS (
+  SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id
+  FROM buckets c JOIN buckets b ON c.band = b.band AND c.bkey = b.bkey
+  WHERE c.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+)
+SELECT p.corpus_id, p.batch_id,
+  ROUND(CAST(len(list_filter(range(1, {_MINHASH_N + 1}), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS DOUBLE) / {_MINHASH_N}, 6) AS jaccard_est
+FROM pairs p JOIN sigs sa ON p.corpus_id = sa.doc_id JOIN sigs sb ON p.batch_id = sb.doc_id
 """
 
 
@@ -6356,6 +6406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dense_ids": q_dense_ids,
     "reduced_antijoin": q_reduced_antijoin,
     "mm_exif_meta": q_mm_exif_meta,
+    "dd_lsh_incremental": q_dd_lsh_incremental,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -6504,6 +6555,7 @@ ORACLES: dict[str, str] = {
     "dense_ids": _SQL_DENSE_IDS,
     "reduced_antijoin": _SQL_REDUCED_ANTIJOIN,
     "mm_exif_meta": _SQL_MM_EXIF,
+    "dd_lsh_incremental": _SQL_DD_LSH_INCR,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -348,6 +348,33 @@ def lsh_candidate_pairs(
     (validated against one probed row; an empty frame skips the probe
     and returns no candidates anyway).
     """
+    exploded = lsh_band_table(signatures, num_bands, rows_per_band)
+
+    l = exploded.select(F.col("id").alias("id_a"), "band", "bkey")
+    r = exploded.select(F.col("id").alias("id_b"), "band", "bkey")
+    return (
+        l.join(r, on=["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_band_table(
+    signatures: DataFrame,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) banding of a signature table — the LSH INDEX.
+
+    Factored out of ``lsh_candidate_pairs`` because at production scale
+    this frame is a materialized lake table, not a plan fragment: band
+    the corpus ONCE, write it bucketed by (band, bkey)
+    (``Lake.write_bucketed_table``), and every future batch probes it
+    with an equi-join that never re-shuffles the corpus side
+    (``incremental_lsh_pairs``). Same validation as the pair join: bands
+    must fit the signature or trailing bands alias to one md5('') key.
+    """
     probe = signatures.select("sig").head(1)
     if probe:
         sig_len = len(probe[0]["sig"])
@@ -366,13 +393,43 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    exploded = signatures.select("id", F.posexplode(keys).alias("band", "bkey"))
+    return signatures.select("id", F.posexplode(keys).alias("band", "bkey"))
 
-    l = exploded.select(F.col("id").alias("id_a"), "band", "bkey")
-    r = exploded.select(F.col("id").alias("id_b"), "band", "bkey")
+
+def incremental_lsh_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Probe-side LSH — near-dup candidates of a NEW batch against an
+    EXISTING corpus, without ever re-pairing the corpus with itself.
+
+    The incremental sibling of ``lsh_candidate_pairs``: daily ingest does
+    not need corpus×corpus pairs again (they were resolved when the
+    corpus was built), only batch×corpus and batch×batch. This function
+    answers the cross term: band both sides, equi-join on (band, bkey),
+    distinct (id_a=corpus, id_b=batch). Self-pairs (same id on both
+    sides, e.g. a re-crawled document) are excluded; batch-internal dups
+    are ``lsh_candidate_pairs`` on the batch alone (cheap — the batch is
+    the small side).
+
+    At 100 TB: the corpus band table is the persisted index
+    (``lsh_band_table`` written bucketed by band key); this probe is one
+    equi-join whose corpus side arrives pre-bucketed, so the shuffle
+    moves ONLY the batch — the index is never rewritten or re-shuffled.
+    Estimate survivors with ``minhash_jaccard_estimate`` on the union of
+    the two signature tables.
+    """
+    ib = lsh_band_table(corpus_sigs, num_bands, rows_per_band).select(
+        F.col("id").alias("id_a"), "band", "bkey"
+    )
+    bb = lsh_band_table(batch_sigs, num_bands, rows_per_band).select(
+        F.col("id").alias("id_b"), "band", "bkey"
+    )
     return (
-        l.join(r, on=["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        ib.join(bb, on=["band", "bkey"])
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
