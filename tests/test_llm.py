@@ -1650,8 +1650,11 @@ def test_incremental_lsh_bucketed_index_shuffles_only_the_batch(
     spark, docs, tmp_path
 ):
     """The 100 TB contract: with the corpus band table persisted bucketed
-    by (band, bkey), the probe join's plan contains exactly ONE Exchange
-    — the batch side — and no shuffle of the index."""
+    by (band, bkey), the probe join never shuffles the index — every
+    Exchange in the plan sits on the batch side.  (The batch side may
+    legitimately contain more than one: the join shuffle plus the
+    groupBy inside minhash_signatures — so we pin the index SUBTREE,
+    not a whole-tree Exchange count.)"""
     from udata_datalake_service_spark.llm.dedup import lsh_band_table
     from udata_datalake_service_spark.sinks.lake import Lake
 
@@ -1678,6 +1681,14 @@ def test_incremental_lsh_bucketed_index_shuffles_only_the_batch(
             j._jdf.queryExecution(), "formatted"
         )
         tree = plan.split("\n\n")[0]
-        assert tree.count("Exchange") == 1
+        # The index is the join's LEFT input; in Spark's tree rendering
+        # every line of the left subtree has ":" as its first
+        # non-space character.  The bucketed scan must live there, and
+        # that subtree must contain no Exchange.
+        left = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
+        assert any("lsh_idx" in ln for ln in left), tree
+        assert not any("Exchange" in ln for ln in left), tree
+        # The batch side still shuffles (at least the join exchange).
+        assert tree.count("Exchange") >= 1, tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -30,23 +30,12 @@ CURRENT_ROUND - 2) so staleness can never silently regrow.
 from __future__ import annotations
 
 # Round currently being built (the driver will write CORRECTNESS_r{CURRENT_ROUND}).
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 # Queries that are new this round or whose source/oracle changed this
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
-    # round-7 changes (populated as queries are added/edited this round)
-    "corpus_warc_ingest",  # streaming WARC parser + staged fixture path
-    "dd_dup_clusters",  # CC default is now auto (1 job/round minlabel + star fallback)
-    "tx_curate_pipeline",  # consumes near_dup_clusters' new auto default
-    "mm_jpeg_meta",  # fixture now includes progressive (SOF2) files
-    "s9_f10_http_surface",  # NEW: S9+F10 scalar surface upgraded to oracle
-    "s1_live_fetch",  # NEW: S1 over real localhost sockets, oracle-checked
-    "st1_microbatch_rates",  # NEW: ST1/ST2 through the streaming engine, oracle-checked
-    "dense_ids",  # NEW: scalable contiguous row numbering (operators/ids.py)
-    "reduced_antijoin",  # NEW: semi-join-reduction anti/semi join (operators/reduction.py)
-    "mm_exif_meta",  # NEW: EXIF/TIFF metadata codec end-to-end (llm/exif.py)
-    "dd_lsh_incremental",  # NEW: probe-side LSH for incremental ingest
+    # round-8 changes (populated as queries are added/edited this round)
 })
 
 # query name -> last round with a green driver row (regenerate with
@@ -59,62 +48,65 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "a7_count_over_all": 6,
     "a8_purge_returning_count": 6,
     "a9_profile": 6,
-    "a9_quantiles": 5,
-    "ann_centroid_assign": 5,
+    "a9_quantiles": 7,
+    "ann_centroid_assign": 7,
     "ann_near_dups_exact": 6,
-    "ann_recall": 5,
+    "ann_recall": 7,
     "ann_topk": 6,
-    "asof_join": 5,
-    "cohort": 5,
-    "contamination": 5,
+    "asof_join": 7,
+    "cohort": 7,
+    "contamination": 7,
     "corpus_datasheet": 6,
-    "corpus_ingest": 5,
-    "corpus_warc_ingest": 6,
+    "corpus_ingest": 7,
+    "corpus_warc_ingest": 7,
     "cube_rollup": 6,
-    "curriculum": 5,
-    "dd_dup_clusters": 5,
+    "curriculum": 7,
+    "dd_dup_clusters": 7,
     "dd_exact_prefix_groups": 6,
-    "dd_jaccard_prefix": 5,
-    "dd_lsh_eval": 5,
-    "dd_lsh_pairs": 5,
+    "dd_jaccard_prefix": 7,
+    "dd_lsh_eval": 7,
+    "dd_lsh_incremental": 7,
+    "dd_lsh_pairs": 7,
     "dd_minhash_signature": 6,
-    "dd_ngram_jaccard": 5,
-    "dd_paragraph_dedup": 5,
+    "dd_ngram_jaccard": 7,
+    "dd_paragraph_dedup": 7,
     "dd_simhash": 6,
-    "dd_span_coverage": 5,
+    "dd_span_coverage": 7,
     "dd_star_clusters": 6,
+    "dense_ids": 7,
     "dist_match_sample": 6,
-    "domain_mix": 5,
-    "domain_split": 5,
-    "dq_expectations": 5,
-    "dsir_select": 5,
-    "dsir_weights": 5,
-    "embed_standardize": 5,
-    "event_transitions": 4,
+    "domain_mix": 7,
+    "domain_split": 7,
+    "dq_expectations": 7,
+    "dsir_select": 7,
+    "dsir_weights": 7,
+    "embed_standardize": 7,
+    "event_transitions": 7,
     "f3_smart_cast": 6,
     "f4_date_parse_multi": 6,
     "f_scalar_surface": 6,
-    "flagship_pricing_summary": 5,
-    "funnel": 5,
-    "fuzzy_linkage": 4,
-    "gopher_quality": 5,
-    "html_extract": 5,
-    "interval_join": 5,
+    "flagship_pricing_summary": 7,
+    "funnel": 7,
+    "fuzzy_linkage": 7,
+    "gopher_quality": 7,
+    "html_extract": 7,
+    "interval_join": 7,
     "j1_current_state_join": 6,
     "j2_history_join": 6,
     "j3_u7_batch_select_claim": 6,
     "j4_orphan_left_join": 6,
     "j5_latest_per_key": 6,
     "j6_status_dashboard": 6,
-    "k10_time_travel": 4,
+    "k10_time_travel": 7,
     "k8_drop_table": 6,
-    "k9_webhook_payload": 4,
+    "k9_webhook_payload": 7,
     "k_lake_roundtrip": 6,
-    "mix_shards": 5,
+    "mix_shards": 7,
     "mixture_plan": 5,
     "mm_embed_vq": 5,
+    "mm_exif_meta": 7,
     "mm_frame_sample": 6,
-    "mm_jpeg_meta": 6,
+    "mm_jpeg_meta": 7,
     "mm_media_meta": 6,
     "o1_top2_per_key": 6,
     "o3_deterministic_sample": 6,
@@ -126,45 +118,49 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "p4_date_cast_filter": 6,
     "p5_json_extract": 6,
     "p6_range_predicate": 6,
-    "p78_predicate_surface": 4,
+    "p78_predicate_surface": 7,
     "p9_time_window": 6,
     "pack_stream": 5,
     "pack_waste": 5,
     "pii_redact": 5,
     "pivot_activity": 5,
+    "reduced_antijoin": 7,
+    "s1_live_fetch": 7,
     "s4_excel_load": 6,
     "s5_catalog_load": 6,
     "s6_csv_ingest_inference": 6,
-    "s7_mime_sniff": 4,
+    "s7_mime_sniff": 7,
+    "s9_f10_http_surface": 7,
     "scd2_merge": 5,
     "semantic_dedup": 5,
     "sessionize": 5,
-    "skew_salted_count": 4,
+    "skew_salted_count": 7,
     "sla_streaks": 5,
+    "st1_microbatch_rates": 7,
     "st3_next_check_ladder": 6,
-    "st45_change_trigger": 4,
+    "st45_change_trigger": 7,
     "temporal_split": 6,
     "tfidf_vocab": 5,
     "tx_bigram_surprisal": 5,
     "tx_blocklist": 5,
     "tx_chunks": 5,
     "tx_clean": 5,
-    "tx_curate_pipeline": 5,
-    "tx_fingerprint": 4,
+    "tx_curate_pipeline": 7,
+    "tx_fingerprint": 7,
     "tx_hashed_features": 5,
     "tx_novelty": 5,
     "tx_surprisal": 5,
-    "tx_text_metrics": 4,
+    "tx_text_metrics": 7,
     "tx_vocab_coverage": 5,
     "u1_union_tiers": 6,
     "u2_upsert_merge": 6,
     "u3_snapshot_diff": 6,
-    "u456_point_dml": 4,
+    "u456_point_dml": 7,
     "url_canonical": 5,
     "url_quality": 5,
     "variant_props": 5,
-    "weighted_group_sample": 4,
-    "window_surface": 4,
+    "weighted_group_sample": 7,
+    "window_surface": 7,
 }
 
 
