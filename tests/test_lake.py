@@ -662,6 +662,49 @@ class TestCommitProtocolAcrossBackends:
         assert not staging.exists()
         assert [r["id"] for r in lake.read_table("t").collect()] == [2]
 
+    def test_stale_commit_lock_is_reclaimed(self, spark, tmp_path, store_cls):
+        """ADVICE r7: a crashed holder's orphan lock must be reclaimable
+        under BOTH backends. Under the s3 store, rename is copy+delete
+        and stamps a fresh mtime on the claim — so staleness must be
+        decided from the pre-rename stat and ownership verified by token
+        equality alone, or the takeover re-freshens the orphan forever
+        and every later commit times out."""
+        import os as _os
+        import time as _time
+        from pathlib import Path
+
+        lake = Lake(spark, str(tmp_path / "lakelock"), store=store_cls())
+        df = spark.createDataFrame([(1,)], "id long")
+        lake.write_table(df, "t")
+        base = Path(lake.table_path("t"))
+        lock = base / "_COMMIT_LOCK"
+        assert lake.store.try_create_exclusive(lock, b"crashed-holder-token")
+        old = _time.time() - 3600
+        _os.utime(lock, (old, old))
+        with lake._commit_lock(base, timeout=5.0, stale_after=1.0):
+            pass  # acquired despite the orphan — and released cleanly
+        # the table is not bricked: later commits go through the same lock
+        lake.write_table(spark.createDataFrame([(2,)], "id long"), "t")
+        assert [r["id"] for r in lake.read_table("t").collect()] == [2]
+        # no stale-claim leftovers either
+        assert not list(base.glob("_COMMIT_LOCK.stale-*"))
+
+    def test_live_commit_lock_is_not_stolen(self, spark, tmp_path, store_cls):
+        """A fresh (live) lock must survive a contender's full timeout:
+        no takeover, original token intact."""
+        from pathlib import Path
+
+        lake = Lake(spark, str(tmp_path / "lakelive"), store=store_cls())
+        lake.write_table(spark.createDataFrame([(1,)], "id long"), "t")
+        base = Path(lake.table_path("t"))
+        lock = base / "_COMMIT_LOCK"
+        assert lake.store.try_create_exclusive(lock, b"live-holder")
+        with pytest.raises(TimeoutError):
+            with lake._commit_lock(base, timeout=0.3, stale_after=120.0):
+                pass
+        assert lake.store.read_text(lock) == "live-holder"
+        lake.store.delete(lock)
+
     def test_registry_append_then_rewrite(self, spark, tmp_path, store_cls):
         lake = Lake(spark, str(tmp_path / "lakereg"), store=store_cls())
         df = spark.createDataFrame([(1,)], "id long")
@@ -720,6 +763,42 @@ def test_s3_publish_crash_leaves_readers_on_previous_version(spark, tmp_path):
     assert still == []
     # and the table still reads fine afterwards
     assert [r["v"] for r in lake.read_table("t").collect()] == ["old"]
+
+
+def test_s3_publish_file_atomic_visibility(tmp_path):
+    """ADVICE r7: S3SemanticsStore.publish_file models a single-object
+    PUT, which real S3 makes atomic (a reader sees the old object or the
+    new one, never a torn mix). A concurrent reader hammering the key
+    while it is republished must never observe a partial body."""
+    import threading
+
+    st = S3SemanticsStore()
+    dst = tmp_path / "obj"
+    old, new = b"A" * 200_000, b"B" * 200_000
+    dst.write_bytes(old)
+    torn: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            data = dst.read_bytes()
+            if data != old and data != new:
+                torn.append(len(data))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(50):
+            body = new if i % 2 == 0 else old
+            tmp = tmp_path / f"up-{i}"
+            tmp.write_bytes(body)
+            st.publish_file(tmp, dst)
+            assert not tmp.exists()
+    finally:
+        stop.set()
+        t.join()
+    assert not torn, f"reader observed torn object bodies: {torn}"
 
 
 def test_s3_store_primitive_semantics(tmp_path):

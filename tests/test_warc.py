@@ -199,6 +199,26 @@ def test_inflate_stream_empty_and_errors():
         list(_inflate_stream(gzip.compress(b"abc") + b"junk"))
 
 
+def test_inflate_stream_member_boundary_then_short_chunk():
+    """ADVICE r7: a member ending exactly at a chunk boundary followed
+    by a 1-byte chunk must NOT be rejected as trailing garbage — the
+    fresh leftover has to re-enter the magic-straddle accumulation loop
+    before the 2-byte gzip magic check."""
+    from udata_datalake_service_spark.sources.warc import _inflate_stream
+
+    m1 = gzip.compress(b"first member")
+    m2 = gzip.compress(b"second member")
+    # exact reproduction from the advice: [m1, m2[:1], m2[1:]]
+    got = b"".join(_inflate_stream(iter([m1, m2[:1], m2[1:]])))
+    assert got == b"first membersecond member"
+    # every 1-byte chunking (the most hostile alignment) agrees too
+    got = b"".join(_inflate_stream(iter(bytes([b]) for b in m1 + m2)))
+    assert got == b"first membersecond member"
+    # and a genuinely-trailing single junk byte is still loud
+    with pytest.raises(ValueError, match="trailing non-gzip"):
+        list(_inflate_stream(iter([m1, b"j"])))
+
+
 def test_split_http_payload_lf_only_headers():
     """ADVICE r6: LF-only (and mixed) HTTP line endings appear in real
     crawls; the split must still strip the transport envelope."""

@@ -129,12 +129,18 @@ class Lake:
                 continue
             if stale:
                 # single-winner takeover: move the orphan aside, then
-                # verify on the CLAIM WE NOW OWN — both token and a fresh
-                # staleness stat — closing the stat→read_text window
-                # where a live holder could recreate the lock and be
-                # stolen. (On POSIX the move is an atomic rename; on an
-                # object store it is copy+delete, so the token check on
-                # the claim is what keeps the takeover single-winner.)
+                # verify ownership on the CLAIM WE NOW OWN by TOKEN
+                # EQUALITY ALONE. Staleness was decided from the stat
+                # captured BEFORE the rename; the claim's mtime is
+                # useless — on an object store (and S3SemanticsStore)
+                # the move is copy+delete, which stamps a fresh
+                # Last-Modified, so re-checking age on the claim would
+                # make every takeover look live and re-freshen the
+                # orphan forever (ADVICE r7). Tokens are uuid4-unique
+                # per acquisition, so claim_token == stale_token proves
+                # the claim is the same lock instance we judged stale;
+                # any holder that released-and-reacquired in the window
+                # carries a different token and gets its lock back.
                 claim = base / f"_COMMIT_LOCK.stale-{uuid.uuid4().hex[:8]}"
                 try:
                     st.rename(lock, claim)
@@ -142,11 +148,10 @@ class Lake:
                     time.sleep(0.02)
                     continue
                 try:
-                    still_stale = time.time() - st.mtime(claim) > stale_after
                     claim_token = st.read_text(claim)
                 except OSError:
-                    still_stale, claim_token = False, ""
-                if claim_token == stale_token and still_stale:
+                    claim_token = ""
+                if claim_token and claim_token == stale_token:
                     st.delete(claim)  # orphan broken
                     continue
                 # we stole a LIVE lock: give it back (copy-if-absent),

@@ -173,8 +173,16 @@ class S3SemanticsStore(PosixStore):
 
     def publish_file(self, tmp: Path, dst: Path) -> None:
         """Single-object upload: atomic PUT visibility, then delete the
-        local temp; no directory fsync exists."""
-        shutil.copyfile(tmp, dst)
+        local temp; no directory fsync exists. The PUT really is atomic
+        on S3 (old object or new, never torn), so the shim must be too —
+        copy into a shim-private shadow name and os.replace it into
+        place, never copy directly onto ``dst`` (ADVICE r7: a direct
+        copyfile let concurrent readers observe a half-written object,
+        a race real S3 excludes)."""
+        dst = Path(dst)
+        shadow = dst.parent / f"_put-{uuid.uuid4().hex[:8]}.tmp"
+        shutil.copyfile(tmp, shadow)
+        os.replace(shadow, dst)
         Path(tmp).unlink(missing_ok=True)
 
     def sync_dir(self, path: Path) -> None:

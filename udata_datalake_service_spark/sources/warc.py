@@ -122,13 +122,16 @@ def _inflate_stream(data: bytes | Iterator[bytes]) -> Iterator[bytes]:
             yield out
         if d.eof:
             leftover = d.unused_data + pending
-            # the next member's magic may straddle the chunk boundary
-            while 0 < len(leftover) < 2 and not exhausted:
-                leftover += pull()
             if not leftover:
+                # member ended exactly at a chunk boundary
                 leftover = pull()
                 if not leftover and exhausted:
                     return
+            # the next member's magic may straddle chunk boundaries —
+            # including right after the fresh pull above (a 1-byte
+            # chunk must not reach the magic check prematurely)
+            while 0 < len(leftover) < 2 and not exhausted:
+                leftover += pull()
             if leftover and not leftover.startswith(_GZIP_MAGIC):
                 raise ValueError("warc: trailing non-gzip bytes after member")
             d = zlib.decompressobj(wbits=47)
