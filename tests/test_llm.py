@@ -1103,6 +1103,54 @@ def test_bpe_train_deterministic_across_runs(spark):
     assert a == b and len(a) == 6
 
 
+def test_bpe_local_and_distributed_trainers_agree(spark):
+    """The driver-local trainer (production path) and the all-Spark
+    job-per-merge loop (cross-check) must produce the IDENTICAL merge
+    sequence — same counts, same lexicographic tie-breaks — on a corpus
+    with heavy tie pressure."""
+    from udata_datalake_service_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_distributed,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aa bb aa cc aabb"] * 4
+    )
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    ).repartition(4)
+    assert bpe_train(df, num_merges=12) == bpe_train_distributed(
+        df, num_merges=12
+    )
+
+
+def test_bpe_train_thousand_merges_is_driver_fast(spark):
+    """The reason bpe_train went driver-local: 1,000 merges must cost
+    ONE Spark job + an in-process loop (seconds), not 2,000 jobs. The
+    corpus has enough distinct words that 1,000 merges don't exhaust
+    the pair space."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(4, 12)))
+        for _ in range(3000)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(words, k=120))) for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from udata_datalake_service_spark.llm.bpe import bpe_train
+
+    t0 = time.monotonic()
+    merges = bpe_train(df, num_merges=1000)
+    dt = time.monotonic() - t0
+    assert len(merges) == 1000
+    assert dt < 30, f"1k merges took {dt:.1f}s — driver loop regressed"
+
+
 def test_bpe_encode_roundtrip(spark):
     from udata_datalake_service_spark.llm.bpe import bpe_encode, bpe_train
 

@@ -107,6 +107,22 @@ def main() -> int:
             f"{root}/sf_{s}x/embeddings.parquet"
         )
 
+    def quiesce():
+        """Measurement hygiene between probes (r8 fix for the phantom
+        corpus_ingest ×16 step): the pair-heavy probes (dd_jaccard_prefix,
+        dd_lsh_eval) leave ~100 s worth of shuffle files and JVM garbage
+        behind; whatever runs NEXT in the same session was being charged
+        for it (corpus_ingest measured 27.9 s after them vs 7.0 s in a
+        clean session — flat across scales). Dropping cached plans and
+        forcing a JVM GC lets the ContextCleaner reclaim unreferenced
+        shuffle/broadcast state before the next timer starts."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+
     def probe_ops(s: int) -> dict[str, float]:
         from udata_datalake_service_spark.caching import settle
         from udata_datalake_service_spark.llm.corpus import ngram_novelty
@@ -125,7 +141,7 @@ def main() -> int:
         out: dict[str, float] = {}
 
         def run(name, thunk):
-            spark.catalog.clearCache()
+            quiesce()
             t0 = time.monotonic()
             thunk()
             out[name] = round(time.monotonic() - t0, 2)
@@ -167,7 +183,7 @@ def main() -> int:
 
         out: dict[str, float] = {}
         for name in HEAVY:
-            spark.catalog.clearCache()
+            quiesce()
             t0 = time.monotonic()
             QUERIES[name](spark, f"{root}/sf_{s}x").write.format("noop").mode(
                 "overwrite"
@@ -188,7 +204,11 @@ def main() -> int:
             "# SCALE — measured operator scaling (`tools/scale_probe.py`, "
             f"base={sf_dir}, {n_docs} docs ×{{1,4,16}})\n\n"
             "Fitted growth exponent alpha from t ∝ n^alpha over the 1×→16× "
-            "span, warm session, cache cleared per probe. Reading: alpha "
+            "span, warm session, cache cleared + JVM GC quiesce per probe "
+            "(r8: without the quiesce, shuffle debris from the ~100 s "
+            "pair-heavy probes was billed to whatever ran next — "
+            "corpus_ingest showed a phantom 27.9 s ×16 step that is 7.0 s "
+            "flat in a clean session). Reading: alpha "
             "well below 1 means fixed per-job overhead (stage scheduling, "
             "codegen) still dominates at probe scale — the corpus-dependent "
             "cost is small, i.e. throughput headroom. The diagnostic value "

@@ -1,23 +1,28 @@
-"""Distributed BPE merge training (Sennrich et al. 2016).
+"""BPE merge training (Sennrich et al. 2016): Spark word count, driver
+merge loop.
 
 `text.bpe_token_count` counts GPT-2-style pre-tokenizer pieces; this
-module learns the actual merge table — the iterative algorithm Spark has
-no built-in for, expressed with the same harness contract as
-`similarity.kmeans_fit` and `dedup.near_dup_clusters`: a driver loop over
-vocab-sized DataFrames, `localCheckpoint` lineage truncation each round,
-and ONE tiny collect per round (the winning pair).
+module learns the actual merge table. The scale argument is the
+word-count collapse: BPE statistics are word-frequency weighted, so
+after ONE corpus-wide aggregate the working set is the WORD VOCABULARY —
+millions of rows at 100 TB, megabytes after (word, count) projection —
+which fits on the driver with room to spare. `bpe_train` therefore runs
+exactly one Spark job (the distinct-word count), collects the vocab
+once, and runs the merge loop in-process with incremental pair-count
+maintenance (only words containing the winning pair are touched per
+round, the textbook fast-BPE bookkeeping). 32 k merges become dict
+updates, not 64 k Spark jobs — the job-per-merge loop the r7 verdict
+flagged survives as `bpe_train_distributed` purely as a semantics
+cross-check (a golden test pins both paths to the same merge sequence).
 
-The scale argument is the word-count collapse: BPE statistics are
-word-frequency weighted, so after the first aggregate the working set is
-the WORD VOCABULARY (millions of rows at 100 TB), not the corpus. Each
-merge round is then a pair-count aggregate (shuffle on a 2-string key,
-map-side combined), a 1-row TakeOrdered collect, and a map-only merge
-apply (Arrow-batched pandas; greedy left-to-right, the reference
-semantics). Nothing corpus-sized moves after round 0.
+Encoding stays fully distributed (`bpe_encode`: map-only Arrow-batched
+pandas, the merge table rides along as a kilobyte task closure).
 
 Determinism: ties on pair count break lexicographically (left asc, right
-asc) — the full ordering is total, so the merge sequence is reproducible
-across engines and partitionings.
+asc) — the ordering is total, so the merge sequence is reproducible
+across engines, partitionings, and the local/distributed trainer pair
+(Python str comparison and Spark's UTF8String ordering agree: both are
+code-point order).
 """
 
 from __future__ import annotations
@@ -50,9 +55,72 @@ def bpe_train(
     text: str = "text",
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the merge
-    table as [(left, right, weighted_pair_count)] in merge order."""
-    import pandas as pd
+    table as [(left, right, weighted_pair_count)] in merge order.
 
+    One Spark job (the word-frequency aggregate — the only corpus-sized
+    pass), one vocab-bounded collect, then an in-process merge loop with
+    incremental pair-count maintenance: per round, only the words that
+    contain the winning pair are re-walked, so total work is
+    O(sum of touched-word lengths), not O(vocab × merges)."""
+    from collections import Counter, defaultdict
+
+    rows = (
+        df.select(F.explode(tokens(F.col(text))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    syms: list[list[str]] = [list(r["w"]) + [END] for r in rows]
+    cnts: list[int] = [int(r["cnt"]) for r in rows]
+
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> indices of words containing it
+    for i, (s, c) in enumerate(zip(syms, cnts)):
+        for p in zip(s, s[1:]):
+            pair_counts[p] += c
+            where[p].add(i)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # max count; ties break (left asc, right asc) — identical to the
+        # distributed path's orderBy(desc(c), asc(l), asc(r))
+        (left, right), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c <= 0:
+            break
+        merges.append((left, right, int(c)))
+        for i in list(where[(left, right)]):
+            s, cnt = syms[i], cnts[i]
+            for p in zip(s, s[1:]):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(i)
+            s2 = _merge_symbols(s, left, right)
+            syms[i] = s2
+            for p in zip(s2, s2[1:]):
+                pair_counts[p] += cnt
+                where[p].add(i)
+    return merges
+
+
+def bpe_train_distributed(
+    df: DataFrame,
+    num_merges: int = 10,
+    text: str = "text",
+) -> list[tuple[str, str, int]]:
+    """The all-Spark merge loop: one pair-count aggregate + 1-row collect
+    + map-only merge apply PER ROUND, with localCheckpoint lineage
+    truncation (the harness contract shared with `similarity.kmeans_fit`
+    and `dedup.near_dup_clusters`).
+
+    Kept as a semantics CROSS-CHECK for `bpe_train`, not a production
+    path: a job per merge is fine for tens of merges but 32 k merges
+    would schedule 64 k jobs, while the vocab it aggregates fits on the
+    driver anyway (see module doc)."""
     words = (
         df.select(F.explode(tokens(F.col(text))).alias("w"))
         .groupBy("w")
