@@ -115,9 +115,18 @@ def test_decode_ladder_picks_jpeg():
     real dimensions and an exact single-bin luminance histogram."""
     from udata_datalake_service_spark.llm.multimodal import _decode_image
 
-    w, h, hist = _decode_image(encode_jpeg_gray(24, 16, bytes([200]) * 384))
+    w, h, hist, src = _decode_image(encode_jpeg_gray(24, 16, bytes([200]) * 384))
     assert (w, h) == (24, 16)
     assert hist[200 >> 5] == 1.0 and sum(hist) == 1.0
+    assert src == "vendored"
+    # arithmetic coding (SOF9): real header dims, stub histogram, and the
+    # rung is observable as 'stub-dims'
+    arith = encode_jpeg_gray(24, 16, bytes([200]) * 384).replace(
+        b"\xff\xc0", b"\xff\xc9", 1
+    )
+    w, h, _hist, src = _decode_image(arith)
+    assert (w, h) == (24, 16)
+    assert src == "stub-dims"
 
 
 # ------------------------------------------------------------ progressive --

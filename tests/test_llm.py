@@ -411,9 +411,12 @@ def test_image_kernel_gating_real_and_fallback(monkeypatch):
 
     monkeypatch.setattr(mm, "HAS_PIL", True)
     monkeypatch.setattr(mm, "_PILImage", _FakePIL)
-    w, h, hist = mm._decode_image(b"IMG....")
+    w, h, hist, src = mm._decode_image(b"IMG....")
     assert (w, h) == (10, 20) and abs(sum(hist) - 1.0) < 1e-9
-    assert mm._decode_image(b"plain text") == mm._decode_image_stub(b"plain text")
+    assert src == "pillow"
+    w2, h2, hist2, src2 = mm._decode_image(b"plain text")
+    assert (w2, h2, hist2) == mm._decode_image_stub(b"plain text")
+    assert src2 == "stub"
 
 
 def test_audio_kernel_gating_real_and_fallback(monkeypatch):

@@ -36,6 +36,8 @@ CURRENT_ROUND = 8
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-8 changes (populated as queries are added/edited this round)
+    "mm_media_meta",  # decode_source column (measured stub rate), oracle-pinned
+    "mm_jpeg_meta",  # decode_source + arithmetic-coded (SOF9) fixture leg
 })
 
 # query name -> last round with a green driver row (regenerate with

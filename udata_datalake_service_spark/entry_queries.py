@@ -2810,14 +2810,23 @@ def q_mm_jpeg_meta(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     feats = extract_image_features(jpeg_media_from_documents(d))
+    # stub rate as a measured column (r7 task): decode_source names the
+    # ladder rung per file; histogram-derived stats are only trusted on
+    # fully-decoded rows (the arithmetic-coded files report REAL header
+    # dims but a stub byte histogram, which no SQL oracle can replay).
+    # The oracle pins 'vendored' for decoded rows — this container ships
+    # no Pillow, and the fixture is exactly the vendored codec's domain.
+    decoded = F.col("decode_source").isin("pillow", "vendored")
     return feats.select(
         "media_id",
         "width",
         "height",
-        (F.array_position(F.col("histogram"), 1.0) - 1)
-        .cast("int")
-        .alias("dominant_bin"),
-        F.array_max("histogram").alias("bin_share"),
+        F.when(
+            decoded,
+            (F.array_position(F.col("histogram"), 1.0) - 1).cast("int"),
+        ).alias("dominant_bin"),
+        F.when(decoded, F.array_max("histogram")).alias("bin_share"),
+        "decode_source",
     )
 
 
@@ -2825,8 +2834,12 @@ _SQL_MM_JPEG = """
 SELECT doc_id AS media_id,
   CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS width,
   CAST(8 + 8 * (doc_id % 2) AS INTEGER) AS height,
-  CAST(((doc_id * 37) % 256) // 32 AS INTEGER) AS dominant_bin,
-  CAST(1.0 AS DOUBLE) AS bin_share
+  CASE WHEN (doc_id // 5) % 7 = 6 THEN NULL
+       ELSE CAST(((doc_id * 37) % 256) // 32 AS INTEGER) END AS dominant_bin,
+  CASE WHEN (doc_id // 5) % 7 = 6 THEN NULL
+       ELSE CAST(1.0 AS DOUBLE) END AS bin_share,
+  CASE WHEN (doc_id // 5) % 7 = 6 THEN 'stub-dims'
+       ELSE 'vendored' END AS decode_source
 FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -2843,6 +2856,12 @@ def q_mm_media_meta(spark, sf_dir):
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         "n_bytes",
+        # text-bytes payloads are not decodable media: the ladder must
+        # report the bottom rung, and the oracle pins it — a regression
+        # that silently routed garbage through a 'real' rung would break
+        # the hash here, and a real corpus measures its stub share by
+        # grouping on this column
+        "decode_source",
     )
     aud = extract_audio_features(
         media.withColumn("kind", F.lit("audio")), target_rate=16000
@@ -2855,6 +2874,7 @@ SELECT doc_id AS media_id,
   64 + (strlen(text) % 512) AS width,
   64 + ((strlen(text) // 7) % 512) AS height,
   strlen(text) AS n_bytes,
+  'stub' AS decode_source,
   strlen(text) // 2 AS n_samples,
   16000 AS sample_rate,
   (strlen(text) // 2) * 1000 // 16000 AS duration_ms

@@ -62,6 +62,14 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha", T.StringType()),
         T.StructField("histogram", T.ArrayType(T.DoubleType())),
+        # which rung of the decode ladder produced the row (r7 task:
+        # make the stub rate a MEASURED number, not a docstring claim):
+        #   pillow     — real decode via Pillow
+        #   vendored   — real decode via the from-scratch codecs
+        #   stub-dims  — REAL dimensions from the headers, stub histogram
+        #                (arithmetic/lossless/12-bit JPEG)
+        #   stub       — payload is not decodable media at all
+        T.StructField("decode_source", T.StringType()),
     ]
 )
 
@@ -95,12 +103,14 @@ def _decode_image_real(content: bytes) -> tuple[int, int, list[float]]:
     return w, h, [b / total for b in hist]
 
 
-def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
+def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float], str]:
     """From-scratch decode (PNG via llm/png.py, BMP via llm/bmp.py,
     baseline JPEG via llm/jpeg.py) — same feature contract as the Pillow
     leg (dims + 8-bin ITU-R 601-2 luminance histogram), so the REAL-pixel
     path executes even where Pillow is not installed (this CI container).
-    Raises for payloads outside the three formats."""
+    Raises for payloads outside the three formats. The 4th element is the
+    rung tag: "vendored" for a full pixel decode, "stub-dims" when only
+    the header dimensions are real (arithmetic/lossless/12-bit JPEG)."""
     from udata_datalake_service_spark.llm import png as _png
 
     if content[:2] == b"BM":
@@ -118,23 +128,26 @@ def _decode_image_vendored(content: bytes) -> tuple[int, int, list[float]]:
             # report them over the stub's byte histogram rather than
             # falling back to fake dimensions
             w, h, _nc = _jpeg.parse_jpeg_dimensions(content)
-            return w, h, _decode_image_stub(content)[2]
+            return w, h, _decode_image_stub(content)[2], "stub-dims"
     else:
         w, h, nch, pixels = _png.decode_png(content)
     hist = [0.0] * 8
     for v in _png.luminance(pixels, nch):
         hist[v >> 5] += 1.0
     total = sum(hist) or 1.0
-    return w, h, [b / total for b in hist]
+    return w, h, [b / total for b in hist], "vendored"
 
 
-def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
+def _decode_image(content: bytes) -> tuple[int, int, list[float], str]:
     """Decode ladder: Pillow (any format) → vendored stdlib PNG codec →
     deterministic stub (library absent AND payload not a PNG, e.g. the
-    synthetic text-bytes fixture corpus)."""
+    synthetic text-bytes fixture corpus). The 4th element names the rung
+    that produced the result (pillow | vendored | stub-dims | stub) so
+    downstream queries can MEASURE the stub rate."""
     if HAS_PIL and content is not None:
         try:
-            return _decode_image_real(content)
+            w, h, hist = _decode_image_real(content)
+            return w, h, hist, "pillow"
         except Exception:
             pass
     if content is not None:
@@ -142,7 +155,8 @@ def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
             return _decode_image_vendored(content)
         except Exception:
             pass
-    return _decode_image_stub(content)
+    w, h, hist = _decode_image_stub(content)
+    return w, h, hist, "stub"
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -158,7 +172,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, hist = _decode_image(bytes(content))
+                w, h, hist, src = _decode_image(bytes(content))
                 rows.append(
                     {
                         "media_id": media_id,
@@ -167,6 +181,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                         "n_bytes": len(content),
                         "sha": hashlib.sha1(bytes(content)).hexdigest(),
                         "histogram": hist,
+                        "decode_source": src,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
@@ -386,7 +401,14 @@ def jpeg_media_from_documents(documents: DataFrame, modulus: int = 5) -> DataFra
     + IDCT + RST handling AND the Annex G scan ladder on bytes no driver
     ever saw. Flat blocks under unit quantization round-trip
     pixel-exactly in both codings, which is what lets a SQL oracle state
-    the decoded luminance."""
+    the decoded luminance.
+
+    Every 7th selected file (doc_id % (7*modulus) == 6*modulus) is
+    ARITHMETIC-CODED header-wise: the baseline bytes with the SOF0 marker
+    patched to SOF9 (0xFFC9, ITU T.81 sequential arithmetic). The decode
+    ladder must surface it as decode_source='stub-dims' — true header
+    dimensions, stub histogram — making the stub rate a measured,
+    oracle-attested number."""
     from udata_datalake_service_spark.llm.jpeg import (
         encode_jpeg_gray,
         encode_jpeg_gray_progressive,
@@ -407,7 +429,14 @@ def jpeg_media_from_documents(documents: DataFrame, modulus: int = 5) -> DataFra
                 i = int(raw)
                 w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
                 g = (i * 37) % 256
-                if (i // modulus) % 3 == 0:
+                if (i // modulus) % 7 == 6:
+                    # arithmetic-coded leg: baseline bytes, SOF0→SOF9.
+                    # The patch hits the FIRST 0xFFC0 in the stream —
+                    # the SOF segment, which precedes all entropy data.
+                    content = encode_jpeg_gray(
+                        w, h, bytes([g]) * (w * h)
+                    ).replace(b"\xff\xc0", b"\xff\xc9", 1)
+                elif (i // modulus) % 3 == 0:
                     content = encode_jpeg_gray_progressive(
                         w,
                         h,
