@@ -79,19 +79,21 @@ class Lake:
         ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
         return f"v-{ts}-{uuid.uuid4().hex[:8]}"
 
-    @staticmethod
-    def _manifest_version(base: Path) -> str | None:
+    def _manifest_version(self, base: Path) -> str | None:
+        """Read the MANIFEST pointer THROUGH the store backend — on
+        PosixStore this is a local file read; on S3ObjectStore the
+        pointer is a real object GET, so the whole control plane
+        (locks + manifest) round-trips the object store."""
         try:
-            return (base / "MANIFEST").read_text().strip()
+            return self.store.read_text(base / "MANIFEST").strip()
         except OSError:
             return None
 
-    @staticmethod
-    def _current_dir(base: Path) -> Path | None:
+    def _current_dir(self, base: Path) -> Path | None:
         """Resolve a logical table path to its current data directory:
         MANIFEST-pointed version dir, or the base itself for legacy/plain
         layouts (pre-versioning data, externally-written dirs)."""
-        ver = Lake._manifest_version(base)
+        ver = self._manifest_version(base)
         if ver is None:
             return base if base.exists() else None
         p = base / ver
@@ -219,7 +221,7 @@ class Lake:
         lock (the O_EXCL lock is non-reentrant) — lets a caller serialize
         a read-modify-write or an in-place append against the flip in one
         critical section (see `register` / `_delete_registry_rows`)."""
-        prev = Lake._manifest_version(base)
+        prev = self._manifest_version(base)
         if expect is not _UNSET and prev != expect:
             if staging is not None:
                 self.store.delete_dir(staging)
@@ -274,15 +276,16 @@ class Lake:
                 continue
             try:
                 current = self._manifest_version(base)
+                # crashed takeover leftovers next to MANIFEST — control
+                # objects, so enumerated THROUGH the store (on an object
+                # store they are keys, not local files)
+                for claim, mt in self.store.claim_leftovers(base):
+                    if time.time() - mt > staging_grace_s:
+                        self.store.delete(claim)
+                        removed.append(str(claim))
                 for d in base.iterdir():
                     try:
                         if not d.is_dir():
-                            # crashed takeover leftovers next to MANIFEST
-                            if d.name.startswith("_COMMIT_LOCK.stale-") and (
-                                time.time() - d.stat().st_mtime > staging_grace_s
-                            ):
-                                self.store.delete(d)
-                                removed.append(str(d))
                             continue
                         stale_staging = d.name.startswith("_staging-") and (
                             time.time() - d.stat().st_mtime > staging_grace_s
@@ -417,7 +420,7 @@ class Lake:
         # window the versioned tables eliminated; production bucketing
         # belongs to Delta/Iceberg). Refuse to destroy an existing
         # versioned table's commit log rather than silently clobber it.
-        if (Path(self.table_path(name)) / "MANIFEST").exists():
+        if self.store.exists(Path(self.table_path(name)) / "MANIFEST"):
             raise ValueError(
                 f"{name!r} is a versioned lake table; write the bucketed "
                 "copy under a different name instead of overwriting its "

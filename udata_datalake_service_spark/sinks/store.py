@@ -60,6 +60,24 @@ class PosixStore:
     def read_text(self, path: Path) -> str:
         return Path(path).read_text()
 
+    def exists(self, path: Path) -> bool:
+        """Whether a CONTROL object (MANIFEST, lock, ledger entry) exists
+        under this backend — data directories are always checked on the
+        local filesystem directly."""
+        return Path(path).exists()
+
+    def claim_leftovers(self, base: Path) -> list[tuple[object, float]]:
+        """Crashed stale-takeover claims (``_COMMIT_LOCK.stale-*``) next
+        to ``base``'s MANIFEST, as (path-or-key, mtime) pairs — control
+        objects, so vacuum must enumerate them through the backend."""
+        out: list[tuple[object, float]] = []
+        for p in Path(base).glob("_COMMIT_LOCK.stale-*"):
+            try:
+                out.append((p, p.stat().st_mtime))
+            except OSError:
+                continue
+        return out
+
     def mtime(self, path: Path) -> float:
         return Path(path).stat().st_mtime
 
@@ -187,3 +205,164 @@ class S3SemanticsStore(PosixStore):
 
     def sync_dir(self, path: Path) -> None:
         """No directories on an object store — nothing to fsync."""
+
+
+class S3ObjectStore(PosixStore):
+    """CONTROL plane on a real S3 API endpoint via boto3; DATA plane
+    (parquet version directories) on the local filesystem.
+
+    This is the backend the env-gated integration leg runs the commit
+    protocol against (``SPARK_HYDRA_S3_TESTS=1`` + a moto server or any
+    s3-compatible endpoint): every lock acquire, stale takeover,
+    conditional PUT, manifest GET/PUT and claim listing is executed by an
+    INDEPENDENT S3 implementation rather than by the shim above — the
+    exact class of semantics (copy+delete renames resetting
+    Last-Modified, 412 on If-None-Match, list-after-write) the emulation
+    could get subtly wrong. The split is also a real deployment shape
+    (external lock/commit service + bulk data elsewhere); routing the
+    parquet bytes themselves through ``s3a://`` additionally needs the
+    hadoop-aws jars, which this container does not ship (documented K6
+    gap — reference anchor
+    /root/reference/udata_hydra/utils/minio.py:28-45).
+
+    Keys mirror the local paths (leading slash stripped), so one Lake
+    root maps to one key prefix.
+    """
+
+    name = "s3-boto"
+
+    def __init__(self, bucket: str, client=None, endpoint_url: str | None = None):
+        if client is None:  # pragma: no cover - exercised via endpoints
+            import boto3
+
+            client = boto3.client(
+                "s3",
+                endpoint_url=endpoint_url,
+                aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "x"),
+                aws_secret_access_key=os.environ.get("AWS_SECRET_ACCESS_KEY", "y"),
+                region_name=os.environ.get("AWS_DEFAULT_REGION", "us-east-1"),
+            )
+        self.bucket = bucket
+        self.c = client
+
+    @staticmethod
+    def _key(path) -> str:
+        return str(path).lstrip("/")
+
+    def _err_code(self, exc) -> str:
+        return exc.response.get("Error", {}).get("Code", "")
+
+    # ------------------------------------------------- lock primitives ----
+    def try_create_exclusive(self, path: Path, data: bytes) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.c.put_object(
+                Bucket=self.bucket, Key=self._key(path), Body=data, IfNoneMatch="*"
+            )
+            return True
+        except ClientError as e:
+            if self._err_code(e) in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
+                return False
+            raise
+
+    def read_text(self, path: Path) -> str:
+        from botocore.exceptions import ClientError
+
+        try:
+            obj = self.c.get_object(Bucket=self.bucket, Key=self._key(path))
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(path)) from e
+            raise
+        return obj["Body"].read().decode()
+
+    def exists(self, path: Path) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.c.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                return False
+            raise
+
+    def mtime(self, path: Path) -> float:
+        from botocore.exceptions import ClientError
+
+        try:
+            h = self.c.head_object(Bucket=self.bucket, Key=self._key(path))
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(path)) from e
+            raise
+        return h["LastModified"].timestamp()
+
+    def rename(self, src: Path, dst: Path) -> None:
+        """The real thing the shim models: server-side COPY (which stamps
+        a fresh Last-Modified on the destination) then DELETE."""
+        from botocore.exceptions import ClientError
+
+        try:
+            self.c.copy_object(
+                Bucket=self.bucket,
+                Key=self._key(dst),
+                CopySource={"Bucket": self.bucket, "Key": self._key(src)},
+            )
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(src)) from e
+            raise
+        self.c.delete_object(Bucket=self.bucket, Key=self._key(src))
+
+    def relink(self, src: Path, dst: Path) -> None:
+        if self.exists(dst):
+            raise FileExistsError(self._key(dst))
+        self.c.copy_object(
+            Bucket=self.bucket,
+            Key=self._key(dst),
+            CopySource={"Bucket": self.bucket, "Key": self._key(src)},
+        )
+
+    def delete(self, path: Path) -> None:
+        # S3 DELETE is idempotent, matching unlink(missing_ok=True)
+        self.c.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def claim_leftovers(self, base: Path) -> list[tuple[object, float]]:
+        prefix = self._key(base) + "/_COMMIT_LOCK.stale-"
+        out: list[tuple[object, float]] = []
+        pages = self.c.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=prefix
+        )
+        for page in pages:
+            for o in page.get("Contents", []):
+                out.append(("/" + o["Key"], o["LastModified"].timestamp()))
+        return out
+
+    # ----------------------------------------------- commit primitives ----
+    def put_text(self, path: Path, text: str) -> None:
+        """Single-object PUT: atomic old-or-new visibility, by contract."""
+        self.c.put_object(
+            Bucket=self.bucket, Key=self._key(path), Body=text.encode()
+        )
+
+    def delete_dir(self, path: Path) -> None:
+        """Local data dir AND any control keys under the same prefix
+        (drop_table must not strand a MANIFEST object in the bucket)."""
+        super().delete_dir(path)
+        prefix = self._key(path) + "/"
+        pages = self.c.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=prefix
+        )
+        for page in pages:
+            keys = [{"Key": o["Key"]} for o in page.get("Contents", [])]
+            if keys:
+                self.c.delete_objects(Bucket=self.bucket, Delete={"Objects": keys})
+
+    def sync_dir(self, path: Path) -> None:
+        """Control objects are in the bucket; nothing local to fsync that
+        the data-plane writes haven't already handled."""
