@@ -45,22 +45,43 @@ CHECK_RESULT_SCHEMA = T.StructType(
 )
 
 
+def make_urllib_transport(
+    cafile: str | None = None, timeout: float | None = None
+) -> Transport:
+    """Build a real urllib transport. ``cafile`` adds a trust root for
+    private-CA deployments (and the self-signed TLS test fixture) — with
+    the default None, certificate verification uses the system store, and
+    a failed TLS handshake is recorded as the check row's ``error`` (the
+    reference's aiohttp envelope records ssl errors the same way,
+    crawl/check_resources.py:56-206). The closure is picklable, so it
+    ships to executors like any other transport."""
+
+    def transport(url: str, method: str) -> tuple[int | None, dict, str | None]:
+        import ssl
+        import urllib.error
+        import urllib.request
+
+        ctx = ssl.create_default_context(cafile=cafile) if cafile else None
+        req = urllib.request.Request(url, method=method.upper())
+        try:
+            with urllib.request.urlopen(
+                req, timeout=timeout or REQUEST_TIMEOUT_S, context=ctx
+            ) as resp:
+                return resp.status, dict(resp.headers.items()), None
+        except urllib.error.HTTPError as e:  # still a response
+            return e.code, dict(e.headers.items()), None
+        except TimeoutError:
+            raise
+        except Exception as e:  # noqa: BLE001 — error recorded on the check row
+            return None, {}, str(e)
+
+    return transport
+
+
 def urllib_transport(url: str, method: str) -> tuple[int | None, dict, str | None]:
     """Default real transport (urllib, stdlib-only). Import-gated by being
     invoked lazily on executors; honors the reference's 5 s total timeout."""
-    import urllib.error
-    import urllib.request
-
-    req = urllib.request.Request(url, method=method.upper())
-    try:
-        with urllib.request.urlopen(req, timeout=REQUEST_TIMEOUT_S) as resp:
-            return resp.status, dict(resp.headers.items()), None
-    except urllib.error.HTTPError as e:  # still a response
-        return e.code, dict(e.headers.items()), None
-    except TimeoutError:
-        raise
-    except Exception as e:  # noqa: BLE001 — error recorded on the check row
-        return None, {}, str(e)
+    return make_urllib_transport()(url, method)
 
 
 def _nice_head(status: int | None, headers: dict) -> bool:
