@@ -36,11 +36,14 @@ def test_rotation_invariants():
        insertion order, so this IS the window assignment);
     2. every NEW_OR_CHANGED entry that exists sits inside the 50-slot
        window (new/changed code always gets a driver row this round);
-    3. no entry past the window is staler than CURRENT_ROUND - 2 — with
-       108+ queries and 50 slots the rotation re-attests everything every
-       ceil(N/50) = 3 rounds, so a past-window entry last attested more
-       than 2 rounds ago means the ledger was not regenerated
-       (tools/attest_map.py) or the rotation was bypassed;
+    3. no entry past the window is staler than the rotation period —
+       DERIVED from the registry size (r7 task 8): with N queries and 50
+       slots everything re-attests every ceil(N/50) rounds, so the bound
+       is CURRENT_ROUND - (ceil(N/50) - 1). At 120 queries that is
+       CURRENT_ROUND - 2; growth past 150 queries stretches the period to
+       4 rounds and the bound moves WITH it — but see invariant 3b, which
+       fails loudly when the period itself grows, forcing either window
+       widening or query retirement instead of silently longer staleness;
     4. every entry is either in the ledger or flagged NEW_OR_CHANGED —
        a query cannot dodge the window by missing from both."""
     import __spark_entry__ as m
@@ -56,12 +59,22 @@ def test_rotation_invariants():
     window = set(names[:50])
     present_new = NEW_OR_CHANGED & set(names)
     assert present_new <= window, sorted(present_new - window)
+    period = -(-len(names) // 50)  # ceil(N/50): full-rotation rounds
     stale = {
         n: LAST_DRIVER_ROUND.get(n, 0)
         for n in names[50:]
-        if LAST_DRIVER_ROUND.get(n, 0) < CURRENT_ROUND - 2
+        if LAST_DRIVER_ROUND.get(n, 0) < CURRENT_ROUND - (period - 1)
     }
     assert not stale, f"past-window entries too stale: {stale}"
+    # 3b. the re-attestation period itself is capped: every query must
+    # get a driver row at least every 3 rounds. Registry growth past
+    # 150 entries makes the period 4 and MUST fail here — the answer is
+    # retiring redundant singletons (fold them into a surface query)
+    # or negotiating a wider driver window, never quiet staleness.
+    assert period <= 3, (
+        f"{len(names)} queries need ceil(N/50)={period} rounds per full "
+        "re-attestation — retire/fold queries or widen the window"
+    )
     unledgered = [
         n for n in names if n not in LAST_DRIVER_ROUND and n not in NEW_OR_CHANGED
     ]
