@@ -1743,3 +1743,74 @@ def test_incremental_lsh_bucketed_index_shuffles_only_the_batch(
         assert tree.count("Exchange") >= 1, tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ------------------------------------------------- NB classifier (r8) ----
+def test_nb_classifier_hand_golden(spark):
+    """Hand-computable multinomial NB: train A={'x x y'}, B={'y y z'},
+    alpha=1, V=3. llh(A)=ln(3/6),ln(2/6),ln(1/6) over x,y,z;
+    llh(B)=ln(1/6),ln(3/6),ln(2/6); equal priors. Predictions and the
+    fixed-point margins follow exactly."""
+    import math
+
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [("A", "x x y"), ("B", "y y z")], "lang string, text string"
+    )
+    model, priors = nb_train(train, label="lang")
+    got_model = {
+        (r["l"], r["t"]): r["llh_q"] for r in model.collect()
+    }
+    q = 1_000_000
+    for (l, t), num in {
+        ("A", "x"): 3, ("A", "y"): 2, ("A", "z"): 1,
+        ("B", "x"): 1, ("B", "y"): 3, ("B", "z"): 2,
+    }.items():
+        assert got_model[(l, t)] == round(math.log(num / 6) * q)
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "z z"), (3, "y"), (4, "x z"), (5, "w w w"), (6, "")],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r for r in nb_predict(docs, model, priors).collect()}
+    assert pred[1]["pred"] == "A"
+    assert pred[2]["pred"] == "B"
+    assert pred[3]["pred"] == "B"
+    assert pred[4]["pred"] == "A"
+    # OOV-only and token-less docs are unclassifiable -> absent
+    assert 5 not in pred and 6 not in pred
+    # margin: doc 1 = llh(A,x) - llh(B,x) (equal priors cancel)
+    assert pred[1]["margin_q"] == round(math.log(3 / 6) * q) - round(
+        math.log(1 / 6) * q
+    )
+    # every winner's margin is non-negative by construction
+    assert all(r["margin_q"] >= 0 for r in pred.values())
+
+
+def test_nb_classifier_tie_breaks_by_label(spark):
+    """Identical class-conditional distributions + equal priors = exact
+    integer score ties; the argmax must break them by label ASC, not by
+    partitioning luck."""
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [("B", "x y"), ("A", "x y")], "lang string, text string"
+    )
+    model, priors = nb_train(train, label="lang")
+    docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    rows = nb_predict(docs, model, priors).collect()
+    assert rows[0]["pred"] == "A" and rows[0]["margin_q"] == 0
+
+
+def test_nb_model_is_dense_over_vocab(spark):
+    """A token seen only in OTHER classes still scores its smoothed floor
+    in every class — the dense labels x vocab grid, not a sparse join."""
+    from udata_datalake_service_spark.llm.classify import nb_train
+
+    train = spark.createDataFrame(
+        [("A", "aa aa"), ("B", "bb")], "lang string, text string"
+    )
+    model, _ = nb_train(train, label="lang")
+    rows = {(r["l"], r["t"]) for r in model.collect()}
+    assert rows == {("A", "aa"), ("A", "bb"), ("B", "aa"), ("B", "bb")}

@@ -482,3 +482,17 @@ def test_reduced_anti_join_never_exchanges_corpus(spark):
     # 3 scans: batch keys (reduction build), corpus (once), batch (probe) —
     # the corpus is the only side that matters and it appears exactly once
     assert t.count("Scan parquet") == 3
+
+
+def test_nb_scoring_broadcasts_model_and_shuffles_docs_once(spark):
+    """nb_predict's 100 TB contract: the vocab-bounded model and priors
+    reach the corpus via BroadcastExchange only (no SortMergeJoin), and
+    the per-doc work is hash-partitioned on the doc key — never a
+    single-partition funnel."""
+    plan = formatted_plan(QUERIES["tx_lang_id"](spark, SF_DIR))
+    t = tree(plan)
+    assert "BroadcastHashJoin" in t
+    assert "SortMergeJoin" not in t
+    assert "SinglePartition" not in plan
+    # the doc-side aggregates partial before the shuffle (map-side combine)
+    assert "partial_count" in plan or "partial_sum" in plan

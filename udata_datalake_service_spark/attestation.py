@@ -38,6 +38,8 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-8 changes (populated as queries are added/edited this round)
     "mm_media_meta",  # decode_source column (measured stub rate), oracle-pinned
     "mm_jpeg_meta",  # decode_source + arithmetic-coded (SOF9) fixture leg
+    "tx_lang_id",  # NEW: NB language-id classifier (llm/classify.py)
+    "nb_source_classifier",  # NEW: 20-class NB scorecard (llm/classify.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

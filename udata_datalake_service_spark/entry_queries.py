@@ -6318,6 +6318,132 @@ FROM g
 """
 
 
+# =========================================================================
+# Round-8 operators: trained classifiers (llm/classify.py)
+# =========================================================================
+def q_tx_lang_id(spark, sf_dir):
+    """Language identification as a TRAINED classifier (llm/classify.py):
+    multinomial NB over word unigrams, fit on the corpus's own labeled
+    split (doc_id % 5 != 0) and scoring the held-out fifth — the CCNet
+    fastText-langid slot with a closed-form distributed fit. Fixed-point
+    log scores make prediction + margin engine-exact; the oracle replays
+    the entire fit and argmax."""
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    d = _tw(spark, sf_dir, "documents")
+    # md5-keyed split (the o3 deterministic-sample device): a doc_id
+    # modulus would correlate with the synthetic label layout (source is
+    # literally doc_id %% 20, so a %%5 held-out set holds classes the
+    # train set never saw)
+    held_key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    train = d.filter(~held_key)
+    held = d.filter(held_key)
+    model, priors = nb_train(train, label="lang")
+    pred = nb_predict(held, model, priors)
+    truth = held.select("doc_id", F.col("lang").alias("true_lang"))
+    return pred.join(truth, on="doc_id").select(
+        "doc_id",
+        "true_lang",
+        F.col("pred").alias("pred_lang"),
+        (F.col("pred") == F.col("true_lang")).alias("correct"),
+        "margin_q",
+    )
+
+
+_SQL_NB_COMMON = f"""
+tok AS (
+  SELECT doc_id, {{label}} AS lbl, unnest({_SQL_TOKS}) AS t FROM documents
+),
+c AS (SELECT lbl AS l, t, count(*) AS n FROM tok WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2') GROUP BY 1, 2),
+tot AS (SELECT l, sum(n) AS tot FROM c GROUP BY 1),
+vocab AS (SELECT DISTINCT t FROM c),
+vn AS (SELECT count(*) AS v FROM vocab),
+model AS (
+  SELECT tot.l, vocab.t,
+    CAST(round(ln((coalesce(c.n, 0) + 1) / (tot.tot + vn.v)) * 1000000, 0)
+         AS BIGINT) AS llh_q
+  FROM tot CROSS JOIN vocab CROSS JOIN vn
+  LEFT JOIN c ON c.l = tot.l AND c.t = vocab.t
+),
+pri AS (
+  SELECT {{label}} AS l,
+    CAST(round(ln(count(*) / (SELECT count(*) FROM documents
+                              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2'))) * 1000000, 0)
+         AS BIGINT) AS prior_q
+  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2') GROUP BY 1
+),
+held AS (
+  SELECT doc_id, lbl, t, count(*) AS n FROM tok WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT h.doc_id, h.lbl, m.l, pri.prior_q + sum(h.n * m.llh_q) AS score_q
+  FROM held h JOIN model m USING (t) JOIN pri ON pri.l = m.l
+  GROUP BY h.doc_id, h.lbl, m.l, pri.prior_q
+),
+rk AS (
+  SELECT doc_id, lbl, l, score_q,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, l) AS rn,
+    score_q - lead(score_q) OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, l) AS gap
+  FROM sc
+)
+"""
+
+_SQL_TX_LANG_ID = f"""
+WITH {_SQL_NB_COMMON.format(label="lang")}
+SELECT doc_id, lbl AS true_lang, l AS pred_lang, l = lbl AS correct,
+  CAST(coalesce(gap, 0) AS BIGINT) AS margin_q
+FROM rk WHERE rn = 1
+"""
+
+
+def q_nb_source_classifier(spark, sf_dir):
+    """The quality/domain-classifier slot at 20-class cardinality: the
+    same NB operator fit on `source` labels, reported as the per-class
+    scorecard a routing pipeline reads (n docs, n correct, accuracy) —
+    attesting the aggregate shape on top of the per-doc argmax."""
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    d = _tw(spark, sf_dir, "documents")
+    held_key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    train = d.filter(~held_key)
+    held = d.filter(held_key)
+    model, priors = nb_train(train, label="source")
+    pred = nb_predict(held, model, priors)
+    truth = held.select("doc_id", F.col("source").alias("true_source"))
+    return (
+        pred.join(truth, on="doc_id")
+        .groupBy(F.col("true_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("pred") == F.col("true_source")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_docs"), 6).alias("accuracy"),
+        )
+    )
+
+
+_SQL_NB_SOURCE = f"""
+WITH {_SQL_NB_COMMON.format(label="source")}
+SELECT lbl AS source, count(*) AS n_docs,
+  sum(CASE WHEN l = lbl THEN 1 ELSE 0 END) AS n_correct,
+  round(sum(CASE WHEN l = lbl THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+FROM rk WHERE rn = 1
+GROUP BY lbl
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6427,6 +6553,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reduced_antijoin": q_reduced_antijoin,
     "mm_exif_meta": q_mm_exif_meta,
     "dd_lsh_incremental": q_dd_lsh_incremental,
+    # ---- round 8 ----
+    "tx_lang_id": q_tx_lang_id,
+    "nb_source_classifier": q_nb_source_classifier,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -6576,6 +6705,8 @@ ORACLES: dict[str, str] = {
     "reduced_antijoin": _SQL_REDUCED_ANTIJOIN,
     "mm_exif_meta": _SQL_MM_EXIF,
     "dd_lsh_incremental": _SQL_DD_LSH_INCR,
+    "tx_lang_id": _SQL_TX_LANG_ID,
+    "nb_source_classifier": _SQL_NB_SOURCE,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
