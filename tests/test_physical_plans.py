@@ -496,3 +496,16 @@ def test_nb_scoring_broadcasts_model_and_shuffles_docs_once(spark):
     assert "SinglePartition" not in plan
     # the doc-side aggregates partial before the shuffle (map-side combine)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pq_adc_never_sortmerges_and_stays_jvm(spark):
+    """ann_pq_topk's scale contract: the codebook/distance-table/rerank
+    joins are ALL broadcast (no SortMergeJoin — the corpus is never
+    exchanged for a join), nothing funnels through a single partition,
+    and the whole pipeline is JVM expressions (no Python boundary)."""
+    plan = formatted_plan(QUERIES["ann_pq_topk"](spark, SF_DIR))
+    t = tree(plan)
+    assert "SortMergeJoin" not in t
+    assert t.count("BroadcastHashJoin") >= 3
+    assert "SinglePartition" not in plan
+    assert "MapInPandas" not in t and "BatchEvalPython" not in t

@@ -40,6 +40,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "mm_jpeg_meta",  # decode_source + arithmetic-coded (SOF9) fixture leg
     "tx_lang_id",  # NEW: NB language-id classifier (llm/classify.py)
     "nb_source_classifier",  # NEW: 20-class NB scorecard (llm/classify.py)
+    "ann_pq_topk",  # NEW: product-quantized ADC ANN (llm/similarity.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

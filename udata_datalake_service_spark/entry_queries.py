@@ -6444,6 +6444,90 @@ GROUP BY lbl
 """
 
 
+# =========================================================================
+# Round-8 operators: product-quantized ANN (llm/similarity.py PQ section)
+# =========================================================================
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-compressed ANN: sign-partitioned product quantization (16
+    subspaces x 4 dims), asymmetric-distance scoring off a broadcast
+    query x codebook distance table — the corpus scan only LOOKS UP its
+    m codes and integer-sums, never computes a full-dimension dot per
+    pair — then an exact cosine re-rank of the k survivors. The whole
+    pipeline (codes, fixed-point codeword means, ADC sums, both
+    cosines) is replayed by the oracle."""
+    from udata_datalake_service_spark.llm.similarity import pq_adc_topk
+
+    e = _tw(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), k=10, m=16, dim=64)
+
+
+_SQL_ANN_PQ = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (
+  SELECT e.vec_id, s.sub,
+    array_to_string(list_transform(list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4),
+      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS code,
+    list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS sub) s
+),
+comp AS (
+  SELECT sub, code, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS xq
+  FROM (SELECT sub, code,
+          unnest(list_transform(range(1, len(sv) + 1),
+            i -> struct_pack(pos := i, x := sv[i]))) AS u
+        FROM codes)
+),
+g AS (SELECT sub, code, pos, sum(xq) AS sm, count(*) AS n FROM comp GROUP BY 1, 2, 3),
+cb AS (SELECT sub, code, list(sm / (n * 1000000.0) ORDER BY pos) AS cw
+       FROM g GROUP BY 1, 2),
+q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM e WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, q.qn, cb.sub, cb.code,
+    CAST(round(list_dot_product(
+      list_slice(q.qv, cb.sub * 4 + 1, cb.sub * 4 + 4), cb.cw)
+      * 1000000000, 0) AS BIGINT) AS part_q,
+    CAST(round(list_dot_product(cb.cw, cb.cw) * 1000000000, 0) AS BIGINT)
+      AS cw_sq_q
+  FROM q CROSS JOIN cb
+),
+scored AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, dt.qn,
+    sum(dt.part_q) AS adc_q, sum(dt.cw_sq_q) AS vn2_q
+  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+  GROUP BY 1, 2, 3
+),
+ac AS (
+  SELECT query_id, neighbor_id,
+    round(CASE WHEN qn > 0 AND vn2_q > 0
+      THEN (adc_q / 1000000000.0) / (qn * sqrt(vn2_q / 1000000000.0))
+      ELSE 0.0 END, 6) AS adc_cos
+  FROM scored WHERE query_id <> neighbor_id
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_cos DESC, neighbor_id ASC) AS arnk
+  FROM ac
+),
+ex AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.adc_cos,
+    round(CASE WHEN qx.qn > 0 AND list_dot_product(ev.v, ev.v) > 0
+      THEN list_dot_product(qx.qv, ev.v)
+           / (qx.qn * sqrt(list_dot_product(ev.v, ev.v)))
+      ELSE 0.0 END, 6) AS cos
+  FROM cand
+  JOIN e ev ON ev.vec_id = cand.neighbor_id
+  JOIN q qx ON qx.query_id = cand.query_id
+  WHERE cand.arnk <= 40
+)
+SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM ex
+) WHERE rnk <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6556,6 +6640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round 8 ----
     "tx_lang_id": q_tx_lang_id,
     "nb_source_classifier": q_nb_source_classifier,
+    "ann_pq_topk": q_ann_pq_topk,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -6707,6 +6792,7 @@ ORACLES: dict[str, str] = {
     "dd_lsh_incremental": _SQL_DD_LSH_INCR,
     "tx_lang_id": _SQL_TX_LANG_ID,
     "nb_source_classifier": _SQL_NB_SOURCE,
+    "ann_pq_topk": _SQL_ANN_PQ,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -875,3 +875,209 @@ def standardize_embeddings(
         lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)),
     )
     return df.select(F.col(id_col), z.alias("z"))
+
+
+# ---------------------------------------------------------------- PQ ----
+def pq_codes(
+    df: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-partitioned product-quantization codes: split each vector
+    into ``m`` contiguous subvectors of ``dim/m`` components; a
+    subvector's code is its SIGN PATTERN (a '>0' bit per component,
+    rendered as a bit-string key). The cells are orthants — encoding is
+    a pure map (no nearest-codeword search), deterministic, and exactly
+    replayable in SQL, which is what lets the ADC path carry a value-hash
+    oracle; classical k-means codebooks drop into the same (sub, code)
+    contract. Returns (id_col, sub, code, sv) at the (vector, subspace)
+    grain — zero shuffle, m rows per vector."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    v = _as_double(F.col(vec_col))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(v, s * d + 1, d).alias("sv"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(subs).alias("e")
+    ).select(
+        id_col,
+        F.col("e.sub").alias("sub"),
+        F.array_join(
+            F.transform(
+                F.col("e.sv"),
+                lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ).alias("code"),
+        F.col("e.sv").alias("sv"),
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Codeword per (sub, code) = the fixed-point mean of that cell's
+    subvectors (the `label_centroids` integer-sum device: per-component
+    quantized means are bit-identical across engines and partitionings).
+    One component-grain aggregate; the codebook is at most
+    m * 2^(dim/m) rows — broadcast material at any corpus size."""
+    d = dim // m
+    comp = pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "sub",
+        "code",
+        F.posexplode(F.col("sv")).alias("pos", "x"),
+    ).select(
+        "sub", "code", "pos",
+        F.round(F.col("x") * quantum, 0).cast("long").alias("xq"),
+    )
+    g = comp.groupBy("sub", "code", "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        g.groupBy("sub", "code")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("s"), F.col("n")))
+            ).alias("parts")
+        )
+        .select(
+            "sub",
+            "code",
+            F.transform(
+                F.col("parts"),
+                lambda p: p["s"] / (p["n"] * F.lit(float(quantum))),
+            ).alias("cw"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay EXACT, the corpus is
+    replaced by its PQ reconstruction. Per query, a distance table of
+    dot(q_sub, codeword) per (sub, code) is built on the codebook
+    (queries x codebook — broadcast-sized) and the corpus scan just LOOKS
+    UP its m codes and sums — the ADC trick: no per-pair full-dimension
+    dot ever happens and the corpus is never exchanged. The standard
+    over-fetch discipline applies: ``k * rerank`` candidates survive the
+    ADC pass, get an EXACT cosine each (k*rerank*|queries| full dots —
+    bounded, not corpus-sized), and the final top-k ranks by the exact
+    score.
+
+    Returns (query_id, neighbor_id, rnk, adc_cos, cos): rnk by exact
+    cosine after re-rank, adc_cos the approximate score that surfaced
+    the candidate. Self-matches excluded; ties break by neighbor id."""
+    cb = pq_codebooks(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    d = dim // m
+    # distance table: one row per (query, sub, code); q_sub sliced lazily
+    dt = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "qn",
+            "sub",
+            "code",
+            # fixed-point per-(sub,code) parts: the ADC sum over m
+            # subspaces is a float reduction whose order Spark does not
+            # fix — integer sums do (the label_centroids device), so the
+            # rounded cosine is engine-exact
+            F.round(
+                dot(F.slice(F.col("qv"), F.col("sub") * d + 1, d), F.col("cw"))
+                * F.lit(1_000_000_000),
+                0,
+            )
+            .cast("long")
+            .alias("part_q"),
+            F.round(dot(F.col("cw"), F.col("cw")) * F.lit(1_000_000_000), 0)
+            .cast("long")
+            .alias("cw_sq_q"),
+        )
+    )
+    codes = pq_codes(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    scored = (
+        codes.join(F.broadcast(dt), on=["sub", "code"])
+        .groupBy("query_id", "neighbor_id", "qn")
+        .agg(F.sum("part_q").alias("adc_q"), F.sum("cw_sq_q").alias("vn2_q"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("vn2_q") > 0),
+                    (F.col("adc_q") / F.lit(1_000_000_000.0))
+                    / (
+                        F.col("qn")
+                        * F.sqrt(F.col("vn2_q") / F.lit(1_000_000_000.0))
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("adc_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    cand = scored.withColumn("__arnk", F.row_number().over(w)).filter(
+        F.col("__arnk") <= k * rerank
+    )
+    # exact re-rank on the k*rerank survivors only
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    qv = q.select("query_id", "qv", "qn")
+    exact = (
+        F.broadcast(cand)
+        .join(c, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_cos",
+            F.round(
+                F.when(
+                    F.col("qn") * norm(F.col("cv")) > 0,
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * norm(F.col("cv"))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc_cos", "cos")
+    )
