@@ -925,3 +925,58 @@ def test_reduced_joins_row_identical_to_plain(spark):
         assert sorted(map(tuple, red.collect())) == plain
     with pytest.raises(ValueError, match="on"):
         reduced_anti_join(batch, corpus, [])
+
+
+# --------------------------------------------------- count-min sketch (r8) --
+def test_countmin_never_underestimates_and_merge_is_exact(spark):
+    """The two count-min laws: (1) est >= exact for every inserted item
+    (one-sided error), (2) merging per-shard sketches equals building one
+    sketch over the union — byte-for-byte, bucket-for-bucket."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    rows = [(i, f"w{i % 13}") for i in range(400)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    whole = countmin_build(df, "t", depth=3, width=8)
+    merged = countmin_merge(
+        countmin_build(df.filter(F.col("i") % 2 == 0), "t", depth=3, width=8),
+        countmin_build(df.filter(F.col("i") % 2 == 1), "t", depth=3, width=8),
+    )
+    as_map = lambda s: {(r["row"], r["bucket"]): r["c"] for r in s.collect()}  # noqa: E731
+    assert as_map(whole) == as_map(merged)
+
+    exact = {r["t"]: r["cnt"] for r in df.groupBy("t").count().withColumnRenamed("count", "cnt").collect()}
+    est = {
+        r["t"]: r["est"]
+        for r in countmin_estimate(
+            whole, df.select("t").distinct(), "t", depth=3, width=8
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # width 8 < 13 distinct items forces at least one collision
+    assert any(est[t] > exact[t] for t in exact)
+
+
+def test_countmin_weighted_build(spark):
+    """A weight column aggregates like repeated inserts."""
+    from udata_datalake_service_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    w = spark.createDataFrame([("a", 5), ("b", 2)], "t string, n long")
+    flat = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "t string"
+    )
+    sk_w = countmin_build(w, "t", depth=2, width=64, weight="n")
+    sk_f = countmin_build(flat, "t", depth=2, width=64)
+    as_map = lambda s: {(r["row"], r["bucket"]): r["c"] for r in s.collect()}  # noqa: E731
+    assert as_map(sk_w) == as_map(sk_f)
+    est = countmin_estimate(sk_w, w.select("t"), "t", depth=2, width=64)
+    assert {r["t"]: r["est"] for r in est.collect()} == {"a": 5, "b": 2}

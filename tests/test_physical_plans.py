@@ -509,3 +509,16 @@ def test_pq_adc_never_sortmerges_and_stays_jvm(spark):
     assert t.count("BroadcastHashJoin") >= 3
     assert "SinglePartition" not in plan
     assert "MapInPandas" not in t and "BatchEvalPython" not in t
+
+
+def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):
+    """sk_countmin_hh's scale contract: the sketch build is a union +
+    ONE (row, bucket)-grain aggregate with map-side combine (the sketch
+    is d*w counters, so the shuffle is sketch-sized, not corpus-sized),
+    and the point-query join delivers the sketch via BroadcastExchange —
+    the token stream is never sort-merge-joined."""
+    plan = formatted_plan(QUERIES["sk_countmin_hh"](spark, SF_DIR))
+    t = tree(plan)
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastHashJoin" in t
+    assert "SortMergeJoin" not in t

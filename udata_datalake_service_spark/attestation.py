@@ -41,6 +41,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "tx_lang_id",  # NEW: NB language-id classifier (llm/classify.py)
     "nb_source_classifier",  # NEW: 20-class NB scorecard (llm/classify.py)
     "ann_pq_topk",  # NEW: product-quantized ADC ANN (llm/similarity.py)
+    "sk_countmin_hh",  # NEW: count-min sketch heavy hitters (operators/sketch.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -6528,6 +6528,70 @@ SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
 """
 
 
+# =========================================================================
+# Round-8 operators: count-min sketch (operators/sketch.py)
+# =========================================================================
+def q_sk_countmin_hh(spark, sf_dir):
+    """Heavy hitters through a count-min sketch, MERGE path included:
+    two per-shard sketches (doc_id parity) are built independently and
+    merged — the roll-up property that makes per-day sketches composable
+    at 100 TB — then the exact top-20 tokens are point-queried against
+    the merged sketch. Width 16 is deliberately undersized for the
+    fixture vocabulary so collisions are REAL and the one-sided error
+    (est >= exact, always) is visible data the oracle re-derives
+    bit-for-bit (the md5 hash family is engine-portable)."""
+    from udata_datalake_service_spark.llm.text import tokens
+    from udata_datalake_service_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    d = _tw(spark, sf_dir, "documents")
+    tok = d.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("t"))
+    sk = countmin_merge(
+        countmin_build(tok.filter(F.col("doc_id") % 2 == 0), "t", 4, 16),
+        countmin_build(tok.filter(F.col("doc_id") % 2 == 1), "t", 4, 16),
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.desc("exact"), F.asc("t")).limit(20)
+    est = countmin_estimate(sk, top.select("t"), "t", 4, 16)
+    return top.join(est, on="t").select(
+        F.col("t").alias("token"),
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
+_SQL_SK_COUNTMIN = f"""
+WITH tok AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+rowsrc AS (SELECT unnest(range(0, 4)) AS row),
+sk AS (
+  SELECT rowsrc.row,
+    CAST(('0x' || substr(md5(CAST(rowsrc.row AS VARCHAR) || ':' || t), 1, 15))
+         ::UBIGINT % 16 AS INT) AS bucket,
+    count(*) AS c
+  FROM tok CROSS JOIN rowsrc GROUP BY 1, 2
+),
+exact AS (SELECT t, count(*) AS exact FROM tok GROUP BY 1),
+top AS (SELECT t, exact FROM exact ORDER BY exact DESC, t LIMIT 20),
+coords AS (
+  SELECT top.t, rowsrc.row,
+    CAST(('0x' || substr(md5(CAST(rowsrc.row AS VARCHAR) || ':' || top.t), 1, 15))
+         ::UBIGINT % 16 AS INT) AS bucket
+  FROM top CROSS JOIN rowsrc
+),
+est AS (
+  SELECT coords.t, min(coalesce(sk.c, 0)) AS est
+  FROM coords LEFT JOIN sk ON sk.row = coords.row AND sk.bucket = coords.bucket
+  GROUP BY 1
+)
+SELECT top.t AS token, top.exact, est.est, est.est - top.exact AS overcount
+FROM top JOIN est ON est.t = top.t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6641,6 +6705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lang_id": q_tx_lang_id,
     "nb_source_classifier": q_nb_source_classifier,
     "ann_pq_topk": q_ann_pq_topk,
+    "sk_countmin_hh": q_sk_countmin_hh,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -6793,6 +6858,7 @@ ORACLES: dict[str, str] = {
     "tx_lang_id": _SQL_TX_LANG_ID,
     "nb_source_classifier": _SQL_NB_SOURCE,
     "ann_pq_topk": _SQL_ANN_PQ,
+    "sk_countmin_hh": _SQL_SK_COUNTMIN,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -1,0 +1,104 @@
+"""Count-min sketch: mergeable approximate counting for heavy hitters.
+
+At 100 TB the exact token/URL/key frequency table is itself a large
+shuffle; a count-min sketch (Cormode & Muthukrishnan 2005) is the
+standard streaming/mergeable substitute: d independent hash rows x w
+buckets of COUNTERS, each update adds to one bucket per row, and an
+item's estimate is the MIN over its d buckets — always >= the true
+count, with the overcount bounded by (n / w) per row whp.
+
+Spark-first shape: building the sketch IS one groupBy((row, bucket))
+count — the sketch is a (d*w)-row DataFrame, partial-aggregated
+map-side, broadcastable, and MERGEABLE by construction (union + re-sum
+— the property that lets per-day sketches roll up without touching raw
+data). Point queries join the broadcast sketch d times cheaper: probe
+items are exploded to their (row, bucket) pairs and joined once, then
+min() per item.
+
+Hashes are the repo's engine-portable md5 family (functions/hashing.py),
+so the WHOLE sketch — buckets, collisions, estimates — is bit-identical
+in the DuckDB oracle: the attested query checks estimate >= exact and
+the exact overcount values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col, row: int, width: int):
+    """Engine-portable bucket id: first 15 md5 hex chars of "row:item"
+    as a 60-bit int, mod width. DuckDB replay:
+    ('0x' || substr(md5(row || ':' || x), 1, 15))::UBIGINT % width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), col)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def countmin_build(
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight: str | None = None,
+) -> DataFrame:
+    """Build the sketch over ``items[col]`` (optionally weighted).
+    Returns (row, bucket, c) — d*w rows max; missing buckets are
+    implicitly zero. One shuffle at the (row, bucket) grain, counts
+    combined map-side."""
+    w_expr = F.col(weight) if weight else F.lit(1).cast("long")
+    per_row = [
+        items.select(
+            F.lit(r).alias("row"),
+            _bucket(F.col(col), r, width).alias("bucket"),
+            w_expr.alias("w"),
+        )
+        for r in range(depth)
+    ]
+    all_rows = per_row[0]
+    for p in per_row[1:]:
+        all_rows = all_rows.unionByName(p)
+    return all_rows.groupBy("row", "bucket").agg(F.sum("w").alias("c"))
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): union + re-sum.
+    The roll-up that makes per-shard/per-day sketches composable."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query estimates for ``probes[col]``: explode each probe to
+    its d (row, bucket) coordinates, join the BROADCAST sketch, min per
+    probe. Probes absent from every bucket estimate 0 (cannot happen for
+    items that were actually inserted). Returns (col, est)."""
+    coords = probes.select(col).distinct()
+    per_row = [
+        coords.select(
+            col,
+            F.lit(r).alias("row"),
+            _bucket(F.col(col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    all_rows = per_row[0]
+    for p in per_row[1:]:
+        all_rows = all_rows.unionByName(p)
+    return (
+        all_rows.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
