@@ -154,6 +154,11 @@ _NESTED_LOOP_OK = {
     "ann_centroid_assign",  # documented broadcast of the k centroid rows
     "semantic_dedup",  # same k-centroid broadcast inside the assignment step
     "mm_embed_vq",  # same k-centroid broadcast (per-source centroids)
+    # r8: cross joins between two BOUNDED broadcast sides — never a
+    # corpus on either side, so the product is model-sized by contract
+    "tx_lang_id",  # NB dense grid: |labels| x |vocab| (model build)
+    "nb_source_classifier",  # same grid at 20-label cardinality
+    "ann_pq_topk",  # queries x codebook distance table (<= q*m*2^(dim/m))
 }
 
 

@@ -6437,7 +6437,7 @@ def q_nb_source_classifier(spark, sf_dir):
 _SQL_NB_SOURCE = f"""
 WITH {_SQL_NB_COMMON.format(label="source")}
 SELECT lbl AS source, count(*) AS n_docs,
-  sum(CASE WHEN l = lbl THEN 1 ELSE 0 END) AS n_correct,
+  CAST(sum(CASE WHEN l = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
   round(sum(CASE WHEN l = lbl THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
 FROM rk WHERE rn = 1
 GROUP BY lbl
