@@ -890,3 +890,48 @@ def test_moto_store_primitive_semantics(tmp_path, request):
     """The SAME primitive contract executed by a real S3 implementation
     (moto server over boto3) — env-gated, skip-clean elsewhere."""
     _assert_object_store_primitives(_make_store("moto-s3", request), tmp_path)
+
+
+def test_append_schema_drift_is_loud_and_evolution_widens(spark, tmp_path):
+    """r8: an append whose schema drifts used to lose the new column
+    SILENTLY at read time (the dir reads as one file's schema). Now:
+    drift without the flag is a loud ValueError; with
+    allow_schema_evolution the table widens (old rows read NULL); a
+    same-name type conflict is refused either way."""
+    lake = Lake(spark, str(tmp_path / "lake_evo"))
+    lake.write_app_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "t"
+    )
+
+    import pytest as _pytest
+
+    wider = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    )
+    with _pytest.raises(ValueError, match="schema drift"):
+        lake.append_app_table(wider, "t")
+    with _pytest.raises(ValueError, match="type conflict"):
+        lake.append_app_table(
+            spark.createDataFrame([(3, 4)], "id long, v long"), "t"
+        )
+    # widening append with the flag: union schema on read, NULL backfill
+    lake.append_app_table(wider, "t", allow_schema_evolution=True)
+    back = lake.read_app_table("t")
+    assert set(back.columns) == {"id", "v", "score"}
+    got = {r["id"]: (r["v"], r["score"]) for r in back.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # narrowing append (subset of columns) also needs the flag
+    narrow = spark.createDataFrame([(4,)], "id long")
+    with _pytest.raises(ValueError, match="schema drift"):
+        lake.append_app_table(narrow, "t")
+    lake.append_app_table(narrow, "t", allow_schema_evolution=True)
+    got = {r["id"]: (r["v"], r["score"]) for r in lake.read_app_table("t").collect()}
+    assert got[4] == (None, None)
+    # matched-schema appends still need no flag
+    lake.append_app_table(
+        spark.createDataFrame(
+            [(5, "e", 1.0)], "id long, v string, score double"
+        ),
+        "t",
+    )
+    assert lake.read_app_table("t").count() == 4

@@ -617,3 +617,39 @@ def test_watermark_late_data_contract(spark, tmp_path):
     t_closed = base + dt.timedelta(seconds=180)
     assert final[(t_closed, "hot.org")] == 3
     assert batch_recent(t_closed)["hot.org"] == 4
+
+
+@pytest.mark.slow
+def test_countmin_sketch_streams_and_merges_with_batch(spark, tmp_path):
+    """The count-min build is a plain (row, bucket) aggregate, so it runs
+    UNDER THE STREAMING ENGINE unchanged (groupBy + sum in complete
+    mode), and — the mergeability law — the streamed sketch equals the
+    batch sketch over the same rows, bucket for bucket."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.sketch import countmin_build
+
+    src = str(tmp_path / "toks")
+    rows = [(i, f"w{i % 11}") for i in range(300)]
+    batch = spark.createDataFrame(rows, "i long, t string")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sk_stream = countmin_build(stream, "t", depth=3, width=8)
+    q = (
+        sk_stream.writeStream.format("memory")
+        .queryName("cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in countmin_build(batch, "t", depth=3, width=8).collect()
+    }
+    assert got == want

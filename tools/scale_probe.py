@@ -176,6 +176,13 @@ def main() -> int:
         "dd_lsh_eval",
         "corpus_ingest",
         "corpus_warc_ingest",
+        # r8 additions — not heavyweights, but their alphas document the
+        # claimed shapes (vocab-bounded NB, codebook-bounded PQ ADC,
+        # sketch-sized count-min shuffle)
+        "tx_lang_id",
+        "nb_source_classifier",
+        "ann_pq_topk",
+        "sk_countmin_hh",
     )
 
     def probe_registry(s: int) -> dict[str, float]:

@@ -346,7 +346,7 @@ class Lake:
             cols.append(subs[0].name.split("=", 1)[0])
             d = subs[0]
 
-    def _read_dir(self, base: Path, schema=None) -> DataFrame:
+    def _read_dir(self, base: Path, schema=None, merge_schema: bool = False) -> DataFrame:
         cur = self._current_dir(base)
         if cur is None or not any(
             f for f in cur.iterdir() if not f.name.startswith(("_", "."))
@@ -354,7 +354,14 @@ class Lake:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"lake table has no data: {base}")
-        return self.spark.read.parquet(str(cur))
+        reader = self.spark.read
+        if merge_schema:
+            # app tables accept widening appends (allow_schema_evolution):
+            # merge footers so evolved files contribute their columns and
+            # older files read NULLs — instead of whichever single file's
+            # schema Spark happens to pick
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(str(cur))
 
     # ---------------------------------------------------------- tables ----
     def table_path(self, name: str) -> str:
@@ -616,14 +623,62 @@ class Lake:
             )
             self._commit_version_locked(base, ver, staging=staging)
 
+    def _check_append_schema(
+        self, df: DataFrame, cur: Path, allow_schema_evolution: bool
+    ) -> None:
+        """Appends must not lose columns silently: a parquet dir whose
+        files disagree on schema reads as ONE file's schema by default,
+        so an appended extra column would simply vanish (and a missing
+        one would poison reads). Default: the incoming frame must carry
+        exactly the table's column set with identical types — loud
+        ValueError otherwise. With ``allow_schema_evolution`` the
+        Delta/Iceberg widening rules apply: NEW columns may be added and
+        existing ones omitted (reads merge footers and yield NULLs);
+        a same-name TYPE conflict is always an error."""
+        existing = {
+            f.name: f.dataType
+            # mergeSchema: after a prior widening append the dir's files
+            # disagree; the check must compare against the UNION schema,
+            # not whichever single footer Spark happens to pick
+            for f in self.spark.read.option("mergeSchema", "true")
+            .parquet(str(cur))
+            .schema
+        }
+        incoming = {f.name: f.dataType for f in df.schema}
+        conflicts = {
+            n: (str(existing[n]), str(incoming[n]))
+            for n in incoming.keys() & existing.keys()
+            if existing[n] != incoming[n]
+        }
+        if conflicts:
+            raise ValueError(
+                f"append schema type conflict (never allowed): {conflicts}"
+            )
+        added = incoming.keys() - existing.keys()
+        missing = existing.keys() - incoming.keys()
+        if (added or missing) and not allow_schema_evolution:
+            raise ValueError(
+                "append schema drift: "
+                f"added={sorted(added)} missing={sorted(missing)} — pass "
+                "allow_schema_evolution=True to widen the table (new "
+                "columns added, omitted ones read as NULL), or align the "
+                "frame. Without the flag this would have silently "
+                "dropped/corrupted columns at read time."
+            )
+
     def _append_write(
-        self, df: DataFrame, base: Path, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        base: Path,
+        partition_by: list[str] | None = None,
+        allow_schema_evolution: bool = False,
     ) -> None:
         cur = self._current_dir(base)
         if cur is None:
             # first write: land in a version dir, commit the pointer
             self._replace_write(df, base, partition_by=partition_by)
             return
+        self._check_append_schema(df, cur, allow_schema_evolution)
         # versioned or legacy-plain: add files in place — Spark stages the
         # new files under _temporary, so a torn append is never visible
         w = df.write.mode("append")
@@ -646,14 +701,21 @@ class Lake:
         )
 
     def append_app_table(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        allow_schema_evolution: bool = False,
     ) -> None:
         self._append_write(
-            df, Path(self.app_table_path(name)), partition_by=partition_by
+            df,
+            Path(self.app_table_path(name)),
+            partition_by=partition_by,
+            allow_schema_evolution=allow_schema_evolution,
         )
 
     def read_app_table(self, name: str) -> DataFrame:
-        return self._read_dir(Path(self.app_table_path(name)))
+        return self._read_dir(Path(self.app_table_path(name)), merge_schema=True)
 
     def rewrite_app_table(
         self, df: DataFrame, name: str, expected_version: object = _UNSET
