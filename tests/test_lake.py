@@ -935,3 +935,25 @@ def test_append_schema_drift_is_loud_and_evolution_widens(spark, tmp_path):
         "t",
     )
     assert lake.read_app_table("t").count() == 4
+
+
+def test_moto_vacuum_reclaims_stale_claims_from_bucket(spark, tmp_path, request):
+    """Crashed stale-takeover claims live as BUCKET KEYS under the s3
+    backend — vacuum must enumerate them through store.claim_leftovers
+    (a local iterdir can't see them) and delete the keys. Env-gated like
+    the rest of the moto matrix."""
+    from pathlib import Path
+
+    store = _make_store("moto-s3", request)
+    lake = Lake(spark, str(tmp_path / "lakevac"), store=store)
+    lake.write_table(spark.createDataFrame([(1,)], "id long"), "t")
+    base = Path(lake.table_path("t"))
+    # two orphaned claims from crashed takeovers
+    for i in range(2):
+        store.put_text(base / f"_COMMIT_LOCK.stale-{i:08x}", f"tok{i}")
+    assert len(store.claim_leftovers(base)) == 2
+    removed = lake.vacuum(staging_grace_s=0.0)
+    assert sum("_COMMIT_LOCK.stale-" in r for r in removed) == 2
+    assert store.claim_leftovers(base) == []
+    # the table itself is untouched
+    assert [r["id"] for r in lake.read_table("t").collect()] == [1]
