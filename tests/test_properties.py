@@ -475,3 +475,81 @@ def test_ngram_novelty_matches_python_reference(spark, token_lists):
             assert abs(got[i]["novelty"] - round(n_novel / n_grams, 6)) < 1e-9
         else:
             assert got[i]["novelty"] == 0.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=9),
+)
+def test_countmin_laws_property(spark, pairs, cut):
+    """Hypothesis law for the count-min sketch on arbitrary weighted
+    streams: (1) est >= exact for every inserted item, (2) splitting the
+    stream anywhere and merging the two sketches equals the whole-stream
+    sketch bucket-for-bucket — partitioning and arrival order can never
+    change the sketch."""
+    from udata_datalake_service_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    rows = [(i, t, w) for i, (t, w) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i long, t string, w long")
+    k = cut % (len(rows) + 1)
+    whole = countmin_build(df, "t", depth=3, width=4, weight="w")
+    merged = countmin_merge(
+        countmin_build(df.filter(F.col("i") < k), "t", depth=3, width=4, weight="w"),
+        countmin_build(df.filter(F.col("i") >= k), "t", depth=3, width=4, weight="w"),
+    )
+    as_map = lambda s: {(r["row"], r["bucket"]): r["c"] for r in s.collect()}  # noqa: E731
+    assert as_map(whole) == as_map(merged)
+
+    exact: dict = {}
+    for t, w in pairs:
+        exact[t] = exact.get(t, 0) + w
+    est = {
+        r["t"]: r["est"]
+        for r in countmin_estimate(
+            whole, df.select("t").distinct(), "t", depth=3, width=4
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.text("xyz ", min_size=1, max_size=12)),
+        min_size=3,
+        max_size=15,
+    ).filter(lambda rows: len({l for l, _ in rows}) >= 2),
+    st.integers(min_value=1, max_value=8),
+)
+def test_nb_predictions_partition_invariant_property(spark, rows, nparts):
+    """Hypothesis law for the NB classifier: the fixed-point scores make
+    predictions and margins identical under ANY repartitioning of the
+    training and scoring frames — float-sum order can never flip an
+    argmax."""
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(rows, "lang string, text string")
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+
+    def run(tr, dc):
+        model, priors = nb_train(tr, label="lang")
+        return {
+            r["doc_id"]: (r["pred"], r["score_q"], r["margin_q"])
+            for r in nb_predict(dc, model, priors).collect()
+        }
+
+    a = run(train, docs)
+    b = run(train.repartition(nparts), docs.repartition(max(1, 9 - nparts)))
+    assert a == b
