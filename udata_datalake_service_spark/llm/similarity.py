@@ -934,8 +934,16 @@ def pq_codebooks(
     quantized means are bit-identical across engines and partitionings).
     One component-grain aggregate; the codebook is at most
     m * 2^(dim/m) rows — broadcast material at any corpus size."""
-    d = dim // m
-    comp = pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+    cells = pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "sub", "code", "sv"
+    )
+    return _cell_means(cells, quantum)
+
+
+def _cell_means(cells: DataFrame, quantum: int = 1_000_000) -> DataFrame:
+    """(sub, code, sv) rows → (sub, code, cw): fixed-point per-component
+    means (exact integer sums → partition-order-independent)."""
+    comp = cells.select(
         "sub",
         "code",
         F.posexplode(F.col("sv")).alias("pos", "x"),
@@ -964,6 +972,66 @@ def pq_codebooks(
     )
 
 
+def pq_assign(subvecs: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    codebook, L2 argmin with a deterministic tie-break (lowest code).
+    Input (id, sub, sv); output (id, sub, code, sv). The E-step of the
+    Lloyd refinement AND the encoder for learned codebooks."""
+    d2 = F.round(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cw"))
+        + dot(F.col("cw"), F.col("cw")),
+        9,
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("__d2"), F.asc("code"))
+    return (
+        subvecs.join(F.broadcast(codebooks), on="sub")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub", "code", "sv")
+    )
+
+
+def pq_codebooks_refined(
+    df: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """LEARNED product-quantization codebooks: Lloyd's algorithm run
+    JOINTLY across all m subspaces (one loop, not m loops) from the
+    sign-orthant initialization — E-step `pq_assign` (broadcast argmin),
+    M-step `_cell_means` (fixed-point, partition-order-independent).
+    Deterministic end to end, so two runs (or two cluster layouts)
+    produce byte-identical codebooks.
+
+    Same harness contract as `kmeans_fit`: localCheckpoint truncates the
+    per-round lineage; nothing but the codebook (m * 2^(dim/m) rows)
+    ever leaves the executors. At 100 TB you train on a SAMPLE of the
+    corpus (pass df.sample(...)) — codebook quality saturates long
+    before corpus size matters — then encode everything with
+    `pq_assign`."""
+    subvecs = (
+        pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "sub", "sv")
+        .localCheckpoint(eager=True)
+    )
+    cb = _cell_means(
+        pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+            "sub", "code", "sv"
+        ),
+        quantum,
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = pq_assign(subvecs, cb, id_col=id_col)
+        cb = _cell_means(assigned, quantum).localCheckpoint(eager=True)
+    return cb
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -973,9 +1041,13 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 4,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries stay EXACT, the corpus is
-    replaced by its PQ reconstruction. Per query, a distance table of
+    replaced by its PQ reconstruction. ``codebooks`` accepts a LEARNED
+    codebook (`pq_codebooks_refined`) — the corpus is then encoded by
+    nearest-codeword assignment instead of sign buckets; None keeps the
+    sign-orthant quantizer (the SQL-oracle-replayable default). Per query, a distance table of
     dot(q_sub, codeword) per (sub, code) is built on the codebook
     (queries x codebook — broadcast-sized) and the corpus scan just LOOKS
     UP its m codes and sums — the ADC trick: no per-pair full-dimension
@@ -988,7 +1060,10 @@ def pq_adc_topk(
     Returns (query_id, neighbor_id, rnk, adc_cos, cos): rnk by exact
     cosine after re-rank, adc_cos the approximate score that surfaced
     the candidate. Self-matches excluded; ties break by neighbor id."""
-    cb = pq_codebooks(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    if codebooks is None:
+        cb = pq_codebooks(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    else:
+        cb = codebooks
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -1019,9 +1094,18 @@ def pq_adc_topk(
             .alias("cw_sq_q"),
         )
     )
-    codes = pq_codes(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "sub", "code"
-    )
+    if codebooks is None:
+        codes = pq_codes(
+            corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    else:
+        codes = pq_assign(
+            pq_codes(corpus, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+                id_col, "sub", "sv"
+            ),
+            cb,
+            id_col=id_col,
+        ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
     scored = (
         codes.join(F.broadcast(dt), on=["sub", "code"])
         .groupBy("query_id", "neighbor_id", "qn")
