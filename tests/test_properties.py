@@ -553,3 +553,39 @@ def test_nb_predictions_partition_invariant_property(spark, rows, nparts):
     a = run(train, docs)
     b = run(train.repartition(nparts), docs.repartition(max(1, 9 - nparts)))
     assert a == b
+
+
+def test_binary_parsers_fail_typed_on_garbage(spark):
+    """Fuzz pin (r8): corrupt or random bytes through every vendored
+    binary parser raise ValueError / NotImplementedError ONLY — a raw
+    IndexError / KeyError / zlib.error / struct.error out of an entropy
+    decoder would kill executor tasks untyped on poisoned corpora (the
+    decode ladder's fallback and WARC ingest both catch typed errors).
+    Deterministic seed; ~2k trials per parser family."""
+    import random
+
+    from udata_datalake_service_spark.llm import bmp, exif, jpeg, png
+    from udata_datalake_service_spark.sources import warc
+
+    rng = random.Random(1234)
+    enc = jpeg.encode_jpeg_gray(16, 8, bytes([100]) * 128)
+    encp = jpeg.encode_jpeg_gray_progressive(16, 8, bytes([100]) * 128)
+    parsers = [
+        jpeg.decode_jpeg,
+        jpeg.parse_jpeg_dimensions,
+        exif.parse_exif,
+        png.decode_png,
+        bmp.decode_bmp,
+        lambda b: list(warc.iter_warc_records(b)),
+        warc.gunzip_members,
+    ]
+    for trial in range(2000):
+        data = bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 120)))
+        if trial % 3 == 0:  # corrupted valid prefixes hit deeper branches
+            base = enc if trial % 2 else encp
+            data = base[: rng.randint(0, len(base))] + data
+        for fn in parsers:
+            try:
+                fn(data)
+            except (ValueError, NotImplementedError):
+                pass  # the typed contract

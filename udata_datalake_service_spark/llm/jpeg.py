@@ -94,6 +94,26 @@ def _segments(data: bytes):
             return
 
 
+def _typed_stream_errors(fn):
+    """Corrupt entropy streams surface as raw IndexError / KeyError /
+    struct.error deep inside the bit readers; the decode contract is
+    typed: ValueError for corrupt input, NotImplementedError for
+    unsupported codings. Convert at the public boundary so a poisoned
+    file can never kill an executor task with an untyped exception
+    (the decode ladder and WARC ingest both rely on this)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(data):
+        try:
+            return fn(data)
+        except (IndexError, KeyError, struct.error) as e:
+            raise ValueError(f"jpeg: corrupt stream ({type(e).__name__}: {e})") from e
+
+    return wrapper
+
+
+@_typed_stream_errors
 def parse_jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the first SOFn segment —
     header-only, works for progressive/arithmetic files the baseline
@@ -229,6 +249,7 @@ def _next_marker(data: bytes, pos: int) -> int:
     return n
 
 
+@_typed_stream_errors
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode → (width, height, 1, luminance_pixels). Baseline
     (SOF0/SOF1) is decoded here; progressive (SOF2) dispatches to
@@ -329,6 +350,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 # ------------------------------------------------------------- progressive --
+@_typed_stream_errors
 def decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, bytes]:
     """Progressive (SOF2) decode → (width, height, 1, luminance_pixels).
 

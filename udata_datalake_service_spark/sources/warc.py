@@ -116,7 +116,12 @@ def _inflate_stream(data: bytes | Iterator[bytes]) -> Iterator[bytes]:
     while True:
         if not pending:
             pending = pull()
-        out = d.decompress(pending, _CHUNK) if pending else b""
+        try:
+            out = d.decompress(pending, _CHUNK) if pending else b""
+        except zlib.error as e:
+            # typed-error contract: corrupt input is a ValueError, never
+            # a raw zlib.error killing an ingest task untyped
+            raise ValueError(f"warc: corrupt gzip stream ({e})") from e
         pending = d.unconsumed_tail
         if out:
             yield out
