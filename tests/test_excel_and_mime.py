@@ -551,3 +551,40 @@ def test_ods_flows_through_inference_pipeline(spark, ods_path, tmp_path):
     shutil.copy(ods_path, lying)
     _, insp2 = inspect_tabular(spark, lying)
     assert insp2.engine == "stdlib-ods"
+
+
+def test_excel_reader_fails_typed_on_corrupt_downloads(tmp_path):
+    """Fuzz pin (r8): the crawl path feeds DOWNLOADED workbooks into
+    iter_excel_rows — truncated transfers, random bytes, zip/CFB
+    prefixes. The contract is typed: ValueError (or NotImplementedError)
+    only; a raw BadZipFile/KeyError/ParseError/EINVAL would kill the S4
+    analyse task untyped. Real IO faults (missing file) still propagate
+    as OSError."""
+    import io
+    import random
+    import zipfile as _zf
+
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.sources.excel_reader import iter_excel_rows
+
+    rng = random.Random(99)
+    buf = io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<x/>")
+    zfx = buf.getvalue()
+    for trial in range(400):
+        data = bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 300)))
+        if trial % 3 == 0:
+            data = zfx[: rng.randint(0, len(zfx))] + data
+        if trial % 5 == 0:
+            data = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data
+        for ext in ("xlsx", "xls", "ods"):
+            p = tmp_path / f"f.{ext}"
+            p.write_bytes(data)
+            try:
+                list(iter_excel_rows(str(p)))
+            except (ValueError, NotImplementedError):
+                pass
+    with _pytest.raises(FileNotFoundError):
+        list(iter_excel_rows(str(tmp_path / "missing.xlsx")))

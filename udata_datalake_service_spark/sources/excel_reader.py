@@ -117,7 +117,53 @@ def iter_excel_rows(
     utils/reader.py:31-41 semantics. Dispatches on extension
     (case-insensitive, matching inspect_tabular's routing); ``fmt``
     ('xlsx'/'xls') overrides it for magic-sniffed payloads whose extension
-    lies (the reference routes by detected format, utils/csv.py:24-31)."""
+    lies (the reference routes by detected format, utils/csv.py:24-31).
+
+    Typed-error boundary (the crawl path feeds DOWNLOADED workbooks in
+    here — truncated transfers and mislabeled payloads are routine):
+    corrupt containers surface as ValueError, never a raw BadZipFile /
+    KeyError / ParseError / struct.error out of the zip/XML/CFB layers."""
+    import struct as _struct
+    import zlib as _zlib
+
+    corrupt = (
+        zipfile.BadZipFile,
+        KeyError,
+        ET.ParseError,
+        _struct.error,
+        IndexError,
+        EOFError,
+        _zlib.error,
+        UnicodeDecodeError,
+    )
+    try:
+        yield from _iter_excel_rows_impl(
+            path, sheet_name=sheet_name, header_row_idx=header_row_idx, fmt=fmt
+        )
+    except corrupt as e:
+        raise ValueError(
+            f"corrupt or non-excel payload {path!r} "
+            f"({type(e).__name__}: {e})"
+        ) from e
+    except OSError as e:
+        import errno as _errno
+
+        if e.errno == _errno.EINVAL:
+            # zipfile seeks beyond EOF on truncated central directories
+            # and raises EINVAL — corruption, not an IO fault; real IO
+            # errors (ENOENT, EACCES, EIO...) still propagate as OSError
+            raise ValueError(
+                f"corrupt or non-excel payload {path!r} (truncated archive)"
+            ) from e
+        raise
+
+
+def _iter_excel_rows_impl(
+    path: str,
+    sheet_name: str | None = None,
+    header_row_idx: int = 0,
+    fmt: str | None = None,
+):
     lower = f".{fmt}" if fmt else path.lower()
     if lower.endswith(".xlsx"):
         if HAS_OPENPYXL:
