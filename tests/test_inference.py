@@ -161,3 +161,48 @@ def test_schema_drift_names_added_removed_retyped():
     assert schema_drift(old, old) == []
     # dict form (the registry stores to_dict payloads) works identically
     assert schema_drift(old.to_dict(), new.to_dict()) == drift
+
+
+def test_inspect_latin1_and_bom_files_end_to_end(spark, tmp_path):
+    """r8 fuzz find: Spark 4 REJECTS the sniffer's Python codec names —
+    every latin-1 or BOM'd CSV crashed inspect_csv at read time with
+    INVALID_PARAMETER_VALUE.CHARSET. French open data is full of both;
+    the reference handles them via csv_detective, so must we."""
+    p1 = tmp_path / "latin.csv"
+    p1.write_bytes("nom;ville\ncafé;Besançon\nnoël;Orléans\n".encode("latin-1"))
+    typed, insp = inspect_csv(spark, str(p1))
+    assert insp.encoding == "latin-1" and insp.separator == ";"
+    assert sorted(r["nom"] for r in typed.collect()) == ["café", "noël"]
+
+    p2 = tmp_path / "bom.csv"
+    p2.write_bytes(b"\xef\xbb\xbfid;v\n7;x\n")
+    typed, insp = inspect_csv(spark, str(p2))
+    assert insp.encoding == "utf-8-sig"
+    # Spark strips the BOM under UTF-8: clean header, typed value
+    assert typed.columns[:2] == ["id", "v"]
+    assert typed.collect()[0]["id"] == 7
+
+
+def test_inspect_hostile_inputs_never_crash_untyped(spark, tmp_path):
+    """r8 fuzz pins, one case per former escape: (a) a dotted header must
+    not be parsed as struct access (UNRESOLVED_COLUMN), (b) binary bytes
+    that trip the C csv reader, (c) a header-only file whose vote
+    aggregates over zero rows (NULL sums), (d) plain random bytes."""
+    # (a) dots/backticks in headers
+    p = tmp_path / "dots.csv"
+    p.write_text("a.b;x`y;plain\n1;2;3\n")
+    typed, insp = inspect_csv(spark, str(p))
+    assert typed.count() == 1
+    # (b) embedded NUL + newline chaos
+    p = tmp_path / "nul.csv"
+    p.write_bytes(b"a;b\x00\rc\n\x00\xff\xfe;;\n\r\x00")
+    inspect_csv(spark, str(p))
+    # (c) header-only
+    p = tmp_path / "hdr.csv"
+    p.write_text("alpha;beta\n")
+    typed, insp = inspect_csv(spark, str(p))
+    assert insp.columns["alpha"]["python_type"] == "string"
+    # (d) random-ish garbage
+    p = tmp_path / "garbage.csv"
+    p.write_bytes(bytes(range(256)) * 3)
+    inspect_csv(spark, str(p))

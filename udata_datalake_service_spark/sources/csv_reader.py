@@ -33,7 +33,25 @@ def read_csv_with_dialect(
     ``header_row_idx > 0`` → pre-skip junk lines via a monotonic line index
     computed distributedly (the files the reference handles are ≤100 MB, a
     single partition; the path still works for multi-GB files).
+
+    Encoding names are normalized to Spark 4's charset whitelist
+    (iso-8859-1, us-ascii, utf-16/be/le, utf-32, utf-8): the sniffer
+    speaks Python codec names ('latin-1', 'utf-8-sig'), which Spark
+    REJECTS — without the mapping every latin-1 or BOM'd CSV crashed the
+    S6 path at read time (r8 fuzz find). 'utf-8-sig' maps to plain UTF-8
+    because Spark's univocity parser strips the BOM itself (verified:
+    clean header names); cp1252 degrades to its iso-8859-1 subset.
     """
+    enc_map = {
+        "utf-8-sig": "UTF-8",
+        "latin-1": "ISO-8859-1",
+        "latin1": "ISO-8859-1",
+        "latin_1": "ISO-8859-1",
+        "cp1252": "ISO-8859-1",
+        "windows-1252": "ISO-8859-1",
+        "ascii": "US-ASCII",
+    }
+    encoding = enc_map.get(encoding.lower(), encoding)
     reader = (
         spark.read.option("sep", separator)
         .option("encoding", encoding)

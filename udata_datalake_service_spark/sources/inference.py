@@ -97,7 +97,12 @@ def sniff_bytes(sample: bytes) -> tuple[str, str, int]:
         separator = max(counts, key=counts.get) if any(counts.values()) else ","
 
     header_row_idx = 0
-    rows = list(_csv.reader(io.StringIO(text), delimiter=separator))[:10]
+    try:
+        rows = list(_csv.reader(io.StringIO(text), delimiter=separator))[:10]
+    except _csv.Error:
+        # binary garbage can trip the C reader ("new-line character seen
+        # in unquoted field") — no detectable header, not a crash
+        rows = []
     for i, row in enumerate(rows):
         cells = [c.strip() for c in row if c.strip()]
         if len(cells) >= 2 and len(set(cells)) == len(cells) and not any(
@@ -118,6 +123,15 @@ def _looks_numeric(s: str) -> bool:
 
 # ------------------------------------------------------------ phase 2 ------
 _JSON_RE = r"^\s*(\{.*\}|\[.*\])\s*$"
+
+
+
+def _qcol(name: str) -> F.Column:
+    """Resolve a column whose name is ARBITRARY BYTES decoded to text —
+    crawled CSV headers contain dots (struct-access syntax to the
+    analyzer), backticks, quotes. Backtick-quote with doubling, the SQL
+    identifier escape Spark honors."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _indicator_columns(c: str) -> list[F.Column]:
@@ -141,7 +155,7 @@ def _indicator_columns(c: str) -> list[F.Column]:
         verbal_date_rlike,
     )
 
-    col = F.col(c)
+    col = _qcol(c)
     trimmed = F.trim(col)
     blank = col.isNull() | (trimmed == "")
     low = F.lower(trimmed)
@@ -189,14 +203,16 @@ def infer_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, st
         proj.extend(_indicator_columns(c))
     ind = df.select(*proj)
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(c).alias(c) for c in ind.columns
+        F.sum(_qcol(c)).alias(c) for c in ind.columns
     ]
     row = ind.agg(*aggs).collect()[0].asDict()
 
     n = row["__n"]
     out: dict[str, str] = {}
     for c in cols:
-        blanks = row[f"{c}__blank"]
+        # sums over ZERO rows aggregate to NULL, not 0 — a header-only
+        # or unparseable file must infer all-strings, not TypeError
+        blanks = row[f"{c}__blank"] or 0
         chosen = "string"
         if blanks < n:  # at least one real value
             for t in TYPE_PRIORITY[:-1]:
@@ -212,7 +228,7 @@ def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
     (null-on-failure) + the reference's reserved-name renames and the
     synthetic ``__id`` column (analysis/csv.py:228,356-360)."""
     cols = [
-        smart_cast(types[c], F.col(c)).alias(renamed(c)) for c in df.columns
+        smart_cast(types[c], _qcol(c)).alias(renamed(c)) for c in df.columns
     ]
     out = df.select(*cols)
     return out.withColumn("__id", F.monotonically_increasing_id() + 1)
