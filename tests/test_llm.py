@@ -431,9 +431,30 @@ def test_audio_kernel_gating_real_and_fallback(monkeypatch):
 
     monkeypatch.setattr(mm, "HAS_SOUNDFILE", True)
     monkeypatch.setattr(mm, "_soundfile", _FakeSF)
-    assert mm._decode_audio(b"WAV....", 16000) == (16000, 16000, 1000)
+    assert mm._decode_audio(b"WAV....", 16000) == (16000, 16000, 1000, "soundfile")
     raw = b"some text payload"
-    assert mm._decode_audio(raw, 16000) == mm._decode_audio_stub(raw, 16000)
+    assert mm._decode_audio(raw, 16000) == (
+        *mm._decode_audio_stub(raw, 16000),
+        "stub",
+    )
+
+
+def test_audio_wave_rung_is_tagged(spark):
+    """A real RIFF/WAVE payload decodes through the stdlib wave rung and
+    reports decode_source='wave' (audio twin of the image ladder tag)."""
+    import io
+    import wave as _wave
+
+    from udata_datalake_service_spark.llm import multimodal as mm
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 4000)  # 0.5 s at 8 kHz
+    n, rate, ms, src = mm._decode_audio(buf.getvalue(), 16000)
+    assert (n, rate, ms, src) == (8000, 16000, 500, "wave")
 
 
 def test_resize_kernel_gating(monkeypatch):

@@ -2414,7 +2414,8 @@ SELECT doc_id AS media_id,
   strlen(text) AS n_bytes,
   strlen(text) // 2 AS n_samples,
   16000 AS sample_rate,
-  (strlen(text) // 2) * 1000 // 16000 AS duration_ms
+  (strlen(text) // 2) * 1000 // 16000 AS duration_ms,
+  'stub' AS decode_source
 FROM documents
 """
 
@@ -2865,7 +2866,13 @@ def q_mm_media_meta(spark, sf_dir):
     )
     aud = extract_audio_features(
         media.withColumn("kind", F.lit("audio")), target_rate=16000
-    ).select("media_id", "n_samples", "sample_rate", "duration_ms")
+    ).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        F.col("decode_source").alias("audio_decode_source"),
+    )
     return img.join(aud, "media_id")
 
 
@@ -2877,7 +2884,8 @@ SELECT doc_id AS media_id,
   'stub' AS decode_source,
   strlen(text) // 2 AS n_samples,
   16000 AS sample_rate,
-  (strlen(text) // 2) * 1000 // 16000 AS duration_ms
+  (strlen(text) // 2) * 1000 // 16000 AS duration_ms,
+  'stub' AS audio_decode_source
 FROM documents
 """
 

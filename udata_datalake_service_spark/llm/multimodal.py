@@ -200,6 +200,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         # integer ms: float rounding differs across engines (Python bankers
         # vs DuckDB half-away) — integer math keeps the oracle exact
         T.StructField("duration_ms", T.LongType()),
+        # ladder rung (soundfile | wave | stub) — the audio twin of the
+        # image path's decode_source, so audio stub rates are measurable
+        T.StructField("decode_source", T.StringType()),
     ]
 )
 
@@ -238,20 +241,20 @@ def _decode_audio_wave(content: bytes, target_rate: int) -> tuple[int, int, int]
     return n_out, target_rate, n_out * 1000 // target_rate
 
 
-def _decode_audio(content: bytes, target_rate: int) -> tuple[int, int, int]:
+def _decode_audio(content: bytes, target_rate: int) -> tuple[int, int, int, str]:
     """Decode ladder: soundfile (any format) → stdlib ``wave`` (PCM WAV)
-    → deterministic stub."""
+    → deterministic stub. The 4th element names the rung."""
     if HAS_SOUNDFILE and content is not None:
         try:
-            return _decode_audio_real(content, target_rate)
+            return (*_decode_audio_real(content, target_rate), "soundfile")
         except Exception:
             pass
     if content is not None:
         try:
-            return _decode_audio_wave(content, target_rate)
+            return (*_decode_audio_wave(content, target_rate), "wave")
         except Exception:
             pass
-    return _decode_audio_stub(content, target_rate)
+    return (*_decode_audio_stub(content, target_rate), "stub")
 
 
 def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFrame:
@@ -263,7 +266,7 @@ def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFr
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                n_samples, rate, dur_ms = _decode_audio(raw, target_rate)
+                n_samples, rate, dur_ms, src_tag = _decode_audio(raw, target_rate)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -271,6 +274,7 @@ def extract_audio_features(media: DataFrame, target_rate: int = 16000) -> DataFr
                         "n_samples": n_samples,
                         "sample_rate": rate,
                         "duration_ms": dur_ms,
+                        "decode_source": src_tag,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
