@@ -53,8 +53,11 @@ SCALES = (1, 4, 16)
 
 
 def main() -> int:
+    global SCALES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE.md"
+    if len(sys.argv) > 3:  # e.g. "1,16,64" for a deeper spot-check
+        SCALES = tuple(int(x) for x in sys.argv[3].split(","))
 
     from pyspark.sql import functions as F
 
@@ -209,8 +212,8 @@ def main() -> int:
     with open(out_md, "w") as f:
         f.write(
             "# SCALE — measured operator scaling (`tools/scale_probe.py`, "
-            f"base={sf_dir}, {n_docs} docs ×{{1,4,16}})\n\n"
-            "Fitted growth exponent alpha from t ∝ n^alpha over the 1×→16× "
+            f"base={sf_dir}, {n_docs} docs ×{{{','.join(map(str, SCALES))}}})\n\n"
+            "Fitted growth exponent alpha from t ∝ n^alpha over the full probed "
             "span, warm session, cache cleared + JVM GC quiesce per probe "
             "(r8: without the quiesce, shuffle debris from the ~100 s "
             "pair-heavy probes was billed to whatever ran next — "
@@ -226,12 +229,14 @@ def main() -> int:
             "second block is the registry heavyweights run end-to-end "
             "through their `queries()` callables (fixture synthesis, lake "
             "commits and WARC explode inside the measurement).\n\n"
-            "| operator | t@1x s | t@4x s | t@16x s | alpha |\n"
-            "|---|---|---|---|---|\n"
+            "| operator | " + " | ".join(f"t@{s}x s" for s in SCALES)
+            + " | alpha |\n"
+            "|---|" + "---|" * len(SCALES) + "---|\n"
         )
         for op in ops:
             t1, t4, t16 = (results[s][op] for s in SCALES)
-            alpha = math.log(max(t16, 1e-3) / max(t1, 1e-3)) / math.log(16)
+            span = SCALES[-1] / SCALES[0]
+            alpha = math.log(max(t16, 1e-3) / max(t1, 1e-3)) / math.log(span)
             f.write(f"| {op} | {t1} | {t4} | {t16} | {alpha:.2f} |\n")
     print(f"wrote {out_md}")
     shutil.rmtree(root, ignore_errors=True)
