@@ -320,13 +320,33 @@ class S3ObjectStore(PosixStore):
         self.c.delete_object(Bucket=self.bucket, Key=self._key(src))
 
     def relink(self, src: Path, dst: Path) -> None:
-        if self.exists(dst):
-            raise FileExistsError(self._key(dst))
-        self.c.copy_object(
-            Bucket=self.bucket,
-            Key=self._key(dst),
-            CopySource={"Bucket": self.bucket, "Key": self._key(src)},
-        )
+        """Copy-if-absent, ATOMICALLY: CopyObject cannot carry
+        If-None-Match, but GET + conditional PUT of the body can — so
+        two concurrent givebacks of a commit lock cannot both win and
+        silently overwrite each other's token (the local shim's
+        exists-then-copy race does not exist here). Lock bodies are
+        tokens (bytes), so the extra GET is negligible."""
+        from botocore.exceptions import ClientError
+
+        try:
+            body = self.c.get_object(
+                Bucket=self.bucket, Key=self._key(src)
+            )["Body"].read()
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(src)) from e
+            raise
+        try:
+            self.c.put_object(
+                Bucket=self.bucket, Key=self._key(dst), Body=body, IfNoneMatch="*"
+            )
+        except ClientError as e:
+            if self._err_code(e) in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
+                raise FileExistsError(self._key(dst)) from e
+            raise
 
     def delete(self, path: Path) -> None:
         # S3 DELETE is idempotent, matching unlink(missing_ok=True)
