@@ -1983,3 +1983,24 @@ def test_pq_refined_codebooks_reduce_quantization_error(spark):
     again = pq_codebooks_refined(e, m=16, dim=64, iterations=3)
     as_map = lambda cb: {(r["sub"], r["code"]): r["cw"] for r in cb.collect()}  # noqa: E731
     assert as_map(learned) == as_map(again)
+
+
+def test_nb_max_vocab_caps_the_grid_deterministically(spark):
+    """max_vocab keeps the top-N tokens by corpus count (ties by token
+    asc); the dense grid shrinks to labels x N and capped-out tokens are
+    OOV at scoring time."""
+    from udata_datalake_service_spark.llm.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [("A", "x x x y rare1"), ("B", "y y x rare2")],
+        "lang string, text string",
+    )
+    model, priors = nb_train(train, label="lang", max_vocab=2)
+    grid = {(r["l"], r["t"]) for r in model.collect()}
+    assert grid == {("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")}
+    # a doc of ONLY capped-out tokens is unclassifiable
+    docs = spark.createDataFrame(
+        [(1, "rare1 rare2"), (2, "x")], "doc_id long, text string"
+    )
+    pred = {r["doc_id"]: r["pred"] for r in nb_predict(docs, model, priors).collect()}
+    assert 1 not in pred and pred[2] == "A"

@@ -50,6 +50,7 @@ def nb_train(
     text: str = "text",
     alpha: int = 1,
     quantum: int = 1_000_000,
+    max_vocab: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the model. Returns (model, priors):
 
@@ -58,7 +59,15 @@ def nb_train(
       floor (the left join + coalesce(0) below);
     * priors: (l, prior_q).
 
-    Both are vocabulary/label-bounded — broadcast material.
+    ``max_vocab`` caps the vocabulary to the top-N tokens by corpus
+    count (ties by token asc — deterministic) BEFORE the dense grid is
+    built: at 100 TB an uncapped web vocabulary is tens of millions of
+    tokens x labels, which outgrows a broadcast — every production
+    bag-of-words classifier trains on a capped/hashed vocabulary, and
+    the tail tokens a cap drops carry near-zero class signal. Class
+    totals still count EVERY token (the smoothed denominators stay
+    honest); capped-out tokens are simply OOV at scoring time. None
+    keeps the full vocabulary (the oracle-attested fixture setting).
     """
     tok = train.select(
         F.col(label).alias("l"), F.explode(tokens(F.col(text))).alias("t")
@@ -67,6 +76,14 @@ def nb_train(
     counts = counts.persist()
     totals = counts.groupBy("l").agg(F.sum("n").alias("tot"))
     vocab = counts.select("t").distinct()
+    if max_vocab is not None:
+        top = (
+            counts.groupBy("t")
+            .agg(F.sum("n").alias("__occ"))
+            .orderBy(F.desc("__occ"), F.asc("t"))
+            .limit(max_vocab)
+        )
+        vocab = top.select("t")
     v = vocab.count()  # scalar V — vocabulary size, driver-safe
     model = (
         totals.crossJoin(vocab)  # |labels| x |vocab|: the dense grid
