@@ -93,6 +93,13 @@ class _Handler(BaseHTTPRequestHandler):
             )
             self.send_header("Content-Length", "0")
             self.end_headers()
+        elif self.path == "/loop":
+            # self-redirect: urllib gives up after max_redirections and
+            # raises — the envelope must record, never raise
+            self.send_response(302)
+            self.send_header("Location", "/loop")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/gone":
             self.send_response(404)
             self.send_header("Content-Length", "0")
@@ -340,3 +347,17 @@ def test_check_batch_distributed_tls(spark, tls_server):
     rows = check_batch(batch, fan_out=2).collect()
     assert all(r["status"] is None for r in rows)
     assert all("CERTIFICATE_VERIFY_FAILED" in (r["error"] or "") for r in rows)
+
+
+def test_redirect_loop_recorded_not_raised(base_url):
+    """A self-redirecting URL exhausts urllib's redirect budget; the
+    check row must record the failure (error text mentioning redirect,
+    or the 3xx status if the handler surfaces the last response) —
+    never propagate an exception out of the envelope
+    (crawl/check_resources.py records redirect storms as check errors)."""
+    row = _check_one(f"{base_url}/loop", urllib_transport)
+    assert row["timeout"] is False
+    # either shape is a recorded outcome, not a raise:
+    recorded_error = row["status"] is None and "redirect" in (row["error"] or "").lower()
+    recorded_status = row["status"] is not None and 300 <= row["status"] < 400
+    assert recorded_error or recorded_status, row
