@@ -118,29 +118,69 @@ def test_ledger_matches_committed_artifacts():
     output; the staleness bound catches too-LOW values but an inflated
     value would let a query dodge re-attestation. Recompute the ledger
     from the committed CORRECTNESS_r*.json artifacts and require exact
-    equality, so the pasted dict can be neither stale nor inflated."""
+    equality — EXCEPT that a recomputed round equal to CURRENT_ROUND is
+    expected-newer (the driver writes CORRECTNESS_r{CURRENT_ROUND}.json
+    at round END, after the ledger paste; r7/r8 both went red for
+    exactly this), so the pasted dict can be neither stale nor
+    inflated yet survives the driver's own end-of-round artifact."""
     import os
 
-    from tools.attest_map import last_green_rounds
-    from udata_datalake_service_spark.attestation import LAST_DRIVER_ROUND
+    from tools.attest_map import last_green_rounds, ledger_diff
+    from udata_datalake_service_spark.attestation import (
+        CURRENT_ROUND,
+        LAST_DRIVER_ROUND,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recomputed = last_green_rounds(repo)
-    # ledger keys are exactly the registry ∩ ever-green set; compare on
-    # the ledger's own keys plus any recomputed key it dropped.
-    diff = {
-        k: (LAST_DRIVER_ROUND.get(k), recomputed.get(k))
-        for k in set(LAST_DRIVER_ROUND) | set(recomputed)
-        if LAST_DRIVER_ROUND.get(k) != recomputed.get(k)
-    }
     # recomputed may contain queries since renamed/removed from the
     # registry; those are fine to drop from the ledger but a ledger entry
     # must never disagree with the artifacts.
     import __spark_entry__ as m
 
     names = set(m.queries())
-    real_diff = {k: v for k, v in diff.items() if k in names}
+    real_diff = ledger_diff(LAST_DRIVER_ROUND, recomputed, names, CURRENT_ROUND)
     assert not real_diff, (
         "attestation ledger disagrees with committed CORRECTNESS artifacts "
         f"- rerun tools/attest_map.py and paste: {real_diff}"
     )
+
+
+def test_ledger_survives_end_of_round_artifact(tmp_path):
+    """Regression for the r7/r8 recurring red: when the driver drops
+    CORRECTNESS_r{CURRENT_ROUND}.json at round end, the ledger (pasted at
+    round start) must still validate — and an INFLATED ledger value must
+    still fail."""
+    import json
+    import os
+
+    from tools.attest_map import last_green_rounds, ledger_diff
+    from udata_datalake_service_spark.attestation import CURRENT_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+    for f in os.listdir(repo):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            shutil.copy(os.path.join(repo, f), tmp_path / f)
+    # synthesize the driver's end-of-round artifact for CURRENT_ROUND
+    synthetic = {
+        "q_old": {"hash_match": True},       # was green in an earlier round
+        "q_brand_new": {"hash_match": True},  # first-ever attestation
+    }
+    (tmp_path / f"CORRECTNESS_r{CURRENT_ROUND:02d}.json").write_text(
+        json.dumps(synthetic)
+    )
+    recomputed = last_green_rounds(str(tmp_path))
+    assert recomputed["q_old"] == CURRENT_ROUND
+    ledger = {"q_old": CURRENT_ROUND - 1}  # pasted at round start
+    names = {"q_old", "q_brand_new"}
+    # expected-newer: both the bumped entry and the brand-new one pass
+    assert ledger_diff(ledger, recomputed, names, CURRENT_ROUND) == {}
+    # anti-inflation preserved: a ledger value AHEAD of the artifacts,
+    # or a stale mismatch below CURRENT_ROUND, still fails
+    assert ledger_diff(
+        {"q_old": CURRENT_ROUND + 1}, recomputed, names, CURRENT_ROUND
+    )
+    old = {k: v for k, v in recomputed.items()}
+    old["q_old"] = CURRENT_ROUND - 2  # artifacts say r-2, ledger says r-1
+    assert ledger_diff(ledger, old, {"q_old"}, CURRENT_ROUND)

@@ -35,6 +35,35 @@ def last_green_rounds(repo: str) -> dict[str, int]:
     return last
 
 
+def ledger_diff(
+    ledger: dict[str, int],
+    recomputed: dict[str, int],
+    names: set[str],
+    current_round: int,
+) -> dict[str, tuple[int | None, int | None]]:
+    """Entries where the pasted ledger disagrees with the artifacts.
+
+    Round-9 structural fix (VERDICT r8 #1, recurring since r7): the
+    driver writes ``CORRECTNESS_r{CURRENT_ROUND}.json`` at the END of the
+    round, after the ledger was pasted at round START — so a recomputed
+    round EQUAL to ``current_round`` is *expected-newer*, not a mismatch,
+    whenever the ledger holds an earlier green round (or none at all,
+    for a query first attested this round). Exact equality stays
+    required for every round < current_round, and a ledger value AHEAD
+    of the artifacts is always a mismatch, so the anti-inflation
+    property is preserved.
+    """
+    diff: dict[str, tuple[int | None, int | None]] = {}
+    for k in (set(ledger) | set(recomputed)) & names:
+        led, rec = ledger.get(k), recomputed.get(k)
+        if led == rec:
+            continue
+        if rec == current_round and (led is None or led < current_round):
+            continue  # driver's end-of-round artifact postdates the paste
+        diff[k] = (led, rec)
+    return diff
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)

@@ -30,57 +30,52 @@ CURRENT_ROUND - 2) so staleness can never silently regrow.
 from __future__ import annotations
 
 # Round currently being built (the driver will write CORRECTNESS_r{CURRENT_ROUND}).
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 # Queries that are new this round or whose source/oracle changed this
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
-    # round-8 changes (populated as queries are added/edited this round)
-    "mm_media_meta",  # decode_source column (measured stub rate), oracle-pinned
-    "mm_jpeg_meta",  # decode_source + arithmetic-coded (SOF9) fixture leg
-    "tx_lang_id",  # NEW: NB language-id classifier (llm/classify.py)
-    "nb_source_classifier",  # NEW: 20-class NB scorecard (llm/classify.py)
-    "ann_pq_topk",  # NEW: product-quantized ADC ANN (llm/similarity.py)
-    "sk_countmin_hh",  # NEW: count-min sketch heavy hitters (operators/sketch.py)
+    # round-9 changes (populated as queries are added/edited this round)
 })
 
 # query name -> last round with a green driver row (regenerate with
 # tools/attest_map.py after each round's CORRECTNESS artifact lands).
 LAST_DRIVER_ROUND: dict[str, int] = {
-    "a1_group_topk": 6,
-    "a234_dashboard_aggs": 6,
-    "a5_st2_backoff_table": 6,
-    "a6_max_booland": 6,
-    "a7_count_over_all": 6,
-    "a8_purge_returning_count": 6,
-    "a9_profile": 6,
+    "a1_group_topk": 8,
+    "a234_dashboard_aggs": 8,
+    "a5_st2_backoff_table": 8,
+    "a6_max_booland": 8,
+    "a7_count_over_all": 8,
+    "a8_purge_returning_count": 8,
+    "a9_profile": 8,
     "a9_quantiles": 7,
     "ann_centroid_assign": 7,
-    "ann_near_dups_exact": 6,
+    "ann_near_dups_exact": 8,
+    "ann_pq_topk": 8,
     "ann_recall": 7,
-    "ann_topk": 6,
+    "ann_topk": 8,
     "asof_join": 7,
     "cohort": 7,
     "contamination": 7,
-    "corpus_datasheet": 6,
+    "corpus_datasheet": 8,
     "corpus_ingest": 7,
     "corpus_warc_ingest": 7,
-    "cube_rollup": 6,
+    "cube_rollup": 8,
     "curriculum": 7,
     "dd_dup_clusters": 7,
-    "dd_exact_prefix_groups": 6,
+    "dd_exact_prefix_groups": 8,
     "dd_jaccard_prefix": 7,
     "dd_lsh_eval": 7,
     "dd_lsh_incremental": 7,
     "dd_lsh_pairs": 7,
-    "dd_minhash_signature": 6,
+    "dd_minhash_signature": 8,
     "dd_ngram_jaccard": 7,
     "dd_paragraph_dedup": 7,
-    "dd_simhash": 6,
+    "dd_simhash": 8,
     "dd_span_coverage": 7,
-    "dd_star_clusters": 6,
+    "dd_star_clusters": 8,
     "dense_ids": 7,
-    "dist_match_sample": 6,
+    "dist_match_sample": 8,
     "domain_mix": 7,
     "domain_split": 7,
     "dq_expectations": 7,
@@ -88,18 +83,18 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "dsir_weights": 7,
     "embed_standardize": 7,
     "event_transitions": 7,
-    "f3_smart_cast": 6,
-    "f4_date_parse_multi": 6,
-    "f_scalar_surface": 6,
+    "f3_smart_cast": 8,
+    "f4_date_parse_multi": 8,
+    "f_scalar_surface": 8,
     "flagship_pricing_summary": 7,
     "funnel": 7,
     "fuzzy_linkage": 7,
     "gopher_quality": 7,
     "html_extract": 7,
     "interval_join": 7,
-    "j1_current_state_join": 6,
-    "j2_history_join": 6,
-    "j3_u7_batch_select_claim": 6,
+    "j1_current_state_join": 8,
+    "j2_history_join": 8,
+    "j3_u7_batch_select_claim": 8,
     "j4_orphan_left_join": 6,
     "j5_latest_per_key": 6,
     "j6_status_dashboard": 6,
@@ -108,12 +103,13 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "k9_webhook_payload": 7,
     "k_lake_roundtrip": 6,
     "mix_shards": 7,
-    "mixture_plan": 5,
-    "mm_embed_vq": 5,
+    "mixture_plan": 8,
+    "mm_embed_vq": 8,
     "mm_exif_meta": 7,
     "mm_frame_sample": 6,
-    "mm_jpeg_meta": 7,
-    "mm_media_meta": 6,
+    "mm_jpeg_meta": 8,
+    "mm_media_meta": 8,
+    "nb_source_classifier": 8,
     "o1_top2_per_key": 6,
     "o3_deterministic_sample": 6,
     "o4_csv_sample": 6,
@@ -126,10 +122,10 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "p6_range_predicate": 6,
     "p78_predicate_surface": 7,
     "p9_time_window": 6,
-    "pack_stream": 5,
-    "pack_waste": 5,
-    "pii_redact": 5,
-    "pivot_activity": 5,
+    "pack_stream": 8,
+    "pack_waste": 8,
+    "pii_redact": 8,
+    "pivot_activity": 8,
     "reduced_antijoin": 7,
     "s1_live_fetch": 7,
     "s4_excel_load": 6,
@@ -137,34 +133,36 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "s6_csv_ingest_inference": 6,
     "s7_mime_sniff": 7,
     "s9_f10_http_surface": 7,
-    "scd2_merge": 5,
-    "semantic_dedup": 5,
-    "sessionize": 5,
+    "scd2_merge": 8,
+    "semantic_dedup": 8,
+    "sessionize": 8,
+    "sk_countmin_hh": 8,
     "skew_salted_count": 7,
-    "sla_streaks": 5,
+    "sla_streaks": 8,
     "st1_microbatch_rates": 7,
     "st3_next_check_ladder": 6,
     "st45_change_trigger": 7,
     "temporal_split": 6,
-    "tfidf_vocab": 5,
-    "tx_bigram_surprisal": 5,
-    "tx_blocklist": 5,
-    "tx_chunks": 5,
-    "tx_clean": 5,
+    "tfidf_vocab": 8,
+    "tx_bigram_surprisal": 8,
+    "tx_blocklist": 8,
+    "tx_chunks": 8,
+    "tx_clean": 8,
     "tx_curate_pipeline": 7,
     "tx_fingerprint": 7,
-    "tx_hashed_features": 5,
-    "tx_novelty": 5,
-    "tx_surprisal": 5,
+    "tx_hashed_features": 8,
+    "tx_lang_id": 8,
+    "tx_novelty": 8,
+    "tx_surprisal": 8,
     "tx_text_metrics": 7,
-    "tx_vocab_coverage": 5,
+    "tx_vocab_coverage": 8,
     "u1_union_tiers": 6,
     "u2_upsert_merge": 6,
     "u3_snapshot_diff": 6,
     "u456_point_dml": 7,
-    "url_canonical": 5,
-    "url_quality": 5,
-    "variant_props": 5,
+    "url_canonical": 8,
+    "url_quality": 8,
+    "variant_props": 8,
     "weighted_group_sample": 7,
     "window_surface": 7,
 }
