@@ -36,6 +36,7 @@ CURRENT_ROUND = 9
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-9 changes (populated as queries are added/edited this round)
+    "dd_lsh_capped",  # NEW: hot-bucket-cap audit (llm/dedup.lsh_cap_scorecard)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -29,6 +29,7 @@ from udata_datalake_service_spark.caching import adopted, settle
 from udata_datalake_service_spark.functions.urls import DOMAIN_REGEX, domain_of
 from udata_datalake_service_spark.functions.http import is_valid_status, split_content_type
 from udata_datalake_service_spark.llm.dedup import (
+    lsh_cap_scorecard,
     lsh_candidate_pairs,
     minhash_jaccard_estimate,
     minhash_signatures,
@@ -1947,6 +1948,67 @@ pairs AS (
 SELECT p.corpus_id, p.batch_id,
   ROUND(CAST(len(list_filter(range(1, {_MINHASH_N + 1}), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS DOUBLE) / {_MINHASH_N}, 6) AS jaccard_est
 FROM pairs p JOIN sigs sa ON p.corpus_id = sa.doc_id JOIN sigs sb ON p.batch_id = sb.doc_id
+"""
+
+
+_LSH_MAX_BUCKET = 2  # registry cap: small enough that real testdata has drops
+
+
+def q_dd_lsh_capped(spark, sf_dir):
+    """Hot-bucket-cap audit (llm/dedup.lsh_cap_scorecard): the VERDICT-r8
+    100 TB straggler fix. A k-doc template family sharing a band key makes
+    the band self-join emit k² pairs in ONE task; ``max_bucket`` skips
+    buckets larger than the cap, and — per the no-silent-caps rule — this
+    query ATTESTS the drop: pairs with/without the cap plus how many
+    buckets/postings were skipped. At production scale the capped band
+    table is what ``write_bucketed_table`` persists as the LSH index."""
+    d = _tw(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    out = lsh_cap_scorecard(
+        sigs,
+        num_bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return settle(out, sigs)
+
+
+_SQL_DD_LSH_CAPPED = f"""
+WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x),
+buckets AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS bkey FROM s" for b in range(_LSH_BANDS))}
+),
+sizes AS (
+  SELECT band, bkey, COUNT(*) AS bucket_size FROM buckets GROUP BY band, bkey
+),
+unc AS (
+  SELECT COUNT(*) AS pairs_uncapped FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+),
+keepb AS (
+  SELECT k.doc_id, k.band, k.bkey FROM buckets k
+  JOIN sizes z ON k.band = z.band AND k.bkey = z.bkey
+  WHERE z.bucket_size <= {_LSH_MAX_BUCKET}
+),
+cap AS (
+  SELECT COUNT(*) AS pairs_capped FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keepb a JOIN keepb b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+),
+drops AS (
+  SELECT COUNT(*) AS buckets_dropped,
+         COALESCE(SUM(bucket_size), 0) AS rows_dropped
+  FROM sizes WHERE bucket_size > {_LSH_MAX_BUCKET}
+)
+SELECT CAST(pairs_uncapped AS BIGINT) AS pairs_uncapped,
+       CAST(pairs_capped AS BIGINT) AS pairs_capped,
+       CAST(buckets_dropped AS BIGINT) AS buckets_dropped,
+       CAST(rows_dropped AS BIGINT) AS rows_dropped
+FROM unc, cap, drops
 """
 
 
@@ -6709,6 +6771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reduced_antijoin": q_reduced_antijoin,
     "mm_exif_meta": q_mm_exif_meta,
     "dd_lsh_incremental": q_dd_lsh_incremental,
+    "dd_lsh_capped": q_dd_lsh_capped,
     # ---- round 8 ----
     "tx_lang_id": q_tx_lang_id,
     "nb_source_classifier": q_nb_source_classifier,
@@ -6863,6 +6926,7 @@ ORACLES: dict[str, str] = {
     "reduced_antijoin": _SQL_REDUCED_ANTIJOIN,
     "mm_exif_meta": _SQL_MM_EXIF,
     "dd_lsh_incremental": _SQL_DD_LSH_INCR,
+    "dd_lsh_capped": _SQL_DD_LSH_CAPPED,
     "tx_lang_id": _SQL_TX_LANG_ID,
     "nb_source_classifier": _SQL_NB_SOURCE,
     "ann_pq_topk": _SQL_ANN_PQ,

@@ -331,6 +331,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band-key).
 
@@ -341,6 +342,18 @@ def lsh_candidate_pairs(
     All band keys are derived in ONE pass over the signatures (posexplode),
     not one re-read of the upstream per band.
 
+    ``max_bucket`` is the hot-bucket cap (the band-join sibling of
+    ``ngram_jaccard_pairs``'s ``max_df``): a k-document boilerplate /
+    template family shares band keys, and the self-join then emits k²
+    pairs INSIDE ONE TASK — the canonical 100 TB straggler (exact dedup
+    upstream removes identical docs, not near-identical families). With
+    the cap, buckets holding more than ``max_bucket`` documents are
+    skipped entirely; per the no-silent-caps rule the dropped buckets are
+    enumerable via ``lsh_oversized_buckets`` (same band table, same cap)
+    and the registry surfaces the drop count in ``dd_lsh_capped``'s
+    output. A dropped bucket only loses a pair's candidacy in THAT band —
+    pairs also agreeing in a calmer band still surface.
+
     Bands must fit the signature: a slice past the end would yield the
     SAME md5('') key for every document in the trailing bands, turning
     the banding into an all-pairs cross candidate set — so a
@@ -349,14 +362,47 @@ def lsh_candidate_pairs(
     and returns no candidates anyway).
     """
     exploded = lsh_band_table(signatures, num_bands, rows_per_band)
+    caches = []
+    if max_bucket is not None:
+        # the band table feeds both the size aggregate and the join; one
+        # persisted read instead of two bandings of the corpus
+        exploded = exploded.persist()
+        caches.append(exploded)
+        keep = (
+            exploded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bkey")
+        )
+        exploded = exploded.join(keep, on=["band", "bkey"])
 
     l = exploded.select(F.col("id").alias("id_a"), "band", "bkey")
     r = exploded.select(F.col("id").alias("id_b"), "band", "bkey")
-    return (
+    out = (
         l.join(r, on=["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+    return adopt(out, *caches) if caches else out
+
+
+def lsh_oversized_buckets(
+    signatures: DataFrame,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(band, bkey, bucket_size) for buckets LARGER than ``max_bucket`` —
+    the drop-accounting side of the hot-bucket cap (no silent caps): what
+    ``lsh_candidate_pairs(..., max_bucket=B)`` skipped, enumerable and
+    attestable. One groupBy over the band table; at production scale this
+    is the skew report you review before trusting a cap value."""
+    return (
+        lsh_band_table(signatures, num_bands, rows_per_band)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -401,6 +447,7 @@ def incremental_lsh_pairs(
     batch_sigs: DataFrame,
     num_bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Probe-side LSH — near-dup candidates of a NEW batch against an
     EXISTING corpus, without ever re-pairing the corpus with itself.
@@ -424,15 +471,85 @@ def incremental_lsh_pairs(
     ib = lsh_band_table(corpus_sigs, num_bands, rows_per_band).select(
         F.col("id").alias("id_a"), "band", "bkey"
     )
+    if max_bucket is not None:
+        # hot-bucket cap on the CORPUS side — the index-build-time cap:
+        # probe cost per batch row is the corpus bucket's posting length,
+        # so a template-family bucket of k corpus docs makes every
+        # matching batch doc pay k. Applied when the index is built
+        # (write_bucketed_table of the capped band table), so the stored
+        # index never holds a straggler bucket; dropped buckets stay
+        # enumerable via lsh_oversized_buckets(corpus_sigs, ...).
+        cached_ib = ib.persist()
+        keep = (
+            cached_ib.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bkey")
+        )
+        ib = cached_ib.join(keep, on=["band", "bkey"])
     bb = lsh_band_table(batch_sigs, num_bands, rows_per_band).select(
         F.col("id").alias("id_b"), "band", "bkey"
     )
-    return (
+    out = (
         ib.join(bb, on=["band", "bkey"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return adopt(out, cached_ib) if max_bucket is not None else out
+
+
+def lsh_cap_scorecard(
+    signatures: DataFrame,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """One-row audit of the hot-bucket cap: pair counts with and without
+    the cap, plus the drop accounting — the no-silent-caps attestation
+    for ``max_bucket``. Columns: pairs_uncapped, pairs_capped,
+    buckets_dropped (buckets > max_bucket), rows_dropped (postings inside
+    them). Band table and bucket sizes are computed ONCE (persisted) and
+    feed all four legs; the 1-row legs combine by broadcast crossJoin
+    (same shape as ``pair_set_eval``)."""
+    bt = lsh_band_table(signatures, num_bands, rows_per_band).persist()
+    sizes = (
+        bt.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .persist()
+    )
+    keep = sizes.filter(F.col("bucket_size") <= max_bucket).select("band", "bkey")
+    over = sizes.filter(F.col("bucket_size") > max_bucket)
+
+    def _pairs(tbl: DataFrame) -> DataFrame:
+        l = tbl.select(F.col("id").alias("id_a"), "band", "bkey")
+        r = tbl.select(F.col("id").alias("id_b"), "band", "bkey")
+        return (
+            l.join(r, on=["band", "bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    n_unc = _pairs(bt).agg(F.count(F.lit(1)).alias("pairs_uncapped"))
+    n_cap = _pairs(bt.join(keep, on=["band", "bkey"])).agg(
+        F.count(F.lit(1)).alias("pairs_capped")
+    )
+    drops = over.agg(
+        F.count(F.lit(1)).alias("buckets_dropped"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows_dropped"),
+    )
+    out = (
+        n_unc.crossJoin(n_cap)
+        .crossJoin(drops)
+        .select(
+            F.col("pairs_uncapped").cast("long").alias("pairs_uncapped"),
+            F.col("pairs_capped").cast("long").alias("pairs_capped"),
+            F.col("buckets_dropped").cast("long").alias("buckets_dropped"),
+            F.col("rows_dropped").cast("long").alias("rows_dropped"),
+        )
+    )
+    return adopt(out, bt, sizes)
 
 
 def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
