@@ -361,3 +361,30 @@ def test_redirect_loop_recorded_not_raised(base_url):
     recorded_error = row["status"] is None and "redirect" in (row["error"] or "").lower()
     recorded_status = row["status"] is not None and 300 <= row["status"] < 400
     assert recorded_error or recorded_status, row
+
+
+def test_dns_failure_recorded_as_check_error():
+    """A hostname that cannot resolve is a first-class check outcome in
+    the reference (crawl/check_resources.py:159-206 records
+    ClientConnectorError rows); through the real transport the resolver
+    failure must land in the row's error field, never raise. `.invalid`
+    is reserved (RFC 2606) so resolution fails without leaving the box."""
+    row = _check_one("http://does-not-exist.invalid/f.csv", urllib_transport)
+    assert row["status"] is None and row["timeout"] is False
+    err = (row["error"] or "").lower()
+    assert any(s in err for s in ("name", "resolution", "resolve", "getaddrinfo")), row
+    assert row["domain"] == "does-not-exist.invalid"
+
+
+def test_connection_refused_recorded_as_check_error():
+    """A closed port on a resolvable host: the TCP RST must come back as
+    a recorded check error (the reference's connection-error branch),
+    not an exception out of the envelope."""
+    import socket
+
+    with socket.socket() as s:  # grab a port the OS just released
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    row = _check_one(f"http://127.0.0.1:{port}/f.csv", urllib_transport)
+    assert row["status"] is None and row["timeout"] is False
+    assert "refused" in (row["error"] or "").lower(), row

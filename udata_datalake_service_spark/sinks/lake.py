@@ -97,7 +97,10 @@ class Lake:
         if ver is None:
             return base if base.exists() else None
         p = base / ver
-        return p if p.exists() else None
+        # data-dir existence goes THROUGH the backend: on S3ObjectStore a
+        # committed version is a bucket prefix with no local footprint
+        # until a read materializes it
+        return p if self.store.data_dir_exists(p) else None
 
     @contextmanager
     def _commit_lock(self, base: Path, timeout: float = 30.0, stale_after: float = 120.0):
@@ -238,13 +241,9 @@ class Lake:
         # manifest flip = one atomic object PUT (POSIX: fsync+rename)
         self.store.put_text(base / "MANIFEST", ver)
         self.store.sync_dir(base)
-        for d in base.iterdir():
-            if (
-                d.is_dir()
-                and d.name.startswith("v-")
-                and d.name not in (ver, prev)
-            ):
-                self.store.delete_dir(d)
+        for name in self.store.list_subdirs(base):
+            if name.startswith("v-") and name not in (ver, prev):
+                self.store.delete_dir(base / name)
 
     def vacuum(self, staging_grace_s: float = 3600.0) -> list[str]:
         """Reclaim version dirs no MANIFEST points at — crash leftovers
@@ -257,12 +256,9 @@ class Lake:
         reclaiming it would break that writer's rename-into-place.
         Returns the removed paths (ST7-style maintenance verb)."""
         removed: list[str] = []
-        bases = {
-            p.parent
-            for pat in ("v-*", "_staging-*")
-            for p in self.root.rglob(pat)
-            if p.is_dir()
-        }
+        # discovery goes through the backend: a table whose committed
+        # bytes live only server-side has no local v-* dir to rglob
+        bases = self.store.discover_bases(self.root)
         for base in bases:
             # deletions run under the base's commit lock with MANIFEST
             # re-read inside it: an unlocked sweep could read a stale
@@ -283,17 +279,20 @@ class Lake:
                     if time.time() - mt > staging_grace_s:
                         self.store.delete(claim)
                         removed.append(str(claim))
-                for d in base.iterdir():
+                for name in self.store.list_subdirs(base):
+                    d = base / name
                     try:
-                        if not d.is_dir():
-                            continue
-                        stale_staging = d.name.startswith("_staging-") and (
+                        # staging dirs are always written locally (Spark
+                        # scratch), so their in-flight grace check stats
+                        # the local dir; committed v-* dirs may be
+                        # bucket-only and carry no local mtime
+                        stale_staging = name.startswith("_staging-") and (
                             time.time() - d.stat().st_mtime > staging_grace_s
                         )
                     except OSError:
                         continue  # renamed into place / released concurrently
                     if stale_staging or (
-                        d.name.startswith("v-") and d.name != current
+                        name.startswith("v-") and name != current
                     ):
                         self.store.delete_dir(d)
                         removed.append(str(d))
@@ -348,6 +347,10 @@ class Lake:
 
     def _read_dir(self, base: Path, schema=None, merge_schema: bool = False) -> DataFrame:
         cur = self._current_dir(base)
+        if cur is not None:
+            # backends holding data server-side fetch the version prefix
+            # (list-after-write + per-object GET) into the local cache
+            cur = self.store.materialize_dir(cur)
         if cur is None or not any(
             f for f in cur.iterdir() if not f.name.startswith(("_", "."))
         ):
@@ -454,21 +457,21 @@ class Lake:
         base = Path(self.table_path(name))
         current = self._manifest_version(base)
         out = []
-        for d in sorted(base.iterdir()) if base.exists() else []:
-            if d.is_dir() and d.name.startswith("v-"):
-                out.append({"version": d.name, "is_current": d.name == current})
+        for name_ in sorted(self.store.list_subdirs(base)):
+            if name_.startswith("v-"):
+                out.append({"version": name_, "is_current": name_ == current})
         return out
 
     def read_table_at(self, name: str, version: str) -> DataFrame:
         """Read a specific retained version (``VERSION AS OF``). Raises
         FileNotFoundError for GC'd/unknown versions."""
         p = Path(self.table_path(name)) / version
-        if not p.is_dir():
+        if not self.store.data_dir_exists(p):
             raise FileNotFoundError(
                 f"version {version!r} of {name!r} is not retained "
                 f"(history: {[h['version'] for h in self.table_history(name)]})"
             )
-        return self.spark.read.parquet(str(p))
+        return self.spark.read.parquet(str(self.store.materialize_dir(p)))
 
     def read_table_previous(self, name: str) -> DataFrame:
         """The version the last replace-write superseded."""
@@ -566,6 +569,8 @@ class Lake:
         # the transaction Postgres gave the reference for free)
         with self._commit_lock(base):
             cur = self._current_dir(base)
+            if cur is not None:
+                cur = self.store.materialize_dir(cur)
             # first write ⇔ no data files yet: the mkdir above makes the
             # bare base dir "exist", so `cur is None` alone would misread
             # a fresh registry as a legacy-plain table and skip the
@@ -606,6 +611,8 @@ class Lake:
         # other side of)
         with self._commit_lock(base):
             cur = self._current_dir(base)
+            if cur is not None:
+                cur = self.store.materialize_dir(cur)
             if cur is None or not any(
                 f for f in cur.iterdir() if not f.name.startswith(("_", "."))
             ):
@@ -645,9 +652,14 @@ class Lake:
             .schema
         }
         incoming = {f.name: f.dataType for f in df.schema}
+        # partition columns are excluded from the type-equality check
+        # (ADVICE r8): their read-back types come from Spark's partition
+        # VALUE inference (a date-looking string partition reads as date),
+        # so a legitimate append would trip a spurious conflict
+        pcols = set(self._detect_partition_cols(cur))
         conflicts = {
             n: (str(existing[n]), str(incoming[n]))
-            for n in incoming.keys() & existing.keys()
+            for n in (incoming.keys() & existing.keys()) - pcols
             if existing[n] != incoming[n]
         }
         if conflicts:
@@ -678,13 +690,18 @@ class Lake:
             # first write: land in a version dir, commit the pointer
             self._replace_write(df, base, partition_by=partition_by)
             return
+        cur = self.store.materialize_dir(cur)
         self._check_append_schema(df, cur, allow_schema_evolution)
         # versioned or legacy-plain: add files in place — Spark stages the
         # new files under _temporary, so a torn append is never visible
+        # LOCALLY; on a remote data plane the per-object upload below has
+        # the direct-write-committer partial-visibility window (use the
+        # exactly-once staged path for append-heavy object-store tables)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(cur))
+        self.store.upload_dir_delta(cur)
 
     # ------------------------------------------------------- app tables ----
     def app_table_path(self, name: str) -> str:
@@ -839,6 +856,7 @@ class Lake:
         cur = self._current_dir(base)
         if cur is None:
             raise FileNotFoundError(f"no committed version to compact: {base}")
+        cur = self.store.materialize_dir(cur)
         data_files = [
             p for p in cur.rglob("*") if p.is_file() and not p.name.startswith(("_", "."))
         ]
@@ -895,13 +913,24 @@ class Lake:
             cur = base if base.exists() else None  # legacy-plain or absent
         else:
             p = base / snapshot
-            cur = p if p.exists() else None
+            cur = p if self.store.data_dir_exists(p) else None
+        if cur is not None:
+            cur = self.store.materialize_dir(cur)
         ledger: list[str] = []
         if cur is not None and (cur / "_batches.json").exists():
             ledger = _json.loads((cur / "_batches.json").read_text())
         if batch_id in ledger:
             return False
-        new = df if cur is None else self.spark.read.parquet(str(cur)).unionByName(df)
+        # mergeSchema + allowMissingColumns (ADVICE r8): after a widening
+        # append the current version holds mixed-schema files — a plain
+        # read picks one arbitrary footer and the rewrite would silently
+        # drop the widened column's data
+        if cur is None:
+            new = df
+        else:
+            existing = self.spark.read.option("mergeSchema", "true").parquet(str(cur))
+            self._check_append_schema(df, cur, allow_schema_evolution=True)
+            new = existing.unionByName(df, allowMissingColumns=True)
         ver = self._new_version()
         staging = base / f"_staging-{ver}"
         # preserve the current version's partition layout (a bare rewrite

@@ -130,6 +130,44 @@ class PosixStore:
         finally:
             os.close(dirfd)
 
+    # -------------------------------------------------- data-plane hooks ----
+    # Defaults are the local-filesystem behavior the Lake always had; a
+    # backend whose DATA bytes live server-side (S3ObjectStore) overrides
+    # them so version dirs resolve/list/read against the bucket.
+
+    def data_dir_exists(self, path: Path) -> bool:
+        """Whether a DATA directory (version dir / legacy table dir) holds
+        committed bytes under this backend."""
+        return Path(path).is_dir()
+
+    def materialize_dir(self, path: Path) -> Path:
+        """Make ``path``'s data bytes readable by a local parquet reader,
+        returning the local directory to read. POSIX: identity."""
+        return Path(path)
+
+    def upload_dir_delta(self, path: Path) -> None:
+        """Push locally-written files under ``path`` that the backend does
+        not hold yet (the in-place-append data path). POSIX: no-op — the
+        local write IS the store."""
+
+    def list_subdirs(self, base: Path) -> set[str]:
+        """Immediate child directory names of ``base`` that hold data
+        under this backend (version dirs, staging dirs)."""
+        base = Path(base)
+        if not base.is_dir():
+            return set()
+        return {d.name for d in base.iterdir() if d.is_dir()}
+
+    def discover_bases(self, root: Path) -> set[Path]:
+        """Table base dirs under ``root`` that contain version/staging
+        dirs — vacuum's sweep set."""
+        return {
+            p.parent
+            for pat in ("v-*", "_staging-*")
+            for p in Path(root).rglob(pat)
+            if p.is_dir()
+        }
+
 
 class S3SemanticsStore(PosixStore):
     """Object-store semantics over a local directory (see module doc).
@@ -208,22 +246,30 @@ class S3SemanticsStore(PosixStore):
 
 
 class S3ObjectStore(PosixStore):
-    """CONTROL plane on a real S3 API endpoint via boto3; DATA plane
-    (parquet version directories) on the local filesystem.
+    """CONTROL plane **and DATA plane** on a real S3 API endpoint via
+    boto3 (reference anchor /root/reference/udata_hydra/utils/minio.py:
+    28-45 — ``fput_object``: the data bytes themselves go to the store).
 
-    This is the backend the env-gated integration leg runs the commit
-    protocol against (``SPARK_HYDRA_S3_TESTS=1`` + a moto server or any
-    s3-compatible endpoint): every lock acquire, stale takeover,
-    conditional PUT, manifest GET/PUT and claim listing is executed by an
-    INDEPENDENT S3 implementation rather than by the shim above — the
-    exact class of semantics (copy+delete renames resetting
-    Last-Modified, 412 on If-None-Match, list-after-write) the emulation
-    could get subtly wrong. The split is also a real deployment shape
-    (external lock/commit service + bulk data elsewhere); routing the
-    parquet bytes themselves through ``s3a://`` additionally needs the
-    hadoop-aws jars, which this container does not ship (documented K6
-    gap — reference anchor
-    /root/reference/udata_hydra/utils/minio.py:28-45).
+    This is the backend the integration leg runs the commit protocol
+    against (a moto server or any s3-compatible endpoint): every lock
+    acquire, stale takeover, conditional PUT, manifest GET/PUT and claim
+    listing is executed by an INDEPENDENT S3 implementation rather than
+    by the shim above — the exact class of semantics (copy+delete
+    renames resetting Last-Modified, 412 on If-None-Match,
+    list-after-write) the emulation could get subtly wrong.
+
+    Data path (round 9): Spark/pyarrow still WRITE staging dirs on local
+    disk (executors have local scratch either way), but ``publish_dir``
+    uploads every staged file to the bucket and removes the local copy —
+    committed bytes live ONLY server-side. Reads call
+    ``materialize_dir``: a ListObjectsV2 over the version prefix (the
+    list-after-write step) followed by per-object GETs into a local
+    cache the parquet reader scans. Version dirs are immutable once the
+    MANIFEST flips, so the cache never goes stale — a new commit is a
+    new prefix. Spark's own ``s3a://`` reader would replace the
+    materialize step on a real cluster (hadoop-aws jars, which this
+    container does not ship); the publish/list/GET semantics under test
+    are the same ones s3a has.
 
     Keys mirror the local paths (leading slash stripped), so one Lake
     root maps to one key prefix.
@@ -231,7 +277,17 @@ class S3ObjectStore(PosixStore):
 
     name = "s3-boto"
 
-    def __init__(self, bucket: str, client=None, endpoint_url: str | None = None):
+    def __init__(
+        self,
+        bucket: str,
+        client=None,
+        endpoint_url: str | None = None,
+        fail_after_puts: int | None = None,
+    ):
+        # crash injection for the torn-publish window (same contract as
+        # S3SemanticsStore.fail_after_copies, but against the real API)
+        self.fail_after_puts = fail_after_puts
+        self.puts_done = 0
         if client is None:  # pragma: no cover - exercised via endpoints
             import boto3
 
@@ -386,3 +442,126 @@ class S3ObjectStore(PosixStore):
     def sync_dir(self, path: Path) -> None:
         """Control objects are in the bucket; nothing local to fsync that
         the data-plane writes haven't already handled."""
+
+    # -------------------------------------------------------- data plane ----
+    def _iter_keys(self, prefix: str):
+        pages = self.c.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=prefix
+        )
+        for page in pages:
+            for o in page.get("Contents", []):
+                yield o
+
+    def publish_dir(self, staging: Path, final: Path) -> None:
+        """Upload every staged file to the bucket under the final prefix,
+        then drop the local staging dir. Per-object PUTs — NON-atomic as
+        a whole (the torn-publish window real s3a has), but the v-* dir
+        is not in any MANIFEST until the flip, and a crash mid-upload
+        leaves readers on the previous version with the partial prefix
+        reclaimed by vacuum/next-commit GC."""
+        staging, final = Path(staging), Path(final)
+        fprefix = self._key(final)
+        for src in sorted(p for p in staging.rglob("*") if p.is_file()):
+            rel = src.relative_to(staging)
+            if (
+                self.fail_after_puts is not None
+                and self.puts_done >= self.fail_after_puts
+            ):
+                raise RuntimeError(
+                    f"injected object-store crash mid-publish ({self.puts_done}"
+                    f" objects uploaded to {final})"
+                )
+            self.c.put_object(
+                Bucket=self.bucket,
+                Key=f"{fprefix}/{rel.as_posix()}",
+                Body=src.read_bytes(),
+            )
+            self.puts_done += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def publish_file(self, tmp: Path, dst: Path) -> None:
+        """Single-object upload: one atomic PUT (old-or-new visibility by
+        the S3 contract), then drop the local temp."""
+        self.c.put_object(
+            Bucket=self.bucket, Key=self._key(dst), Body=Path(tmp).read_bytes()
+        )
+        Path(tmp).unlink(missing_ok=True)
+
+    def data_dir_exists(self, path: Path) -> bool:
+        prefix = self._key(path) + "/"
+        for _ in self._iter_keys(prefix):
+            return True
+        return Path(path).is_dir()  # pre-backend local dirs (legacy-plain)
+
+    def materialize_dir(self, path: Path) -> Path:
+        """List the prefix (list-after-write), GET each object into the
+        local cache dir. Committed version dirs are immutable, so a file
+        already cached at the right size is not re-fetched; files the
+        bucket no longer holds under the prefix are left alone (the local
+        dir may be the write-side cache of an in-place append that
+        ``upload_dir_delta`` is about to push)."""
+        path = Path(path)
+        prefix = self._key(path) + "/"
+        for o in self._iter_keys(prefix):
+            rel = o["Key"][len(prefix):]
+            dst = path / rel
+            if dst.is_file() and dst.stat().st_size == o["Size"]:
+                continue
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            body = self.c.get_object(Bucket=self.bucket, Key=o["Key"])["Body"]
+            tmp = dst.parent / f"_get-{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "wb") as f:
+                shutil.copyfileobj(body, f)
+            os.replace(tmp, dst)
+        return path
+
+    def upload_dir_delta(self, path: Path) -> None:
+        """Push local files under ``path`` the bucket does not hold (the
+        in-place-append path: Spark appended part files into the local
+        cache of a committed version). Per-object PUTs — a concurrent
+        reader listing mid-upload can see a PARTIAL append (the direct-
+        write-committer hazard on real s3a); append-heavy tables should
+        use the staged exactly-once path, which publishes a whole new
+        prefix before the flip."""
+        path = Path(path)
+        prefix = self._key(path) + "/"
+        have = {
+            o["Key"][len(prefix):]: o["Size"] for o in self._iter_keys(prefix)
+        }
+        for src in sorted(p for p in path.rglob("*") if p.is_file()):
+            rel = src.relative_to(path).as_posix()
+            if rel.startswith(("_", ".")) or "/_" in rel or "/." in rel:
+                continue  # Spark _temporary/_SUCCESS debris stays local
+            if have.get(rel) == src.stat().st_size:
+                continue
+            self.c.put_object(
+                Bucket=self.bucket, Key=prefix + rel, Body=src.read_bytes()
+            )
+
+    def list_subdirs(self, base: Path) -> set[str]:
+        """Bucket 'directories' under base (CommonPrefixes one level
+        down), merged with any purely-local dirs (staging)."""
+        out = super().list_subdirs(base)
+        prefix = self._key(base) + "/"
+        pages = self.c.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=prefix, Delimiter="/"
+        )
+        for page in pages:
+            for cp in page.get("CommonPrefixes", []):
+                out.add(cp["Prefix"][len(prefix):].rstrip("/"))
+        return out
+
+    def discover_bases(self, root: Path) -> set[Path]:
+        """Vacuum sweep set: local staging parents PLUS every bucket key
+        under the root prefix whose path contains a v-*/_staging-*
+        segment — a table whose data lives only server-side has no local
+        footprint to rglob."""
+        out = super().discover_bases(root)
+        prefix = self._key(root).rstrip("/") + "/"
+        for o in self._iter_keys(prefix):
+            parts = o["Key"].split("/")
+            for i, seg in enumerate(parts[:-1]):
+                if seg.startswith(("v-", "_staging-")):
+                    out.add(Path("/" + "/".join(parts[:i])))
+                    break
+        return out
