@@ -159,6 +159,9 @@ _NESTED_LOOP_OK = {
     "tx_lang_id",  # NB dense grid: |labels| x |vocab| (model build)
     "nb_source_classifier",  # same grid at 20-label cardinality
     "ann_pq_topk",  # queries x codebook distance table (<= q*m*2^(dim/m))
+    # r9: corpus x 16-centroid broadcast (assignment + probing) and the
+    # same queries x codebook table as ann_pq_topk — all bounded sides
+    "ann_ivfpq_topk",
 }
 
 
@@ -514,6 +517,22 @@ def test_pq_adc_never_sortmerges_and_stays_jvm(spark):
     assert t.count("BroadcastHashJoin") >= 3
     assert "SinglePartition" not in plan
     assert "MapInPandas" not in t and "BatchEvalPython" not in t
+
+
+def test_ivfpq_probe_path_is_candidate_bounded(spark):
+    """ann_ivfpq_topk's scale contract (VERDICT r8 #4): no full-corpus
+    scan on the probe path — the ADC lookup joins candidates to the
+    BROADCAST distance table (never sort-merging the corpus against the
+    query set), centroid assignment/probing are 16-row broadcasts, and
+    the whole pipeline stays JVM-side. The corpus is exchanged only on
+    its own id for the assignment/ADC windows (the index-build shuffles
+    that precompute as lake tables at production scale)."""
+    plan = formatted_plan(QUERIES["ann_ivfpq_topk"](spark, SF_DIR))
+    t = tree(plan)
+    assert "SortMergeJoin" not in t
+    assert t.count("BroadcastHashJoin") >= 3
+    assert "MapInPandas" not in t and "BatchEvalPython" not in t
+    assert "CartesianProduct" not in t
 
 
 def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):

@@ -6599,6 +6599,127 @@ SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
 
 
 # =========================================================================
+# Round-9: IVF x PQ composition (llm/similarity.ivf_pq_topk)
+# =========================================================================
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVFADC — the production 100 TB ANN shape: per query only
+    num_probes of num_lists inverted lists are read (sublinear candidate
+    set) and the candidates are scored by ADC over PQ codes (compressed
+    vectors; no full-dimension dot until the exact re-rank of k*rerank
+    survivors). Centroids are the first num_lists corpus vectors —
+    deterministic, so the oracle replays assignment, probing, the
+    candidate join, the fixed-point ADC sums, and both cosines.
+    Measured recall@10 vs brute force: 0.92 (sf0.001) / 0.96 (sf0.01),
+    pinned in tests/test_llm.py."""
+    from udata_datalake_service_spark.llm.similarity import ivf_pq_topk
+
+    e = _tw(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        k=10,
+        num_lists=16,
+        num_probes=8,
+        m=16,
+        dim=64,
+        rerank=8,
+    )
+
+
+_SQL_ANN_IVFPQ = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT vec_id AS neighbor_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c.centv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6)
+        DESC, c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c.centv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6)
+        DESC, c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE rn <= 8
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a USING (list_id)
+),
+codes AS (
+  SELECT e.vec_id, s.sub,
+    array_to_string(list_transform(list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4),
+      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS code,
+    list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS sub) s
+),
+comp AS (
+  SELECT sub, code, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS xq
+  FROM (SELECT sub, code,
+          unnest(list_transform(range(1, len(sv) + 1),
+            i -> struct_pack(pos := i, x := sv[i]))) AS u
+        FROM codes)
+),
+g AS (SELECT sub, code, pos, sum(xq) AS sm, count(*) AS n FROM comp GROUP BY 1, 2, 3),
+cb AS (SELECT sub, code, list(sm / (n * 1000000.0) ORDER BY pos) AS cw
+       FROM g GROUP BY 1, 2),
+q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM e WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, q.qn, cb.sub, cb.code,
+    CAST(round(list_dot_product(
+      list_slice(q.qv, cb.sub * 4 + 1, cb.sub * 4 + 4), cb.cw)
+      * 1000000000, 0) AS BIGINT) AS part_q,
+    CAST(round(list_dot_product(cb.cw, cb.cw) * 1000000000, 0) AS BIGINT)
+      AS cw_sq_q
+  FROM q CROSS JOIN cb
+),
+scored AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, dt.qn,
+    sum(dt.part_q) AS adc_q, sum(dt.cw_sq_q) AS vn2_q
+  FROM codes c
+  JOIN cand ON cand.neighbor_id = c.vec_id
+  JOIN dt ON dt.query_id = cand.query_id AND dt.sub = c.sub AND dt.code = c.code
+  GROUP BY 1, 2, 3
+),
+ac AS (
+  SELECT query_id, neighbor_id,
+    round(CASE WHEN qn > 0 AND vn2_q > 0
+      THEN (adc_q / 1000000000.0) / (qn * sqrt(vn2_q / 1000000000.0))
+      ELSE 0.0 END, 6) AS adc_cos
+  FROM scored WHERE query_id <> neighbor_id
+),
+candk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_cos DESC, neighbor_id ASC) AS arnk
+  FROM ac
+),
+ex AS (
+  SELECT candk.query_id, candk.neighbor_id, candk.adc_cos,
+    round(CASE WHEN qx.qn > 0 AND list_dot_product(ev.v, ev.v) > 0
+      THEN list_dot_product(qx.qv, ev.v)
+           / (qx.qn * sqrt(list_dot_product(ev.v, ev.v)))
+      ELSE 0.0 END, 6) AS cos
+  FROM candk
+  JOIN e ev ON ev.vec_id = candk.neighbor_id
+  JOIN q qx ON qx.query_id = candk.query_id
+  WHERE candk.arnk <= 80
+)
+SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM ex
+) WHERE rnk <= 10
+"""
+
+
+# =========================================================================
 # Round-8 operators: count-min sketch (operators/sketch.py)
 # =========================================================================
 def q_sk_countmin_hh(spark, sf_dir):
@@ -6776,6 +6897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lang_id": q_tx_lang_id,
     "nb_source_classifier": q_nb_source_classifier,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "sk_countmin_hh": q_sk_countmin_hh,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
@@ -6930,6 +7052,7 @@ ORACLES: dict[str, str] = {
     "tx_lang_id": _SQL_TX_LANG_ID,
     "nb_source_classifier": _SQL_NB_SOURCE,
     "ann_pq_topk": _SQL_ANN_PQ,
+    "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
     "sk_countmin_hh": _SQL_SK_COUNTMIN,
 }
 

@@ -574,10 +574,13 @@ def assign_nearest_centroid(
     vec: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    top_n: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine (rounded 6; ties → lower
     label). Centroids broadcast (k rows); per-vector cost is k dots inside
     one projection — no shuffle beyond the top-1 window on the vector id.
+    ``top_n`` > 1 returns each vector's n nearest centroids (the IVF
+    multi-probe step) instead of just the winner.
     Returns (id_col, assigned_label, cos)."""
     from pyspark.sql import Window
 
@@ -605,7 +608,7 @@ def assign_nearest_centroid(
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("__clabel"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= top_n)
         .select(id_col, F.col("__clabel").alias("assigned_label"), "cos")
     )
 
@@ -1042,12 +1045,17 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     rerank: int = 4,
     codebooks: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries stay EXACT, the corpus is
     replaced by its PQ reconstruction. ``codebooks`` accepts a LEARNED
     codebook (`pq_codebooks_refined`) — the corpus is then encoded by
     nearest-codeword assignment instead of sign buckets; None keeps the
-    sign-orthant quantizer (the SQL-oracle-replayable default). Per query, a distance table of
+    sign-orthant quantizer (the SQL-oracle-replayable default).
+    ``candidates`` optionally restricts scoring to a (query_id,
+    neighbor_id) pair set (the IVF probe set in `ivf_pq_topk`): the ADC
+    sum then runs per candidate pair instead of per query × corpus —
+    the sublinear path. Per query, a distance table of
     dot(q_sub, codeword) per (sub, code) is built on the codebook
     (queries x codebook — broadcast-sized) and the corpus scan just LOOKS
     UP its m codes and sums — the ADC trick: no per-pair full-dimension
@@ -1106,8 +1114,19 @@ def pq_adc_topk(
             cb,
             id_col=id_col,
         ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    if candidates is not None:
+        # candidate-bounded ADC: attach each candidate pair's query to its
+        # neighbor's m code rows, then the distance-table lookup joins on
+        # (query, sub, code) — scored rows = |candidates| × m, never
+        # |queries| × |corpus| × m
+        paired = codes.join(
+            candidates.select("query_id", "neighbor_id"), on="neighbor_id"
+        )
+        joined = paired.join(F.broadcast(dt), on=["query_id", "sub", "code"])
+    else:
+        joined = codes.join(F.broadcast(dt), on=["sub", "code"])
     scored = (
-        codes.join(F.broadcast(dt), on=["sub", "code"])
+        joined
         .groupBy("query_id", "neighbor_id", "qn")
         .agg(F.sum("part_q").alias("adc_q"), F.sum("cw_sq_q").alias("vn2_q"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1164,4 +1183,62 @@ def pq_adc_topk(
         exact.withColumn("rnk", F.row_number().over(wf))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "adc_cos", "cos")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_lists: int = 16,
+    num_probes: int = 4,
+    m: int = 16,
+    dim: int = 64,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the production 100 TB ANN shape: a SUBLINEAR candidate
+    set (only ``num_probes`` of ``num_lists`` inverted lists are read per
+    query) scored against COMPRESSED vectors (ADC over the PQ codes —
+    no full-dimension dot until the exact re-rank of k*rerank
+    survivors). This is the FAISS IVFADC composition re-expressed as
+    joins: centroid assignment is a broadcast k-dot projection + per-id
+    top-1; probing is the same projection at top-``num_probes``; the
+    candidate set is one equi-join on list_id; ADC and re-rank are the
+    `pq_adc_topk` tail restricted to those candidates.
+
+    Centroids are the first ``num_lists`` corpus vectors by id —
+    deterministic and oracle-replayable (at production scale you train
+    real centroids offline on a sample and broadcast them; the plan
+    shape is identical). Corpus-side cost: ONE pass for assignment + ONE
+    pass for codes (both precomputable lake tables); per-query cost is
+    bounded by the probed lists' sizes, never the corpus.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(num_lists)
+        .select(
+            F.col(id_col).alias("__list"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    assigned = assign_nearest_centroid(
+        corpus, cents, vec=vec_col, id_col=id_col, label_col="__list"
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("assigned_label").alias("list_id"))
+    probes = assign_nearest_centroid(
+        queries, cents, vec=vec_col, id_col=id_col, label_col="__list",
+        top_n=num_probes,
+    ).select(F.col(id_col).alias("query_id"), F.col("assigned_label").alias("list_id"))
+    cand = probes.join(assigned, on="list_id").select("query_id", "neighbor_id")
+    return pq_adc_topk(
+        corpus,
+        queries,
+        k=k,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        rerank=rerank,
+        candidates=cand,
     )
