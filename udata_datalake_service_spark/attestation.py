@@ -38,6 +38,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-9 changes (populated as queries are added/edited this round)
     "dd_lsh_capped",  # NEW: hot-bucket-cap audit (llm/dedup.lsh_cap_scorecard)
     "ann_ivfpq_topk",  # NEW: IVFADC composition (llm/similarity.ivf_pq_topk)
+    "mm_jpeg_meta",  # decode_source normalized to decoded (env-independent parity)
 })
 
 # query name -> last round with a green driver row (regenerate with

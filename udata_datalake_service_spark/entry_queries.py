@@ -2877,8 +2877,11 @@ def q_mm_jpeg_meta(spark, sf_dir):
     # ladder rung per file; histogram-derived stats are only trusted on
     # fully-decoded rows (the arithmetic-coded files report REAL header
     # dims but a stub byte histogram, which no SQL oracle can replay).
-    # The oracle pins 'vendored' for decoded rows — this container ships
-    # no Pillow, and the fixture is exactly the vendored codec's domain.
+    # pillow/vendored NORMALIZE to one 'decoded' value here (ADVICE r8):
+    # the ladder prefers Pillow when installed, and which real rung ran
+    # is an environment fact, not a property of the data — pinning
+    # 'vendored' made oracle parity depend on the container shipping no
+    # Pillow. The raw rung stays observable via extract_image_features.
     decoded = F.col("decode_source").isin("pillow", "vendored")
     return feats.select(
         "media_id",
@@ -2889,7 +2892,9 @@ def q_mm_jpeg_meta(spark, sf_dir):
             (F.array_position(F.col("histogram"), 1.0) - 1).cast("int"),
         ).alias("dominant_bin"),
         F.when(decoded, F.array_max("histogram")).alias("bin_share"),
-        "decode_source",
+        F.when(decoded, F.lit("decoded"))
+        .otherwise(F.col("decode_source"))
+        .alias("decode_source"),
     )
 
 
@@ -2902,7 +2907,7 @@ SELECT doc_id AS media_id,
   CASE WHEN (doc_id // 5) % 7 = 6 THEN NULL
        ELSE CAST(1.0 AS DOUBLE) END AS bin_share,
   CASE WHEN (doc_id // 5) % 7 = 6 THEN 'stub-dims'
-       ELSE 'vendored' END AS decode_source
+       ELSE 'decoded' END AS decode_source
 FROM documents WHERE doc_id % 5 = 0
 """
 

@@ -61,7 +61,16 @@ def bpe_train(
     pass), one vocab-bounded collect, then an in-process merge loop with
     incremental pair-count maintenance: per round, only the words that
     contain the winning pair are re-walked, so total work is
-    O(sum of touched-word lengths), not O(vocab × merges)."""
+    O(sum of touched-word lengths), not O(vocab × merges).
+
+    Winner selection is a LAZY MAX-HEAP keyed by (-count, pair) with
+    stale-entry skipping (ADVICE r8): every count change pushes a fresh
+    entry, a popped entry whose count no longer matches is discarded —
+    so each merge costs O(log H) amortized over the incremental updates
+    instead of a full O(distinct-pairs) scan, which is what makes the
+    stated fast-BPE complexity hold at web-vocab scale (32 k merges ×
+    millions of distinct pairs)."""
+    import heapq
     from collections import Counter, defaultdict
 
     rows = (
@@ -80,30 +89,45 @@ def bpe_train(
             pair_counts[p] += c
             where[p].add(i)
 
+    # heap orders by (-count, (left, right)): max count first, ties break
+    # (left asc, right asc) — identical to the distributed path's
+    # orderBy(desc(c), asc(l), asc(r)); entries are immutable snapshots,
+    # staleness is detected by comparing against the live Counter
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int, i: int, add: bool) -> None:
+        pair_counts[p] += delta
+        if pair_counts[p] <= 0:
+            del pair_counts[p]
+        else:
+            heapq.heappush(heap, (-pair_counts[p], p))
+        (where[p].add if add else where[p].discard)(i)
+
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
-        if not pair_counts:
-            break
-        # max count; ties break (left asc, right asc) — identical to the
-        # distributed path's orderBy(desc(c), asc(l), asc(r))
-        (left, right), c = min(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
-        )
-        if c <= 0:
+    while len(merges) < num_merges:
+        # pop until the entry reflects the pair's CURRENT count — the
+        # first live entry is the global best (any better pair's current
+        # state sorts before it and would have been popped first)
+        left = right = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                (left, right), c = p, -negc
+                break
+        if left is None or c <= 0:
             break
         merges.append((left, right, int(c)))
         for i in list(where[(left, right)]):
             s, cnt = syms[i], cnts[i]
             for p in zip(s, s[1:]):
-                pair_counts[p] -= cnt
-                if pair_counts[p] <= 0:
-                    del pair_counts[p]
-                where[p].discard(i)
+                bump(p, -cnt, i, add=False)
             s2 = _merge_symbols(s, left, right)
             syms[i] = s2
             for p in zip(s2, s2[1:]):
-                pair_counts[p] += cnt
-                where[p].add(i)
+                bump(p, cnt, i, add=True)
     return merges
 
 
