@@ -1042,3 +1042,29 @@ def test_moto_torn_publish_leaves_readers_on_previous_version(spark, tmp_path, r
     # and the table still takes new commits cleanly
     lake.write_table(spark.createDataFrame([(9, "z")], "id long, v string"), "t")
     assert [r["v"] for r in lake.read_table("t").collect()] == ["z"]
+
+
+def test_moto_fresh_process_reads_and_drops_bucket_resident_table(spark, tmp_path, request):
+    """A second Lake instance with NO local footprint (new machine, same
+    bucket) must read a bucket-resident table via MANIFEST + list + GET,
+    and drop must remove the keys — a local-existence guard would strand
+    them forever."""
+    import shutil
+    from pathlib import Path
+
+    store = _make_store("moto-s3", request)
+    root = str(tmp_path / "lakefresh")
+    lake_a = Lake(spark, root, store=store)
+    lake_a.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    # simulate a fresh host: wipe ALL local state under the root
+    shutil.rmtree(root)
+    lake_b = Lake(spark, root, store=store)
+    assert sorted(r["v"] for r in lake_b.read_table("t").collect()) == ["a", "b"]
+    # wipe again so drop_table runs with no local footprint either
+    shutil.rmtree(root)
+    lake_c = Lake(spark, root, store=store)
+    lake_c.drop_table("t")
+    base = Path(lake_c.table_path("t"))
+    assert list(store._iter_keys(store._key(base) + "/")) == []

@@ -499,7 +499,10 @@ class Lake:
         never a registry row pointing at deleted data."""
         self._delete_registry_rows(name)
         p = Path(self.table_path(name))
-        if p.exists():
+        # existence through the backend: a fresh process has no local
+        # footprint for a bucket-resident table, and a local-only check
+        # would strand its keys (and MANIFEST) forever
+        if p.exists() or self.store.data_dir_exists(p):
             self.store.delete_dir(p)
 
     # -------------------------------------------------------- registry ----
