@@ -963,6 +963,42 @@ def test_countmin_never_underestimates_and_merge_is_exact(spark):
     assert any(est[t] > exact[t] for t in exact)
 
 
+def test_bloom_one_sided_error_and_merge_is_exact(spark):
+    """The two bloom laws: (1) no inserted member is EVER rejected
+    (one-sided error), (2) merging per-shard filters equals building one
+    filter over the union — set-bit for set-bit. With width 32 and 40
+    distinct members the filter is saturated enough that at least one
+    non-member passes (the false positive the sf0.01 oracle attests as
+    real output rows)."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(i, f"m{i}") for i in range(40)], "i long, t string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(200)], "t string")
+    whole = bloom_build(members, "t", depth=3, width=32)
+    merged = bloom_merge(
+        bloom_build(members.filter(F.col("i") % 2 == 0), "t", depth=3, width=32),
+        bloom_build(members.filter(F.col("i") % 2 == 1), "t", depth=3, width=32),
+    )
+    as_set = lambda s: {(r["row"], r["bucket"]) for r in s.collect()}  # noqa: E731
+    assert as_set(whole) == as_set(merged)
+
+    hits = {
+        r["t"]: r["bloom_hit"]
+        for r in bloom_probe(
+            whole, members.select("t").unionByName(others), "t", depth=3, width=32
+        ).collect()
+    }
+    assert all(hits[f"m{i}"] for i in range(40))  # no member rejected, ever
+    assert any(hits[f"x{i}"] for i in range(200))  # saturated -> real fp
+    assert not all(hits[f"x{i}"] for i in range(200))  # but still filtering
+
+
 def test_countmin_weighted_build(spark):
     """A weight column aggregates like repeated inserts."""
     from udata_datalake_service_spark.operators.sketch import (

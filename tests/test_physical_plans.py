@@ -535,6 +535,18 @@ def test_ivfpq_probe_path_is_candidate_bounded(spark):
     assert "CartesianProduct" not in t
 
 
+def test_bloom_probe_broadcasts_the_set_bit_table(spark):
+    """sk_bloom_probe's scale contract: the probe join delivers the
+    set-bit table via BroadcastExchange (the filter is <= d*w rows by
+    construction, however large the member set), so the probe stream is
+    never sort-merge-joined; no cartesian anywhere."""
+    plan = formatted_plan(QUERIES["sk_bloom_probe"](spark, SF_DIR))
+    t = tree(plan)
+    assert "BroadcastHashJoin" in t
+    assert "SortMergeJoin" not in t
+    assert "CartesianProduct" not in t
+
+
 def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):
     """sk_countmin_hh's scale contract: the sketch build is a union +
     ONE (row, bucket)-grain aggregate with map-side combine (the sketch

@@ -39,6 +39,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "dd_lsh_capped",  # NEW: hot-bucket-cap audit (llm/dedup.lsh_cap_scorecard)
     "ann_ivfpq_topk",  # NEW: IVFADC composition (llm/similarity.ivf_pq_topk)
     "mm_jpeg_meta",  # decode_source normalized to decoded (env-independent parity)
+    "sk_bloom_probe",  # NEW: mergeable bloom membership prefilter (operators/sketch.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -6788,6 +6788,73 @@ FROM top JOIN est ON est.t = top.t
 """
 
 
+# =========================================================================
+# Round-9 operators: bloom filter (operators/sketch.py)
+# =========================================================================
+def q_sk_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership prefilter, MERGE path included: two
+    per-shard filters (partkey parity) are built independently and
+    union-merged — the roll-up that lets per-day member sets compose at
+    100 TB — then EVERY part key is probed against the broadcast set-bit
+    table. Width 512 x depth 3 is deliberately undersized for the ~130
+    member keys at sf0.01 so false positives are REAL, visible rows:
+    the output is the survivor set (bloom_hit only) with the exact
+    membership flag, and the oracle re-derives every set bit, every hit,
+    and every false positive bit-for-bit from the shared md5 family.
+    One-sided error is the attested law: no member row is ever missing.
+    The scale story mirrors operators/reduction.py's exact semi-join
+    reduction with a cardinality-bounded broadcast (<= d*w rows however
+    large the member set grows)."""
+    from udata_datalake_service_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    members = part.filter(F.col("p_size") >= 48).select(F.col("p_partkey").alias("k"))
+    bl = bloom_merge(
+        bloom_build(members.filter(F.col("k") % 2 == 0), "k", 3, 512),
+        bloom_build(members.filter(F.col("k") % 2 == 1), "k", 3, 512),
+    )
+    probes = part.select(
+        F.col("p_partkey").alias("k"), (F.col("p_size") >= 48).alias("is_member")
+    )
+    hits = bloom_probe(bl, probes, "k", 3, 512)
+    return (
+        probes.join(hits, on="k")
+        .filter(F.col("bloom_hit"))
+        .select(F.col("k").alias("partkey"), "is_member")
+    )
+
+
+_SQL_SK_BLOOM = """
+WITH members AS (SELECT p_partkey AS k FROM part WHERE p_size >= 48),
+rowsrc AS (SELECT unnest(range(0, 3)) AS row),
+bits AS (
+  SELECT DISTINCT rowsrc.row,
+    CAST(('0x' || substr(md5(CAST(rowsrc.row AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15))
+         ::UBIGINT % 512 AS INT) AS bucket
+  FROM members CROSS JOIN rowsrc
+),
+probes AS (SELECT p_partkey AS k, p_size >= 48 AS is_member FROM part),
+coords AS (
+  SELECT probes.k, rowsrc.row,
+    CAST(('0x' || substr(md5(CAST(rowsrc.row AS VARCHAR) || ':' || CAST(probes.k AS VARCHAR)), 1, 15))
+         ::UBIGINT % 512 AS INT) AS bucket
+  FROM probes CROSS JOIN rowsrc
+),
+hits AS (
+  SELECT coords.k, bool_and(bits.row IS NOT NULL) AS bloom_hit
+  FROM coords LEFT JOIN bits ON bits.row = coords.row AND bits.bucket = coords.bucket
+  GROUP BY 1
+)
+SELECT probes.k AS partkey, probes.is_member
+FROM probes JOIN hits ON hits.k = probes.k
+WHERE hits.bloom_hit
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -6904,6 +6971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "sk_countmin_hh": q_sk_countmin_hh,
+    # ---- round 9 ----
+    "sk_bloom_probe": q_sk_bloom_probe,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7059,6 +7128,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_topk": _SQL_ANN_PQ,
     "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
     "sk_countmin_hh": _SQL_SK_COUNTMIN,
+    "sk_bloom_probe": _SQL_SK_BLOOM,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

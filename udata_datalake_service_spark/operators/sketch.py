@@ -74,6 +74,84 @@ def countmin_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
 
 
+def bloom_build(
+    items: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Bloom filter over ``items[col]`` as a SPARSE set-bit table
+    (row, bucket) — at most d*w rows, usually far fewer. Shares the
+    engine-portable md5 bucket family with the count-min sketch, so the
+    whole filter — including its false positives — is bit-identical in a
+    DuckDB oracle replay.
+
+    The 100 TB use: a membership prefilter that travels as a broadcast
+    instead of a shuffle. Where ``operators/reduction.py`` ships the
+    EXACT distinct key set to prefilter a join, a bloom caps the
+    broadcast at d*w rows regardless of member-set cardinality, trading
+    a bounded, measurable false-positive rate (survivors still join
+    exactly downstream, so false positives cost work, never
+    correctness). Mergeable by construction: union + distinct, so
+    per-day / per-shard filters roll up without touching raw data."""
+    per_row = [
+        items.select(
+            F.lit(r).alias("row"),
+            _bucket(F.col(col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    all_rows = per_row[0]
+    for p in per_row[1:]:
+        all_rows = all_rows.unionByName(p)
+    return all_rows.distinct()
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge filters built with the same (depth, width): union +
+    distinct. Set-bit union is exactly the filter of the unioned member
+    sets — the mergeability law pinned by test."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Membership test for ``probes[col]``: explode each probe to its d
+    (row, bucket) coordinates, left-join the BROADCAST set-bit table,
+    and a probe passes iff every coordinate hit a set bit. Returns
+    (col, bloom_hit) — no member is ever rejected (one-sided error);
+    non-members pass with probability ~(fill)^d, visible in the data."""
+    coords_src = probes.select(col).distinct()
+    per_row = [
+        coords_src.select(
+            col,
+            F.lit(r).alias("row"),
+            _bucket(F.col(col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    all_rows = per_row[0]
+    for p in per_row[1:]:
+        all_rows = all_rows.unionByName(p)
+    return (
+        all_rows.join(
+            F.broadcast(bloom.withColumn("_set", F.lit(1))),
+            on=["row", "bucket"],
+            how="left",
+        )
+        .groupBy(col)
+        .agg(F.min(F.col("_set").isNotNull()).alias("bloom_hit"))
+    )
+
+
 def countmin_estimate(
     sketch: DataFrame,
     probes: DataFrame,
