@@ -1259,6 +1259,38 @@ def test_bpe_encode_roundtrip(spark):
     assert enc["n_pieces"] == 4
 
 
+def test_bpe_columnar_equals_pandas_encode(spark):
+    """The Catalyst-compiled replace chain IS the pandas merge loop:
+    identical (pieces, n_pieces) for every doc, on a runtime-trained
+    table over the real fixture AND on adversarial overlap cases
+    (runs of a repeated symbol exercise the shared-boundary subtlety the
+    per-symbol wrapping exists for)."""
+    from udata_datalake_service_spark.llm.bpe import (
+        bpe_encode,
+        bpe_encode_columnar,
+        bpe_train,
+    )
+    from udata_datalake_service_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(9001, "aaaa aa a aaaaa"), (9002, ""), (9003, "zzz qqq zzz")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    merges = bpe_train(df, num_merges=16)
+    a = {r["doc_id"]: (r["pieces"], r["n_pieces"]) for r in bpe_encode(df, merges).collect()}
+    b = {
+        r["doc_id"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_encode_columnar(df, merges).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_encode_columnar(df, [("a", "|b")]).collect()
+
+
 def test_embed_media_deterministic_and_bounded(spark):
     from udata_datalake_service_spark.llm.multimodal import (
         embed_media,

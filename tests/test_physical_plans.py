@@ -535,6 +535,21 @@ def test_ivfpq_probe_path_is_candidate_bounded(spark):
     assert "CartesianProduct" not in t
 
 
+def test_tok_bpe_encode_is_jvm_only_map(spark):
+    """tok_bpe_encode's scale contract: tokenizer application is a pure
+    whole-stage-codegen map — NO Python eval node of any kind in the
+    plan (the merge table compiles to literal replaces), no join, and
+    the only shuffle is the vocabulary-grain piece count."""
+    plan = formatted_plan(QUERIES["tok_bpe_encode"](spark, SF_DIR))
+    t = tree(plan)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in t
+    assert "SortMergeJoin" not in t
+    assert "CartesianProduct" not in t
+    # (WSCG ids appear only at execution under AQE — the no-Python-node
+    # assertions above are the contract; see PLANS.md header.)
+
+
 def test_bloom_probe_broadcasts_the_set_bit_table(spark):
     """sk_bloom_probe's scale contract: the probe join delivers the
     set-bit table via BroadcastExchange (the filter is <= d*w rows by

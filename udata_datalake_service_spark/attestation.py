@@ -40,6 +40,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "ann_ivfpq_topk",  # NEW: IVFADC composition (llm/similarity.ivf_pq_topk)
     "mm_jpeg_meta",  # decode_source normalized to decoded (env-independent parity)
     "sk_bloom_probe",  # NEW: mergeable bloom membership prefilter (operators/sketch.py)
+    "tok_bpe_encode",  # NEW: columnar BPE tokenizer application (llm/bpe.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

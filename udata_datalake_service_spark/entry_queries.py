@@ -6789,6 +6789,72 @@ FROM top JOIN est ON est.t = top.t
 
 
 # =========================================================================
+# Round-9 operators: columnar BPE tokenizer application (llm/bpe.py)
+# =========================================================================
+# The frozen tokenizer: 24 merges trained ONCE with llm.bpe.bpe_train on
+# the sf0.01 documents fixture and checked in — a tokenizer is a model
+# artifact, trained at one scale and applied at every other. Both the
+# Spark query and the DuckDB oracle below are generated from THIS list,
+# so the two replace chains cannot drift.
+TOK_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+
+
+def q_tok_bpe_encode(spark, sf_dir):
+    """Tokenizer application as a PURE-JVM map: apply the frozen
+    24-merge BPE table to every document with bpe_encode_columnar (the
+    merge loop compiled to a per-token literal-replace chain — zero
+    Python, zero shuffle until the vocabulary-grain count), then attest
+    the corpus piece-frequency table (top 100 by count). Any deviation
+    in any merge on any token anywhere in the corpus changes piece
+    identities and lands in this table, so the oracle — the IDENTICAL
+    replace chain generated from the same constant, replayed in ANSI
+    SQL — attests the encode bit-for-bit at corpus scale. Equality with
+    the Arrow-batched bpe_encode path is separately pinned by test for
+    arbitrary runtime-trained tables."""
+    from udata_datalake_service_spark.llm.bpe import bpe_encode_columnar
+
+    d = _tw(spark, sf_dir, "documents")
+    enc = bpe_encode_columnar(d, TOK_BPE_MERGES)
+    pieces = enc.select(F.explode("pieces").alias("piece"))
+    cnt = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (
+        cnt.select(
+            "piece",
+            F.length("piece").alias("piece_len"),
+            "cnt",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+
+
+def _sql_tok_bpe_encode() -> str:
+    s = "'|' || regexp_replace(w, '(.)', '\\1||', 'g') || '</w>|'"
+    for left, right in TOK_BPE_MERGES:
+        s = f"replace({s}, '|{left}||{right}|', '|{left}{right}|')"
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+enc AS (SELECT {s} AS s FROM toks),
+pieces AS (SELECT unnest(string_split(trim(s, '|'), '||')) AS piece FROM enc),
+cnt AS (SELECT piece, count(*) AS cnt FROM pieces GROUP BY 1)
+SELECT piece, length(piece) AS piece_len, cnt,
+       row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+FROM cnt
+QUALIFY rank <= 100
+"""
+
+
+_SQL_TOK_BPE = _sql_tok_bpe_encode()
+
+
+# =========================================================================
 # Round-9 operators: bloom filter (operators/sketch.py)
 # =========================================================================
 def q_sk_bloom_probe(spark, sf_dir):
@@ -6973,6 +7039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_countmin_hh": q_sk_countmin_hh,
     # ---- round 9 ----
     "sk_bloom_probe": q_sk_bloom_probe,
+    "tok_bpe_encode": q_tok_bpe_encode,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7129,6 +7196,7 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
     "sk_countmin_hh": _SQL_SK_COUNTMIN,
     "sk_bloom_probe": _SQL_SK_BLOOM,
+    "tok_bpe_encode": _SQL_TOK_BPE,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
