@@ -999,6 +999,42 @@ def test_bloom_one_sided_error_and_merge_is_exact(spark):
     assert not all(hits[f"x{i}"] for i in range(200))  # but still filtering
 
 
+def test_kmv_merge_equals_whole_and_small_groups_exact(spark):
+    """The KMV laws: (1) min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B) —
+    merged per-shard sketches are hash-for-hash the whole-data build;
+    (2) a group whose NDV < k holds its entire distinct set, so the
+    estimate is EXACT; (3) for a big group the estimate lands within a
+    loose 4/sqrt(k) of truth (the fixture's seed makes this stable)."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    rows = [(i, "big", f"v{i}") for i in range(3000)] + [
+        (i, "small", f"s{i % 5}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, v string")
+    k = 32
+    whole = kmv_build(df, "v", ["g"], k)
+    merged = kmv_merge(
+        kmv_build(df.filter(F.col("i") % 2 == 0), "v", ["g"], k),
+        kmv_build(df.filter(F.col("i") % 2 == 1), "v", ["g"], k),
+        group_cols=["g"],
+        k=k,
+    )
+    as_set = lambda s: {(r["g"], r["rn"], r["h"]) for r in s.collect()}  # noqa: E731
+    assert as_set(whole) == as_set(merged)
+
+    est = {r["g"]: r for r in kmv_estimate(whole, ["g"], k).collect()}
+    assert est["small"]["sketch_n"] == 5
+    assert est["small"]["ndv_est"] == 5.0  # NDV < k -> exact
+    assert est["big"]["sketch_n"] == k
+    assert abs(est["big"]["ndv_est"] - 3000) / 3000 < 4 / (k**0.5)
+
+
 def test_countmin_weighted_build(spark):
     """A weight column aggregates like repeated inserts."""
     from udata_datalake_service_spark.operators.sketch import (

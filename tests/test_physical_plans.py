@@ -562,6 +562,18 @@ def test_bloom_probe_broadcasts_the_set_bit_table(spark):
     assert "CartesianProduct" not in t
 
 
+def test_kmv_sketch_distinct_is_partial_aggregated(spark):
+    """sk_kmv_ndv's scale contract: the only corpus-sized reduction is
+    the distinct over (group, hash) — partial-aggregated map-side, so
+    the shuffle carries post-distinct hashes, not rows — and the
+    rank-k cut + estimate join stay free of cartesian/BNLJ shapes."""
+    plan = formatted_plan(QUERIES["sk_kmv_ndv"](spark, SF_DIR))
+    t = tree(plan)
+    assert "HashAggregate" in t  # the distinct's partial/final pair
+    assert "CartesianProduct" not in t
+    assert "BroadcastNestedLoopJoin" not in t
+
+
 def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):
     """sk_countmin_hh's scale contract: the sketch build is a union +
     ONE (row, bucket)-grain aggregate with map-side combine (the sketch

@@ -41,6 +41,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "mm_jpeg_meta",  # decode_source normalized to decoded (env-independent parity)
     "sk_bloom_probe",  # NEW: mergeable bloom membership prefilter (operators/sketch.py)
     "tok_bpe_encode",  # NEW: columnar BPE tokenizer application (llm/bpe.py)
+    "sk_kmv_ndv",  # NEW: oracle-attested KMV distinct sketch (operators/sketch.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

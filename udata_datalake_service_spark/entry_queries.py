@@ -6855,6 +6855,82 @@ _SQL_TOK_BPE = _sql_tok_bpe_encode()
 
 
 # =========================================================================
+# Round-9 operators: KMV distinct sketch (operators/sketch.py)
+# =========================================================================
+_KMV_K = 64
+
+
+def q_sk_kmv_ndv(spark, sf_dir):
+    """Mergeable distinct-count sketch with an oracle that attests the
+    SKETCH, not just its shape: two per-shard KMV sketches (linenumber
+    parity) over lineitem order keys are built independently, merged
+    (min-k of unioned min-k sets = min-k of the union), and estimated
+    per l_returnflag — output carries the exact NDV, the sketch size,
+    the literal kth-minimum hash (the sketch's identity), the estimate,
+    and its relative error, every value re-derived bit-for-bit by the
+    DuckDB replay of the same md5 order statistics. k=64 against ~12k
+    true NDV per group makes the ~1/sqrt(k) error REAL, visible data.
+    The 100 TB story is the merge axis: per-day sketches are k rows per
+    group forever, rolled up without touching raw data — where exact
+    NDV re-shuffles history every day."""
+    from udata_datalake_service_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = ["l_returnflag"]
+    sk = kmv_merge(
+        kmv_build(li.filter(F.col("l_linenumber") % 2 == 0), "l_orderkey", g, _KMV_K),
+        kmv_build(li.filter(F.col("l_linenumber") % 2 == 1), "l_orderkey", g, _KMV_K),
+        group_cols=g,
+        k=_KMV_K,
+    )
+    est = kmv_estimate(sk, g, _KMV_K)
+    exact = li.groupBy(*g).agg(F.countDistinct("l_orderkey").alias("ndv_exact"))
+    return exact.join(est, on=g).select(
+        "l_returnflag",
+        "ndv_exact",
+        "sketch_n",
+        "kth_h",
+        F.round("ndv_est", 2).alias("ndv_est"),
+        F.round(
+            F.abs(F.col("ndv_est") - F.col("ndv_exact")) / F.col("ndv_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+_SQL_SK_KMV = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag,
+    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM lineitem
+),
+sk AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM d QUALIFY rn <= {_KMV_K}
+),
+est AS (
+  SELECT l_returnflag, count(*) AS sketch_n,
+    max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_h,
+    CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+         ELSE {float(_KMV_K - 1) * 2.0**60!r} / CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE)
+    END AS ndv_est
+  FROM sk GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS ndv_exact FROM lineitem GROUP BY 1
+)
+SELECT exact.l_returnflag, exact.ndv_exact, est.sketch_n, est.kth_h,
+       round(est.ndv_est, 2) AS ndv_est,
+       round(abs(est.ndv_est - exact.ndv_exact) / exact.ndv_exact, 4) AS rel_err
+FROM exact JOIN est ON est.l_returnflag = exact.l_returnflag
+"""
+
+
+# =========================================================================
 # Round-9 operators: bloom filter (operators/sketch.py)
 # =========================================================================
 def q_sk_bloom_probe(spark, sf_dir):
@@ -7040,6 +7116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round 9 ----
     "sk_bloom_probe": q_sk_bloom_probe,
     "tok_bpe_encode": q_tok_bpe_encode,
+    "sk_kmv_ndv": q_sk_kmv_ndv,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7197,6 +7274,7 @@ ORACLES: dict[str, str] = {
     "sk_countmin_hh": _SQL_SK_COUNTMIN,
     "sk_bloom_probe": _SQL_SK_BLOOM,
     "tok_bpe_encode": _SQL_TOK_BPE,
+    "sk_kmv_ndv": _SQL_SK_KMV,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

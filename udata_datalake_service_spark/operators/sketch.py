@@ -23,6 +23,8 @@ the exact overcount values, not just shapes.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,6 +151,85 @@ def bloom_probe(
         )
         .groupBy(col)
         .agg(F.min(F.col("_set").isNotNull()).alias("bloom_hit"))
+    )
+
+
+def _kmv_hash(col):
+    """Engine-portable 60-bit uniform hash: first 15 md5 hex chars as a
+    long. DuckDB replay: ('0x' || substr(md5(x), 1, 15))::UBIGINT."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _kmv_rank(hashes: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_build(
+    items: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group: the k
+    smallest 60-bit hash values of the distinct items (Bar-Yossef et al.
+    2002). Returns (group_cols…, rn, h) — exactly k rows per group (fewer
+    iff the group's NDV < k, in which case the sketch IS the exact
+    distinct set).
+
+    Where the HLL plane (operators/sketches.py) uses Spark's DataSketches
+    binaries — mergeable but engine-opaque — KMV over the repo's md5
+    family is a distinct-count sketch whose EVERY value is replayable in
+    ANSI SQL, so the oracle attests the sketch itself, not just its
+    shape. Cost: one distinct (map-side partial) + one per-group rank;
+    the sketch is k rows per group however large the group gets — the
+    mergeable per-day NDV table at 100 TB (a few KB) vs re-scanning
+    history for exact distinct counts."""
+    hashes = items.select(*group_cols, _kmv_hash(col).alias("h"))
+    return _kmv_rank(hashes, group_cols, k)
+
+
+def kmv_merge(
+    *sketches: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Merge sketches built with the same k: union the surviving hashes,
+    re-rank, keep the k smallest. min-k(min-k(A) ∪ min-k(B)) =
+    min-k(A ∪ B), so merged estimates equal a whole-data build — the law
+    pinned by test."""
+    out = sketches[0].select(*group_cols, "h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select(*group_cols, "h"))
+    return _kmv_rank(out, group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """NDV estimate per group: with R = h_k / 2^60 the normalized kth
+    minimum, est = (k-1) / R; a group whose sketch holds fewer than k
+    hashes is exact by construction (est = sketch size). Returns
+    (group_cols…, sketch_n, kth_h, ndv_est)."""
+    num = F.lit(float(k - 1) * 2.0**60)
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("sketch_n"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_h"),
+        )
+        .withColumn(
+            "ndv_est",
+            F.when(
+                F.col("sketch_n") < k, F.col("sketch_n").cast("double")
+            ).otherwise(num / F.col("kth_h").cast("double")),
+        )
     )
 
 
