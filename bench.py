@@ -166,7 +166,6 @@ def main() -> int:
         "noisy": bool(noisy),
         "queries_detail": detail,
     }
-    print(json.dumps(payload))
     # the driver's artifact keeps only a ~4 KB tail of stdout, which
     # truncates the per-query map on a 113-query suite; persist the full
     # JSON locally so every round has a complete record.
@@ -186,6 +185,29 @@ def main() -> int:
     except OSError as e:
         print(f"bench: could not write local artifact: {e}", file=sys.stderr)
     spark.stop()
+    # The driver's wrapper keeps only a ~4 KB stdout tail and parses the
+    # last line, so the summary must be the FINAL stdout line and must
+    # fit entirely inside that tail. The full payload (queries_detail,
+    # loadavg, ...) lives in BENCH_LOCAL_r{N}.json; stdout gets a
+    # compact line, and if even the rounded per-query map would blow the
+    # tail budget, it degrades to the slowest-20 subset rather than
+    # emitting a line a tail capture would cut mid-JSON.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "n_queries": len(timings),
+        "noisy": bool(noisy),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3500:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = 20
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
     return 0
 
 

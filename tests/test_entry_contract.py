@@ -133,13 +133,16 @@ def test_ledger_matches_committed_artifacts():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recomputed = last_green_rounds(repo)
+    prev_green = last_green_rounds(repo, before=CURRENT_ROUND)
     # recomputed may contain queries since renamed/removed from the
     # registry; those are fine to drop from the ledger but a ledger entry
     # must never disagree with the artifacts.
     import __spark_entry__ as m
 
     names = set(m.queries())
-    real_diff = ledger_diff(LAST_DRIVER_ROUND, recomputed, names, CURRENT_ROUND)
+    real_diff = ledger_diff(
+        LAST_DRIVER_ROUND, recomputed, names, CURRENT_ROUND, prev_green
+    )
     assert not real_diff, (
         "attestation ledger disagrees with committed CORRECTNESS artifacts "
         f"- rerun tools/attest_map.py and paste: {real_diff}"
@@ -162,6 +165,12 @@ def test_ledger_survives_end_of_round_artifact(tmp_path):
     for f in os.listdir(repo):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             shutil.copy(os.path.join(repo, f), tmp_path / f)
+    # q_old was green in the PREVIOUS round (paste-time state), then the
+    # driver's end-of-round artifact bumps it to CURRENT_ROUND
+    prev_file = tmp_path / f"CORRECTNESS_r{CURRENT_ROUND - 1:02d}.json"
+    prev_data = json.loads(prev_file.read_text()) if prev_file.exists() else {}
+    prev_data["q_old"] = {"hash_match": True}
+    prev_file.write_text(json.dumps(prev_data))
     # synthesize the driver's end-of-round artifact for CURRENT_ROUND
     synthetic = {
         "q_old": {"hash_match": True},       # was green in an earlier round
@@ -171,16 +180,24 @@ def test_ledger_survives_end_of_round_artifact(tmp_path):
         json.dumps(synthetic)
     )
     recomputed = last_green_rounds(str(tmp_path))
+    prev_green = last_green_rounds(str(tmp_path), before=CURRENT_ROUND)
     assert recomputed["q_old"] == CURRENT_ROUND
+    assert prev_green["q_old"] == CURRENT_ROUND - 1
     ledger = {"q_old": CURRENT_ROUND - 1}  # pasted at round start
     names = {"q_old", "q_brand_new"}
     # expected-newer: both the bumped entry and the brand-new one pass
-    assert ledger_diff(ledger, recomputed, names, CURRENT_ROUND) == {}
+    assert ledger_diff(ledger, recomputed, names, CURRENT_ROUND, prev_green) == {}
     # anti-inflation preserved: a ledger value AHEAD of the artifacts,
     # or a stale mismatch below CURRENT_ROUND, still fails
     assert ledger_diff(
-        {"q_old": CURRENT_ROUND + 1}, recomputed, names, CURRENT_ROUND
+        {"q_old": CURRENT_ROUND + 1}, recomputed, names, CURRENT_ROUND, prev_green
     )
     old = {k: v for k, v in recomputed.items()}
     old["q_old"] = CURRENT_ROUND - 2  # artifacts say r-2, ledger says r-1
-    assert ledger_diff(ledger, old, {"q_old"}, CURRENT_ROUND)
+    assert ledger_diff(ledger, old, {"q_old"}, CURRENT_ROUND, prev_green)
+    # ADVICE r9 tightening: an arbitrarily-stale pasted value no longer
+    # rides the end-of-round carve-out — only the exact pre-paste round
+    # (CURRENT_ROUND-1 here) is forgiven for a query green this round
+    assert ledger_diff(
+        {"q_old": CURRENT_ROUND - 3}, recomputed, names, CURRENT_ROUND, prev_green
+    ) == {"q_old": (CURRENT_ROUND - 3, CURRENT_ROUND)}

@@ -382,9 +382,18 @@ def test_connection_refused_recorded_as_check_error():
     not an exception out of the envelope."""
     import socket
 
-    with socket.socket() as s:  # grab a port the OS just released
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    row = _check_one(f"http://127.0.0.1:{port}/f.csv", urllib_transport)
+    # ADVICE r9: binding then releasing a port and assuming it stays
+    # closed is racy — another process can rebind between release and
+    # the check. Retry once on an unexpected outcome, and accept any
+    # connection-layer error string as the fallback shape (the invariant
+    # under test is "recorded, not raised", not the exact errno text).
+    for _ in range(2):
+        with socket.socket() as s:  # grab a port the OS just released
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        row = _check_one(f"http://127.0.0.1:{port}/f.csv", urllib_transport)
+        if row["status"] is None and "refused" in (row["error"] or "").lower():
+            break
     assert row["status"] is None and row["timeout"] is False
-    assert "refused" in (row["error"] or "").lower(), row
+    err = (row["error"] or "").lower()
+    assert any(s in err for s in ("refused", "connect", "connection")), row

@@ -572,6 +572,43 @@ def test_kmv_sketch_distinct_is_partial_aggregated(spark):
     assert "HashAggregate" in t  # the distinct's partial/final pair
     assert "CartesianProduct" not in t
     assert "BroadcastNestedLoopJoin" not in t
+    # VERDICT r9 #2: the row_number()<=k cut must stay a per-partition
+    # partial top-k (Spark 4's InferWindowGroupLimit). Without this pin a
+    # refactor could silently regress to a full per-group sort of the
+    # whole distinct-hash set — a single-task straggler on a 100 TB
+    # high-NDV group.
+    assert "WindowGroupLimit" in t
+
+
+def test_topk_per_group_rank_cuts_stay_window_group_limits(spark):
+    """VERDICT r9 #2: every top-k-per-group idiom in the registry must
+    keep Spark 4's WindowGroupLimit pushdown (per-partition partial
+    top-k before the shuffle), so the rank cut never degenerates into a
+    full per-group sort of the whole partition — the 100 TB hot-key
+    straggler shape."""
+    for q in ("o1_top2_per_key", "j5_latest_per_key"):
+        t = tree(formatted_plan(QUERIES[q](spark, SF_DIR)))
+        assert "WindowGroupLimit" in t, q
+
+
+def test_window_group_limit_pin_catches_rule_defeating_variant(spark):
+    """Negative control for the WindowGroupLimit pins: a rank cut whose
+    limit is NOT a literal (here rn <= a computed column) defeats
+    InferWindowGroupLimit — the plan has a Window but no WindowGroupLimit
+    node — proving the positive pins above actually discriminate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    neg = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.lit(2) + F.col("o_orderkey") * 0)
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    t = tree(formatted_plan(neg))
+    assert "Window" in t
+    assert "WindowGroupLimit" not in t
 
 
 def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):

@@ -30,18 +30,12 @@ CURRENT_ROUND - 2) so staleness can never silently regrow.
 from __future__ import annotations
 
 # Round currently being built (the driver will write CORRECTNESS_r{CURRENT_ROUND}).
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 # Queries that are new this round or whose source/oracle changed this
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
-    # round-9 changes (populated as queries are added/edited this round)
-    "dd_lsh_capped",  # NEW: hot-bucket-cap audit (llm/dedup.lsh_cap_scorecard)
-    "ann_ivfpq_topk",  # NEW: IVFADC composition (llm/similarity.ivf_pq_topk)
-    "mm_jpeg_meta",  # decode_source normalized to decoded (env-independent parity)
-    "sk_bloom_probe",  # NEW: mergeable bloom membership prefilter (operators/sketch.py)
-    "tok_bpe_encode",  # NEW: columnar BPE tokenizer application (llm/bpe.py)
-    "sk_kmv_ndv",  # NEW: oracle-attested KMV distinct sketch (operators/sketch.py)
+    # round-10 changes (populated as queries are added/edited this round)
 })
 
 # query name -> last round with a green driver row (regenerate with
@@ -54,35 +48,37 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "a7_count_over_all": 8,
     "a8_purge_returning_count": 8,
     "a9_profile": 8,
-    "a9_quantiles": 7,
-    "ann_centroid_assign": 7,
+    "a9_quantiles": 9,
+    "ann_centroid_assign": 9,
+    "ann_ivfpq_topk": 9,
     "ann_near_dups_exact": 8,
     "ann_pq_topk": 8,
-    "ann_recall": 7,
+    "ann_recall": 9,
     "ann_topk": 8,
-    "asof_join": 7,
-    "cohort": 7,
-    "contamination": 7,
+    "asof_join": 9,
+    "cohort": 9,
+    "contamination": 9,
     "corpus_datasheet": 8,
-    "corpus_ingest": 7,
-    "corpus_warc_ingest": 7,
+    "corpus_ingest": 9,
+    "corpus_warc_ingest": 9,
     "cube_rollup": 8,
-    "curriculum": 7,
-    "dd_dup_clusters": 7,
+    "curriculum": 9,
+    "dd_dup_clusters": 9,
     "dd_exact_prefix_groups": 8,
-    "dd_jaccard_prefix": 7,
-    "dd_lsh_eval": 7,
-    "dd_lsh_incremental": 7,
-    "dd_lsh_pairs": 7,
+    "dd_jaccard_prefix": 9,
+    "dd_lsh_capped": 9,
+    "dd_lsh_eval": 9,
+    "dd_lsh_incremental": 9,
+    "dd_lsh_pairs": 9,
     "dd_minhash_signature": 8,
-    "dd_ngram_jaccard": 7,
-    "dd_paragraph_dedup": 7,
+    "dd_ngram_jaccard": 9,
+    "dd_paragraph_dedup": 9,
     "dd_simhash": 8,
-    "dd_span_coverage": 7,
+    "dd_span_coverage": 9,
     "dd_star_clusters": 8,
-    "dense_ids": 7,
+    "dense_ids": 9,
     "dist_match_sample": 8,
-    "domain_mix": 7,
+    "domain_mix": 9,
     "domain_split": 7,
     "dq_expectations": 7,
     "dsir_select": 7,
@@ -101,55 +97,58 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "j1_current_state_join": 8,
     "j2_history_join": 8,
     "j3_u7_batch_select_claim": 8,
-    "j4_orphan_left_join": 6,
-    "j5_latest_per_key": 6,
-    "j6_status_dashboard": 6,
+    "j4_orphan_left_join": 9,
+    "j5_latest_per_key": 9,
+    "j6_status_dashboard": 9,
     "k10_time_travel": 7,
-    "k8_drop_table": 6,
+    "k8_drop_table": 9,
     "k9_webhook_payload": 7,
-    "k_lake_roundtrip": 6,
+    "k_lake_roundtrip": 9,
     "mix_shards": 7,
     "mixture_plan": 8,
     "mm_embed_vq": 8,
     "mm_exif_meta": 7,
-    "mm_frame_sample": 6,
-    "mm_jpeg_meta": 8,
+    "mm_frame_sample": 9,
+    "mm_jpeg_meta": 9,
     "mm_media_meta": 8,
     "nb_source_classifier": 8,
-    "o1_top2_per_key": 6,
-    "o3_deterministic_sample": 6,
-    "o4_csv_sample": 6,
-    "o5_ordered_scan": 6,
-    "p10_retention_survivors": 6,
-    "p1_point_lookup": 6,
-    "p3_exclusion_filter": 6,
-    "p4_date_cast_filter": 6,
-    "p5_json_extract": 6,
-    "p6_range_predicate": 6,
+    "o1_top2_per_key": 9,
+    "o3_deterministic_sample": 9,
+    "o4_csv_sample": 9,
+    "o5_ordered_scan": 9,
+    "p10_retention_survivors": 9,
+    "p1_point_lookup": 9,
+    "p3_exclusion_filter": 9,
+    "p4_date_cast_filter": 9,
+    "p5_json_extract": 9,
+    "p6_range_predicate": 9,
     "p78_predicate_surface": 7,
-    "p9_time_window": 6,
+    "p9_time_window": 9,
     "pack_stream": 8,
     "pack_waste": 8,
     "pii_redact": 8,
     "pivot_activity": 8,
     "reduced_antijoin": 7,
     "s1_live_fetch": 7,
-    "s4_excel_load": 6,
-    "s5_catalog_load": 6,
-    "s6_csv_ingest_inference": 6,
+    "s4_excel_load": 9,
+    "s5_catalog_load": 9,
+    "s6_csv_ingest_inference": 9,
     "s7_mime_sniff": 7,
     "s9_f10_http_surface": 7,
     "scd2_merge": 8,
     "semantic_dedup": 8,
     "sessionize": 8,
+    "sk_bloom_probe": 9,
     "sk_countmin_hh": 8,
+    "sk_kmv_ndv": 9,
     "skew_salted_count": 7,
     "sla_streaks": 8,
     "st1_microbatch_rates": 7,
-    "st3_next_check_ladder": 6,
+    "st3_next_check_ladder": 9,
     "st45_change_trigger": 7,
-    "temporal_split": 6,
+    "temporal_split": 9,
     "tfidf_vocab": 8,
+    "tok_bpe_encode": 9,
     "tx_bigram_surprisal": 8,
     "tx_blocklist": 8,
     "tx_chunks": 8,
@@ -162,9 +161,9 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "tx_surprisal": 8,
     "tx_text_metrics": 7,
     "tx_vocab_coverage": 8,
-    "u1_union_tiers": 6,
-    "u2_upsert_merge": 6,
-    "u3_snapshot_diff": 6,
+    "u1_union_tiers": 9,
+    "u2_upsert_merge": 9,
+    "u3_snapshot_diff": 9,
     "u456_point_dml": 7,
     "url_canonical": 8,
     "url_quality": 8,

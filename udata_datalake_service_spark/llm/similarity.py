@@ -1119,8 +1119,12 @@ def pq_adc_topk(
         # neighbor's m code rows, then the distance-table lookup joins on
         # (query, sub, code) — scored rows = |candidates| × m, never
         # |queries| × |corpus| × m
+        # dedupe first: the ADC sum below is per (query_id, neighbor_id),
+        # so a duplicate candidate pair would double-count part_q/cw_sq_q
+        # and corrupt adc_cos. Cheap at candidate-set grain (ADVICE r9).
         paired = codes.join(
-            candidates.select("query_id", "neighbor_id"), on="neighbor_id"
+            candidates.select("query_id", "neighbor_id").distinct(),
+            on="neighbor_id",
         )
         joined = paired.join(F.broadcast(dt), on=["query_id", "sub", "code"])
     else:

@@ -700,6 +700,19 @@ class Lake:
         # LOCALLY; on a remote data plane the per-object upload below has
         # the direct-write-committer partial-visibility window (use the
         # exactly-once staged path for append-heavy object-store tables)
+        if getattr(self.store, "partial_append_visible", False):
+            import warnings
+
+            warnings.warn(
+                "in-place append on an object-store backend uploads part "
+                "files with per-object PUTs into an already-committed "
+                "prefix: a concurrent reader listing mid-upload sees a "
+                "partial append, and the immutable-prefix read cache is "
+                "invalidated. Use append_app_table_exactly_once (staged "
+                "publish + manifest flip) for object-store appends.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

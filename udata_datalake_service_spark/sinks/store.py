@@ -42,6 +42,12 @@ class PosixStore:
     exclusive create, hard links, fsync-able directories."""
 
     name = "posix"
+    # True when in-place appends upload part files one object at a time
+    # into an already-committed (listable) prefix — a concurrent reader
+    # then sees a partial append, and the immutable-prefix materialize
+    # cache is invalidated. Plain appends warn and steer callers to the
+    # staged exactly-once path on such backends (ADVICE r9).
+    partial_append_visible = False
 
     # ------------------------------------------------- lock primitives ----
     def try_create_exclusive(self, path: Path, data: bytes) -> bool:
@@ -276,6 +282,7 @@ class S3ObjectStore(PosixStore):
     """
 
     name = "s3-boto"
+    partial_append_visible = True
 
     def __init__(
         self,
