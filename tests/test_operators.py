@@ -1035,6 +1035,25 @@ def test_kmv_merge_equals_whole_and_small_groups_exact(spark):
     assert abs(est["big"]["ndv_est"] - 3000) / 3000 < 4 / (k**0.5)
 
 
+def test_kmv_lake_rollup_merges_from_lake_and_retry_noops(spark):
+    """sk_lake_rollup's laws, independent of the driver gate: per-day
+    sketches persisted via append_app_table_exactly_once merge (from the
+    lake alone) into the whole-data sketch hash-for-hash; the retried
+    batch no-ops so the persisted row count stays exactly two k-sized
+    sketches per group."""
+    from udata_datalake_service_spark.entry_queries import QUERIES
+
+    rows = QUERIES["sk_lake_rollup"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["merged_eq_whole"], r
+        assert r["first_commits_applied"], r
+        assert r["retry_was_noop"], r
+        # two day-batches of <=k rows each — a double-committed retry
+        # would push this past 2k
+        assert r["sketch_n"] <= r["lake_rows"] <= 2 * 64, r
+
+
 def test_countmin_weighted_build(spark):
     """A weight column aggregates like repeated inserts."""
     from udata_datalake_service_spark.operators.sketch import (

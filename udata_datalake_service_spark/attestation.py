@@ -36,6 +36,7 @@ CURRENT_ROUND = 10
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-10 changes (populated as queries are added/edited this round)
+    "sk_lake_rollup",  # NEW: per-day KMV sketch tables persisted exactly-once in the lake, merged from the lake alone (VERDICT r9 #6)
 })
 
 # query name -> last round with a green driver row (regenerate with

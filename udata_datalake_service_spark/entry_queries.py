@@ -6931,6 +6931,152 @@ FROM exact JOIN est ON est.l_returnflag = exact.l_returnflag
 
 
 # =========================================================================
+# Round-10: sketch-plane lake rollup (VERDICT r9 #6)
+# =========================================================================
+def q_sk_lake_rollup(spark, sf_dir):
+    """The actual 100 TB sketch pattern, end-to-end THROUGH the lake:
+    per-day KMV sketch TABLES are persisted with
+    ``append_app_table_exactly_once`` (each day a tagged batch; one
+    append is deliberately RETRIED and must no-op), then the corpus NDV
+    is answered from the LAKE ALONE — read the sketch table back, merge
+    across days, estimate — without ever rescanning raw data. The
+    KMV hash-for-hash law makes this attestable: the oracle recomputes
+    the day sketches from raw lineitem in ANSI SQL, merges them, and
+    checks the lake-merged sketch equals a whole-data build (same
+    sketch_n, same kth hash, same hash checksum). ``lake_rows`` counts
+    the persisted sketch rows — a double-committed retry would double it
+    and hash-mismatch, so exactly-once is attested by value, not by
+    flag. Days = year(l_shipdate) % 2 (two time partitions); group =
+    l_returnflag; k rows per group per day however large the day gets."""
+    import hashlib
+    import shutil
+
+    from udata_datalake_service_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "day", (F.year("l_shipdate") % 2).cast("int")
+    )
+    g = ["l_returnflag"]
+    root = f"/tmp/spark_hydra_skroll_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    commits = []
+    for day in (0, 1):
+        sk_day = kmv_build(
+            li.filter(F.col("day") == day), "l_orderkey", g, _KMV_K
+        ).withColumn("day", F.lit(day))
+        commits.append(
+            lake.append_app_table_exactly_once(sk_day, "kmv_daily", f"day-{day}")
+        )
+    # crash-retry rehearsal: re-submitting an already-committed batch id
+    # must be a no-op (False), leaving the persisted row count unchanged
+    retry_committed = lake.append_app_table_exactly_once(
+        kmv_build(li.filter(F.col("day") == 0), "l_orderkey", g, _KMV_K).withColumn(
+            "day", F.lit(0)
+        ),
+        "kmv_daily",
+        "day-0",
+    )
+    daily = lake.read_app_table("kmv_daily")
+    merged = kmv_merge(
+        daily.filter(F.col("day") == 0),
+        daily.filter(F.col("day") == 1),
+        group_cols=g,
+        k=_KMV_K,
+    )
+    whole = kmv_build(li, "l_orderkey", g, _KMV_K)
+    _hsum = F.sum(F.col("h") % F.lit(1000000007)).cast("long").alias
+    m = merged.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("sketch_n"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_h"),
+        _hsum("hsum"),
+    )
+    wh = whole.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("w_n"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("whole_kth_h"),
+        _hsum("w_hsum"),
+    )
+    lake_rows = daily.groupBy(*g).agg(F.count(F.lit(1)).alias("lake_rows"))
+    est = kmv_estimate(merged, g, _KMV_K).select(*g, "ndv_est")
+    return (
+        m.join(wh, on=g)
+        .join(lake_rows, on=g)
+        .join(est, on=g)
+        .select(
+            "l_returnflag",
+            "lake_rows",
+            "sketch_n",
+            "kth_h",
+            F.round("ndv_est", 2).alias("ndv_est"),
+            "whole_kth_h",
+            (
+                (F.col("sketch_n") == F.col("w_n"))
+                & (F.col("kth_h") == F.col("whole_kth_h"))
+                & (F.col("hsum") == F.col("w_hsum"))
+            ).alias("merged_eq_whole"),
+            F.lit(bool(commits[0] and commits[1])).alias("first_commits_applied"),
+            F.lit(bool(not retry_committed)).alias("retry_was_noop"),
+        )
+    )
+
+
+_SQL_SK_LAKE_ROLLUP = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag, (CAST(year(l_shipdate) AS INT) % 2) AS day,
+    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM lineitem
+),
+sk AS (
+  SELECT l_returnflag, day, h,
+         row_number() OVER (PARTITION BY l_returnflag, day ORDER BY h) AS rn
+  FROM d QUALIFY rn <= {_KMV_K}
+),
+lake_rows AS (
+  SELECT l_returnflag, count(*) AS lake_rows FROM sk GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM (SELECT DISTINCT l_returnflag, h FROM sk) QUALIFY rn <= {_KMV_K}
+),
+ma AS (
+  SELECT l_returnflag, count(*) AS sketch_n,
+    max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_h,
+    CAST(sum(h % 1000000007) AS BIGINT) AS hsum,
+    CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+         ELSE {float(_KMV_K - 1) * 2.0**60!r} / CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE)
+    END AS ndv_est
+  FROM m GROUP BY 1
+),
+w AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM (SELECT DISTINCT l_returnflag, h FROM d) QUALIFY rn <= {_KMV_K}
+),
+wa AS (
+  SELECT l_returnflag, count(*) AS w_n,
+    max(CASE WHEN rn = {_KMV_K} THEN h END) AS whole_kth_h,
+    CAST(sum(h % 1000000007) AS BIGINT) AS w_hsum
+  FROM w GROUP BY 1
+)
+SELECT ma.l_returnflag, lake_rows.lake_rows, ma.sketch_n, ma.kth_h,
+       round(ma.ndv_est, 2) AS ndv_est, wa.whole_kth_h,
+       (ma.sketch_n = wa.w_n AND ma.kth_h = wa.whole_kth_h
+        AND ma.hsum = wa.w_hsum) AS merged_eq_whole,
+       TRUE AS first_commits_applied,
+       TRUE AS retry_was_noop
+FROM ma
+JOIN wa ON wa.l_returnflag = ma.l_returnflag
+JOIN lake_rows ON lake_rows.l_returnflag = ma.l_returnflag
+"""
+
+
+# =========================================================================
 # Round-9 operators: bloom filter (operators/sketch.py)
 # =========================================================================
 def q_sk_bloom_probe(spark, sf_dir):
@@ -7117,6 +7263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_bloom_probe": q_sk_bloom_probe,
     "tok_bpe_encode": q_tok_bpe_encode,
     "sk_kmv_ndv": q_sk_kmv_ndv,
+    "sk_lake_rollup": q_sk_lake_rollup,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7275,6 +7422,7 @@ ORACLES: dict[str, str] = {
     "sk_bloom_probe": _SQL_SK_BLOOM,
     "tok_bpe_encode": _SQL_TOK_BPE,
     "sk_kmv_ndv": _SQL_SK_KMV,
+    "sk_lake_rollup": _SQL_SK_LAKE_ROLLUP,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
