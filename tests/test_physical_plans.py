@@ -591,6 +591,25 @@ def test_topk_per_group_rank_cuts_stay_window_group_limits(spark):
         assert "WindowGroupLimit" in t, q
 
 
+def test_pair_set_eval_hit_join_is_never_broadcast(spark):
+    """×256 probe finding (round 10): pair_set_eval's hit join has two
+    pair-grain sides — both scale with the corpus, so neither may be
+    planned as a broadcast build (compressed stats under the 64m
+    threshold deserialized past a shared 8g heap at ×256). The
+    shuffle_hash hint must hold: the (id_a,id_b) equi-join is a
+    ShuffledHashJoin, not a BroadcastHashJoin."""
+    from udata_datalake_service_spark.llm.dedup import pair_set_eval
+
+    a = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    e = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    t = tree(formatted_plan(pair_set_eval(a, e)))
+    assert "ShuffledHashJoin" in t
+    # the only broadcasts allowed are the 1-row scorecard-leg crossJoins
+    assert "BroadcastHashJoin" not in t
+    for frame in (a, e):
+        frame.unpersist()
+
+
 def test_window_group_limit_pin_catches_rule_defeating_variant(spark):
     """Negative control for the WindowGroupLimit pins: a rank cut whose
     limit is NOT a literal (here rn <= a computed column) defeats

@@ -32,9 +32,14 @@ def main() -> int:
     spark = get_spark()
     root = "/tmp/spark_hydra_scale256"
 
+    import os
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
     for s in SCALES:
+        if os.path.exists(f"{root}/sf_{s}x/documents.parquet/_SUCCESS"):
+            print(f"fixture sf_{s}x already present, reusing", flush=True)
+            continue
         parts = []
         for i in range(s):
             # same near-bijective per-copy token salt as scale_probe.py:

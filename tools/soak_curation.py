@@ -1,0 +1,296 @@
+"""End-to-end curation soak (VERDICT r9 #2).
+
+One run, every plane the repo built, CHAINED — the actual 100 TB
+composition instead of per-operator probes:
+
+  multi-file WARC crawl (32 per-record-gzip files, synthesized IN
+  PARALLEL by Spark so the inflate leg runs at real parallelism, closing
+  the parallelism-2 artifact in SCALE64.md's r9 attribution)
+    → warc ingest (binaryFile → record split → envelope parse →
+      html_to_text)
+    → gopher quality gate
+    → dedup (exact fingerprint + capped MinHash/LSH near-dup)
+    → k-gram decontamination against a benchmark slice
+    → stratified mixing
+    → write_training_shards against the S3ObjectStore backend (moto —
+      data bytes live ONLY server-side), manifests verified FROM the
+      bucket.
+
+Corpus: the sf0.1 documents table scaled ×64 (~960 k docs). Every 8th
+copy keeps the original text (real exact-dup families for the dedup
+phase); the rest are token-salted (distinct docs, same family sizes).
+
+Prints a per-phase markdown table (phase, rows in → out, wall s);
+paste into SOAK.md.
+
+Usage: python tools/soak_curation.py [sf_dir] [scale]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.session import get_spark
+
+    spark = get_spark()
+    root = "/tmp/spark_hydra_soak"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/warc", exist_ok=True)
+
+    phases: list[tuple[str, int, int, float]] = []
+
+    def phase(name, n_in, thunk):
+        t0 = time.monotonic()
+        n_out = thunk()
+        dt = time.monotonic() - t0
+        phases.append((name, n_in, n_out, round(dt, 1)))
+        print(f"  {name}: {n_in} -> {n_out} rows, {dt:.1f}s", flush=True)
+        return n_out
+
+    # ---- fixture: scale ×N (every 8th copy unsalted = exact dups) ----
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    parts = []
+    for i in range(scale):
+        if i % 8 == 0:
+            body = F.col("text")
+        else:
+            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]+)", f"$1s{i}")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+                body.alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    def synth():
+        # one .warc.gz per partition, written by the EXECUTOR task —
+        # fixture synthesis itself runs at full parallelism (local mode:
+        # executors share the driver filesystem; a cluster would stage
+        # to shared storage exactly like any Spark output)
+        warc_dir = f"{root}/warc"
+
+        def write_part(rows):
+            from pyspark import TaskContext
+
+            from udata_datalake_service_spark.sources.warc import write_warc
+
+            recs = [
+                (
+                    {
+                        "WARC-Type": "warcinfo",
+                        "Content-Type": "application/warc-fields",
+                    },
+                    b"software: udata-datalake-service-spark\r\n",
+                )
+            ]
+            n = 0
+            for r in rows:
+                i = r["doc_id"]
+                status = 404 if i % 97 == 0 else 200
+                html = (
+                    f"<html><body><h1>Doc {i}</h1><p>{r['text']}</p></body></html>"
+                    if status == 200
+                    else "<html><body><p>gone</p></body></html>"
+                )
+                recs.append(
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:doc:{i}>",
+                            "WARC-Target-URI": f"https://crawl.test/{r['lang']}/{r['source']}/doc-{i}",
+                            "WARC-Date": "2026-01-01T00:00:00Z",
+                            "Content-Type": "application/http; msgtype=response",
+                        },
+                        f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode()
+                        + html.encode(),
+                    )
+                )
+                n += 1
+            if n == 0:
+                return
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(warc_dir, f".crawl-{pid:02d}.warc.gz.tmp")
+            with open(tmp, "wb") as f:
+                f.write(write_warc(recs, gzip_members=True))
+            os.replace(tmp, os.path.join(warc_dir, f"crawl-{pid:02d}.warc.gz"))
+
+        big.repartition(32).foreachPartition(write_part)
+        return len(os.listdir(warc_dir))
+
+    n_docs = n0 * scale
+    print(f"soak: {n_docs} docs ({scale}x of {sf_dir})", flush=True)
+    n_files = phase("warc_synthesize (fixture)", n_docs, synth)
+    assert n_files >= 32, n_files
+
+    # ---- ingest: binaryFile -> record split -> envelope -> text ----
+    from udata_datalake_service_spark.llm.html import html_to_text
+    from udata_datalake_service_spark.sources.warc import read_warc
+
+    def ingest():
+        recs = read_warc(spark, f"{root}/warc").filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        out = recs.select(
+            F.regexp_extract("target_uri", r"doc-(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract("target_uri", r"crawl\.test/([^/]+)/", 1).alias("lang"),
+            F.regexp_extract("target_uri", r"crawl\.test/[^/]+/([^/]+)/", 1).alias(
+                "source"
+            ),
+            html_to_text(F.col("payload").cast("string")).alias("text"),
+        )
+        out.write.mode("overwrite").parquet(f"{root}/ingested")
+        return spark.read.parquet(f"{root}/ingested").count()
+
+    n_ing = phase("warc_ingest", n_docs, ingest)
+
+    # ---- gopher quality gate ----
+    from udata_datalake_service_spark.llm.gopher import gopher_quality
+
+    def gopher():
+        d = spark.read.parquet(f"{root}/ingested")
+        kept = (
+            gopher_quality(d, text="text", id_col="doc_id")
+            .filter(F.col("gopher_pass"))
+            .select("doc_id")
+        )
+        d.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{root}/gated"
+        )
+        return spark.read.parquet(f"{root}/gated").count()
+
+    n_gate = phase("gopher_gate", n_ing, gopher)
+
+    # ---- dedup: exact fingerprint + capped MinHash/LSH near-dup ----
+    from udata_datalake_service_spark.llm.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def dedup():
+        d = spark.read.parquet(f"{root}/gated")
+        ex = exact_dedup(d, text="text", id_col="doc_id")
+        ex.write.mode("overwrite").parquet(f"{root}/exact")
+        ex = spark.read.parquet(f"{root}/exact")
+        sigs = minhash_signatures(ex, num_hashes=8, k=2)
+        pairs = lsh_candidate_pairs(
+            sigs, num_bands=4, rows_per_band=2, max_bucket=256
+        )
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        ex.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            f"{root}/deduped"
+        )
+        return spark.read.parquet(f"{root}/deduped").count()
+
+    n_dedup = phase("dedup (exact + LSH cap=256)", n_gate, dedup)
+
+    # ---- decontamination against a benchmark slice ----
+    from udata_datalake_service_spark.llm.contamination import decontaminate
+
+    def decontam():
+        d = spark.read.parquet(f"{root}/deduped")
+        bench = docs.filter(F.col("doc_id") % 997 == 0).select("text")
+        decontaminate(d, bench, text="text", id_col="doc_id", k=5).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/clean")
+        return spark.read.parquet(f"{root}/clean").count()
+
+    n_clean = phase("decontam (k=5)", n_dedup, decontam)
+
+    # ---- stratified mixing ----
+    from udata_datalake_service_spark.llm.mixing import stratified_mix
+
+    def mix():
+        d = spark.read.parquet(f"{root}/clean")
+        langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+        rates = {
+            lg: (1.0 if j % 2 == 0 else 0.5) for j, lg in enumerate(sorted(langs))
+        }
+        stratified_mix(
+            d, "lang", rates, key_cols=["doc_id"], seed="soak0"
+        ).write.mode("overwrite").parquet(f"{root}/mixed")
+        return spark.read.parquet(f"{root}/mixed").count()
+
+    n_mix = phase("stratified_mix", n_clean, mix)
+
+    # ---- training shards into the OBJECT STORE (moto) ----
+    def shards():
+        import boto3
+        from moto.server import ThreadedMotoServer
+
+        from udata_datalake_service_spark.sinks.lake import Lake
+        from udata_datalake_service_spark.sinks.store import S3ObjectStore
+
+        server = ThreadedMotoServer(port=0)
+        server.start()
+        port = server._server.socket.getsockname()[1]
+        client = boto3.client(
+            "s3",
+            endpoint_url=f"http://127.0.0.1:{port}",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+            region_name="us-east-1",
+        )
+        client.create_bucket(Bucket="soak")
+        lake = Lake(spark, f"{root}/lake", store=S3ObjectStore("soak", client))
+        d = spark.read.parquet(f"{root}/mixed").withColumn(
+            "row_key", F.concat_ws("#", "doc_id", "copy_idx")
+        )
+        manifest = lake.write_training_shards(
+            d, "corpus_shards", 32, ["row_key"], seed="soak-shards"
+        )
+        rows = manifest.collect()
+        total = sum(r["n_rows"] for r in rows)
+        # verify from the BUCKET: committed part objects live server-side
+        n_objs = 0
+        paginator = client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket="soak"):
+            n_objs += len(page.get("Contents", []))
+        print(
+            f"    manifest: {len(rows)} shards, {total} rows; "
+            f"{n_objs} objects in bucket",
+            flush=True,
+        )
+        assert len(rows) == 32, rows
+        assert total == n_mix, (total, n_mix)
+        assert n_objs > 32, n_objs
+        server.stop()
+        return total
+
+    phase("write_training_shards (S3ObjectStore)", n_mix, shards)
+
+    print(f"\ncorpus: {n_docs} docs ({scale}x {sf_dir}), {n_files} WARC files")
+    print("| phase | rows in | rows out | wall s |")
+    print("|---|---|---|---|")
+    for name, n_in, n_out, dt in phases:
+        print(f"| {name} | {n_in} | {n_out} | {dt} |")
+    total_s = round(sum(p[3] for p in phases), 1)
+    print(f"| **total** | | | **{total_s}** |")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

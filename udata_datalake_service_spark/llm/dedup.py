@@ -1106,7 +1106,15 @@ def pair_set_eval(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """
     a = approx.select("id_a", "id_b").persist()
     e = exact.select("id_a", "id_b").persist()
-    hit = a.join(e, on=["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    # BOTH sides are pair-grain — they scale with the corpus, so neither
+    # may ever be planned as a broadcast build (measured: at ×256 the
+    # exact side's compressed stats sat under the 64m auto-broadcast
+    # threshold while its deserialized relation blew a shared 8g heap).
+    # shuffle_hash keeps the join co-partitioned on the pair key with no
+    # driver-side build and no sort.
+    hit = a.join(e.hint("shuffle_hash"), on=["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
     na = a.agg(F.count(F.lit(1)).alias("n_approx"))
     ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
     out = ne.crossJoin(na).crossJoin(hit)
