@@ -60,15 +60,20 @@ def main() -> int:
         print(f"  {name}: {n_in} -> {n_out} rows, {dt:.1f}s", flush=True)
         return n_out
 
-    # ---- fixture: scale ×N (every 8th copy unsalted = exact dups) ----
+    # ---- fixture: scale ×N in three duplication tiers -----------------
+    # i%8==0 : identical text        -> exact-dup families (exact_dedup)
+    # i%8==1 : salt only words >=6ch -> near-dup families  (MinHash/LSH)
+    # else   : salt words >=3ch      -> distinct documents (pass through)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     parts = []
     for i in range(scale):
         if i % 8 == 0:
             body = F.col("text")
+        elif i % 8 == 1:
+            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]{6,})", f"$1s{i}")
         else:
-            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]+)", f"$1s{i}")
+            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]{3,})", f"$1s{i}")
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
@@ -106,8 +111,10 @@ def main() -> int:
             for r in rows:
                 i = r["doc_id"]
                 status = 404 if i % 97 == 0 else 200
+                # heading carries NO doc id: exact-dup copies must stay
+                # byte-identical after extraction or exact_dedup sees none
                 html = (
-                    f"<html><body><h1>Doc {i}</h1><p>{r['text']}</p></body></html>"
+                    f"<html><body><h1>Document</h1><p>{r['text']}</p></body></html>"
                     if status == 200
                     else "<html><body><p>gone</p></body></html>"
                 )
@@ -169,11 +176,14 @@ def main() -> int:
 
     def gopher():
         d = spark.read.parquet(f"{root}/ingested")
-        kept = (
-            gopher_quality(d, text="text", id_col="doc_id")
-            .filter(F.col("gopher_pass"))
-            .select("doc_id")
-        )
+        g = gopher_quality(d, text="text", id_col="doc_id")
+        # the synthetic vocabulary has ~no English stopwords and avg doc
+        # length sits ON the 50-word floor, so the strict gate (n_fail=0)
+        # would empty the pipeline — a fixture artifact, not an engine
+        # property. Gate at n_fail <= 2 and report the strict count.
+        n_strict = g.filter(F.col("gopher_pass")).count()
+        print(f"    strict gopher_pass would keep {n_strict}", flush=True)
+        kept = g.filter(F.col("n_fail") <= 2).select("doc_id")
         d.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{root}/gated"
         )
@@ -210,7 +220,7 @@ def main() -> int:
 
     def decontam():
         d = spark.read.parquet(f"{root}/deduped")
-        bench = docs.filter(F.col("doc_id") % 997 == 0).select("text")
+        bench = docs.filter(F.col("doc_id") % 199 == 0).select("doc_id", "text")
         decontaminate(d, bench, text="text", id_col="doc_id", k=5).write.mode(
             "overwrite"
         ).parquet(f"{root}/clean")
@@ -236,8 +246,12 @@ def main() -> int:
 
     # ---- training shards into the OBJECT STORE (moto) ----
     def shards():
+        import logging
+
         import boto3
         from moto.server import ThreadedMotoServer
+
+        logging.getLogger("werkzeug").setLevel(logging.ERROR)
 
         from udata_datalake_service_spark.sinks.lake import Lake
         from udata_datalake_service_spark.sinks.store import S3ObjectStore
