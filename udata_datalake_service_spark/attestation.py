@@ -37,6 +37,9 @@ CURRENT_ROUND = 10
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-10 changes (populated as queries are added/edited this round)
     "sk_lake_rollup",  # NEW: per-day KMV sketch tables persisted exactly-once in the lake, merged from the lake alone (VERDICT r9 #6)
+    "dd_lsh_eval",  # plan change: pair_set_eval hit join hinted shuffle_hash (never broadcast a pair-grain side)
+    "ann_pq_topk",  # pq_adc_topk candidates path now distinct()s pairs (ADVICE r9)
+    "ann_ivfpq_topk",  # same pq_adc_topk change on its candidate-bounded tail
 })
 
 # query name -> last round with a green driver row (regenerate with
