@@ -195,6 +195,7 @@ def main() -> int:
     from udata_datalake_service_spark.llm.dedup import (
         exact_dedup,
         lsh_candidate_pairs,
+        minhash_jaccard_estimate,
         minhash_signatures,
     )
 
@@ -203,14 +204,21 @@ def main() -> int:
         ex = exact_dedup(d, text="text", id_col="doc_id")
         ex.write.mode("overwrite").parquet(f"{root}/exact")
         ex = spark.read.parquet(f"{root}/exact")
-        sigs = minhash_signatures(ex, num_hashes=8, k=2)
+        # candidates are VERIFIED before dropping (estimate >= 0.5 at
+        # candidate grain) — raw band collisions are not duplicates,
+        # and the tiny synthetic vocabulary makes unrelated docs collide
+        sigs = minhash_signatures(ex, num_hashes=8, k=2).persist()
         pairs = lsh_candidate_pairs(
             sigs, num_bands=4, rows_per_band=2, max_bucket=256
         )
-        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        dups = minhash_jaccard_estimate(sigs, pairs).filter(
+            F.col("jaccard_est") >= 0.5
+        )
+        drops = dups.select(F.col("id_b").alias("doc_id")).distinct()
         ex.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(
             f"{root}/deduped"
         )
+        sigs.unpersist()
         return spark.read.parquet(f"{root}/deduped").count()
 
     n_dedup = phase("dedup (exact + LSH cap=256)", n_gate, dedup)
