@@ -1201,6 +1201,7 @@ def ivf_pq_topk(
     rerank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × PQ — the production 100 TB ANN shape: a SUBLINEAR candidate
     set (only ``num_probes`` of ``num_lists`` inverted lists are read per
@@ -1212,21 +1213,32 @@ def ivf_pq_topk(
     candidate set is one equi-join on list_id; ADC and re-rank are the
     `pq_adc_topk` tail restricted to those candidates.
 
-    Centroids are the first ``num_lists`` corpus vectors by id —
-    deterministic and oracle-replayable (at production scale you train
-    real centroids offline on a sample and broadcast them; the plan
-    shape is identical). Corpus-side cost: ONE pass for assignment + ONE
-    pass for codes (both precomputable lake tables); per-query cost is
-    bounded by the probed lists' sizes, never the corpus.
+    Default centroids are the first ``num_lists`` corpus vectors by id —
+    deterministic and oracle-replayable. Pass ``centroids`` (a
+    (label, centroid array<double>) frame, e.g. a k-means pass over a
+    sample) for production geometry: the ×64 probe
+    (SCALE64.md §IVFADC-GEOMETRY) measured that at num_lists ≈ √N the
+    first-K default no longer covers the space (recall@10 ≈ 0.1) while
+    2-round trained centroids recover it at the same sublinear candidate
+    fraction. The plan shape is identical either way. Corpus-side cost:
+    ONE pass for assignment + ONE pass for codes (both precomputable
+    lake tables); per-query cost is bounded by the probed lists' sizes,
+    never the corpus.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(num_lists)
-        .select(
-            F.col(id_col).alias("__list"),
-            _as_double(F.col(vec_col)).alias("centroid"),
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroids.columns[0]).alias("__list"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(num_lists)
+            .select(
+                F.col(id_col).alias("__list"),
+                _as_double(F.col(vec_col)).alias("centroid"),
+            )
+        )
     assigned = assign_nearest_centroid(
         corpus, cents, vec=vec_col, id_col=id_col, label_col="__list"
     ).select(F.col(id_col).alias("neighbor_id"), F.col("assigned_label").alias("list_id"))
