@@ -535,6 +535,86 @@ def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
     assert lake.read_app_table("corpus_docs").count() == 3
 
 
+def test_streaming_kmv_sketch_rollup_matches_whole_build(spark, tmp_path):
+    """Streaming statistics without history rescans: per-epoch KMV
+    sketches appended exactly-once; the lake rollup is hash-for-hash the
+    whole-data sketch (min-k(∪ min-k) = min-k(∪)); duplicates across
+    batches change NOTHING (KMV is multiplicity-blind, so the stream
+    needs no dedup state); a restart and a manual epoch replay both
+    no-op."""
+    from udata_datalake_service_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+    )
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.sketch_stream import (
+        kmv_ndv_from_lake,
+        kmv_sketch_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+    k = 8
+
+    def shard(rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    shard([(i, f"t{i}", "en" if i % 2 else "fr", "web", 5) for i in range(30)])
+    shard([(i, f"t{i}", "en" if i % 2 else "fr", "web", 5) for i in range(20, 50)])
+
+    q = kmv_sketch_stream(spark, src, lake, ckpt, col="doc_id", k=k)
+    q.awaitTermination(120)
+    # two epochs (maxFilesPerTrigger=1) -> per-group sketch rows from 2 batches
+    batches = lake.read_app_table("kmv_batches")
+    assert batches.select("batch_epoch").distinct().count() == 2
+
+    # rollup from the lake == whole-data build, hash for hash, despite
+    # the 20..29 overlap arriving twice
+    whole_rows = [(i, "en" if i % 2 else "fr") for i in range(50)]
+    whole = spark.createDataFrame(whole_rows, "doc_id long, lang string")
+    want = {
+        (r["lang"], r["rn"], r["h"])
+        for r in kmv_build(whole, "doc_id", ["lang"], k).collect()
+    }
+    from udata_datalake_service_spark.operators.sketch import kmv_merge
+
+    got = {
+        (r["lang"], r["rn"], r["h"])
+        for r in kmv_merge(batches, group_cols=["lang"], k=k).collect()
+    }
+    assert got == want
+    est = {r["lang"]: r for r in kmv_ndv_from_lake(lake, k=k, group_cols=["lang"]).collect()}
+    ref = {
+        r["lang"]: r
+        for r in kmv_estimate(
+            kmv_build(whole, "doc_id", ["lang"], k), ["lang"], k
+        ).collect()
+    }
+    for lang in ("en", "fr"):
+        assert est[lang]["ndv_est"] == ref[lang]["ndv_est"]
+
+    # restart on the same checkpoint with nothing new: no new epochs
+    q = kmv_sketch_stream(spark, src, lake, ckpt, col="doc_id", k=k)
+    q.awaitTermination(120)
+    assert lake.read_app_table("kmv_batches").count() == batches.count()
+
+    # manual replay of epoch 0 (same checkpoint-derived ledger key): no-op
+    import hashlib as _h
+
+    prefix = "stream-kmv-" + _h.md5(ckpt.encode()).hexdigest()[:8]
+    replay = kmv_build(whole, "doc_id", ["lang"], k).withColumn(
+        "batch_epoch", F.lit(0)
+    )
+    assert (
+        lake.append_app_table_exactly_once(replay, "kmv_batches", f"{prefix}-0")
+        is False
+    )
+
+
 @pytest.mark.slow
 def test_watermark_late_data_contract(spark, tmp_path):
     """The event-time late-data contract for the ST2 rate windows
