@@ -586,7 +586,7 @@ def test_topk_per_group_rank_cuts_stay_window_group_limits(spark):
     top-k before the shuffle), so the rank cut never degenerates into a
     full per-group sort of the whole partition — the 100 TB hot-key
     straggler shape."""
-    for q in ("o1_top2_per_key", "j5_latest_per_key"):
+    for q in ("o1_top2_per_key", "j5_latest_per_key", "sk_lake_rollup"):
         t = tree(formatted_plan(QUERIES[q](spark, SF_DIR)))
         assert "WindowGroupLimit" in t, q
 

@@ -614,6 +614,29 @@ def test_streaming_kmv_sketch_rollup_matches_whole_build(spark, tmp_path):
         is False
     )
 
+    # compaction folds every epoch into one k-per-group sketch and the
+    # rollup answer is bit-identical before/after (min-k merge law)
+    from udata_datalake_service_spark.streaming.sketch_stream import (
+        kmv_compact_lake_sketches,
+    )
+
+    stats = kmv_compact_lake_sketches(lake, k=k, group_cols=["lang"])
+    assert stats["rows_after"] <= stats["rows_before"]
+    got_after = {
+        (r["lang"], r["rn"], r["h"])
+        for r in kmv_merge(
+            lake.read_app_table("kmv_batches"), group_cols=["lang"], k=k
+        ).collect()
+    }
+    assert got_after == want
+    assert (
+        lake.read_app_table("kmv_batches")
+        .select("batch_epoch")
+        .distinct()
+        .count()
+        == 1
+    )
+
 
 @pytest.mark.slow
 def test_watermark_late_data_contract(spark, tmp_path):

@@ -98,3 +98,34 @@ def kmv_ndv_from_lake(
     ndv_est)."""
     g = list(group_cols)
     return kmv_estimate(kmv_merge(lake.read_app_table(table), group_cols=g, k=k), g, k)
+
+
+def kmv_compact_lake_sketches(
+    lake: Lake,
+    table: str = "kmv_batches",
+    group_cols: Sequence[str] = ("lang",),
+    k: int = 64,
+) -> dict:
+    """Fold all persisted epoch sketches into ONE merged sketch version —
+    the maintenance verb that bounds the sketch table at k rows per
+    group FOREVER, however many epochs the stream has committed. The
+    min-k merge law guarantees the compacted table answers every future
+    rollup identically (pinned by test), so this is a pure size/read
+    optimization at sketch grain — raw data is never touched, and the
+    rewrite goes through the crash-safe versioned commit like any other
+    replace. The exactly-once batch ledger is intentionally NOT carried
+    over: compaction is a new epoch in the table's life, and stream
+    checkpoints that could replay pre-compaction epochs must not resume
+    against a compacted table (same recovery contract as wiping a
+    checkpoint — pass a fresh ledger_prefix/checkpoint after compacting).
+
+    Returns {"rows_before", "rows_after"}."""
+    g = list(group_cols)
+    before = lake.read_app_table(table)
+    n_before = before.count()
+    merged = kmv_merge(before, group_cols=g, k=k).withColumn(
+        "batch_epoch", F.lit(-1)  # sentinel: the compacted epoch
+    )
+    n_after = merged.count()
+    lake.write_app_table(merged, table)
+    return {"rows_before": int(n_before), "rows_after": int(n_after)}
