@@ -698,11 +698,25 @@ class TestCommitProtocolAcrossBackends:
         assert not _os.path.exists(lake.table_path("t"))
 
     def test_compact_table_preserves_rows(self, spark, tmp_path, proto_store):
+        import warnings as _warnings
+
         lake = Lake(spark, str(tmp_path / "lakec"), store=proto_store)
         df = spark.createDataFrame([(i,) for i in range(100)], "id long")
         lake.write_app_table(df, "t")
-        for _ in range(3):
-            lake.append_app_table(df, "t")  # one+ new file per append
+        # ADVICE r9: the in-place append must warn on backends where a
+        # concurrent reader can list a partial append (object store),
+        # and stay silent on atomic-visibility backends
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            for _ in range(3):
+                lake.append_app_table(df, "t")  # one+ new file per append
+        append_warns = [
+            w for w in caught if "append_app_table_exactly_once" in str(w.message)
+        ]
+        if getattr(proto_store, "partial_append_visible", False):
+            assert append_warns, "object-store append must steer to staged path"
+        else:
+            assert not append_warns
         report = lake.compact_table("t", app_table=True)
         assert report["files_before"] >= 4
         assert report["files_after"] == 1
