@@ -787,6 +787,78 @@ class TestCommitProtocolAcrossBackends:
         assert lake.store.read_text(lock) == "live-holder"
         lake.store.delete(lock)
 
+    def test_first_append_to_new_table_does_not_warn(
+        self, spark, tmp_path, proto_store
+    ):
+        """ADVICE r10: the object-store steering warning must NOT fire on
+        the first append to a brand-new table — that path falls back to
+        the staged `_replace_write` (no partial-visibility window), and a
+        false positive trains callers to ignore the real warning."""
+        import warnings as _warnings
+
+        lake = Lake(spark, str(tmp_path / "lakefw"), store=proto_store)
+        df = spark.createDataFrame([(1,)], "id long")
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            lake.append_app_table(df, "brandnew")
+        assert not [
+            w for w in caught if "append_app_table_exactly_once" in str(w.message)
+        ]
+        assert lake.read_app_table("brandnew").count() == 1
+
+    def test_compaction_carries_exactly_once_ledger(
+        self, spark, tmp_path, proto_store
+    ):
+        """ADVICE r10 (medium): a rewrite that PRESERVES exactly-once-
+        appended data (compaction) must carry the _batches.json ledger —
+        otherwise a crash-replayed epoch re-commits after compaction and
+        double-counts rows the stream checkpoint considers durable."""
+        lake = Lake(spark, str(tmp_path / "lakelg"), store=proto_store)
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-0") is True
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-1") is True
+        assert lake.read_app_table("t").count() == 4
+
+        lake.compact_table("t", app_table=True)
+        # replay of a pre-compaction epoch still no-ops
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-0") is False
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-1") is False
+        assert lake.read_app_table("t").count() == 4
+        # and NEW epochs still commit
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-2") is True
+        assert lake.read_app_table("t").count() == 6
+
+        # same contract through rewrite_app_table(carry_exactly_once_ledger)
+        snap = lake.table_version("t", app=True)
+        merged = lake.read_app_table("t").distinct()
+        lake.rewrite_app_table(
+            merged, "t", expected_version=snap, carry_exactly_once_ledger=True
+        )
+        assert lake.append_app_table_exactly_once(df, "t", "epoch-2") is False
+        assert lake.read_app_table("t").count() == 2  # distinct() kept ids 1,2
+
+    def test_rewrite_cas_catches_racing_exactly_once_append(
+        self, spark, tmp_path, proto_store
+    ):
+        """ADVICE r10 (medium): an exactly-once append landing between a
+        compacting rewrite's read and its flip must make the rewrite FAIL
+        (CAS), never be silently lost — exactly-once appends bump the
+        manifest, so the stale expected_version is detectable."""
+        lake = Lake(spark, str(tmp_path / "lakecasx"), store=proto_store)
+        df = spark.createDataFrame([(1,)], "id long")
+        lake.append_app_table_exactly_once(df, "t", "e0")
+        snap = lake.table_version("t", app=True)
+        merged = lake.read_app_table("t").distinct()
+        # racing producer commits e1 after the compactor snapshotted
+        lake.append_app_table_exactly_once(df, "t", "e1")
+        with pytest.raises(ConcurrentWriteError):
+            lake.rewrite_app_table(
+                merged, "t", expected_version=snap, carry_exactly_once_ledger=True
+            )
+        # the raced epoch survived; ledger intact (replay no-ops)
+        assert lake.read_app_table("t").count() == 2
+        assert lake.append_app_table_exactly_once(df, "t", "e1") is False
+
     def test_registry_append_then_rewrite(self, spark, tmp_path, proto_store):
         lake = Lake(spark, str(tmp_path / "lakereg"), store=proto_store)
         df = spark.createDataFrame([(1,)], "id long")

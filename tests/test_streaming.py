@@ -637,6 +637,17 @@ def test_streaming_kmv_sketch_rollup_matches_whole_build(spark, tmp_path):
         == 1
     )
 
+    # ADVICE r10: compaction CARRIES the exactly-once ledger — a crash-
+    # replayed pre-compaction epoch must keep no-opping (the data
+    # survived the merge, so the id must stay committed), and the
+    # compacted table must not grow duplicate batch_epoch rows
+    n_compacted = lake.read_app_table("kmv_batches").count()
+    assert (
+        lake.append_app_table_exactly_once(replay, "kmv_batches", f"{prefix}-0")
+        is False
+    )
+    assert lake.read_app_table("kmv_batches").count() == n_compacted
+
 
 @pytest.mark.slow
 def test_watermark_late_data_contract(spark, tmp_path):

@@ -306,19 +306,33 @@ class Lake:
         base: Path,
         partition_by: list[str] | None = None,
         expect: object = _UNSET,
+        ledger: list[str] | None = None,
     ) -> None:
         """Replace-write ``df`` as a new committed version of ``base``.
         The input may read from the table's current version — it is never
         touched until the manifest flips. The parquet write lands in an
         invisible ``_staging-*`` dir (GC-proof under concurrent commits)
         and renames into place inside the commit lock; pass ``expect``
-        (from `table_version`) for optimistic-concurrency semantics."""
+        (from `table_version`) for optimistic-concurrency semantics.
+        ``ledger`` (a committed-batch-id list) is written into the new
+        version as ``_batches.json`` so the exactly-once append protocol
+        survives a rewrite that preserves the appended data (compaction)."""
         ver = self._new_version()
         staging = base / f"_staging-{ver}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(staging))
+        if ledger is not None:
+            import json as _json
+
+            lf = staging / "_batches.json"
+            lf.write_text(_json.dumps(ledger))
+            fd = os.open(lf, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         self._commit_version(base, ver, expect=expect, staging=staging)
 
     def table_version(self, name: str, app: bool = False) -> str | None:
@@ -751,7 +765,11 @@ class Lake:
         return self._read_dir(Path(self.app_table_path(name)), merge_schema=True)
 
     def rewrite_app_table(
-        self, df: DataFrame, name: str, expected_version: object = _UNSET
+        self,
+        df: DataFrame,
+        name: str,
+        expected_version: object = _UNSET,
+        carry_exactly_once_ledger: bool = False,
     ) -> None:
         """Read-modify-write of an app table. ``df`` may (and usually does)
         read from the table's current version; that version is untouched
@@ -772,9 +790,41 @@ class Lake:
         Spark-sized writes that can't reasonably hold it. Run appenders
         and rewriters of one table single-writer (the reference's daemon
         does), or front the lake with Delta/Iceberg, whose commit log
-        versions appends too."""
+        versions appends too.
+
+        ``carry_exactly_once_ledger=True`` copies the current version's
+        ``_batches.json`` (the `append_app_table_exactly_once` committed-
+        batch ledger) into the rewritten version. A rewrite that PRESERVES
+        the appended data (compaction, re-clustering) must carry it —
+        dropping the ledger would let a crash-replayed producer re-commit
+        an epoch whose rows survived the rewrite, double-counting it. The
+        ledger is read from the ``expected_version`` snapshot, so the CAS
+        guarantees ledger and data were read from the same version."""
+        ledger: list[str] | None = None
+        if carry_exactly_once_ledger:
+            import json as _json
+
+            base = Path(self.app_table_path(name))
+            snap = (
+                expected_version
+                if expected_version is not _UNSET
+                else self._manifest_version(base)
+            )
+            if snap is None:
+                cur = base if base.exists() else None  # legacy-plain or absent
+            else:
+                p = base / str(snap)
+                cur = p if self.store.data_dir_exists(p) else None
+            ledger = []
+            if cur is not None:
+                cur = self.store.materialize_dir(cur)
+                if (cur / "_batches.json").exists():
+                    ledger = _json.loads((cur / "_batches.json").read_text())
         self._replace_write(
-            df, Path(self.app_table_path(name)), expect=expected_version
+            df,
+            Path(self.app_table_path(name)),
+            expect=expected_version,
+            ledger=ledger,
         )
 
     # --------------------------------------------------- training shards ----
@@ -884,13 +934,20 @@ class Lake:
         # Spark partition discovery, as on any partitioned read.
         pcols = self._detect_partition_cols(cur)
         df = self.spark.read.parquet(str(cur))
+        # carry the exactly-once ledger: compaction preserves the data, so
+        # committed epoch ids must stay committed (replays keep no-opping)
+        ledger = None
+        if (cur / "_batches.json").exists():
+            import json as _json
+
+            ledger = _json.loads((cur / "_batches.json").read_text())
         # CAS on the manifest read above: a rewrite committed while the
         # compaction was reading raises ConcurrentWriteError instead of
         # being clobbered (in-place appends remain invisible to the CAS —
         # the documented rewrite_app_table hazard)
         self._replace_write(
             df.coalesce(int(n_out)), base, partition_by=pcols or None,
-            expect=snapshot,
+            expect=snapshot, ledger=ledger,
         )
         return {
             "files_before": len(data_files),

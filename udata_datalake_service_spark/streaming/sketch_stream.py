@@ -111,21 +111,36 @@ def kmv_compact_lake_sketches(
     group FOREVER, however many epochs the stream has committed. The
     min-k merge law guarantees the compacted table answers every future
     rollup identically (pinned by test), so this is a pure size/read
-    optimization at sketch grain — raw data is never touched, and the
-    rewrite goes through the crash-safe versioned commit like any other
-    replace. The exactly-once batch ledger is intentionally NOT carried
-    over: compaction is a new epoch in the table's life, and stream
-    checkpoints that could replay pre-compaction epochs must not resume
-    against a compacted table (same recovery contract as wiping a
-    checkpoint — pass a fresh ledger_prefix/checkpoint after compacting).
+    optimization at sketch grain — raw data is never touched.
 
+    Two invariants make compaction safe to run NEXT TO a live stream
+    (ADVICE r10 — the first cut had neither and could lose or duplicate
+    epochs):
+
+    * **CAS against racing appends.** The table version is snapshotted
+      before reading and the rewrite commits with
+      ``expected_version=snapshot`` — a stream epoch whose
+      exactly-once append flips between compaction's read and its
+      manifest flip makes the compaction raise `ConcurrentWriteError`
+      (retry) instead of silently dropping a committed epoch the
+      checkpoint already considers durable.
+    * **The exactly-once ledger is CARRIED, not dropped.** Compaction
+      preserves every committed epoch's *data* (merged), so the epoch
+      ids must stay committed too: a crash-replayed epoch keeps
+      no-opping against the compacted version. Dropping the ledger
+      would re-admit replayed epochs as duplicate ``batch_epoch`` rows.
+
+    Raises `ConcurrentWriteError` if a commit raced; the caller retries.
     Returns {"rows_before", "rows_after"}."""
     g = list(group_cols)
+    snapshot = lake.table_version(table, app=True)
     before = lake.read_app_table(table)
     n_before = before.count()
     merged = kmv_merge(before, group_cols=g, k=k).withColumn(
         "batch_epoch", F.lit(-1)  # sentinel: the compacted epoch
     )
     n_after = merged.count()
-    lake.write_app_table(merged, table)
+    lake.rewrite_app_table(
+        merged, table, expected_version=snapshot, carry_exactly_once_ledger=True
+    )
     return {"rows_before": int(n_before), "rows_after": int(n_after)}
