@@ -53,6 +53,16 @@ def main() -> int:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n0 = emb.count()
     dim = len(emb.select("embedding").first()[0])
+    # the per-copy rotation offset is i % dim: with dim < SCALE, copies i
+    # and i+dim would be byte-identical (isotropic) / identical family
+    # members (clustered), injecting exact duplicates that skew the
+    # recall/candidate-fraction numbers pasted into SCALE64.md (ADVICE
+    # r10). Fail loudly rather than publish silently-duplicated geometry.
+    assert dim >= SCALE, (
+        f"embedding dim {dim} < SCALE {SCALE}: rotation copies would "
+        f"repeat every {dim} copies, duplicating vectors — lower SCALE "
+        "or use a higher-dimensional embedding table"
+    )
 
     def scaled(mode):
         parts = []

@@ -27,9 +27,12 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from udata_datalake_service_spark.session import get_spark
+    from udata_datalake_service_spark.session import get_spark, require_driver_heap
 
     spark = get_spark()
+    # measured: the x256 legs OOM a default-8g driver ~20 min in; refuse
+    # loudly up front instead (VERDICT r10 task 8)
+    require_driver_heap(spark, 48, "scale256_probe")
     root = "/tmp/spark_hydra_scale256"
 
     import os

@@ -43,9 +43,14 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from udata_datalake_service_spark.session import get_spark
+    from udata_datalake_service_spark.session import get_spark, require_driver_heap
 
     spark = get_spark()
+    if scale >= 128:
+        # the x64 default runs fine on an 8g driver (SOAK.md: 108 s); the
+        # x256-class legs OOM it — refuse loudly up front (VERDICT r10
+        # task 8)
+        require_driver_heap(spark, 48, f"soak_curation x{scale}")
     root = "/tmp/spark_hydra_soak"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/warc", exist_ok=True)

