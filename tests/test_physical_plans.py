@@ -162,6 +162,10 @@ _NESTED_LOOP_OK = {
     # r9: corpus x 16-centroid broadcast (assignment + probing) and the
     # same queries x codebook table as ann_pq_topk — all bounded sides
     "ann_ivfpq_topk",
+    # r11: same bounded shapes as ann_ivfpq_topk plus one more corpus x
+    # 16-seed broadcast for the Lloyd training round — the broadcast
+    # side is always the k=16 centroid rows, never a corpus
+    "ann_ivfpq_trained",
 }
 
 

@@ -36,6 +36,7 @@ CURRENT_ROUND = 11
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-11 changes (populated as queries are added/edited this round)
+    "ann_ivfpq_trained",  # NEW: IVFADC with trained (fixed-point label) centroids through ivf_pq_topk(centroids=) (VERDICT r10 task 4)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -6724,6 +6724,173 @@ SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
 """
 
 
+def q_ann_ivfpq_trained(spark, sf_dir):
+    """IVFADC with TRAINED centroids — the production composition
+    (VERDICT r10 task 4): one Lloyd round from the deterministic
+    first-K init (assign every vector to its nearest seed, recompute
+    the 16 list centroids with `label_centroids`' fixed-point
+    integer-sum device), then the trained codebook flows through
+    `ivf_pq_topk(centroids=)` — the externally-supplied-centroid path
+    the ×64 geometry probe validated (SCALE64.md §IVFADC-GEOMETRY:
+    at num_lists≈√N first-K centroids collapse to recall ~0.1 while
+    trained centroids hold 1.0 at the same candidate fraction).
+    Measured on this fixture: recall@10 = 0.90 at num_probes=4 —
+    the first-K leg (`ann_ivfpq_topk`) needs num_probes=8 for 0.92,
+    so training buys the same recall at HALF the probed lists.
+    Every step is engine-portable (round-6 cosine, label-asc ties,
+    1e-6 fixed-point centroid components), so the oracle replays
+    centroid training, assignment, probing, the candidate join, the
+    fixed-point ADC sums, and both cosines value-for-value — the
+    green CORRECTNESS entry covering ivf_pq_topk with non-default
+    centroids."""
+    from udata_datalake_service_spark.llm.similarity import (
+        assign_nearest_centroid,
+        ivf_pq_topk,
+        label_centroids,
+    )
+
+    e = _tw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = (
+        e.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("label"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    asg = assign_nearest_centroid(e, cents0, label_col="label")
+    trained = label_centroids(
+        e.join(
+            asg.select("vec_id", F.col("assigned_label").alias("label")),
+            on="vec_id",
+        ).select("embedding", "label")
+    ).select("label", "centroid")
+    return ivf_pq_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        k=10,
+        num_lists=16,
+        num_probes=4,
+        m=16,
+        dim=64,
+        rerank=8,
+        centroids=trained,
+    )
+
+
+_SQL_ANN_IVFPQ_TRAINED = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents0 AS (SELECT vec_id AS label, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+asg0 AS (
+  SELECT vec_id, label FROM (
+    SELECT e.vec_id, c.label,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c.centv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6)
+        DESC, c.label ASC) AS rn
+    FROM e CROSS JOIN cents0 c)
+  WHERE rn = 1
+),
+lex AS (
+  SELECT a.label, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT asg0.label,
+          unnest(list_transform(range(1, len(e.v) + 1),
+            i -> struct_pack(pos := i, x := e.v[i]))) AS u
+        FROM e JOIN asg0 ON asg0.vec_id = e.vec_id) a(label, u)
+),
+lg AS (SELECT label, pos, sum(q) AS s, count(*) AS n FROM lex GROUP BY 1, 2),
+cents AS (SELECT label AS list_id, list(s / (n * 1000000.0) ORDER BY pos) AS centv
+          FROM lg GROUP BY 1),
+asg AS (
+  SELECT vec_id AS neighbor_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c.centv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6)
+        DESC, c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        ROUND(list_dot_product(e.v, c.centv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6)
+        DESC, c.list_id ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a USING (list_id)
+),
+codes AS (
+  SELECT e.vec_id, s.sub,
+    array_to_string(list_transform(list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4),
+      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS code,
+    list_slice(e.v, s.sub * 4 + 1, s.sub * 4 + 4) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS sub) s
+),
+comp AS (
+  SELECT sub, code, u.pos AS pos, CAST(round(u.x * 1000000, 0) AS BIGINT) AS xq
+  FROM (SELECT sub, code,
+          unnest(list_transform(range(1, len(sv) + 1),
+            i -> struct_pack(pos := i, x := sv[i]))) AS u
+        FROM codes)
+),
+g AS (SELECT sub, code, pos, sum(xq) AS sm, count(*) AS n FROM comp GROUP BY 1, 2, 3),
+cb AS (SELECT sub, code, list(sm / (n * 1000000.0) ORDER BY pos) AS cw
+       FROM g GROUP BY 1, 2),
+q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM e WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, q.qn, cb.sub, cb.code,
+    CAST(round(list_dot_product(
+      list_slice(q.qv, cb.sub * 4 + 1, cb.sub * 4 + 4), cb.cw)
+      * 1000000000, 0) AS BIGINT) AS part_q,
+    CAST(round(list_dot_product(cb.cw, cb.cw) * 1000000000, 0) AS BIGINT)
+      AS cw_sq_q
+  FROM q CROSS JOIN cb
+),
+scored AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, dt.qn,
+    sum(dt.part_q) AS adc_q, sum(dt.cw_sq_q) AS vn2_q
+  FROM codes c
+  JOIN cand ON cand.neighbor_id = c.vec_id
+  JOIN dt ON dt.query_id = cand.query_id AND dt.sub = c.sub AND dt.code = c.code
+  GROUP BY 1, 2, 3
+),
+ac AS (
+  SELECT query_id, neighbor_id,
+    round(CASE WHEN qn > 0 AND vn2_q > 0
+      THEN (adc_q / 1000000000.0) / (qn * sqrt(vn2_q / 1000000000.0))
+      ELSE 0.0 END, 6) AS adc_cos
+  FROM scored WHERE query_id <> neighbor_id
+),
+candk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_cos DESC, neighbor_id ASC) AS arnk
+  FROM ac
+),
+ex AS (
+  SELECT candk.query_id, candk.neighbor_id, candk.adc_cos,
+    round(CASE WHEN qx.qn > 0 AND list_dot_product(ev.v, ev.v) > 0
+      THEN list_dot_product(qx.qv, ev.v)
+           / (qx.qn * sqrt(list_dot_product(ev.v, ev.v)))
+      ELSE 0.0 END, 6) AS cos
+  FROM candk
+  JOIN e ev ON ev.vec_id = candk.neighbor_id
+  JOIN q qx ON qx.query_id = candk.query_id
+  WHERE candk.arnk <= 80
+)
+SELECT query_id, neighbor_id, rnk, adc_cos, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM ex
+) WHERE rnk <= 10
+"""
+
+
 # =========================================================================
 # Round-8 operators: count-min sketch (operators/sketch.py)
 # =========================================================================
@@ -7258,6 +7425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_source_classifier": q_nb_source_classifier,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_trained": q_ann_ivfpq_trained,
     "sk_countmin_hh": q_sk_countmin_hh,
     # ---- round 9 ----
     "sk_bloom_probe": q_sk_bloom_probe,
@@ -7418,6 +7586,7 @@ ORACLES: dict[str, str] = {
     "nb_source_classifier": _SQL_NB_SOURCE,
     "ann_pq_topk": _SQL_ANN_PQ,
     "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
+    "ann_ivfpq_trained": _SQL_ANN_IVFPQ_TRAINED,
     "sk_countmin_hh": _SQL_SK_COUNTMIN,
     "sk_bloom_probe": _SQL_SK_BLOOM,
     "tok_bpe_encode": _SQL_TOK_BPE,
