@@ -69,6 +69,40 @@ def main() -> int:
     # i%8==0 : identical text        -> exact-dup families (exact_dedup)
     # i%8==1 : salt only words >=6ch -> near-dup families  (MinHash/LSH)
     # else   : salt words >=3ch      -> distinct documents (pass through)
+    #
+    # English-like surface (VERDICT r10 task 2): every doc gets a
+    # stopword-rich opener (picked per BASE doc id, so exact-dup copies
+    # stay byte-identical and near-dup copies stay similar) prepended
+    # AFTER salting, and the salts are LETTERS-ONLY — the r9/r10 fixture
+    # had no Gopher stopwords anywhere, digit salts broke the
+    # alpha-word-fraction rule, and mean length sat on the 50-word
+    # floor, so the STRICT gate (n_fail=0) had never passed a single
+    # document in composition. Docs genuinely under the word floor
+    # still fail honestly (the strict-pass fraction is ~3/4, not 1.0).
+    openers = [
+        "the quick brown fox jumps over that lazy dog and friends have fun with plenty of grace today",
+        "we went to the old market and that seller would have fresh bread with butter for everyone there",
+        "the long road runs north of town and people that travel it have good views with every turn",
+        "a boat can be moored to the dock and sailors that arrive have stories with plenty of salt",
+        "the garden grows east of the wall and roses that bloom there have color with morning light",
+        "students like to read in the library and books that help them have notes with clear margins",
+        "the river bends south of the bridge and herons that nest there have patience with every tide",
+        "cooks like to season the broth with care and guests that visit have bowls of it each night",
+    ]
+    opener_col = F.element_at(
+        F.array(*[F.lit(o) for o in openers]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+
+    def _alpha26(i: int) -> str:
+        # letters-only per-copy salt: digit salts make every salted word
+        # non-alphabetic and fail the Gopher alpha-word rule by fixture
+        s, i = "", i + 1
+        while i:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     parts = []
@@ -76,13 +110,17 @@ def main() -> int:
         if i % 8 == 0:
             body = F.col("text")
         elif i % 8 == 1:
-            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]{6,})", f"$1s{i}")
+            body = F.regexp_replace(
+                F.col("text"), r"([A-Za-z0-9]{6,})", f"$1s{_alpha26(i)}"
+            )
         else:
-            body = F.regexp_replace(F.col("text"), r"([A-Za-z0-9]{3,})", f"$1s{i}")
+            body = F.regexp_replace(
+                F.col("text"), r"([A-Za-z0-9]{3,})", f"$1s{_alpha26(i)}"
+            )
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
-                body.alias("text"),
+                F.concat(opener_col, F.lit(" "), body).alias("text"),
                 "lang",
                 "source",
             )
@@ -181,20 +219,26 @@ def main() -> int:
 
     def gopher():
         d = spark.read.parquet(f"{root}/ingested")
-        g = gopher_quality(d, text="text", id_col="doc_id")
-        # the synthetic vocabulary has ~no English stopwords and avg doc
-        # length sits ON the 50-word floor, so the strict gate (n_fail=0)
-        # would empty the pipeline — a fixture artifact, not an engine
-        # property. Gate at n_fail <= 2 and report the strict count.
-        n_strict = g.filter(F.col("gopher_pass")).count()
-        print(f"    strict gopher_pass would keep {n_strict}", flush=True)
-        kept = g.filter(F.col("n_fail") <= 2).select("doc_id")
+        g = gopher_quality(d, text="text", id_col="doc_id").persist()
+        # STRICT gate (n_fail=0) — the English-like fixture makes the
+        # real production threshold runnable in composition (VERDICT r10
+        # task 2); the relaxed count is reported alongside so the two
+        # thresholds stay comparable round over round.
+        n_relaxed = g.filter(F.col("n_fail") <= 2).count()
+        kept = g.filter(F.col("gopher_pass")).select("doc_id")
         d.join(kept, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{root}/gated"
         )
-        return spark.read.parquet(f"{root}/gated").count()
+        g.unpersist()
+        n_strict = spark.read.parquet(f"{root}/gated").count()
+        print(
+            f"    strict (n_fail=0) kept {n_strict}; relaxed (n_fail<=2) "
+            f"would keep {n_relaxed}",
+            flush=True,
+        )
+        return n_strict
 
-    n_gate = phase("gopher_gate", n_ing, gopher)
+    n_gate = phase("gopher_gate (STRICT n_fail=0)", n_ing, gopher)
 
     # ---- dedup: exact fingerprint + capped MinHash/LSH near-dup ----
     from udata_datalake_service_spark.llm.dedup import (
