@@ -74,9 +74,12 @@ def main() -> int:
         print(f"fixture sf_{s}x built ({s * n_docs} docs)", flush=True)
 
     def quiesce():
+        # GC only — NO clearCache(): the whole point of this probe is
+        # that each phase reads its upstreams from cache, so a phase's
+        # wall time is ITS OWN cost (the first cut cleared the cache per
+        # phase and measured cumulative recomputes instead)
         import gc
 
-        spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
@@ -143,6 +146,7 @@ def main() -> int:
 
         for df in (sigs, cand, approx, exact):
             df.unpersist()
+        spark.catalog.clearCache()  # between scales only
 
     print("\n| phase | t@64x s | t@256x s | alpha(64→256) |")
     print("|---|---|---|---|")
