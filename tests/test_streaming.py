@@ -767,3 +767,167 @@ def test_countmin_sketch_streams_and_merges_with_batch(spark, tmp_path):
         for r in countmin_build(batch, "t", depth=3, width=8).collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_neardup_stream_verified_dedup_across_epochs(spark, tmp_path):
+    """Streaming VERIFIED near-dup ingest (streaming/neardup_stream.py):
+
+    * shard 0 — 30 distinct docs (disjoint vocab)       -> 30 survive
+    * shard 1 — 10 near-dup copies of shard-0 docs (one word changed in
+      twelve, NEW ids), 10 fresh distinct docs, plus an in-batch
+      near-dup pair (min id wins)                        -> 11 survive
+    * shard 2 — verbatim copy of shard 0: the exact-fingerprint state
+      store empties the batch before the sink            -> 0 survive
+
+    Every drop is estimate-VERIFIED (>= 0.5), never a raw band
+    collision; the survivor ID SET is asserted exactly. Restart with
+    nothing new is a no-op, and all three lake ledgers (docs / band
+    index / sigs) no-op a manual epoch replay."""
+    import hashlib as _h
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.neardup_stream import (
+        near_dup_ingest_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    def words(i, alt=False):
+        w = [f"tok{i}x{j}" for j in range(12)]
+        if alt:
+            w[5] = f"alt{i}"  # one word changed in twelve -> est >= 0.5
+        return " ".join(w)
+
+    def shard(rows, name):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage_{name}"))
+        import os as _os
+        import shutil as _sh
+
+        stage = str(tmp_path / f"stage_{name}")
+        part = next(p for p in _os.listdir(stage) if p.endswith(".parquet"))
+        _os.makedirs(src, exist_ok=True)
+        _os.replace(f"{stage}/{part}", f"{src}/{name}.parquet")
+        _sh.rmtree(stage)
+
+    base = [(i, words(i), "en", "web", 60) for i in range(30)]
+    shard(base, "s0")
+    near = [(100 + i, words(i, alt=True), "en", "web", 60) for i in range(10)]
+    fresh = [(110 + i, words(200 + i), "en", "web", 60) for i in range(10)]
+    pair = [(150, words(300), "en", "web", 60), (151, words(300, alt=True), "en", "web", 60)]
+    shard(near + fresh + pair, "s1")
+    shard([(500 + i, words(i), "en", "web", 60) for i in range(30)], "s2")
+
+    q = near_dup_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()}
+    want = {i for i in range(30)} | {110 + i for i in range(10)} | {150}
+    assert got == want, (sorted(got - want), sorted(want - got))
+
+    # three epoch-stamped state tables, queryable like any lake table
+    idx = lake.read_app_table("lsh_band_index")
+    sg = lake.read_app_table("minhash_sigs")
+    assert {r["id"] for r in sg.select("id").distinct().collect()} == want
+    assert set(idx.columns) >= {"id", "band", "bkey", "batch_epoch"}
+
+    # restart with nothing new: no growth anywhere
+    q = near_dup_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(300)
+    assert {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()} == want
+    assert lake.read_app_table("minhash_sigs").count() == len(want)
+
+    # manual replay of an already-committed epoch: every ledger no-ops
+    prefix = "stream-neardup-" + _h.md5(ckpt.encode()).hexdigest()[:8]
+    some = lake.read_app_table("corpus_docs").limit(1)
+    for t, tag in (("corpus_docs", "docs"), ("lsh_band_index", "index"),
+                   ("minhash_sigs", "sigs")):
+        assert (
+            lake.append_app_table_exactly_once(some, t, f"{prefix}-{tag}-0")
+            is False
+        ), t
+
+
+@pytest.mark.slow
+def test_neardup_stream_crash_replay_heals(spark, tmp_path):
+    """The multi-table-sink determinism contract: a torn commit that
+    landed ONLY the band-index append of an epoch (crash before
+    docs/sigs) must heal on replay — the probe reads index rows with
+    batch_epoch < current epoch only, so the epoch's own
+    partially-committed rows can never make its documents collide with
+    themselves and self-drop.
+
+    Simulated by PRE-committing the exact index rows (same ledger id)
+    the sink will produce for the next epoch, then running the stream:
+    the index append no-ops, docs/sigs commit, and every document of
+    the epoch survives."""
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.llm.dedup import (
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.neardup_stream import (
+        near_dup_ingest_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+    prefix = "stream-neardup-" + _h.md5(ckpt.encode()).hexdigest()[:8]
+
+    def words(i):
+        return " ".join(f"w{i}q{j}" for j in range(12))
+
+    def shard(rows, name):
+        import os as _os
+        import shutil as _sh
+
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in _os.listdir(stage) if p.endswith(".parquet"))
+        _os.makedirs(src, exist_ok=True)
+        _os.replace(f"{stage}/{part}", f"{src}/{name}.parquet")
+        _sh.rmtree(stage)
+
+    shard([(i, words(i), "en", "web", 60) for i in range(10)], "s0")
+    q = near_dup_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(300)
+    assert lake.read_app_table("corpus_docs").count() == 10
+
+    # epoch 1's docs: pre-commit their index rows under the sink's OWN
+    # ledger id for epoch 1 — the torn-commit state a crash between the
+    # appends leaves behind
+    rows2 = [(100 + i, words(50 + i), "en", "web", 60) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, DOCUMENTS_SCHEMA)
+    sigs2 = minhash_signatures(df2, num_hashes=8, k=2)
+    band2 = lsh_band_table(sigs2, 4, 2).withColumn("batch_epoch", F.lit(1))
+    assert lake.append_app_table_exactly_once(
+        band2, "lsh_band_index", f"{prefix}-index-1"
+    ) is True
+
+    shard(rows2, "s1")
+    q = near_dup_ingest_stream(spark, src, lake, ckpt)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()}
+    assert got == set(range(10)) | {100 + i for i in range(10)}, sorted(got)
+    # the torn index append was healed by the ledger (no duplicate rows)
+    idx = lake.read_app_table("lsh_band_index").filter(F.col("batch_epoch") == 1)
+    assert idx.count() == idx.distinct().count()
+    # and sigs for epoch 1 are present (the append that "crashed" ran on replay)
+    assert (
+        lake.read_app_table("minhash_sigs").filter(F.col("batch_epoch") == 1).count()
+        == 10
+    )
