@@ -837,6 +837,24 @@ class TestCommitProtocolAcrossBackends:
         assert lake.append_app_table_exactly_once(df, "t", "epoch-2") is False
         assert lake.read_app_table("t").count() == 2  # distinct() kept ids 1,2
 
+    def test_compact_preserves_widened_schema(self, spark, tmp_path, proto_store):
+        """r11 find: compacting a version holding MIXED-schema files
+        (wide write + narrow schema-evolved in-place append) must keep
+        the widened column and its data — the plain-footer read dropped
+        both silently (same class as the ADVICE-r8 exactly-once fix)."""
+        lake = Lake(spark, str(tmp_path / "lakews"), store=proto_store)
+        wide = spark.createDataFrame([(1, "a", 9.5)], "id long, v string, extra double")
+        lake.write_app_table(wide, "t")
+        narrow = spark.createDataFrame([(2, "b")], "id long, v string")
+        lake.append_app_table(narrow, "t", allow_schema_evolution=True)
+
+        lake.compact_table("t", app_table=True)
+        t = lake.read_app_table("t")
+        rows = {r["id"]: r for r in t.collect()}
+        assert "extra" in t.columns
+        assert rows[1]["extra"] == 9.5
+        assert rows[2]["extra"] is None
+
     def test_rewrite_cas_catches_racing_exactly_once_append(
         self, spark, tmp_path, proto_store
     ):

@@ -933,7 +933,13 @@ class Lake:
         # retention and pruning. Partition-column TYPES re-infer through
         # Spark partition discovery, as on any partitioned read.
         pcols = self._detect_partition_cols(cur)
-        df = self.spark.read.parquet(str(cur))
+        # mergeSchema: after a widening in-place append the version holds
+        # mixed-schema files — a plain read picks one arbitrary footer
+        # and the compaction would silently DROP the widened column's
+        # data (same bug class as the ADVICE-r8 exactly-once-append fix;
+        # reproduced: wide write + narrow evolved append + compact lost
+        # the wide column entirely)
+        df = self.spark.read.option("mergeSchema", "true").parquet(str(cur))
         # carry the exactly-once ledger: compaction preserves the data, so
         # committed epoch ids must stay committed (replays keep no-opping)
         ledger = None
