@@ -166,6 +166,11 @@ _NESTED_LOOP_OK = {
     # 16-seed broadcast for the Lloyd training round — the broadcast
     # side is always the k=16 centroid rows, never a corpus
     "ann_ivfpq_trained",
+    # r11 retrieval plane: 1-row (N, avgdl) corpus-stats anchor broadcast
+    # into the BM25 scorer; the hybrid additionally carries the documented
+    # ann_topk-style broadcast of the 5-query set for its cosine leg
+    "rt_bm25_topk",
+    "rt_hybrid_rrf",
 }
 
 
@@ -645,3 +650,33 @@ def test_countmin_build_partial_aggregates_and_estimate_broadcasts(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BroadcastHashJoin" in t
     assert "SortMergeJoin" not in t
+
+
+def test_bm25_probe_broadcasts_query_terms_and_keeps_partial_topk(spark):
+    """rt_bm25_topk's scale contract: the query-term table (a probe
+    batch, small by contract) is delivered to the posting table via
+    BroadcastHashJoin — the corpus-sized side never reshuffles for a
+    probe — the per-(query, doc) fixed-point sum is partial-aggregated
+    (map-side combine carries the posting rows), the (N, avgdl) anchor
+    is the allowlisted 1-row BNLJ, and the top-k cut keeps Spark 4's
+    WindowGroupLimit (partial per-partition top-k before the shuffle)."""
+    plan = formatted_plan(QUERIES["rt_bm25_topk"](spark, SF_DIR))
+    t = tree(plan)
+    assert "BroadcastHashJoin" in t
+    assert "WindowGroupLimit" in t
+    assert "partial_sum" in plan  # the w_fp sum combines map-side
+    assert "SortMergeJoin" not in t
+    assert "CartesianProduct" not in t
+
+
+def test_rrf_fusion_stays_leg_bounded(spark):
+    """rt_hybrid_rrf's scale contract: fusion operates on the two
+    already-top-m legs (k·|queries| rows each) — a union plus one tiny
+    group-by, never a join of corpus-sized sides — and every rank cut
+    (each leg's top-20 and the fused top-10) stays a WindowGroupLimit."""
+    plan = formatted_plan(QUERIES["rt_hybrid_rrf"](spark, SF_DIR))
+    t = tree(plan)
+    assert t.count("WindowGroupLimit") >= 3  # bm25 leg, cosine leg, fused
+    assert "Union" in t
+    assert "SortMergeJoin" not in t
+    assert "CartesianProduct" not in t

@@ -37,6 +37,8 @@ CURRENT_ROUND = 11
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-11 changes (populated as queries are added/edited this round)
     "ann_ivfpq_trained",  # NEW: IVFADC with trained (fixed-point label) centroids through ivf_pq_topk(centroids=) (VERDICT r10 task 4)
+    "rt_bm25_topk",  # NEW: distributed BM25 retrieval (llm/retrieval.py)
+    "rt_hybrid_rrf",  # NEW: BM25 × cosine reciprocal-rank fusion (llm/retrieval.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

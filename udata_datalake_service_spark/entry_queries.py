@@ -7310,6 +7310,133 @@ WHERE hits.bloom_hit
 """
 
 
+# =========================================================================
+# Round-11 operators: retrieval plane (BM25 + hybrid RRF)
+# =========================================================================
+def q_rt_bm25_topk(spark, sf_dir):
+    """Distributed BM25 retrieval (llm/retrieval.py): the five probe docs
+    (doc_id < 5) retrieve their top-10 corpus neighbors by the Lucene
+    k1/b BM25 with the always-positive idf. The posting table is the
+    lake-materializable index shape (term-keyed w_fp micro-units); the
+    query side is broadcast, so the corpus never reshuffles for a probe
+    batch. Per-term contributions are fixed-pointed BEFORE the per-doc
+    sum (tx_surprisal's device), so the cross-engine hash cannot drift
+    with aggregation order. Self-matches excluded."""
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+    d = _tw(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(d, probes, k=10, exclude_self=True)
+
+
+# BM25 oracle: the SAME index/probe math replayed in SQL. Expression
+# order mirrors llm/retrieval.bm25_index verbatim (identical IEEE op
+# order keeps the doubles bit-identical); the per-(query,doc) sum runs
+# over integer micro-units, so aggregation order is irrelevant.
+_SQL_RT_BM25_CTES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+dt AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM dt GROUP BY doc_id, term, dl
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(len(t)) AS total_dl FROM toks
+), idx AS (
+  SELECT tf.term, tf.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+      * ((tf.tf * 2.2) /
+         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (s.total_dl / s.n_docs)))))
+      * 1000000, 0) AS BIGINT) AS w_fp
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats s
+), qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id < 5
+), bm_scored AS (
+  SELECT qt.query_id, idx.doc_id, round(SUM(idx.w_fp) / 1000000.0, 6) AS score
+  FROM idx JOIN qt USING (term)
+  WHERE qt.query_id <> idx.doc_id
+  GROUP BY qt.query_id, idx.doc_id
+), bm_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM bm_scored
+)"""
+
+_SQL_RT_BM25 = f"""
+WITH {_SQL_RT_BM25_CTES}
+SELECT query_id, doc_id, score, rnk FROM bm_ranked WHERE rnk <= 10
+"""
+
+
+def q_rt_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 lexical leg (documents, top-20) and the exact-cosine
+    embedding leg (embeddings, top-20) for the same five probes —
+    score-calibration-free fusion Σ 1/(60+rank), the standard way a
+    curation pipeline combines lexical and semantic retrieval (targeted
+    decontamination, near-dup triage). Each leg's rank is carried
+    through (null when the doc appears in one leg only) so the fusion
+    is auditable; 1e6/(60+r) is an exact IEEE division of integers, so
+    the fixed-point sum is engine-exact."""
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk, rrf_fuse
+    from udata_datalake_service_spark.llm.similarity import brute_force_topk
+
+    d = _tw(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bm = bm25_topk(d, probes, k=20, exclude_self=True)
+    e = _tw(spark, sf_dir, "embeddings")
+    cos = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=20, dim=64).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    return rrf_fuse({"bm25": bm, "cos": cos}, c=60, k=10)
+
+
+_SQL_RT_HYBRID = f"""
+WITH {_SQL_RT_BM25_CTES},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+cos_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+    ROUND(list_dot_product(q.v, e.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+), cos_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rnk
+  FROM cos_scored
+), legs AS (
+  SELECT query_id, doc_id,
+    CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT) AS fp,
+    rnk AS bm25_rnk, CAST(NULL AS BIGINT) AS cos_rnk
+  FROM bm_ranked WHERE rnk <= 20
+  UNION ALL
+  SELECT query_id, doc_id,
+    CAST(round(1000000.0 / (60 + rnk), 0) AS BIGINT),
+    CAST(NULL AS BIGINT), rnk
+  FROM cos_ranked WHERE rnk <= 20
+), fused AS (
+  SELECT query_id, doc_id,
+    MAX(bm25_rnk) AS bm25_rnk, MAX(cos_rnk) AS cos_rnk,
+    round(SUM(fp) / 1000000.0, 6) AS rrf
+  FROM legs GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -7432,6 +7559,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_bpe_encode": q_tok_bpe_encode,
     "sk_kmv_ndv": q_sk_kmv_ndv,
     "sk_lake_rollup": q_sk_lake_rollup,
+    # ---- round 11 ----
+    "rt_bm25_topk": q_rt_bm25_topk,
+    "rt_hybrid_rrf": q_rt_hybrid_rrf,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7592,6 +7722,8 @@ ORACLES: dict[str, str] = {
     "tok_bpe_encode": _SQL_TOK_BPE,
     "sk_kmv_ndv": _SQL_SK_KMV,
     "sk_lake_rollup": _SQL_SK_LAKE_ROLLUP,
+    "rt_bm25_topk": _SQL_RT_BM25,
+    "rt_hybrid_rrf": _SQL_RT_HYBRID,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
