@@ -2299,10 +2299,19 @@ def test_bm25_prefers_rare_terms_and_shorter_docs(spark):
     assert max(rank[0], rank[2]) < min(rank[1], rank[3])
 
 
-def test_bm25_precomputed_index_is_identical(spark):
-    """bm25_topk(index=) must reproduce the derived-index result exactly
-    — the lake-materialized deployment path is the same math."""
-    from udata_datalake_service_spark.llm.retrieval import bm25_index, bm25_topk
+def test_bm25_index_appends_and_reuse_are_identical(spark):
+    """The index-maintenance law that makes BM25 viable under continuous
+    ingest: postings are raw (tf, dl) per (doc, term) and stats are
+    mergeable counters, so postings(A) ∪ postings(B) + summed stats must
+    reproduce the whole-corpus result EXACTLY — appends, never a
+    rebuild. Also pins the precomputed-index probe path itself."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.llm.retrieval import (
+        bm25_postings,
+        bm25_stats,
+        bm25_topk,
+    )
 
     df = spark.createDataFrame(
         [(i, f"alpha beta w{i % 3} w{i % 5}") for i in range(20)],
@@ -2310,9 +2319,21 @@ def test_bm25_precomputed_index_is_identical(spark):
     )
     queries = spark.createDataFrame([(0, "w1 w2 alpha")], "query_id long, text string")
     direct = sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
-    idx = bm25_index(df)
-    via_index = sorted(map(tuple, bm25_topk(df, queries, k=5, index=idx).collect()))
-    assert direct == via_index
+
+    a, bhalf = df.filter("doc_id < 10"), df.filter("doc_id >= 10")
+    postings = bm25_postings(a).unionByName(bm25_postings(bhalf))
+    stats = (
+        bm25_stats(a)
+        .unionByName(bm25_stats(bhalf))
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl"))
+    )
+    via_appends = sorted(
+        map(
+            tuple,
+            bm25_topk(df, queries, k=5, postings=postings, stats=stats).collect(),
+        )
+    )
+    assert direct == via_appends
 
 
 def test_rrf_fuse_hand_computed_and_leg_audit(spark):

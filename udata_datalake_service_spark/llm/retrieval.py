@@ -15,15 +15,17 @@ Two planes compose here:
 
 100 TB shapes:
 
-- ``bm25_index`` is explode → partial-agg groupBy at (doc, term) grain,
-  one term-grain shuffle to attach df, and two scalar aggregates
-  (N, avgdl) broadcast via crossJoin — the same skeleton as
-  ``llm/tfidf.py``. The output is a posting table keyed by term: write
-  it to the lake once, query it many times (the deployment shape; a
-  re-score never re-tokenizes the corpus).
+- ``bm25_postings`` is explode → partial-agg groupBy at (doc, term)
+  grain — the same skeleton as ``llm/tfidf.py`` — and stores RAW
+  (tf, dl), no corpus statistics baked in: posting rows are pure
+  appends across ingest epochs and the index never rebuilds
+  (``bm25_stats`` is the mergeable 2-counter companion). Write it to
+  the lake bucketed by term once; a re-score never re-tokenizes.
 - ``bm25_topk`` broadcasts the *query* term table (queries are small by
   contract — an eval set, not a corpus) against the posting table, so
-  the corpus-sized side never reshuffles: one partial-agg sum per
+  the corpus-sized side never reshuffles; per-term df is read off the
+  matched posting lists alone (count-over-term window — the probe
+  touches nothing corpus-sized), then one partial-agg sum per
   (query, doc) and a WindowGroupLimit top-k.
 - ``rrf_fuse`` operates on already-top-m legs (k·|queries| rows each);
   cost is a union + one tiny groupBy.
@@ -55,49 +57,35 @@ def _doc_terms(df: DataFrame, text: str, id_col: str) -> DataFrame:
     )
 
 
-def bm25_index(
-    corpus: DataFrame,
-    text: str = "text",
-    id_col: str = "doc_id",
-    k1: float = 1.2,
-    b: float = 0.75,
+def bm25_postings(
+    corpus: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Posting table (term, id, w_fp): per-(term, doc) BM25 weight in
-    integer micro-units.
+    """The BM25 index: raw postings (term, id, tf, dl).
 
-    ``w = idf(term) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` with
-    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` — never negative, never
-    a division by zero. The weight is materializable: at deployment this
-    table is written to the lake partitioned/bucketed by term, and every
-    later query is a broadcast probe against it.
-    """
-    dt = _doc_terms(corpus, text, id_col)
-    df_tbl = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # stats over the WHOLE corpus (zero-token docs count toward N/avgdl)
-    stats = corpus.select(
+    Deliberately corpus-statistics-free — no idf, no avgdl baked in —
+    because that is the only index shape that survives a growing corpus:
+    ``bm25_postings(batch)`` rows are pure APPENDS (per-(doc, term)
+    grain, no cross-batch dependence), and the global statistics the
+    scorer needs (N, total token count, per-term df) are recomputed
+    cheaply at probe time — df from the matched posting lists alone,
+    N/avgdl from a mergeable 2-counter stats row (``bm25_stats``). A
+    weight-baked index would go stale on every ingest epoch and force a
+    full rebuild. At deployment this table is written to the lake
+    bucketed by term; `tests/test_llm.py` pins the append law
+    (postings(A) ∪ postings(B) ≡ postings(A ∪ B))."""
+    return _doc_terms(corpus, text, id_col).select(
+        "term", F.col(id_col), "tf", "dl"
+    )
+
+
+def bm25_stats(corpus: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """1-row mergeable corpus stats (n_docs, total_dl) — zero-token docs
+    count toward N/avgdl. Merge across ingest epochs by summing."""
+    return corpus.select(
         F.col(id_col), F.size(tokens(F.col(text))).alias("__dl")
     ).agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.sum("__dl").alias("total_dl"),
-    )
-    # expression order mirrored verbatim in the SQL oracles — identical
-    # IEEE op order keeps the doubles bit-identical across engines
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
-    )
-    return (
-        dt.join(df_tbl, "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.col(id_col),
-            F.round(idf * tfnorm * FP, 0).cast("long").alias("w_fp"),
-        )
     )
 
 
@@ -111,29 +99,63 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     exclude_self: bool = False,
-    index: DataFrame | None = None,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` corpus documents per query by BM25.
+
+    ``w = idf(term) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` — never negative, never
+    a division by zero.
 
     ``queries`` is (query_id, text) and SMALL by contract (it is
     broadcast — an eval set or probe batch, never a second corpus).
     Query terms count once each (distinct — the Lucene convention).
-    Pass ``index=`` to reuse a precomputed/lake-loaded ``bm25_index``
-    result instead of re-deriving it. ``exclude_self`` drops
-    ``doc_id == query_id`` matches when both sides share an id space.
+    Pass ``postings=``/``stats=`` to probe a precomputed (lake-loaded,
+    append-maintained) index instead of re-deriving it from ``corpus``.
+    ``exclude_self`` drops ``doc_id == query_id`` matches when both
+    sides share an id space.
+
+    Probe-time shape: the distinct query-term set is broadcast against
+    the posting table (semi-join — the corpus-sized side never
+    reshuffles), per-term df comes from a count-over-term window on the
+    MATCHED posting lists only (a search engine reads df off the posting
+    list it is already traversing; nothing corpus-sized aggregates at
+    probe time), weights are computed on matched rows, and the (query,
+    doc) fixed-point sum partial-aggregates into a WindowGroupLimit
+    top-k.
 
     Result: (query_id, doc_id, score, rnk) with ``score`` in points
-    (rounded to 6), rank ties broken by doc id. The top-k window
-    compiles to WindowGroupLimit (rank pushed into the shuffle).
+    (rounded to 6), rank ties broken by doc id.
     """
-    idx = index if index is not None else bm25_index(corpus, text, id_col, k1, b)
-    q_terms = F.broadcast(
-        queries.select(
-            F.col(query_id), F.explode(F.array_distinct(tokens(F.col(text)))).alias("term")
-        )
+    p = postings if postings is not None else bm25_postings(corpus, text, id_col)
+    st = stats if stats is not None else bm25_stats(corpus, text, id_col)
+    q_terms = queries.select(
+        F.col(query_id), F.explode(F.array_distinct(tokens(F.col(text)))).alias("term")
+    )
+    matched = p.join(F.broadcast(q_terms.select("term").distinct()), "term")
+    # df off the matched posting lists: postings are unique per
+    # (term, doc), so the per-term row count IS the document frequency
+    matched = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    # expression order mirrored verbatim in the SQL oracles — identical
+    # IEEE op order keeps the doubles bit-identical across engines
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    weighted = matched.crossJoin(F.broadcast(st)).select(
+        "term",
+        F.col(id_col),
+        F.round(idf * tfnorm * FP, 0).cast("long").alias("w_fp"),
     )
     scored = (
-        idx.join(q_terms, "term")
+        weighted.join(F.broadcast(q_terms), "term")
         .groupBy(query_id, id_col)
         .agg(F.sum("w_fp").alias("__s"))
         .withColumn("score", F.round(F.col("__s") / F.lit(float(FP)), 6))
