@@ -931,3 +931,109 @@ def test_neardup_stream_crash_replay_heals(spark, tmp_path):
         lake.read_app_table("minhash_sigs").filter(F.col("batch_epoch") == 1).count()
         == 10
     )
+
+
+def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
+    """Streaming retrieval without history re-tokenization: per-epoch raw
+    postings + mergeable stats appended exactly-once; probing the lake
+    index reproduces the whole-corpus BM25 ranking EXACTLY (the append
+    law end-to-end through the real streaming engine); a restart, a
+    manual epoch replay, and a torn two-table commit all heal/no-op;
+    file compaction leaves the ranking bit-identical (row-preserving).
+    Unlike the KMV stream, postings are NOT multiplicity-blind — doc
+    identity is owned upstream (the ingest/near-dup streams), so the
+    shards here are disjoint by construction."""
+    from udata_datalake_service_spark.llm.retrieval import (
+        bm25_postings,
+        bm25_stats,
+        bm25_topk,
+    )
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.retrieval_stream import (
+        bm25_from_lake,
+        bm25_index_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    def shard(lo, hi):
+        rows = [
+            (i, f"alpha beta w{i % 7} w{i % 11} t{i}", "en", "web", 5)
+            for i in range(lo, hi)
+        ]
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    shard(0, 40)
+    shard(40, 80)
+
+    q = bm25_index_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    postings = lake.read_app_table("bm25_postings")
+    assert postings.select("batch_epoch").distinct().count() == 2
+    assert lake.read_app_table("bm25_stats").count() == 2
+
+    whole = spark.createDataFrame(
+        [
+            (i, f"alpha beta w{i % 7} w{i % 11} t{i}", "en", "web", 5)
+            for i in range(80)
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    queries = spark.createDataFrame(
+        [(1000, "w3 w5 alpha"), (1001, "t17 beta")], "query_id long, text string"
+    )
+    want = sorted(map(tuple, bm25_topk(whole, queries, k=5).collect()))
+    got = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
+    assert got == want
+
+    # restart on the same checkpoint with nothing new: no new epochs
+    q = bm25_index_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    assert lake.read_app_table("bm25_postings").count() == postings.count()
+
+    # manual replay of epoch 0 (same checkpoint-derived ledger keys): no-op
+    import hashlib as _h
+
+    prefix = "stream-bm25-" + _h.md5(ckpt.encode()).hexdigest()[:8]
+    replay_p = bm25_postings(whole).withColumn("batch_epoch", F.lit(0))
+    assert (
+        lake.append_app_table_exactly_once(replay_p, "bm25_postings", f"{prefix}-0")
+        is False
+    )
+
+    # torn two-table commit heals: pre-commit epoch 99's POSTINGS only
+    # (the crash-between-appends state), then re-deliver both — the
+    # postings append no-ops, the stats row lands, and the lake index
+    # equals the batch build over the now-81-doc corpus
+    extra = spark.createDataFrame(
+        [(999, "alpha w3 w5 unique999", "en", "web", 5)], DOCUMENTS_SCHEMA
+    )
+    p99 = bm25_postings(extra).withColumn("batch_epoch", F.lit(99))
+    st99 = bm25_stats(extra).withColumn("batch_epoch", F.lit(99))
+    assert (
+        lake.append_app_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
+        is True
+    )
+    # replay of the full epoch (as the stream would after the crash)
+    assert (
+        lake.append_app_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
+        is False
+    )
+    assert (
+        lake.append_app_table_exactly_once(st99, "bm25_stats", f"{prefix}-99")
+        is True
+    )
+    whole81 = whole.unionByName(extra)
+    want81 = sorted(map(tuple, bm25_topk(whole81, queries, k=5).collect()))
+    got81 = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
+    assert got81 == want81
+
+    # compaction is row-preserving: the ranking is bit-identical after
+    lake.compact_table("bm25_postings", app_table=True)
+    got_c = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
+    assert got_c == want81

@@ -29,7 +29,7 @@ family-count scaling and stays unmistakable.
 
 Two probe groups:
 * library primitives (exact_dedup, LSH pairs, novelty, gopher,
-  surprisal, ANN top-k) on scaled in-memory frames;
+  surprisal, ANN top-k, BM25 probe) on scaled in-memory frames;
 * the registry HEAVYWEIGHTS (r5 task 6 / r6 task 4) — the suite's most
   expensive end-to-end queries (dd_dup_clusters, dd_star_clusters,
   dd_jaccard_prefix, tx_curate_pipeline, dd_lsh_eval, corpus_ingest,
@@ -168,6 +168,19 @@ def main() -> int:
         run(
             "ann_lsh_topk",
             lambda: lsh_bucketed_topk(e, q, k=10).write.format("noop").mode("overwrite").save(),
+        )
+        # r11 retrieval plane: probes live in copy 0 (salt-disjoint vocab),
+        # so the matched posting lists stay constant-size as the corpus
+        # scales — the measured growth is the posting/stats build (corpus-
+        # linear); probe-side cost must NOT grow with the corpus
+        from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+        probes = d.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        run(
+            "bm25_topk",
+            lambda: bm25_topk(d, probes, k=10).write.format("noop").mode("overwrite").save(),
         )
         return out
 

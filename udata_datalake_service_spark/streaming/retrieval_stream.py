@@ -1,0 +1,125 @@
+"""Streaming BM25 index maintenance: per-micro-batch raw postings →
+exactly-once lake appends → retrieval answered from the lake alone.
+
+The search half of the 100 TB ingest pattern (`rt_bm25_topk` is its
+batch twin): an endless document stream must stay *queryable* — "what
+retrieves for this eval question right now?" — without ever
+re-tokenizing history. This is exactly what `llm/retrieval.py`'s
+index shape was designed for: ``bm25_postings`` rows are raw
+(term, doc, tf, dl) with NO corpus statistics baked in, so each
+micro-batch's postings are pure appends, and ``bm25_stats`` rows are
+mergeable 2-counters summed at probe time. Nothing ever rebuilds;
+epoch boundaries are invisible to the scorer (the append law pinned
+in `tests/test_llm.py`, re-pinned end-to-end through the real
+streaming engine in `tests/test_streaming.py`).
+
+Each epoch commits TWO exactly-once appends (postings + stats) keyed
+by the same epoch id through ``Lake.append_app_table_exactly_once``:
+Spark replays a failed epoch with the SAME id, the per-table ledgers
+no-op the second delivery, and a crash between the two appends heals
+on replay (the committed one no-ops, the missing one lands) — the
+torn-commit discipline `streaming/neardup_stream.py` established.
+
+State/size at scale: the stream itself is STATELESS beyond source
+offsets (no dedup store, no watermark — postings are per-(doc, term)
+facts). The postings table grows with the corpus, as an index must;
+compact file counts with ``Lake.compact_table`` (row-preserving, so
+retrieval is unaffected); the stats table grows 1 row per epoch and
+sums at probe time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from udata_datalake_service_spark.llm.retrieval import (
+    bm25_postings,
+    bm25_stats,
+    bm25_topk,
+)
+from udata_datalake_service_spark.sinks.lake import Lake
+from udata_datalake_service_spark.streaming.dedup_stream import stream_documents
+
+
+def bm25_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    lake: Lake,
+    checkpoint_dir: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    postings_table: str = "bm25_postings",
+    stats_table: str = "bm25_stats",
+    available_now: bool = True,
+    ledger_prefix: str | None = None,
+) -> StreamingQuery:
+    """Start the index-maintenance stream; returns the running query.
+
+    Same ledger-prefix contract as ``kmv_sketch_stream``: epoch ids are
+    unique PER CHECKPOINT, so the prefix defaults to a hash of
+    ``checkpoint_dir`` (replays of the same checkpoint no-op; a fresh
+    checkpoint commits independently)."""
+    import hashlib
+
+    if ledger_prefix is None:
+        ledger_prefix = (
+            "stream-bm25-" + hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:8]
+        )
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ep = int(epoch_id)
+        p = bm25_postings(batch_df, text, id_col).withColumn(
+            "batch_epoch", F.lit(ep)
+        )
+        st = bm25_stats(batch_df, text, id_col).withColumn("batch_epoch", F.lit(ep))
+        # two tables, one epoch id: a crash between the appends heals on
+        # replay — the committed table no-ops, the missing one lands
+        lake.append_app_table_exactly_once(p, postings_table, f"{ledger_prefix}-{ep}")
+        lake.append_app_table_exactly_once(st, stats_table, f"{ledger_prefix}-{ep}")
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_from_lake(
+    lake: Lake,
+    queries: DataFrame,
+    postings_table: str = "bm25_postings",
+    stats_table: str = "bm25_stats",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-``k`` per query from the persisted index ALONE — no raw
+    documents touched, however many epochs the stream has committed.
+    Stats rows are summed (the mergeable-counter law); postings feed
+    ``bm25_topk`` unchanged, since epoch boundaries are invisible to
+    per-(doc, term) facts."""
+    postings = lake.read_app_table(postings_table).select("term", id_col, "tf", "dl")
+    stats = lake.read_app_table(stats_table).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+    )
+    return bm25_topk(
+        corpus=None,
+        queries=queries,
+        id_col=id_col,
+        query_id=query_id,
+        k=k,
+        k1=k1,
+        b=b,
+        exclude_self=exclude_self,
+        postings=postings,
+        stats=stats,
+    )
