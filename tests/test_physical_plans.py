@@ -168,9 +168,11 @@ _NESTED_LOOP_OK = {
     "ann_ivfpq_trained",
     # r11 retrieval plane: 1-row (N, avgdl) corpus-stats anchor broadcast
     # into the BM25 scorer; the hybrid additionally carries the documented
-    # ann_topk-style broadcast of the 5-query set for its cosine leg
+    # ann_topk-style broadcast of the 5-query set for its cosine leg;
+    # the lake leg probes through the same scorer (summed 1-row stats)
     "rt_bm25_topk",
     "rt_hybrid_rrf",
+    "rt_lake_bm25",
 }
 
 

@@ -39,6 +39,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "ann_ivfpq_trained",  # NEW: IVFADC with trained (fixed-point label) centroids through ivf_pq_topk(centroids=) (VERDICT r10 task 4)
     "rt_bm25_topk",  # NEW: distributed BM25 retrieval (llm/retrieval.py)
     "rt_hybrid_rrf",  # NEW: BM25 × cosine reciprocal-rank fusion (llm/retrieval.py)
+    "rt_lake_bm25",  # NEW: lake-backed BM25 via exactly-once epoch appends (streaming/retrieval_stream.py)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -7437,6 +7437,56 @@ SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf, rnk FROM (
 """
 
 
+def q_rt_lake_bm25(spark, sf_dir):
+    """Lake-backed BM25 — the 100 TB continuous-ingest retrieval pattern
+    end-to-end THROUGH the lake (`sk_lake_rollup`'s sibling for the
+    search plane): the corpus arrives as two epochs, each committing raw
+    postings + a mergeable stats row via ``append_app_table_exactly_once``
+    (one append is deliberately RETRIED and must no-op), then the probe
+    is answered from the LAKE ALONE (`bm25_from_lake`) — no raw rescan,
+    no index rebuild. The append law makes this attestable: the oracle
+    computes whole-corpus BM25 in ANSI SQL, and a double-committed retry
+    (doubled tf rows) or a dropped epoch (missing df/N/avgdl mass) would
+    shift every score and hash-mismatch — exactly-once is attested by
+    value, not by flag."""
+    import hashlib
+    import shutil
+
+    from udata_datalake_service_spark.llm.retrieval import bm25_epoch, bm25_postings
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.retrieval_stream import bm25_from_lake
+
+    d = _tw(spark, sf_dir, "documents")
+    root = f"/tmp/spark_hydra_rtlake_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(spark, root)
+    for ep in (0, 1):
+        half = d.filter(F.col("doc_id") % 2 == ep)
+        p, st, toks = bm25_epoch(half)
+        try:
+            lake.append_app_table_exactly_once(
+                p.withColumn("batch_epoch", F.lit(ep)), "bm25_postings", f"ep-{ep}"
+            )
+            lake.append_app_table_exactly_once(
+                st.withColumn("batch_epoch", F.lit(ep)), "bm25_stats", f"ep-{ep}"
+            )
+        finally:
+            toks.unpersist()
+    # crash-retry rehearsal: re-submitting a committed epoch must no-op —
+    # if it double-committed, every df/tf doubles and the hash goes red
+    lake.append_app_table_exactly_once(
+        bm25_postings(d.filter(F.col("doc_id") % 2 == 0)).withColumn(
+            "batch_epoch", F.lit(0)
+        ),
+        "bm25_postings",
+        "ep-0",
+    )
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_from_lake(lake, probes, k=10, exclude_self=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 head of window: the twelve round-5 additions (corpus
     # diagnostics, URL gate, ingest, bigram LM, blocklist, mixture plan,
@@ -7562,6 +7612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round 11 ----
     "rt_bm25_topk": q_rt_bm25_topk,
     "rt_hybrid_rrf": q_rt_hybrid_rrf,
+    "rt_lake_bm25": q_rt_lake_bm25,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7724,6 +7775,10 @@ ORACLES: dict[str, str] = {
     "sk_lake_rollup": _SQL_SK_LAKE_ROLLUP,
     "rt_bm25_topk": _SQL_RT_BM25,
     "rt_hybrid_rrf": _SQL_RT_HYBRID,
+    # same oracle as rt_bm25_topk ON PURPOSE: the lake path must
+    # reproduce the whole-corpus ranking value-for-value (append law);
+    # any exactly-once violation in the epoch commits breaks the hash
+    "rt_lake_bm25": _SQL_RT_BM25,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -24,9 +24,9 @@ Two planes compose here:
 - ``bm25_topk`` broadcasts the *query* term table (queries are small by
   contract — an eval set, not a corpus) against the posting table, so
   the corpus-sized side never reshuffles; per-term df is read off the
-  matched posting lists alone (count-over-term window — the probe
-  touches nothing corpus-sized), then one partial-agg sum per
-  (query, doc) and a WindowGroupLimit top-k.
+  matched posting lists alone (partial-agg count broadcast back — the
+  probe touches nothing corpus-sized and the matched rows shuffle only
+  once, at (query, doc) grain), then a WindowGroupLimit top-k.
 - ``rrf_fuse`` operates on already-top-m legs (k·|queries| rows each);
   cost is a union + one tiny groupBy.
 
@@ -89,6 +89,31 @@ def bm25_stats(corpus: DataFrame, text: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def bm25_epoch(
+    corpus: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, stats, token_cache) for ONE ingest epoch off a single
+    tokenization pass: the token frame is persisted and shared by both
+    outputs, so an epoch commit (postings append, then stats append)
+    scans and tokenizes the batch once, not twice. The caller owns the
+    actions and must ``token_cache.unpersist()`` after both commits
+    (the adopt/settle contract — see `caching.py`)."""
+    toks = corpus.select(F.col(id_col), tokens(F.col(text)).alias("__t")).persist()
+    dt = (
+        toks.select(
+            F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = dt.select("term", F.col(id_col), "tf", "dl")
+    stats = toks.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.size("__t")).alias("total_dl"),
+    )
+    return postings, stats, toks
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,12 +143,12 @@ def bm25_topk(
 
     Probe-time shape: the distinct query-term set is broadcast against
     the posting table (semi-join — the corpus-sized side never
-    reshuffles), per-term df comes from a count-over-term window on the
-    MATCHED posting lists only (a search engine reads df off the posting
-    list it is already traversing; nothing corpus-sized aggregates at
-    probe time), weights are computed on matched rows, and the (query,
-    doc) fixed-point sum partial-aggregates into a WindowGroupLimit
-    top-k.
+    reshuffles), per-term df comes from a partial-aggregated count over
+    the MATCHED posting lists only, broadcast back (a search engine
+    reads df off the posting list it is already traversing; nothing
+    corpus-sized aggregates or shuffles at probe time), weights are
+    computed on matched rows, and the (query, doc) fixed-point sum
+    partial-aggregates into a WindowGroupLimit top-k.
 
     Result: (query_id, doc_id, score, rnk) with ``score`` in points
     (rounded to 6), rank ties broken by doc id.
@@ -135,10 +160,14 @@ def bm25_topk(
     )
     matched = p.join(F.broadcast(q_terms.select("term").distinct()), "term")
     # df off the matched posting lists: postings are unique per
-    # (term, doc), so the per-term row count IS the document frequency
-    matched = matched.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    # (term, doc), so the per-term row count IS the document frequency.
+    # groupBy + broadcast-join-back rather than a count-over-term window:
+    # the aggregate partial-combines map-side to ≤|query terms| rows (a
+    # broadcast by construction), so the matched posting rows themselves
+    # never shuffle for df — a window would sort-shuffle every matched
+    # row by term (measured 3.3 s → 1.3 s on the sf0.1 lake probe)
+    df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = matched.join(F.broadcast(df_tbl), "term")
     # expression order mirrored verbatim in the SQL oracles — identical
     # IEEE op order keeps the doubles bit-identical across engines
     avgdl = F.col("total_dl") / F.col("n_docs")

@@ -34,11 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from udata_datalake_service_spark.llm.retrieval import (
-    bm25_postings,
-    bm25_stats,
-    bm25_topk,
-)
+from udata_datalake_service_spark.llm.retrieval import bm25_epoch, bm25_topk
 from udata_datalake_service_spark.sinks.lake import Lake
 from udata_datalake_service_spark.streaming.dedup_stream import stream_documents
 
@@ -73,14 +69,20 @@ def bm25_index_stream(
         if batch_df.isEmpty():
             return
         ep = int(epoch_id)
-        p = bm25_postings(batch_df, text, id_col).withColumn(
-            "batch_epoch", F.lit(ep)
-        )
-        st = bm25_stats(batch_df, text, id_col).withColumn("batch_epoch", F.lit(ep))
-        # two tables, one epoch id: a crash between the appends heals on
-        # replay — the committed table no-ops, the missing one lands
-        lake.append_app_table_exactly_once(p, postings_table, f"{ledger_prefix}-{ep}")
-        lake.append_app_table_exactly_once(st, stats_table, f"{ledger_prefix}-{ep}")
+        # one tokenization pass feeds both tables (bm25_epoch persists
+        # the token frame; released after the second commit)
+        p, st, toks = bm25_epoch(batch_df, text, id_col)
+        p = p.withColumn("batch_epoch", F.lit(ep))
+        st = st.withColumn("batch_epoch", F.lit(ep))
+        try:
+            # two tables, one epoch id: a crash between the appends heals
+            # on replay — the committed table no-ops, the missing one lands
+            lake.append_app_table_exactly_once(
+                p, postings_table, f"{ledger_prefix}-{ep}"
+            )
+            lake.append_app_table_exactly_once(st, stats_table, f"{ledger_prefix}-{ep}")
+        finally:
+            toks.unpersist()
 
     writer = docs.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
