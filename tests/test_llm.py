@@ -2355,3 +2355,55 @@ def test_rrf_fuse_hand_computed_and_leg_audit(spark):
     assert rows[11]["rnk"] == 1  # in both legs → wins
     assert rows[11]["bm25_rnk"] == 2 and rows[11]["cos_rnk"] == 1
     assert rows[10]["cos_rnk"] is None and rows[12]["bm25_rnk"] is None
+
+
+def test_bm25_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """The 100 TB index layout: postings hash-partitioned by term bucket.
+    Two claims, both pinned: (1) the pruned probe reproduces the
+    whole-index ranking exactly; (2) the scan's PartitionFilters carries
+    the bucket set, and the number of partition dirs read is bounded by
+    the query-term count — the probe never reads the whole index."""
+    from udata_datalake_service_spark.llm.retrieval import (
+        bm25_postings,
+        bm25_stats,
+        bm25_topk,
+        read_bm25_postings_pruned,
+        write_bm25_postings_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11} t{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(0, "w3 t17")], "query_id long, text string")
+    path = str(tmp_path / "postings_by_bucket")
+    write_bm25_postings_partitioned(bm25_postings(df), path, num_buckets=32)
+
+    pruned = read_bm25_postings_pruned(spark, path, queries, num_buckets=32)
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                df, queries, k=5, postings=pruned, stats=bm25_stats(df)
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
+    assert got == want
+
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    # the bucket set reaches the scan as a PartitionFilter (directory
+    # pruning, not a post-scan filter) and carries at most one bucket
+    # per query term — 2 of the 32 dirs read
+    import re
+
+    m = re.search(r"PartitionFilters: \[term_bucket#\d+ IN \(([0-9,]+)\)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2
+    # and the index really has the full bucket fan-out on disk
+    import os
+
+    dirs = [d for d in os.listdir(str(tmp_path / "postings_by_bucket")) if d.startswith("term_bucket=")]
+    assert len(dirs) > 2

@@ -199,6 +199,59 @@ def bm25_topk(
     )
 
 
+def write_bm25_postings_partitioned(
+    postings: DataFrame, path: str, num_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Persist postings hash-partitioned by term bucket — the 100 TB
+    index layout: a probe for q query terms then reads AT MOST
+    min(q, num_buckets) partition directories instead of the whole
+    index (`read_bm25_postings_pruned` pushes the bucket set into the
+    scan's PartitionFilters, pinned by test). The bucket column is
+    layout-internal (Spark murmur3 on the term) — scores are computed
+    from the stored (tf, dl) facts and are identical to any other
+    layout. ``mode="append"`` keeps the layout valid under ingest:
+    new epochs add files inside existing bucket dirs."""
+    postings.withColumn(
+        "term_bucket", F.pmod(F.hash("term"), F.lit(num_buckets))
+    ).write.partitionBy("term_bucket").mode(mode).parquet(path)
+
+
+def read_bm25_postings_pruned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Postings frame for ``bm25_topk(postings=)`` reading ONLY the
+    partitions the query terms can live in. The distinct query-term
+    set is collected driver-side to build the literal bucket list —
+    bounded by the same small-queries contract that lets `bm25_topk`
+    broadcast it (an eval set, never a corpus)."""
+    terms = [
+        r["term"]
+        for r in queries.select(
+            F.explode(F.array_distinct(tokens(F.col(text)))).alias("term")
+        )
+        .distinct()
+        .collect()
+    ]
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(num_buckets)).alias("b"))
+            .collect()
+        }
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("term_bucket").isin(buckets))
+        .select("term", id_col, "tf", "dl")
+    )
+
+
 def rrf_fuse(
     legs: dict[str, DataFrame],
     query_col: str = "query_id",
