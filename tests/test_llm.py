@@ -2267,9 +2267,11 @@ def test_bm25_topk_matches_hand_computed_scores(spark):
     queries = spark.createDataFrame(
         [(100, "quick fox")], "query_id long, text string"
     )
+    from udata_datalake_service_spark.caching import settle
+
     got = {
         r["doc_id"]: r["score"]
-        for r in bm25_topk(df, queries, k=10).collect()
+        for r in settle(bm25_topk(df, queries, k=10)).collect()
     }
     assert got == _bm25_expected(corpus, ["quick", "fox"])
 
@@ -2290,8 +2292,10 @@ def test_bm25_prefers_rare_terms_and_shorter_docs(spark):
         ],
         "doc_id long, text string",
     )
+    from udata_datalake_service_spark.caching import settle
+
     queries = spark.createDataFrame([(9, "zebra the")], "query_id long, text string")
-    rows = bm25_topk(df, queries, k=10).collect()
+    rows = settle(bm25_topk(df, queries, k=10)).collect()
     rank = {r["doc_id"]: r["rnk"] for r in rows}
     # doc 0: rare match, short → best; doc 2: same rare match, longer → below
     assert rank[0] < rank[2]
@@ -2317,8 +2321,10 @@ def test_bm25_index_appends_and_reuse_are_identical(spark):
         [(i, f"alpha beta w{i % 3} w{i % 5}") for i in range(20)],
         "doc_id long, text string",
     )
+    from udata_datalake_service_spark.caching import settle
+
     queries = spark.createDataFrame([(0, "w1 w2 alpha")], "query_id long, text string")
-    direct = sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
+    direct = sorted(map(tuple, settle(bm25_topk(df, queries, k=5)).collect()))
 
     a, bhalf = df.filter("doc_id < 10"), df.filter("doc_id >= 10")
     postings = bm25_postings(a).unionByName(bm25_postings(bhalf))
@@ -2388,7 +2394,9 @@ def test_bm25_partitioned_index_prunes_and_matches(spark, tmp_path):
             ).collect(),
         )
     )
-    want = sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
+    from udata_datalake_service_spark.caching import settle
+
+    want = sorted(map(tuple, settle(bm25_topk(df, queries, k=5)).collect()))
     assert got == want
 
     plan = pruned._sc._jvm.PythonSQLUtils.explainString(

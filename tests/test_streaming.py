@@ -987,7 +987,9 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     queries = spark.createDataFrame(
         [(1000, "w3 w5 alpha"), (1001, "t17 beta")], "query_id long, text string"
     )
-    want = sorted(map(tuple, bm25_topk(whole, queries, k=5).collect()))
+    from udata_datalake_service_spark.caching import settle
+
+    want = sorted(map(tuple, settle(bm25_topk(whole, queries, k=5)).collect()))
     got = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
     assert got == want
 
@@ -1029,7 +1031,7 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
         is True
     )
     whole81 = whole.unionByName(extra)
-    want81 = sorted(map(tuple, bm25_topk(whole81, queries, k=5).collect()))
+    want81 = sorted(map(tuple, settle(bm25_topk(whole81, queries, k=5)).collect()))
     got81 = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
     assert got81 == want81
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from udata_datalake_service_spark.caching import adopt, adopted
 from udata_datalake_service_spark.llm.text import tokens
 
 FP = 1_000_000  # fixed-point micro-units for order-independent sums
@@ -94,10 +95,12 @@ def bm25_epoch(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, stats, token_cache) for ONE ingest epoch off a single
     tokenization pass: the token frame is persisted and shared by both
-    outputs, so an epoch commit (postings append, then stats append)
-    scans and tokenizes the batch once, not twice. The caller owns the
-    actions and must ``token_cache.unpersist()`` after both commits
-    (the adopt/settle contract — see `caching.py`)."""
+    outputs, so an epoch commit (postings append, THEN stats append —
+    two sequential actions) scans and tokenizes the batch once, not
+    twice. Only worth it across sequential actions; within a single
+    action prefer the lazy independent derivations (see `bm25_topk`).
+    The caller owns the actions and must ``token_cache.unpersist()``
+    after both commits (the adopt/settle contract — see `caching.py`)."""
     toks = corpus.select(F.col(id_col), tokens(F.col(text)).alias("__t")).persist()
     dt = (
         toks.select(
@@ -153,6 +156,13 @@ def bm25_topk(
     Result: (query_id, doc_id, score, rnk) with ``score`` in points
     (rounded to 6), rank ties broken by doc id.
     """
+    # postings and stats are derived LAZILY and independently when not
+    # supplied: inside one action the two corpus scans run concurrently,
+    # which measures FASTER than sharing a persisted token frame at this
+    # shape (caching the token arrays costs more than the second scan).
+    # bm25_epoch's shared pass is for SEQUENTIAL actions — two lake
+    # appends, a foreachBatch sink — where the cache prevents a real
+    # cross-job recompute.
     p = postings if postings is not None else bm25_postings(corpus, text, id_col)
     st = stats if stats is not None else bm25_stats(corpus, text, id_col)
     q_terms = queries.select(
@@ -305,8 +315,11 @@ def rrf_fuse(
     )
     fused = fused.withColumn("rrf", F.round(F.col("__s") / F.lit(float(FP)), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
+    out = (
         fused.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", *[f"{n}_rnk" for n in names], "rrf", "rnk")
     )
+    # derived frames drop the adoption attribute — re-adopt the legs'
+    # caches so the action owner's settle() releases them
+    return adopt(out, *adopted(*legs.values()))
