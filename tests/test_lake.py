@@ -697,6 +697,32 @@ class TestCommitProtocolAcrossBackends:
 
         assert not _os.path.exists(lake.table_path("t"))
 
+    def test_log_table_commit_log_laws_across_backends(
+        self, spark, tmp_path, proto_store
+    ):
+        """The commit-log append (marker-file exactly-once, O(batch))
+        must hold its laws on every backend: commit/replay, torn-append
+        invisibility is covered by the posix law test; here the full
+        append → read → fold → replay → append cycle runs against each
+        store, including the real S3 API."""
+        lake = Lake(spark, str(tmp_path / "lake"), store=proto_store)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+        assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is True
+        assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is False
+        assert lake.append_log_table_exactly_once(b1, "t", "ep-1") is True
+        want = [(1, "a"), (2, "b"), (3, "c")]
+        assert sorted(map(tuple, lake.read_log_table("t").collect())) == want
+        stats = lake.compact_log_table("t")
+        assert stats["batches_folded"] == 2
+        assert sorted(map(tuple, lake.read_log_table("t").collect())) == want
+        assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is False
+        assert lake.append_log_table_exactly_once(b1, "t", "ep-2") is True
+        assert (
+            sorted(map(tuple, lake.read_log_table("t").collect()))
+            == want + [(3, "c")]
+        )
+
     def test_compact_table_preserves_rows(self, spark, tmp_path, proto_store):
         import warnings as _warnings
 
@@ -1172,3 +1198,107 @@ def test_moto_fresh_process_reads_and_drops_bucket_resident_table(spark, tmp_pat
     lake_c.drop_table("t")
     base = Path(lake_c.table_path("t"))
     assert list(store._iter_keys(store._key(base) + "/")) == []
+
+
+# ------------------------------------------------------ commit-log tables ----
+def test_log_table_exactly_once_laws(spark, tmp_path):
+    """append_log_table_exactly_once: O(batch) commits with marker-file
+    atomicity. Laws: commit True / replay False off the marker alone;
+    distinct batches commit independently; a torn append (data dir, no
+    marker) is INVISIBLE to readers and healed in place by the replay;
+    zero-commit reads return the bootstrap schema, empty."""
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is True
+    assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is False  # replay
+    assert lake.append_log_table_exactly_once(b1, "t", "ep-1") is True
+    got = sorted(map(tuple, lake.read_log_table("t").collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # torn append: data dir lands, crash before the marker — invisible
+    from pathlib import Path
+
+    base = Path(lake.app_table_path("t"))
+    cur = lake._current_dir(base)
+    torn = spark.createDataFrame([(9, "torn")], "id long, v string")
+    torn.write.mode("overwrite").parquet(str(cur / f"batch={lake._log_safe('ep-2')}"))
+    assert sorted(map(tuple, lake.read_log_table("t").collect())) == got
+    # the replay overwrites the torn dir and commits — exactly one copy
+    assert lake.append_log_table_exactly_once(torn, "t", "ep-2") is True
+    got2 = sorted(map(tuple, lake.read_log_table("t").collect()))
+    assert got2 == [(1, "a"), (2, "b"), (3, "c"), (9, "torn")]
+
+    # zero-commit table: bootstrap schema, no rows
+    empty = spark.createDataFrame([], "id long, v string")
+    assert lake.append_log_table_exactly_once(empty, "e", "ep-0") is True
+    r = lake.read_log_table("e")
+    assert r.count() == 0 and set(r.columns) == {"id", "v"}
+
+
+def test_log_table_compaction_folds_and_markers_survive(spark, tmp_path):
+    """compact_log_table: rows identical before/after (manifest-flip
+    atomic), batch dirs folded to one, and every pre-fold marker
+    survives — a crash-replayed producer keeps no-opping after its rows
+    were folded; post-fold appends land and read normally."""
+    from pathlib import Path
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    for ep in range(4):
+        lake.append_log_table_exactly_once(
+            spark.createDataFrame([(ep, f"v{ep}")], "id long, v string"), "t", f"ep-{ep}"
+        )
+    before = sorted(map(tuple, lake.read_log_table("t").collect()))
+    stats = lake.compact_log_table("t")
+    assert stats["batches_folded"] == 4 and stats["markers_carried"] == 4
+    assert sorted(map(tuple, lake.read_log_table("t").collect())) == before
+    base = Path(lake.app_table_path("t"))
+    cur = lake._current_dir(base)
+    assert sum(1 for d in cur.iterdir() if d.name.startswith("batch=")) == 1
+
+    # replays of folded epochs still no-op
+    for ep in range(4):
+        assert (
+            lake.append_log_table_exactly_once(
+                spark.createDataFrame([(ep, "dup")], "id long, v string"), "t", f"ep-{ep}"
+            )
+            is False
+        )
+    # and new epochs keep landing
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(99, "new")], "id long, v string"), "t", "ep-99"
+    ) is True
+    assert sorted(map(tuple, lake.read_log_table("t").collect())) == before + [(99, "new")]
+
+
+def test_log_table_append_cost_is_batch_sized(spark, tmp_path):
+    """The reason this verb exists: committing epoch N must not rewrite
+    epochs 0..N-1. Pinned structurally (no wall-clock): after each
+    append, every PRIOR batch dir's data files are bit-identical (same
+    paths, sizes, mtimes) — an O(table) rewrite would recreate them."""
+    from pathlib import Path
+
+    from udata_datalake_service_spark.sinks.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    seen: dict[str, tuple] = {}
+    for ep in range(5):
+        lake.append_log_table_exactly_once(
+            spark.createDataFrame([(ep,)], "id long"), "t", f"ep-{ep}"
+        )
+        base = Path(lake.app_table_path("t"))
+        cur = lake._current_dir(base)
+        for d in cur.iterdir():
+            if not d.name.startswith("batch="):
+                continue
+            for p in d.glob("*.parquet"):
+                sig = (p.stat().st_size, p.stat().st_mtime_ns)
+                if str(p) in seen:
+                    assert seen[str(p)] == sig, f"prior batch file rewritten: {p}"
+                seen[str(p)] = sig
+    assert len(seen) >= 5

@@ -973,7 +973,7 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
 
     q = bm25_index_stream(spark, src, lake, ckpt)
     q.awaitTermination(120)
-    postings = lake.read_app_table("bm25_postings")
+    postings = lake.read_log_table("bm25_postings")
     assert postings.select("batch_epoch").distinct().count() == 2
     assert lake.read_app_table("bm25_stats").count() == 2
 
@@ -996,7 +996,7 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     # restart on the same checkpoint with nothing new: no new epochs
     q = bm25_index_stream(spark, src, lake, ckpt)
     q.awaitTermination(120)
-    assert lake.read_app_table("bm25_postings").count() == postings.count()
+    assert lake.read_log_table("bm25_postings").count() == postings.count()
 
     # manual replay of epoch 0 (same checkpoint-derived ledger keys): no-op
     import hashlib as _h
@@ -1004,7 +1004,7 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     prefix = "stream-bm25-" + _h.md5(ckpt.encode()).hexdigest()[:8]
     replay_p = bm25_postings(whole).withColumn("batch_epoch", F.lit(0))
     assert (
-        lake.append_app_table_exactly_once(replay_p, "bm25_postings", f"{prefix}-0")
+        lake.append_log_table_exactly_once(replay_p, "bm25_postings", f"{prefix}-0")
         is False
     )
 
@@ -1018,12 +1018,12 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     p99 = bm25_postings(extra).withColumn("batch_epoch", F.lit(99))
     st99 = bm25_stats(extra).withColumn("batch_epoch", F.lit(99))
     assert (
-        lake.append_app_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
+        lake.append_log_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
         is True
     )
     # replay of the full epoch (as the stream would after the crash)
     assert (
-        lake.append_app_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
+        lake.append_log_table_exactly_once(p99, "bm25_postings", f"{prefix}-99")
         is False
     )
     assert (
@@ -1036,6 +1036,6 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     assert got81 == want81
 
     # compaction is row-preserving: the ranking is bit-identical after
-    lake.compact_table("bm25_postings", app_table=True)
+    lake.compact_log_table("bm25_postings")
     got_c = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
     assert got_c == want81

@@ -7464,7 +7464,7 @@ def q_rt_lake_bm25(spark, sf_dir):
         half = d.filter(F.col("doc_id") % 2 == ep)
         p, st, toks = bm25_epoch(half)
         try:
-            lake.append_app_table_exactly_once(
+            lake.append_log_table_exactly_once(
                 p.withColumn("batch_epoch", F.lit(ep)), "bm25_postings", f"ep-{ep}"
             )
             lake.append_app_table_exactly_once(
@@ -7474,7 +7474,7 @@ def q_rt_lake_bm25(spark, sf_dir):
             toks.unpersist()
     # crash-retry rehearsal: re-submitting a committed epoch must no-op —
     # if it double-committed, every df/tf doubles and the hash goes red
-    lake.append_app_table_exactly_once(
+    lake.append_log_table_exactly_once(
         bm25_postings(d.filter(F.col("doc_id") % 2 == 0)).withColumn(
             "batch_epoch", F.lit(0)
         ),

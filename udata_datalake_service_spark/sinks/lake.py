@@ -1032,3 +1032,127 @@ class Lake:
         # overwritten — the loser raises and re-runs against fresh state
         self._commit_version(base, ver, expect=snapshot, staging=staging)
         return True
+
+    # --------------------------------------------------- commit-log tables ----
+    @staticmethod
+    def _log_safe(batch_id: str) -> str:
+        import hashlib
+
+        return hashlib.sha1(str(batch_id).encode()).hexdigest()[:16]
+
+    def append_log_table_exactly_once(
+        self, df: DataFrame, name: str, batch_id: str
+    ) -> bool:
+        """O(batch) exactly-once append — the DATA-PLANE twin of
+        `append_app_table_exactly_once`, whose rewrite (read current ∪
+        new → new version) is right for small control tables but makes a
+        stream of N epochs cost O(N²) on an append-heavy table (a
+        streaming posting index, per-epoch document shards).
+
+        Commit-log layout inside the current version dir: each batch
+        lands as its own ``batch=<sha1(id)>/`` subdir, and the commit
+        point is a marker file ``_commits/<sha1>.json`` created
+        atomically (O_EXCL) AFTER the data dir completes.
+        `read_log_table` lists markers and reads exactly the committed
+        dirs, so:
+
+        * a torn append (data dir, no marker) is INVISIBLE to readers,
+          and the crash-replay overwrites the same dir before marking;
+        * a replay after the marker no-ops off the marker alone (returns
+          False) — no table read, no rewrite;
+        * DISTINCT batches may commit concurrently — there is no shared
+          read-modify-write anywhere (unlike the ledger-list protocol).
+
+        This is the mini commit-log the rewrite docstring defers to
+        Delta/Iceberg, scoped to exactly the surface the engine needs.
+        Writer contract: one writer per batch_id at a time (Spark
+        structured streaming's epoch serialization provides this).
+        """
+        base = Path(self.app_table_path(name))
+        safe = self._log_safe(batch_id)
+        cur = self._current_dir(base)
+        if cur is None:
+            # schema-only bootstrap version (staged publish + manifest
+            # flip) so appends always have a committed dir to land in
+            self._replace_write(df.limit(0).coalesce(1), base)
+            cur = self._current_dir(base)
+        cur = self.store.materialize_dir(cur)
+        marker = cur / "_commits" / f"{safe}.json"
+        if marker.exists():
+            return False
+        bdir = cur / f"batch={safe}"
+        df.write.mode("overwrite").parquet(str(bdir))
+        self.store.upload_dir_delta(cur)
+        (cur / "_commits").mkdir(exist_ok=True)
+        return self.store.try_create_exclusive(
+            marker, json.dumps({"batch_id": str(batch_id)}).encode()
+        )
+
+    def read_log_table(self, name: str) -> DataFrame:
+        """Exactly the committed batches — marker-listed dirs only, so
+        torn appends never surface. Markers whose dir was folded away by
+        `compact_log_table` contribute no files (the rows live in the
+        fold dir) but keep refusing replays."""
+        base = Path(self.app_table_path(name))
+        cur = self._current_dir(base)
+        if cur is None:
+            raise FileNotFoundError(f"log table {name!r} does not exist")
+        cur = self.store.materialize_dir(cur)
+        cdir = cur / "_commits"
+        safes = sorted(p.stem for p in cdir.glob("*.json")) if cdir.exists() else []
+        dirs = [cur / f"batch={s}" for s in safes]
+        dirs = [d for d in dirs if d.exists()]
+        if not dirs:
+            # bootstrap schema: the version dir's root part files
+            roots = sorted(str(p) for p in cur.glob("*.parquet"))
+            return self.spark.read.parquet(*roots)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(d) for d in dirs]
+        )
+
+    def compact_log_table(self, name: str) -> dict:
+        """Fold every committed batch dir into ONE, as a new version
+        behind the atomic manifest flip — readers see pre- or post-fold,
+        never both — CARRYING every marker, so crash-replayed producers
+        keep no-opping after their rows were folded (the
+        `carry_exactly_once_ledger` discipline, marker-file form).
+
+        Same documented hazard as every in-place-append × rewrite pair:
+        an append committing between this fold's read and its flip is
+        lost (log appends don't bump the manifest, so CAS can't see
+        them) — quiesce producers or run compaction from the single
+        writer."""
+        base = Path(self.app_table_path(name))
+        snapshot = self._manifest_version(base)
+        cur = self._current_dir(base)
+        if cur is None:
+            raise FileNotFoundError(f"log table {name!r} does not exist")
+        cur = self.store.materialize_dir(cur)
+        cdir = cur / "_commits"
+        safes = sorted(p.stem for p in cdir.glob("*.json")) if cdir.exists() else []
+        rows = self.read_log_table(name)
+        n_dirs_before = sum(1 for s in safes if (cur / f"batch={s}").exists())
+        fold_id = "fold-" + self._log_safe("|".join(safes))
+        fold_safe = self._log_safe(fold_id)
+        ver = self._new_version()
+        staging = base / f"_staging-{ver}"
+        rows.write.mode("overwrite").parquet(str(staging / f"batch={fold_safe}"))
+        # bootstrap root schema file so an empty-commit read still works
+        rows.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            str(staging / "_schema_tmp")
+        )
+        for p in (staging / "_schema_tmp").glob("*.parquet"):
+            os.replace(p, staging / p.name)
+        shutil.rmtree(staging / "_schema_tmp")
+        sc = staging / "_commits"
+        sc.mkdir(parents=True, exist_ok=True)
+        if cdir.exists():
+            for p in cdir.glob("*.json"):
+                shutil.copy2(p, sc / p.name)
+        (sc / f"{fold_safe}.json").write_text(json.dumps({"batch_id": fold_id}))
+        self._commit_version(base, ver, expect=snapshot, staging=staging)
+        return {
+            "batches_folded": int(n_dirs_before),
+            "markers_carried": len(safes),
+            "fold_id": fold_id,
+        }

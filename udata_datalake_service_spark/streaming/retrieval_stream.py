@@ -13,8 +13,11 @@ epoch boundaries are invisible to the scorer (the append law pinned
 in `tests/test_llm.py`, re-pinned end-to-end through the real
 streaming engine in `tests/test_streaming.py`).
 
-Each epoch commits TWO exactly-once appends (postings + stats) keyed
-by the same epoch id through ``Lake.append_app_table_exactly_once``:
+Each epoch commits TWO exactly-once appends keyed by the same epoch
+id — postings through ``Lake.append_log_table_exactly_once`` (the
+O(batch) commit-log path: a data-plane table must never pay a rewrite
+of epochs 0..N-1 to commit epoch N) and the 1-row stats through the
+rewrite-ledger ``append_app_table_exactly_once`` (a control table):
 Spark replays a failed epoch with the SAME id, the per-table ledgers
 no-op the second delivery, and a crash between the two appends heals
 on replay (the committed one no-ops, the missing one lands) — the
@@ -23,9 +26,10 @@ torn-commit discipline `streaming/neardup_stream.py` established.
 State/size at scale: the stream itself is STATELESS beyond source
 offsets (no dedup store, no watermark — postings are per-(doc, term)
 facts). The postings table grows with the corpus, as an index must;
-compact file counts with ``Lake.compact_table`` (row-preserving, so
-retrieval is unaffected); the stats table grows 1 row per epoch and
-sums at probe time.
+compact batch-dir counts with ``Lake.compact_log_table``
+(row-preserving and marker-carrying, so retrieval and replay-no-ops
+are unaffected); the stats table grows 1 row per epoch and sums at
+probe time.
 """
 
 from __future__ import annotations
@@ -76,8 +80,11 @@ def bm25_index_stream(
         st = st.withColumn("batch_epoch", F.lit(ep))
         try:
             # two tables, one epoch id: a crash between the appends heals
-            # on replay — the committed table no-ops, the missing one lands
-            lake.append_app_table_exactly_once(
+            # on replay — the committed table no-ops, the missing one
+            # lands. Postings are DATA-PLANE (they grow with the corpus)
+            # → the O(batch) commit-log append; stats are a 1-row-per-
+            # epoch control table → the rewrite-ledger append is fine.
+            lake.append_log_table_exactly_once(
                 p, postings_table, f"{ledger_prefix}-{ep}"
             )
             lake.append_app_table_exactly_once(st, stats_table, f"{ledger_prefix}-{ep}")
@@ -109,7 +116,7 @@ def bm25_from_lake(
     Stats rows are summed (the mergeable-counter law); postings feed
     ``bm25_topk`` unchanged, since epoch boundaries are invisible to
     per-(doc, term) facts."""
-    postings = lake.read_app_table(postings_table).select("term", id_col, "tf", "dl")
+    postings = lake.read_log_table(postings_table).select("term", id_col, "tf", "dl")
     stats = lake.read_app_table(stats_table).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
     )
