@@ -826,29 +826,29 @@ def test_neardup_stream_verified_dedup_across_epochs(spark, tmp_path):
     q = near_dup_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(300)
 
-    got = {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()}
+    got = {r["doc_id"] for r in lake.read_log_table("corpus_docs").collect()}
     want = {i for i in range(30)} | {110 + i for i in range(10)} | {150}
     assert got == want, (sorted(got - want), sorted(want - got))
 
     # three epoch-stamped state tables, queryable like any lake table
-    idx = lake.read_app_table("lsh_band_index")
-    sg = lake.read_app_table("minhash_sigs")
+    idx = lake.read_log_table("lsh_band_index")
+    sg = lake.read_log_table("minhash_sigs")
     assert {r["id"] for r in sg.select("id").distinct().collect()} == want
     assert set(idx.columns) >= {"id", "band", "bkey", "batch_epoch"}
 
     # restart with nothing new: no growth anywhere
     q = near_dup_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(300)
-    assert {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()} == want
-    assert lake.read_app_table("minhash_sigs").count() == len(want)
+    assert {r["doc_id"] for r in lake.read_log_table("corpus_docs").collect()} == want
+    assert lake.read_log_table("minhash_sigs").count() == len(want)
 
     # manual replay of an already-committed epoch: every ledger no-ops
     prefix = "stream-neardup-" + _h.md5(ckpt.encode()).hexdigest()[:8]
-    some = lake.read_app_table("corpus_docs").limit(1)
+    some = lake.read_log_table("corpus_docs").limit(1)
     for t, tag in (("corpus_docs", "docs"), ("lsh_band_index", "index"),
                    ("minhash_sigs", "sigs")):
         assert (
-            lake.append_app_table_exactly_once(some, t, f"{prefix}-{tag}-0")
+            lake.append_log_table_exactly_once(some, t, f"{prefix}-{tag}-0")
             is False
         ), t
 
@@ -904,7 +904,7 @@ def test_neardup_stream_crash_replay_heals(spark, tmp_path):
     shard([(i, words(i), "en", "web", 60) for i in range(10)], "s0")
     q = near_dup_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(300)
-    assert lake.read_app_table("corpus_docs").count() == 10
+    assert lake.read_log_table("corpus_docs").count() == 10
 
     # epoch 1's docs: pre-commit their index rows under the sink's OWN
     # ledger id for epoch 1 — the torn-commit state a crash between the
@@ -913,7 +913,7 @@ def test_neardup_stream_crash_replay_heals(spark, tmp_path):
     df2 = spark.createDataFrame(rows2, DOCUMENTS_SCHEMA)
     sigs2 = minhash_signatures(df2, num_hashes=8, k=2)
     band2 = lsh_band_table(sigs2, 4, 2).withColumn("batch_epoch", F.lit(1))
-    assert lake.append_app_table_exactly_once(
+    assert lake.append_log_table_exactly_once(
         band2, "lsh_band_index", f"{prefix}-index-1"
     ) is True
 
@@ -921,14 +921,14 @@ def test_neardup_stream_crash_replay_heals(spark, tmp_path):
     q = near_dup_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(300)
 
-    got = {r["doc_id"] for r in lake.read_app_table("corpus_docs").collect()}
+    got = {r["doc_id"] for r in lake.read_log_table("corpus_docs").collect()}
     assert got == set(range(10)) | {100 + i for i in range(10)}, sorted(got)
     # the torn index append was healed by the ledger (no duplicate rows)
-    idx = lake.read_app_table("lsh_band_index").filter(F.col("batch_epoch") == 1)
+    idx = lake.read_log_table("lsh_band_index").filter(F.col("batch_epoch") == 1)
     assert idx.count() == idx.distinct().count()
     # and sigs for epoch 1 are present (the append that "crashed" ran on replay)
     assert (
-        lake.read_app_table("minhash_sigs").filter(F.col("batch_epoch") == 1).count()
+        lake.read_log_table("minhash_sigs").filter(F.col("batch_epoch") == 1).count()
         == 10
     )
 

@@ -121,7 +121,7 @@ def near_dup_ingest_stream(
         # epoch's own index/sigs append already committed before the crash
         def _earlier(name: str) -> DataFrame | None:
             try:
-                t = lake.read_app_table(name)
+                t = lake.read_log_table(name)
             except Exception:  # noqa: BLE001  (first epoch: table absent)
                 return None
             return t.filter(F.col("batch_epoch") < ep)
@@ -180,17 +180,17 @@ def near_dup_ingest_stream(
         docs_out = batch.join(
             survivors.select(F.col("id").alias("doc_id")), on="doc_id", how="left_semi"
         ).withColumn("batch_epoch", F.lit(ep))
-        lake.append_app_table_exactly_once(
+        lake.append_log_table_exactly_once(
             docs_out, table, f"{ledger_prefix}-docs-{ep}"
         )
         band_out = lsh_band_table(survivors, num_bands, rows_per_band).withColumn(
             "batch_epoch", F.lit(ep)
         )
-        lake.append_app_table_exactly_once(
+        lake.append_log_table_exactly_once(
             band_out, index_table, f"{ledger_prefix}-index-{ep}"
         )
         sigs_out = survivors.withColumn("batch_epoch", F.lit(ep))
-        lake.append_app_table_exactly_once(
+        lake.append_log_table_exactly_once(
             sigs_out, sigs_table, f"{ledger_prefix}-sigs-{ep}"
         )
         from udata_datalake_service_spark.caching import adopted
