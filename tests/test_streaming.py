@@ -509,18 +509,18 @@ def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
     shard([(1, "alpha beta", "en", "web", 10), (2, "gamma delta", "en", "web", 11)], "s1")
     q = corpus_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(120)
-    assert lake.read_app_table("corpus_docs").count() == 2
+    assert lake.read_log_table("corpus_docs").count() == 2
 
     # restart on the same checkpoint with nothing new: no duplicates
     q = corpus_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(120)
-    assert lake.read_app_table("corpus_docs").count() == 2
+    assert lake.read_log_table("corpus_docs").count() == 2
 
     # overlapping shard: state store drops the re-crawled doc 1 content
     shard([(3, "alpha  BETA!", "en", "web", 12), (4, "epsilon zeta", "en", "web", 13)], "s2")
     q = corpus_ingest_stream(spark, src, lake, ckpt)
     q.awaitTermination(120)
-    got = lake.read_app_table("corpus_docs")
+    got = lake.read_log_table("corpus_docs")
     assert got.count() == 3
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {1, 2, 4}
 
@@ -531,8 +531,8 @@ def test_streaming_corpus_ingest_exactly_once(spark, tmp_path):
     replay = spark.createDataFrame(
         [(9, "nu xi", "en", "web", 9)], DOCUMENTS_SCHEMA
     ).withColumn("fp", _fp(F.col("text")))
-    assert lake.append_app_table_exactly_once(replay, "corpus_docs", f"{prefix}-0") is False
-    assert lake.read_app_table("corpus_docs").count() == 3
+    assert lake.append_log_table_exactly_once(replay, "corpus_docs", f"{prefix}-0") is False
+    assert lake.read_log_table("corpus_docs").count() == 3
 
 
 def test_streaming_kmv_sketch_rollup_matches_whole_build(spark, tmp_path):

@@ -40,6 +40,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "rt_bm25_topk",  # NEW: distributed BM25 retrieval (llm/retrieval.py)
     "rt_hybrid_rrf",  # NEW: BM25 × cosine reciprocal-rank fusion (llm/retrieval.py)
     "rt_lake_bm25",  # NEW: lake-backed BM25 via exactly-once epoch appends (streaming/retrieval_stream.py)
+    "corpus_ingest",  # CHANGED: ingest_documents commits through the O(batch) commit-log path (append_log_table_exactly_once)
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -11,7 +11,7 @@ growing corpus table with:
 * **optional quality gate** — the Gopher rule bundle filters before the
   write, with per-gate counts in the report;
 * **crash-safe idempotence** — the only mutation is ONE
-  ``append_app_table_exactly_once`` call keyed by the caller's
+  ``append_log_table_exactly_once`` call keyed by the caller's
   ``batch_id``: a crashed/retried ingest either already committed (the
   ledger no-ops it) or left the previous version visible. No separate
   index table to drift out of sync — the fingerprint column lives IN the
@@ -76,7 +76,7 @@ def ingest_documents(
     n_batch_unique = batch.count()
 
     try:
-        existing_fp = lake.read_app_table(table).select("fp").distinct()
+        existing_fp = lake.read_log_table(table).select("fp").distinct()
         fresh = batch.join(existing_fp, on="fp", how="left_anti")
     except FileNotFoundError:
         fresh = batch
@@ -96,8 +96,8 @@ def ingest_documents(
         )
         n_gated = fresh.count()
 
-    committed = lake.append_app_table_exactly_once(fresh, table, batch_id)
-    n_total = lake.read_app_table(table).count()
+    committed = lake.append_log_table_exactly_once(fresh, table, batch_id)
+    n_total = lake.read_log_table(table).count()
     fresh_cached.unpersist()
     batch.unpersist()
     return {

@@ -9,7 +9,7 @@ document shards becomes a continuously-growing corpus table with
 * END-TO-END exactly-once delivery via the canonical Structured
   Streaming pattern: ``foreachBatch`` + an idempotent sink keyed by the
   epoch id. Spark replays a failed epoch with the SAME id after restart;
-  ``Lake.append_app_table_exactly_once`` consults its in-version batch
+  ``Lake.append_log_table_exactly_once`` consults its per-batch marker
   ledger and no-ops the duplicate, so source-replay ∘ idempotent-sink =
   exactly-once (the composition Delta's ``txnAppId``/``txnVersion``
   implements; here it is the lake's own ledger).
@@ -69,7 +69,7 @@ def corpus_ingest_stream(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch id is stable across replays of the same failed batch —
         # the ledger makes the second delivery a no-op
-        lake.append_app_table_exactly_once(
+        lake.append_log_table_exactly_once(
             batch_df, table, f"{ledger_prefix}-{epoch_id}"
         )
 
