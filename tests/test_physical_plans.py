@@ -173,6 +173,7 @@ _NESTED_LOOP_OK = {
     "rt_bm25_topk",
     "rt_hybrid_rrf",
     "rt_lake_bm25",
+    "rt_decontam",  # same 1-row stats anchor inside its BM25 leg
 }
 
 

@@ -7437,6 +7437,90 @@ SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf, rnk FROM (
 """
 
 
+def q_rt_decontam(spark, sf_dir):
+    """Retrieval-gated decontamination triage — the two planes composed:
+    for each eval item (doc_id < 5) the corpus docs that BOTH retrieve
+    in its BM25 top-20 (over the eval-free corpus, so eval items never
+    score each other) AND share verbatim 3-grams with it (the
+    contamination plane's k-gram evidence, k=8-13 in production). This
+    is the fuzzy-decontam review queue GPT-3/PaLM-style reports
+    describe: the k-gram hit alone has no notion of "how close", the
+    retrieval rank alone has no verbatim evidence; the intersection is
+    what a human (or a drop rule) reviews. Output per (eval, doc) pair:
+    BM25 score + rank and the shared-n-gram count."""
+    from udata_datalake_service_spark.llm.contamination import _exploded_ngrams
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+    d = _tw(spark, sf_dir, "documents")
+    evalset = d.filter(F.col("doc_id") < 5)
+    corpus = d.filter(F.col("doc_id") >= 5)
+    bm = bm25_topk(
+        corpus,
+        evalset.select(F.col("doc_id").alias("query_id"), "text"),
+        k=20,
+    )
+    ev_ng = _exploded_ngrams(evalset, "text", "doc_id", _CONTAM_K).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    c_ng = _exploded_ngrams(corpus, "text", "doc_id", _CONTAM_K)
+    shared = (
+        c_ng.join(F.broadcast(ev_ng), "ngram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
+    )
+    return bm.join(shared, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", "score", "rnk", "n_shared_ngrams"
+    )
+
+
+_SQL_RT_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+dt AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks WHERE doc_id >= 5
+), tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM dt GROUP BY doc_id, term, dl
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(len(t)) AS total_dl
+  FROM toks WHERE doc_id >= 5
+), idx AS (
+  SELECT tf.term, tf.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+      * ((tf.tf * 2.2) /
+         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (s.total_dl / s.n_docs)))))
+      * 1000000, 0) AS BIGINT) AS w_fp
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats s
+), qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id < 5
+), bm_scored AS (
+  SELECT qt.query_id, idx.doc_id, round(SUM(idx.w_fp) / 1000000.0, 6) AS score
+  FROM idx JOIN qt USING (term)
+  GROUP BY qt.query_id, idx.doc_id
+), bm_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM bm_scored
+), ev_ng AS (
+  SELECT doc_id AS query_id, unnest({_sql_shingles(_CONTAM_K)}) AS ngram
+  FROM toks WHERE len(t) >= {_CONTAM_K} AND doc_id < 5
+), c_ng AS (
+  SELECT doc_id, unnest({_sql_shingles(_CONTAM_K)}) AS ngram
+  FROM toks WHERE len(t) >= {_CONTAM_K} AND doc_id >= 5
+), shared AS (
+  SELECT e.query_id, c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared_ngrams
+  FROM c_ng c JOIN ev_ng e USING (ngram)
+  GROUP BY e.query_id, c.doc_id
+)
+SELECT b.query_id, b.doc_id, b.score, b.rnk, s.n_shared_ngrams
+FROM bm_ranked b JOIN shared s
+  ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+WHERE b.rnk <= 20
+"""
+
+
 def q_rt_lake_bm25(spark, sf_dir):
     """Lake-backed BM25 — the 100 TB continuous-ingest retrieval pattern
     end-to-end THROUGH the lake (`sk_lake_rollup`'s sibling for the
@@ -7613,6 +7697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_bm25_topk": q_rt_bm25_topk,
     "rt_hybrid_rrf": q_rt_hybrid_rrf,
     "rt_lake_bm25": q_rt_lake_bm25,
+    "rt_decontam": q_rt_decontam,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7779,6 +7864,7 @@ ORACLES: dict[str, str] = {
     # reproduce the whole-corpus ranking value-for-value (append law);
     # any exactly-once violation in the epoch commits breaks the hash
     "rt_lake_bm25": _SQL_RT_BM25,
+    "rt_decontam": _SQL_RT_DECONTAM,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver
