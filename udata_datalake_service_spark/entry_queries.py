@@ -7468,7 +7468,9 @@ def q_rt_decontam(spark, sf_dir):
         .groupBy("query_id", "doc_id")
         .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
     )
-    return bm.join(shared, ["query_id", "doc_id"]).select(
+    # the BM25 side is rank-bounded (≤ k·|eval items| rows) — broadcast
+    # it so the pair-grain n-gram aggregate never sort-merge-shuffles
+    return shared.join(F.broadcast(bm), ["query_id", "doc_id"]).select(
         "query_id", "doc_id", "score", "rnk", "n_shared_ngrams"
     )
 
