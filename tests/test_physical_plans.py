@@ -683,3 +683,13 @@ def test_rrf_fusion_stays_leg_bounded(spark):
     assert "Union" in t
     assert "SortMergeJoin" not in t
     assert "CartesianProduct" not in t
+
+
+def test_rt_decontam_joins_stay_broadcast(spark):
+    """rt_decontam's scale contract: the eval-side n-gram table and the
+    rank-bounded BM25 result are both broadcast — the corpus-sized
+    n-gram explode never sort-merge-shuffles into either join."""
+    t = tree(formatted_plan(QUERIES["rt_decontam"](spark, SF_DIR)))
+    assert "SortMergeJoin" not in t
+    assert "CartesianProduct" not in t
+    assert "WindowGroupLimit" in t  # the BM25 top-20 cut
