@@ -2415,3 +2415,28 @@ def test_bm25_partitioned_index_prunes_and_matches(spark, tmp_path):
 
     dirs = [d for d in os.listdir(str(tmp_path / "postings_by_bucket")) if d.startswith("term_bucket=")]
     assert len(dirs) > 2
+
+
+def test_bm25_max_df_cap_skips_hot_lists_only(spark):
+    """The posting-list cap law: capped scores equal full BM25 computed
+    over the corpus with the hot terms absent from the QUERY (skipping
+    a list is equivalent to not asking for its term — idf/dl stats are
+    unchanged), and a query made only of capped-out terms returns
+    nothing."""
+    from udata_datalake_service_spark.caching import settle
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+    # 'the' in every doc (df=6 > 0.5*6), 'zebra' in two
+    df = spark.createDataFrame(
+        [(i, f"the zebra w{i}" if i < 2 else f"the w{i} w{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(9, "the zebra")], "query_id long, text string")
+    capped = sorted(
+        map(tuple, settle(bm25_topk(df, q, k=6, max_df_ratio=0.5)).collect())
+    )
+    rare_only = spark.createDataFrame([(9, "zebra")], "query_id long, text string")
+    want = sorted(map(tuple, settle(bm25_topk(df, rare_only, k=6)).collect()))
+    assert capped == want
+    stop_only = spark.createDataFrame([(9, "the")], "query_id long, text string")
+    assert settle(bm25_topk(df, stop_only, k=6, max_df_ratio=0.5)).count() == 0

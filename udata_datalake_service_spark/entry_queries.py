@@ -7321,14 +7321,24 @@ def q_rt_bm25_topk(spark, sf_dir):
     query side is broadcast, so the corpus never reshuffles for a probe
     batch. Per-term contributions are fixed-pointed BEFORE the per-doc
     sum (tx_surprisal's device), so the cross-engine hash cannot drift
-    with aggregation order. Self-matches excluded."""
+    with aggregation order. Self-matches excluded. Folded with the
+    posting-list-capped leg (max_df_ratio=0.78 — the WAND-style
+    stopword/skew control: terms in >78% of docs are skipped, changing
+    scores only by their near-zero idf while dropping the hot lists
+    that dominate probe cost)."""
     from udata_datalake_service_spark.llm.retrieval import bm25_topk
 
     d = _tw(spark, sf_dir, "documents")
     probes = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return bm25_topk(d, probes, k=10, exclude_self=True)
+    full = bm25_topk(d, probes, k=10, exclude_self=True).select(
+        F.lit("all").alias("leg"), "query_id", "doc_id", "score", "rnk"
+    )
+    capped = bm25_topk(
+        d, probes, k=10, exclude_self=True, max_df_ratio=0.78
+    ).select(F.lit("capped").alias("leg"), "query_id", "doc_id", "score", "rnk")
+    return full.unionByName(capped)
 
 
 # BM25 oracle: the SAME index/probe math replayed in SQL. Expression
@@ -7370,6 +7380,34 @@ dt AS (
 _SQL_RT_BM25 = f"""
 WITH {_SQL_RT_BM25_CTES}
 SELECT query_id, doc_id, score, rnk FROM bm_ranked WHERE rnk <= 10
+"""
+
+# folded twin for rt_bm25_topk: the uncapped leg plus the max_df-capped
+# leg (posting lists longer than 0.78·N skipped before weighting)
+_SQL_RT_BM25_FOLDED = f"""
+WITH {_SQL_RT_BM25_CTES},
+idx_c AS (
+  SELECT tf.term, tf.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+      * ((tf.tf * 2.2) /
+         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (s.total_dl / s.n_docs)))))
+      * 1000000, 0) AS BIGINT) AS w_fp
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats s
+  WHERE dfr.df <= 0.78 * s.n_docs
+), bm_scored_c AS (
+  SELECT qt.query_id, idx_c.doc_id, round(SUM(idx_c.w_fp) / 1000000.0, 6) AS score
+  FROM idx_c JOIN qt USING (term)
+  WHERE qt.query_id <> idx_c.doc_id
+  GROUP BY qt.query_id, idx_c.doc_id
+), bm_ranked_c AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM bm_scored_c
+)
+SELECT 'all' AS leg, query_id, doc_id, score, rnk FROM bm_ranked WHERE rnk <= 10
+UNION ALL
+SELECT 'capped', query_id, doc_id, score, rnk FROM bm_ranked_c WHERE rnk <= 10
 """
 
 
@@ -7860,11 +7898,12 @@ ORACLES: dict[str, str] = {
     "tok_bpe_encode": _SQL_TOK_BPE,
     "sk_kmv_ndv": _SQL_SK_KMV,
     "sk_lake_rollup": _SQL_SK_LAKE_ROLLUP,
-    "rt_bm25_topk": _SQL_RT_BM25,
+    "rt_bm25_topk": _SQL_RT_BM25_FOLDED,
     "rt_hybrid_rrf": _SQL_RT_HYBRID,
-    # same oracle as rt_bm25_topk ON PURPOSE: the lake path must
-    # reproduce the whole-corpus ranking value-for-value (append law);
-    # any exactly-once violation in the epoch commits breaks the hash
+    # same math as rt_bm25_topk's uncapped leg ON PURPOSE: the lake
+    # path must reproduce the whole-corpus ranking value-for-value
+    # (append law); any exactly-once violation in the epoch commits
+    # breaks the hash
     "rt_lake_bm25": _SQL_RT_BM25,
     "rt_decontam": _SQL_RT_DECONTAM,
 }

@@ -129,6 +129,7 @@ def bm25_topk(
     exclude_self: bool = False,
     postings: DataFrame | None = None,
     stats: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Top-``k`` corpus documents per query by BM25.
 
@@ -142,7 +143,10 @@ def bm25_topk(
     Pass ``postings=``/``stats=`` to probe a precomputed (lake-loaded,
     append-maintained) index instead of re-deriving it from ``corpus``.
     ``exclude_self`` drops ``doc_id == query_id`` matches when both
-    sides share an id space.
+    sides share an id space. ``max_df_ratio`` skips posting lists
+    longer than ratio·N docs — the stopword/skew cap (scores change
+    only by those terms' near-zero idf contributions; probe cost drops
+    by the hot lists, which is most of it on natural language).
 
     Probe-time shape: the distinct query-term set is broadcast against
     the posting table (semi-join — the corpus-sized side never
@@ -188,7 +192,17 @@ def bm25_topk(
     tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
     )
-    weighted = matched.crossJoin(F.broadcast(st)).select(
+    anchored = matched.crossJoin(F.broadcast(st))
+    if max_df_ratio is not None:
+        # posting-list cap — the retrieval skew control (WAND/impact-
+        # ordered systems drop or defer stopword-grade lists the same
+        # way): a term in more than ratio·N docs contributes ~no idf
+        # but dominates probe cost, so skip its list entirely. Ratio of
+        # N, not an absolute df, so the cap is scale-invariant.
+        anchored = anchored.filter(
+            F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs")
+        )
+    weighted = anchored.select(
         "term",
         F.col(id_col),
         F.round(idf * tfnorm * FP, 0).cast("long").alias("w_fp"),
