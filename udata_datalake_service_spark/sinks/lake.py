@@ -976,10 +976,13 @@ class Lake:
         call committed the batch, False if it was already committed.
 
         Cost model: each append rewrites the table (read current ∪ new →
-        new version) — right for the modest control tables this lake
-        serves (catalog/checks at test scale); a 100 TB append-heavy table
-        wants a real commit-log format (Delta/Iceberg), whose transaction
-        ids this surface mirrors deliberately.
+        new version) — right for the modest CONTROL tables this lake
+        serves (catalog/checks, per-epoch stats rows). A data-plane
+        table fed by a stream must NOT pay this (O(epochs²) cumulative):
+        use `append_log_table_exactly_once` — the O(batch) commit-log
+        twin (the Delta/Iceberg transaction-id surface this method
+        mirrors, implemented in-repo for exactly the cases the ingest /
+        near-dup / BM25 streams need).
         """
         import json as _json
 
