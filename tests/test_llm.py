@@ -2440,3 +2440,36 @@ def test_bm25_max_df_cap_skips_hot_lists_only(spark):
     assert capped == want
     stop_only = spark.createDataFrame([(9, "the")], "query_id long, text string")
     assert settle(bm25_topk(df, stop_only, k=6, max_df_ratio=0.5)).count() == 0
+
+
+def test_hard_negatives_excludes_near_dups_keeps_disjoint(spark):
+    """The mining law: a verbatim near-copy of the query scores top by
+    BM25 but MUST be excluded (jaccard ≥ threshold — a positive labeled
+    negative poisons a contrastive objective); a lexically-overlapping
+    but non-duplicate doc stays, with its jac value exact."""
+    from udata_datalake_service_spark.caching import settle
+    from udata_datalake_service_spark.llm.retrieval import hard_negatives
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),   # near-copy of 0
+            (2, "alpha beta gamma other words now"),     # one shared trigram
+            (3, "totally different content entirely x"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "query_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in settle(
+            hard_negatives(df, q, k=4, shingle_k=3, max_jaccard=0.5)
+        ).collect()
+    }
+    assert 1 not in rows  # near-copy excluded (jac = 3/5 >= 0.5)
+    assert 0 not in rows  # self excluded by the BM25 leg
+    assert 2 in rows and rows[2]["jac"] < 0.5
+    # doc 2 shares exactly 1 of its 4 shingles with the query's 4
+    assert rows[2]["jac"] == round(1 / (4 + 4 - 1), 6)

@@ -174,6 +174,7 @@ _NESTED_LOOP_OK = {
     "rt_hybrid_rrf",
     "rt_lake_bm25",
     "rt_decontam",  # same 1-row stats anchor inside its BM25 leg
+    "rt_hard_negatives",  # same anchor inside its BM25 candidate leg
 }
 
 

@@ -42,6 +42,7 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     "rt_lake_bm25",  # NEW: lake-backed BM25 via exactly-once epoch appends (streaming/retrieval_stream.py)
     "corpus_ingest",  # CHANGED: ingest_documents commits through the O(batch) commit-log path (append_log_table_exactly_once)
     "rt_decontam",  # NEW: retrieval-gated decontamination triage (BM25 top-k ∩ k-gram flags)
+    "rt_hard_negatives",  # NEW: BM25-close, Jaccard-verified-not-dup negative mining
 })
 
 # query name -> last round with a green driver row (regenerate with

@@ -7561,6 +7561,54 @@ WHERE b.rnk <= 20
 """
 
 
+def q_rt_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (llm/retrieval.hard_negatives): per probe,
+    BM25 top-20 candidates whose 3-gram Jaccard vs the probe stays
+    below 0.5 — lexically close but VERIFIED not near-duplicates, the
+    negatives a contrastive embedding model learns the most from. The
+    same verify-before-trusting discipline as the dedup plane, pointed
+    the other way: there it keeps true dups out of the corpus, here it
+    keeps accidental dups out of the negative set (training on a
+    positive labeled negative poisons the objective). Candidate-bounded:
+    shingles explode only for the ≤20·|probes| candidate docs."""
+    from udata_datalake_service_spark.llm.retrieval import hard_negatives
+
+    d = _tw(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return hard_negatives(d, probes, k=20, shingle_k=3, max_jaccard=0.5)
+
+
+_SQL_RT_HARDNEG = f"""
+WITH {_SQL_RT_BM25_CTES},
+q_sh AS (
+  SELECT doc_id AS query_id, unnest({_sql_shingles(3)}) AS sh
+  FROM toks WHERE doc_id < 5
+), q_size AS (
+  SELECT query_id, COUNT(*) AS q_n FROM q_sh GROUP BY query_id
+), c_sh AS (
+  SELECT doc_id, unnest({_sql_shingles(3)}) AS sh FROM toks
+), c_size AS (
+  SELECT doc_id, COUNT(*) AS c_n FROM c_sh GROUP BY doc_id
+), inter AS (
+  SELECT q.query_id, c.doc_id, COUNT(*) AS inter
+  FROM c_sh c JOIN q_sh q USING (sh)
+  GROUP BY q.query_id, c.doc_id
+)
+SELECT b.query_id, b.doc_id, b.score, b.rnk,
+  round(coalesce(i.inter, 0) /
+        (qs.q_n + cs.c_n - coalesce(i.inter, 0)), 6) AS jac
+FROM bm_ranked b
+LEFT JOIN inter i ON i.query_id = b.query_id AND i.doc_id = b.doc_id
+JOIN q_size qs ON qs.query_id = b.query_id
+JOIN c_size cs ON cs.doc_id = b.doc_id
+WHERE b.rnk <= 20
+  AND round(coalesce(i.inter, 0) /
+        (qs.q_n + cs.c_n - coalesce(i.inter, 0)), 6) < 0.5
+"""
+
+
 def q_rt_lake_bm25(spark, sf_dir):
     """Lake-backed BM25 — the 100 TB continuous-ingest retrieval pattern
     end-to-end THROUGH the lake (`sk_lake_rollup`'s sibling for the
@@ -7738,6 +7786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_hybrid_rrf": q_rt_hybrid_rrf,
     "rt_lake_bm25": q_rt_lake_bm25,
     "rt_decontam": q_rt_decontam,
+    "rt_hard_negatives": q_rt_hard_negatives,
     # ---- past the driver's 50-entry window: unchanged, driver-attested
     # in at least one prior round, hash-pinned by test_entry_contract.py ----
     "weighted_group_sample": q_weighted_group_sample,
@@ -7906,6 +7955,7 @@ ORACLES: dict[str, str] = {
     # breaks the hash
     "rt_lake_bm25": _SQL_RT_BM25,
     "rt_decontam": _SQL_RT_DECONTAM,
+    "rt_hard_negatives": _SQL_RT_HARDNEG,
 }
 
 # Apply the structural attestation rotation (attestation.py): the driver

@@ -276,6 +276,84 @@ def read_bm25_postings_pruned(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    k: int = 20,
+    shingle_k: int = 3,
+    max_jaccard: float = 0.5,
+    **bm25_kwargs,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query,
+    the corpus docs that score in the BM25 top-``k`` (lexically close)
+    but whose ``shingle_k``-gram Jaccard vs the query text stays below
+    ``max_jaccard`` (verified NOT near-duplicates) — exactly the
+    negatives an embedding model learns the most from, and the same
+    verify-before-trusting discipline as the dedup plane (a top-rank
+    BM25 hit may be a verbatim copy; a random negative is too easy).
+
+    Scale shape: the candidate set is rank-bounded (≤ k·|queries|
+    pairs, broadcast), so the Jaccard verification explodes shingles
+    ONLY for candidate docs (semi-join against the candidate ids) and
+    joins them against the broadcast query shingles — nothing
+    corpus-sized shuffles beyond the BM25 probe itself.
+
+    Result: (query_id, doc_id, score, rnk, jac) with ``jac`` rounded
+    to 6 (integer intersection/size arithmetic — engine-exact).
+    """
+    from udata_datalake_service_spark.llm.dedup import word_shingles
+
+    bm = bm25_topk(
+        corpus,
+        queries,
+        text=text,
+        id_col=id_col,
+        query_id=query_id,
+        k=k,
+        exclude_self=True,
+        **bm25_kwargs,
+    )
+    q_sh = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(word_shingles(F.col(text), shingle_k))).alias(
+            "sh"
+        ),
+    )
+    q_size = q_sh.groupBy(query_id).agg(F.count(F.lit(1)).alias("q_n"))
+    cand_ids = bm.select(id_col).distinct()
+    c_sh = corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text), shingle_k))).alias(
+            "sh"
+        ),
+    )
+    c_size = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_n"))
+    inter = (
+        c_sh.join(F.broadcast(q_sh), "sh")
+        .groupBy(query_id, id_col)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        bm.join(F.broadcast(inter), [query_id, id_col], "left")
+        .join(F.broadcast(q_size), query_id)
+        .join(F.broadcast(c_size), id_col)
+        .withColumn(
+            "jac",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("q_n") + F.col("c_n") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("jac") < max_jaccard).select(
+        query_id, id_col, "score", "rnk", "jac"
+    )
+
+
 def rrf_fuse(
     legs: dict[str, DataFrame],
     query_col: str = "query_id",
