@@ -18,9 +18,13 @@ phantom regressions that all turned out to be JIT-warm-up/order noise):
   the headline per-query number is the median, with min/max recorded in
   ``queries_detail`` so spread is visible in the artifact itself.
 * **Loadavg gate.** If 1-min loadavg exceeds ``$SPARK_GRAFT_BENCH_LOAD``
-  (default 2.0) at start, wait up to 180 s for the machine to go idle;
-  if it never does, proceed but stamp ``"noisy": true`` so the artifact
-  self-declares it cannot support regression claims.
+  (default 0.5) at start, wait up to 180 s for the machine to go idle;
+  if it never does, proceed but stamp ``"noisy": true`` — IN THE SUMMARY
+  LINE, next to ``loadavg_start`` — so the artifact self-declares it
+  cannot support regression claims. (VERDICT r11: the old 2.0 default
+  passed a loadavg-1.84 machine as clean and its headline ran 28 %
+  above the same-code idle run; the flag now trips on any start load a
+  regression comparison can't survive.)
 
 Each execution forces a full collect-free materialization
 (``df.write.format("noop")``): every row is produced and shipped through
@@ -60,7 +64,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD", "2.0"))
+    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD", "0.5"))
 
     load_start, noisy = _wait_for_idle(load_limit)
 
@@ -227,7 +231,11 @@ def summary_line(payload: dict) -> str:
             "n_queries": payload["n_queries"],
             "n_failed": sum(1 for t in timings.values() if t < 0),
             "reps": payload["reps"],
+            # noisy + the start load it was judged on travel IN the
+            # parsed line (VERDICT r11: r11's 182 s headline was 28 %
+            # machine-state inflation and nothing in the line said so)
             "noisy": payload["noisy"],
+            "loadavg_start": payload.get("loadavg_start"),
         }
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) < _LINE_BUDGET:

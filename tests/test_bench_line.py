@@ -64,3 +64,32 @@ def test_summary_line_excludes_failed_queries_and_counts_them():
     obj = json.loads(line)
     assert obj["n_failed"] == 1
     assert all(v >= 0 for v in obj["queries"].values())
+
+
+def test_summary_line_carries_noisy_and_start_load():
+    """VERDICT r11: the r11 artifact said noisy=false at loadavg 1.84 and
+    its headline was 28 % machine-state inflation. The parsed line must
+    carry BOTH the verdict and the evidence it was judged on."""
+    p = _payload(130)
+    p["noisy"] = True
+    p["loadavg_start"] = 1.84
+    obj = json.loads(bench.summary_line(p))
+    assert obj["noisy"] is True
+    assert obj["loadavg_start"] == 1.84
+
+
+def test_idle_gate_threshold_flags_loaded_machine(monkeypatch):
+    """The gate's default must flag the exact machine state that burned
+    r11: loadavg 1.84 at start. Pin the 0.5 default and the noisy verdict
+    on a machine that never goes idle (timeout 0 → no waiting)."""
+    import os as _os
+
+    assert float(_os.environ.get("SPARK_GRAFT_BENCH_LOAD", "0.5")) <= 0.5
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.84, 0.0, 0.0))
+    load, noisy = bench._wait_for_idle(0.5, timeout_sec=0.0)
+    assert noisy is True and load == 1.84
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.11, 0.0, 0.0))
+    load, noisy = bench._wait_for_idle(0.5, timeout_sec=0.0)
+    assert noisy is False and load == 0.11

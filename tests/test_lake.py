@@ -1331,3 +1331,163 @@ def test_log_table_concurrent_distinct_batches_all_commit(spark, tmp_path):
     assert results == [True, True, True, True]
     got = sorted(r["id"] for r in lake.read_log_table("t").collect())
     assert got == sorted([0] + [e * 10 + j for e in (1, 2, 3, 4) for j in range(3)])
+
+
+def test_moto_log_replay_after_partial_upload_no_duplicates(spark, tmp_path, request):
+    """ADVICE r11 (high): on the S3 backend a crash AFTER some batch part
+    files were uploaded but BEFORE the marker PUT must not poison the
+    batch — the replay's Spark job picks different part-file names, and
+    the delta upload is add-only, so without the pre-write prefix clear
+    the marker would commit BOTH attempts' files (duplicate rows).
+
+    Simulated by planting a stale first-attempt part file directly under
+    the batch prefix in the bucket (markerless, so invisible), then
+    replaying the append and asserting the read holds exactly one copy
+    and the stale key is gone."""
+    from pathlib import Path
+
+    store = _make_store("moto-s3", request)
+    lake = Lake(spark, str(tmp_path / "lakedup"), store=store)
+    b0 = spark.createDataFrame([(1, "a")], "id long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "id long, v string")
+    assert lake.append_log_table_exactly_once(b0, "t", "ep-0") is True
+
+    base = Path(lake.app_table_path("t"))
+    cur = lake._current_dir(base)
+    bdir = cur / f"batch={lake._log_safe('ep-1')}"
+    # first attempt's upload: same rows, a part-file name the replay's
+    # job will never reuse
+    stale_local = tmp_path / "stale"
+    b1.coalesce(1).write.mode("overwrite").parquet(str(stale_local))
+    (src,) = stale_local.glob("*.parquet")
+    stale_key = (
+        store._key(bdir) + "/part-00000-stale-attempt.c000.snappy.parquet"
+    )
+    store.c.put_object(Bucket=store.bucket, Key=stale_key, Body=src.read_bytes())
+    # markerless ⇒ the torn attempt is invisible
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [1]
+
+    # replay: must clear the prefix before re-uploading, then commit
+    assert lake.append_log_table_exactly_once(b1, "t", "ep-1") is True
+    got = sorted(map(tuple, lake.read_log_table("t").collect()))
+    assert got == [(1, "a"), (2, "b")], f"duplicate rows from stale attempt: {got}"
+    keys = [o["Key"] for o in store._iter_keys(store._key(bdir) + "/")]
+    assert stale_key not in keys
+
+
+def test_log_append_migrates_legacy_rewrite_rows(spark, tmp_path, proto_store):
+    """ADVICE r11 (medium): the first commit-log append to a table built
+    by the REWRITE path (rows as root-level part files) must not hide the
+    pre-existing rows — they are folded into a marker-committed legacy
+    batch, once, on every backend."""
+    lake = Lake(spark, str(tmp_path / "lakemig"), store=proto_store)
+    legacy = spark.createDataFrame([(1, "old"), (2, "old")], "id long, v string")
+    assert lake.append_app_table_exactly_once(legacy, "t", "rw-0") is True
+    # pre-migration read already works via the zero-marker root fallback
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [1, 2]
+
+    new = spark.createDataFrame([(3, "new")], "id long, v string")
+    assert lake.append_log_table_exactly_once(new, "t", "ep-0") is True
+    got = sorted(map(tuple, lake.read_log_table("t").collect()))
+    assert got == [(1, "old"), (2, "old"), (3, "new")]
+    # idempotent: further appends do not re-fold the legacy rows
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(4, "new")], "id long, v string"), "t", "ep-1"
+    ) is True
+    got = sorted(map(tuple, lake.read_log_table("t").collect()))
+    assert got == [(1, "old"), (2, "old"), (3, "new"), (4, "new")]
+    # and the fingerprint-shaped anti-join keeps seeing legacy rows
+    assert lake.read_log_table("t").where("v = 'old'").count() == 2
+
+
+def test_log_append_refuses_partitioned_legacy_table(spark, tmp_path):
+    """Partitioned rewrite-path rows live under col=value/ dirs the root
+    fold cannot carry — the append must refuse loudly instead of hiding
+    them (partial migration would be the silent-loss bug in disguise)."""
+    import pytest as _pytest
+
+    lake = Lake(spark, str(tmp_path / "lakepart"))
+    legacy = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id long, v string, day string"
+    )
+    lake.write_app_table(legacy, "t", partition_by=["day"])
+    with _pytest.raises(ValueError, match="partitioned rewrite-path data"):
+        lake.append_log_table_exactly_once(
+            spark.createDataFrame([(3, "c", "d3")], "id long, v string, day string"),
+            "t",
+            "ep-0",
+        )
+
+
+def test_compact_log_table_aborts_on_concurrent_append(spark, tmp_path):
+    """ADVICE r11: an append committing between the fold's read and its
+    manifest flip would be dropped (its marker carried ⇒ replay no-ops ⇒
+    rows silently lost forever). The post-staging marker re-list must
+    abort the flip; a retry folds everything."""
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.sinks.lake import ConcurrentWriteError
+
+    lake = Lake(spark, str(tmp_path / "lakeca"))
+    for ep in range(2):
+        lake.append_log_table_exactly_once(
+            spark.createDataFrame([(ep,)], "id long"), "t", f"ep-{ep}"
+        )
+
+    real_read = lake.read_log_table
+    fired = {"done": False}
+
+    def read_with_concurrent_append(name):
+        # lands AFTER compact listed its fold set, BEFORE the flip
+        if not fired["done"]:
+            fired["done"] = True
+            assert lake.append_log_table_exactly_once(
+                spark.createDataFrame([(99,)], "id long"), "t", "ep-late"
+            ) is True
+        return real_read(name)
+
+    lake.read_log_table = read_with_concurrent_append
+    try:
+        with _pytest.raises(ConcurrentWriteError, match="gained 1 commit"):
+            lake.compact_log_table("t")
+    finally:
+        lake.read_log_table = real_read
+    # nothing lost: the late append is visible, and a retry folds it too
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1, 99]
+    stats = lake.compact_log_table("t")
+    assert stats["batches_folded"] == 3
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1, 99]
+    # the late producer's replay still no-ops after the fold
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(99,)], "id long"), "t", "ep-late"
+    ) is False
+
+
+def test_log_bootstrap_cas_loser_adopts_winner(spark, tmp_path):
+    """ADVICE r11: two concurrent FIRST appends to a brand-new log table
+    both take the schema-bootstrap path; the manifest-CAS loser must
+    adopt the winner's (identical, schema-only) bootstrap and commit its
+    batch instead of raising. Deterministic loser simulation: the
+    bootstrap write races a winner that publishes first."""
+    from udata_datalake_service_spark.sinks.lake import ConcurrentWriteError
+
+    lake = Lake(spark, str(tmp_path / "lakeboot"))
+    winner = Lake(spark, str(tmp_path / "lakeboot"))
+    real_replace = lake._replace_write
+
+    def losing_replace(df, base, **kw):
+        # the winner bootstraps + commits its batch while the loser's
+        # bootstrap is in flight; the loser's CAS then fails
+        winner.append_log_table_exactly_once(
+            spark.createDataFrame([(1,)], "id long"), "t", "ep-w"
+        )
+        raise ConcurrentWriteError("manifest moved: simulated lost bootstrap race")
+
+    lake._replace_write = losing_replace
+    try:
+        assert lake.append_log_table_exactly_once(
+            spark.createDataFrame([(2,)], "id long"), "t", "ep-l"
+        ) is True
+    finally:
+        lake._replace_write = real_replace
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [1, 2]

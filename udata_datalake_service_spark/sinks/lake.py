@@ -1060,35 +1060,115 @@ class Lake:
         dirs, so:
 
         * a torn append (data dir, no marker) is INVISIBLE to readers,
-          and the crash-replay overwrites the same dir before marking;
+          and the crash-replay clears the batch prefix — local files AND
+          backend objects — before rewriting, so once the marker finally
+          lands the dir holds exactly ONE attempt's part files (a delta
+          upload is add-only; without the clear, an S3 replay whose
+          Spark job picked different part-file names would leave both
+          attempts' files under ``batch=<sha>/`` and the reader would
+          return duplicate rows — ADVICE r11 high);
         * a replay after the marker no-ops off the marker alone (returns
           False) — no table read, no rewrite;
         * DISTINCT batches may commit concurrently — there is no shared
-          read-modify-write anywhere (unlike the ledger-list protocol).
+          read-modify-write anywhere (unlike the ledger-list protocol);
+          concurrent FIRST appends race only on the schema-bootstrap
+          version, where the CAS loser adopts the winner's bootstrap.
 
         This is the mini commit-log the rewrite docstring defers to
         Delta/Iceberg, scoped to exactly the surface the engine needs.
         Writer contract: one writer per batch_id at a time (Spark
         structured streaming's epoch serialization provides this).
+        First log append to a table holding legacy rewrite-path rows
+        folds those root-level part files into a committed batch first
+        (`_migrate_legacy_log_roots`), so pre-existing rows stay visible
+        once markers start gating reads. Do NOT mix protocols after
+        that: a rewrite append publishes a new version dir and would
+        orphan every batch dir and marker.
         """
         base = Path(self.app_table_path(name))
         safe = self._log_safe(batch_id)
         cur = self._current_dir(base)
         if cur is None:
             # schema-only bootstrap version (staged publish + manifest
-            # flip) so appends always have a committed dir to land in
-            self._replace_write(df.limit(0).coalesce(1), base)
+            # flip) so appends always have a committed dir to land in.
+            # Two concurrent first-appenders both land here; the CAS
+            # loser adopts the winner's (identical, schema-only)
+            # bootstrap instead of surfacing the conflict (ADVICE r11).
+            try:
+                self._replace_write(df.limit(0).coalesce(1), base)
+            except ConcurrentWriteError:
+                pass
             cur = self._current_dir(base)
         cur = self.store.materialize_dir(cur)
+        self._migrate_legacy_log_roots(cur)
         marker = cur / "_commits" / f"{safe}.json"
         if marker.exists():
             return False
         bdir = cur / f"batch={safe}"
+        # Replay hygiene: a prior attempt may have pushed SOME part
+        # files to the backend before crashing; clear the batch prefix
+        # (markerless ⇒ invisible ⇒ safe to drop at any point) so the
+        # add-only delta upload below cannot accumulate two attempts.
+        self.store.delete_dir(bdir)
         df.write.mode("overwrite").parquet(str(bdir))
-        self.store.upload_dir_delta(cur)
+        # O(batch): push only this batch's prefix, not the table dir
+        self.store.upload_dir_delta(bdir)
         (cur / "_commits").mkdir(exist_ok=True)
         return self.store.try_create_exclusive(
             marker, json.dumps({"batch_id": str(batch_id)}).encode()
+        )
+
+    def _migrate_legacy_log_roots(self, cur: Path) -> None:
+        """Fold legacy rewrite-path rows into the commit log (ADVICE r11
+        medium): a table created by `append_app_table_exactly_once` /
+        `write_app_table` keeps its rows as ROOT-level part files of the
+        version dir — which `read_log_table` only reads while ZERO
+        markers exist. Without this fold, the first commit-log append
+        would make every pre-existing row invisible (silent loss) and
+        the downstream fingerprint anti-joins would re-admit previously
+        ingested content. Copying the root files into a marker-committed
+        ``batch=`` dir keeps them visible forever; the root copies stay
+        behind as the empty-table schema fallback (never double-read:
+        the root fallback only fires when no batch dir exists). A
+        schema-only bootstrap (0-row root files, the normal fresh-table
+        path) has nothing to lose and is skipped via the parquet footer
+        row counts — no Spark job on either path."""
+        cdir = cur / "_commits"
+        if cdir.exists() and any(cdir.glob("*.json")):
+            return  # already a commit-log table
+        part_dirs = [
+            d for d in cur.iterdir()
+            if d.is_dir() and "=" in d.name and not d.name.startswith("batch=")
+        ]
+        if part_dirs:
+            # Hive-partitioned legacy layout: rows live under col=value/
+            # dirs the root fold below cannot carry (a batch dir read
+            # would re-derive partition columns from the wrong path
+            # depth). Refuse loudly rather than migrate partially.
+            raise ValueError(
+                "table holds partitioned rewrite-path data "
+                f"({part_dirs[0].name}, …); commit-log appends would hide "
+                "it — compact/rewrite it unpartitioned first, or keep "
+                "using append_app_table_exactly_once for this table"
+            )
+        roots = sorted(p for p in cur.glob("*.parquet"))
+        if not roots:
+            return
+        import pyarrow.parquet as _pq
+
+        if sum(_pq.ParquetFile(p).metadata.num_rows for p in roots) == 0:
+            return  # schema-only bootstrap, not legacy data
+        legacy_id = "legacy-root"
+        lsafe = self._log_safe(legacy_id)
+        ldir = cur / f"batch={lsafe}"
+        self.store.delete_dir(ldir)
+        ldir.mkdir(parents=True, exist_ok=True)
+        for p in roots:
+            shutil.copy2(p, ldir / p.name)
+        self.store.upload_dir_delta(ldir)
+        cdir.mkdir(exist_ok=True)
+        self.store.try_create_exclusive(
+            cdir / f"{lsafe}.json", json.dumps({"batch_id": legacy_id}).encode()
         )
 
     def read_log_table(self, name: str) -> DataFrame:
@@ -1120,11 +1200,14 @@ class Lake:
         keep no-opping after their rows were folded (the
         `carry_exactly_once_ledger` discipline, marker-file form).
 
-        Same documented hazard as every in-place-append × rewrite pair:
-        an append committing between this fold's read and its flip is
-        lost (log appends don't bump the manifest, so CAS can't see
-        them) — quiesce producers or run compaction from the single
-        writer."""
+        Log appends don't bump the manifest, so the version CAS alone
+        cannot see an append that commits between this fold's read and
+        its flip — and because the append's MARKER would still be
+        carried, the producer's replay would no-op and the rows would be
+        silently lost (ADVICE r11). Closed by a second look: after
+        staging is fully written, re-list the live ``_commits`` and
+        abort with `ConcurrentWriteError` if any marker appeared that
+        the fold didn't carry — the caller retries, now folding it."""
         base = Path(self.app_table_path(name))
         snapshot = self._manifest_version(base)
         cur = self._current_dir(base)
@@ -1153,6 +1236,18 @@ class Lake:
             for p in cdir.glob("*.json"):
                 shutil.copy2(p, sc / p.name)
         (sc / f"{fold_safe}.json").write_text(json.dumps({"batch_id": fold_id}))
+        # lost-append check: a marker that landed while the fold was
+        # staging has rows NOT in the fold but a marker that WOULD be
+        # carried — flipping now loses them forever (replay no-ops).
+        self.store.materialize_dir(cur)
+        live = {p.stem for p in cdir.glob("*.json")} if cdir.exists() else set()
+        unfolded = live - set(safes)
+        if unfolded:
+            self.store.delete_dir(staging)
+            raise ConcurrentWriteError(
+                f"log table gained {len(unfolded)} commit(s) during "
+                "compaction; aborting the flip — retry to fold them"
+            )
         self._commit_version(base, ver, expect=snapshot, staging=staging)
         return {
             "batches_folded": int(n_dirs_before),

@@ -60,7 +60,19 @@ def bm25_index_stream(
     Same ledger-prefix contract as ``kmv_sketch_stream``: epoch ids are
     unique PER CHECKPOINT, so the prefix defaults to a hash of
     ``checkpoint_dir`` (replays of the same checkpoint no-op; a fresh
-    checkpoint commits independently)."""
+    checkpoint commits independently).
+
+    **Unique-doc contract (ADVICE r11):** the stream performs no
+    doc-identity dedup — epochs must carry DISJOINT doc ids. A re-crawl
+    of a doc arriving in a LATER epoch gets a new epoch id, so the
+    exactly-once ledger rightly does not no-op it: its (term, doc)
+    postings append a second time and its stats row contributes again,
+    inflating df / n_docs / per-doc tf — every score drifts. Feed this
+    stream from a fingerprint-deduped source (the `neardup_stream` /
+    `ingest_documents` corpus table, whose fp anti-join guarantees
+    exactly this) rather than a raw crawl. If upstream dedup is ever
+    impossible, dedup (doc, term) keeping the max ``batch_epoch`` at
+    compact/probe time — the column is persisted for precisely that."""
     import hashlib
 
     if ledger_prefix is None:
