@@ -10,20 +10,35 @@ composition instead of per-operator probes:
       html_to_text)
     → gopher quality gate
     → dedup (exact fingerprint + capped MinHash/LSH near-dup)
-    → k-gram decontamination against a benchmark slice
+    → retrieval-gated decontam (VERDICT r11 task 1): BM25 top-20 per
+      eval item over the post-dedup corpus ∩ shared-k-gram evidence —
+      the `rt_decontam` review queue, executed against the composed
+      corpus and ACTED on (queue docs dropped)
+    → k-gram decontamination against the same eval set (the blunt
+      verbatim pass over whatever the gated leg didn't already drop)
+    → hard-negatives export (BM25-close, Jaccard-verified-not-dup)
+      for the eval set from the final clean corpus
     → stratified mixing
     → write_training_shards against the S3ObjectStore backend (moto —
       data bytes live ONLY server-side), manifests verified FROM the
       bucket.
 
-Corpus: the sf0.1 documents table scaled ×64 (~960 k docs). Every 8th
-copy keeps the original text (real exact-dup families for the dedup
-phase); the rest are token-salted (distinct docs, same family sizes).
+Corpus fixture (VERDICT r11 task 2): by default `zipf` — the
+natural-statistics generator (`llm/synthtext.zipf_documents`: ~10⁴
+Zipf-Mandelbrot vocabulary with the real English function-word head,
+lognormal heavy-tailed doc lengths, ≈10 % honestly under Gopher's
+50-word floor), 5 000 base docs scaled ×N in three duplication tiers:
+every 8th copy keeps the original text (real exact-dup families), one
+tier salts only long words (near-dup families), the rest salt most
+words (distinct docs). The base-doc texts double as the eval set, so
+tier-0 copies are PLANTED verbatim contamination the retrieval leg
+must catch. `legacy` re-runs the old documents-table fixture (31-token
+vocab + stopword openers) for round-over-round comparison.
 
 Prints a per-phase markdown table (phase, rows in → out, wall s);
 paste into SOAK.md.
 
-Usage: python tools/soak_curation.py [sf_dir] [scale]
+Usage: python tools/soak_curation.py [sf_dir] [scale] [zipf|legacy]
 """
 
 from __future__ import annotations
@@ -37,6 +52,8 @@ sys.path.insert(0, ".")
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    fixture = sys.argv[3] if len(sys.argv) > 3 else "zipf"
+    assert fixture in ("zipf", "legacy"), fixture
 
     import os
     import shutil
@@ -103,7 +120,19 @@ def main() -> int:
             i //= 26
         return s
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fixture == "zipf":
+        # natural-statistics base corpus, materialized ONCE so the ×N
+        # union below re-reads parquet instead of re-running the
+        # generator per tier branch. No opener hack: the Zipf head IS
+        # the stopword mass, so Gopher pass/fail is honest.
+        from udata_datalake_service_spark.llm.synthtext import zipf_documents
+
+        zipf_documents(spark, 5000, seed="soak-zipf", num_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/base_docs")
+        docs = spark.read.parquet(f"{root}/base_docs")
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     parts = []
     for i in range(scale):
@@ -117,10 +146,15 @@ def main() -> int:
             body = F.regexp_replace(
                 F.col("text"), r"([A-Za-z0-9]{3,})", f"$1s{_alpha26(i)}"
             )
+        text_col = (
+            body
+            if fixture == "zipf"
+            else F.concat(opener_col, F.lit(" "), body)
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
-                F.concat(opener_col, F.lit(" "), body).alias("text"),
+                text_col.alias("text"),
                 "lang",
                 "source",
             )
@@ -272,18 +306,81 @@ def main() -> int:
 
     n_dedup = phase("dedup (exact + LSH cap=256)", n_gate, dedup)
 
-    # ---- decontamination against a benchmark slice ----
-    from udata_datalake_service_spark.llm.contamination import decontaminate
+    # ---- eval set (~100 items): base-doc texts, whose tier-0 copies
+    # sit in the corpus VERBATIM — planted contamination the gated leg
+    # must catch (and the near-dup tier sits lexically close to them)
+    evalset = (
+        docs.filter(F.col("doc_id") % 47 == 0)
+        .select(F.col("doc_id").alias("query_id"), "text")
+        .persist()
+    )
+    n_eval = evalset.count()
 
-    def decontam():
+    # ---- retrieval-gated decontam: the rt_decontam review queue, run
+    # against the composed post-dedup corpus and ACTED on (VERDICT r11
+    # task 1). BM25 top-20 per eval item ∩ shared-5-gram evidence —
+    # rank alone has no verbatim proof, k-gram alone has no closeness;
+    # the intersection is the review queue, and this soak's drop rule
+    # drops every queued doc.
+    from udata_datalake_service_spark.llm.contamination import (
+        _exploded_ngrams,
+        decontaminate,
+    )
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+    def rt_gate():
         d = spark.read.parquet(f"{root}/deduped")
-        bench = docs.filter(F.col("doc_id") % 199 == 0).select("doc_id", "text")
+        bm = bm25_topk(d, evalset, k=20)
+        ev_ng = _exploded_ngrams(
+            evalset.withColumnRenamed("query_id", "doc_id"), "text", "doc_id", 5
+        ).withColumnRenamed("doc_id", "query_id")
+        c_ng = _exploded_ngrams(d, "text", "doc_id", 5)
+        shared = (
+            c_ng.join(F.broadcast(ev_ng), "ngram")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
+        )
+        # BM25 side is rank-bounded (≤ 20·|eval|) — broadcast, so the
+        # pair-grain n-gram aggregate never sort-merge-shuffles
+        queue = shared.join(F.broadcast(bm), ["query_id", "doc_id"]).persist()
+        n_queue = queue.count()
+        drops = queue.select("doc_id").distinct()
+        n_drop = drops.count()
+        d.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            f"{root}/rt_gated"
+        )
+        queue.unpersist()
+        print(
+            f"    review queue: {n_queue} (eval, doc) pairs over {n_eval} "
+            f"eval items -> {n_drop} docs dropped",
+            flush=True,
+        )
+        return spark.read.parquet(f"{root}/rt_gated").count()
+
+    n_rt = phase("rt_decontam gate (BM25 top-20 ∩ 5-gram)", n_dedup, rt_gate)
+
+    # ---- blunt k-gram decontamination over what the gated leg kept ----
+    def decontam():
+        d = spark.read.parquet(f"{root}/rt_gated")
+        bench = evalset.withColumnRenamed("query_id", "doc_id")
         decontaminate(d, bench, text="text", id_col="doc_id", k=5).write.mode(
             "overwrite"
         ).parquet(f"{root}/clean")
         return spark.read.parquet(f"{root}/clean").count()
 
-    n_clean = phase("decontam (k=5)", n_dedup, decontam)
+    n_clean = phase("decontam (k=5)", n_rt, decontam)
+
+    # ---- hard-negatives export from the final clean corpus ----
+    from udata_datalake_service_spark.llm.retrieval import hard_negatives
+
+    def negatives():
+        d = spark.read.parquet(f"{root}/clean")
+        hard_negatives(
+            d, evalset, k=20, shingle_k=3, max_jaccard=0.5
+        ).write.mode("overwrite").parquet(f"{root}/hard_negatives")
+        return spark.read.parquet(f"{root}/hard_negatives").count()
+
+    phase("hard_negatives export (k=20, jac<0.5)", n_eval, negatives)
 
     # ---- stratified mixing ----
     from udata_datalake_service_spark.llm.mixing import stratified_mix
@@ -351,7 +448,11 @@ def main() -> int:
 
     phase("write_training_shards (S3ObjectStore)", n_mix, shards)
 
-    print(f"\ncorpus: {n_docs} docs ({scale}x {sf_dir}), {n_files} WARC files")
+    print(
+        f"\ncorpus: {n_docs} docs ({scale}x, fixture={fixture}"
+        + ("" if fixture == "zipf" else f", {sf_dir}")
+        + f"), {n_files} WARC files; eval set {n_eval} items"
+    )
     print("| phase | rows in | rows out | wall s |")
     print("|---|---|---|---|")
     for name, n_in, n_out, dt in phases:

@@ -9,7 +9,19 @@ band-index probe + estimate-verify (survivors drop); distinct tiers
 pass through. Ends with the lake-state audit: corpus rows == distinct
 fingerprints, index/sigs row accounting, survivor fraction per tier.
 
-Usage: python tools/soak_neardup.py [sf_dir] [scale]
+Phase attribution (VERDICT r11 task 3): the stream runs with
+``phase_acc`` enabled, so the final table splits cumulative per-epoch
+wall into ingest_fp_state (source read + verbatim-fingerprint state
+store), signatures, index_probe (band equi-join vs the lake index),
+estimate_verify (Jaccard estimate + survivor anti-join), and commits
+(the three exactly-once appends). The barriers the instrumentation
+inserts cost a few percent of wall; docs/s is reported from THIS
+instrumented run, so compare like with like across rounds.
+
+Fixture arg: `zipf` (default — natural-statistics generator, see
+llm/synthtext.py) or `legacy` (the sf documents table).
+
+Usage: python tools/soak_neardup.py [sf_dir] [scale] [zipf|legacy]
 Prints a markdown table; paste into SOAK.md §streaming.
 """
 
@@ -24,6 +36,8 @@ sys.path.insert(0, ".")
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    fixture = sys.argv[3] if len(sys.argv) > 3 else "zipf"
+    assert fixture in ("zipf", "legacy"), fixture
 
     import os
     import shutil
@@ -50,7 +64,15 @@ def main() -> int:
             i //= 26
         return s
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fixture == "zipf":
+        from udata_datalake_service_spark.llm.synthtext import zipf_documents
+
+        zipf_documents(spark, 5000, seed="soak-zipf", num_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/base_docs")
+        docs = spark.read.parquet(f"{root}/base_docs")
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     for i in range(scale):
         if i % 8 == 0:
@@ -80,8 +102,11 @@ def main() -> int:
     print(f"fixture: {scale * n0} docs ({scale}x {sf_dir}), {scale} shards",
           flush=True)
 
+    phase_acc: dict[str, float] = {}
     t0 = time.monotonic()
-    q = near_dup_ingest_stream(spark, shards_dir, lake, f"{root}/ckpt")
+    q = near_dup_ingest_stream(
+        spark, shards_dir, lake, f"{root}/ckpt", phase_acc=phase_acc
+    )
     q.awaitTermination(3600)
     wall = time.monotonic() - t0
 
@@ -106,6 +131,16 @@ def main() -> int:
     print("|---|---|")
     for r in per_epoch:
         print(f"| {r['batch_epoch']} | {r['n']} |")
+    attributed = sum(phase_acc.values())
+    print(f"\nphase attribution (cumulative across {scale} epochs; "
+          f"{attributed:.1f}s of {wall:.1f}s wall attributed, remainder = "
+          f"micro-batch scheduling + source listing):")
+    print("| phase | cum s | % of attributed |")
+    print("|---|---|---|")
+    for name in ("ingest_fp_state", "signatures", "index_probe",
+                 "estimate_verify", "commits"):
+        v = phase_acc.get(name, 0.0)
+        print(f"| {name} | {v:.1f} | {100.0 * v / attributed:.0f}% |")
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
     return 0

@@ -80,13 +80,30 @@ def near_dup_ingest_stream(
     sigs_table: str = "minhash_sigs",
     available_now: bool = True,
     ledger_prefix: str | None = None,
+    phase_acc: dict | None = None,
 ) -> StreamingQuery:
     """Start the verified near-dup ingest stream; returns the query.
 
     First arrival wins: a batch document whose estimated Jaccard vs any
     EARLIER-epoch survivor (or a lower-id survivor in its own batch)
     reaches ``threshold`` is dropped; survivors extend the index. Same
-    ledger-prefix contract as `corpus_ingest_stream`."""
+    ledger-prefix contract as `corpus_ingest_stream`.
+
+    Probe shape (r12, VERDICT r11 task 3): everything state-sized is
+    SCANNED but never shuffled per epoch — the batch's band/bucket-key
+    set is broadcast against the index (bucket membership IS the join
+    key, so every member of a probed bucket survives the semi-join and
+    the hot-bucket cap keeps its exact semantics while counting only
+    probed buckets, not the whole index), and the historical signature
+    table is semi-joined down to candidate ids before the estimate. The
+    pre-r12 shape re-aggregated the FULL index per epoch for the cap —
+    an O(state) shuffle every micro-batch.
+
+    ``phase_acc`` (measurement only): a dict that accumulates per-phase
+    wall seconds across epochs (keys: ``ingest_fp_state, signatures,
+    index_probe, estimate_verify, commits``). Enabling it inserts
+    materialization barriers between phases, so throughput drops
+    slightly; leave None in production."""
     import hashlib
 
     if ledger_prefix is None:
@@ -96,13 +113,26 @@ def near_dup_ingest_stream(
         )
     deduped = exact_dedup_stream(stream_documents(spark, docs_dir))
 
+    import time as _time
+
+    def _tick(name: str, t0: float) -> float:
+        t1 = _time.monotonic()
+        if phase_acc is not None:
+            phase_acc[name] = phase_acc.get(name, 0.0) + (t1 - t0)
+        return t1
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ep = int(epoch_id)
+        t0 = _time.monotonic()
         batch = batch_df.persist()
+        if phase_acc is not None:
+            batch.count()  # barrier: source read + verbatim-fp state store
+        t0 = _tick("ingest_fp_state", t0)
         sigs = minhash_signatures(batch, num_hashes=num_hashes, k=k).persist()
         sigs.count()
+        t0 = _tick("signatures", t0)
 
         # ---- in-batch near-dups: min-id wins inside the epoch --------
         in_pairs = lsh_candidate_pairs(
@@ -128,21 +158,32 @@ def near_dup_ingest_stream(
 
         index = _earlier(index_table)
         cross_drops = None
+        cand = None
         if index is not None:
             ib = index.select(F.col("id").alias("id_a"), "band", "bkey")
+            bb = lsh_band_table(sigs, num_bands, rows_per_band).select(
+                F.col("id").alias("id_b"), "band", "bkey"
+            )
+            # broadcast-probe (r12): the batch's bucket-key set is
+            # micro-batch-bounded, so the state-sized index is scanned
+            # with a broadcast hash join and NEVER shuffled. Bucket
+            # membership is the join key itself, so all members of a
+            # probed bucket survive this semi-join — counting matched
+            # rows gives the EXACT bucket size for every probed bucket,
+            # which is the only place the hot-bucket cap matters (the
+            # pre-r12 shape aggregated the whole index per epoch).
+            probe_keys = bb.select("band", "bkey").distinct()
+            matched = ib.join(F.broadcast(probe_keys), on=["band", "bkey"])
             if max_bucket is not None:
                 keep = (
-                    ib.groupBy("band", "bkey")
+                    matched.groupBy("band", "bkey")
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .filter(F.col("__n") <= max_bucket)
                     .select("band", "bkey")
                 )
-                ib = ib.join(keep, on=["band", "bkey"])
-            bb = lsh_band_table(sigs, num_bands, rows_per_band).select(
-                F.col("id").alias("id_b"), "band", "bkey"
-            )
+                matched = matched.join(F.broadcast(keep), on=["band", "bkey"])
             cand = (
-                ib.join(bb, on=["band", "bkey"])
+                matched.join(F.broadcast(bb), on=["band", "bkey"])
                 # defense in depth: the epoch filter already excludes
                 # own-epoch index rows, so a doc can never meet itself
                 # here — but a self-pair would self-drop at est 1.0, so
@@ -150,23 +191,37 @@ def near_dup_ingest_stream(
                 .filter(F.col("id_a") != F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
+                # candidate set is bucket-cap- and batch-bounded; persist
+                # so the verify leg and the sig semi-join share one probe
+                .persist()
             )
+            if phase_acc is not None:
+                cand.count()  # barrier: index probe materialized
+            t0 = _tick("index_probe", t0)
             earlier_sigs = _earlier(sigs_table)
             # a torn epoch-0 commit can leave the index table existing
             # while the sigs table does not; the epoch filter makes both
-            # empty, so batch-only sigs are sufficient and consistent
-            all_sigs = (
-                sigs.select("id", "sig")
-                if earlier_sigs is None
-                else earlier_sigs.select("id", "sig").unionByName(
-                    sigs.select("id", "sig")
+            # empty, so batch-only sigs are sufficient and consistent.
+            # Semi-join the HISTORICAL sig table down to candidate ids
+            # (broadcast — candidates are bounded) before the estimate:
+            # the state-sized table contributes a pruned scan, not a
+            # shuffle.
+            if earlier_sigs is None:
+                all_sigs = sigs.select("id", "sig")
+            else:
+                need = cand.select(F.col("id_a").alias("id")).distinct()
+                all_sigs = (
+                    earlier_sigs.select("id", "sig")
+                    .join(F.broadcast(need), on="id", how="left_semi")
+                    .unionByName(sigs.select("id", "sig"))
                 )
-            )
             cross_drops = (
                 minhash_jaccard_estimate(all_sigs, cand)
                 .filter(F.col("jaccard_est") >= threshold)
                 .select(F.col("id_b").alias("id"))
             )
+        else:
+            t0 = _tick("index_probe", t0)
 
         drops = in_drops if cross_drops is None else in_drops.unionByName(cross_drops)
         survivors = (
@@ -175,6 +230,7 @@ def near_dup_ingest_stream(
             .persist()
         )
         survivors.count()
+        t0 = _tick("estimate_verify", t0)
 
         # ---- three exactly-once appends, all epoch-stamped -------------
         docs_out = batch.join(
@@ -193,9 +249,11 @@ def near_dup_ingest_stream(
         lake.append_log_table_exactly_once(
             sigs_out, sigs_table, f"{ledger_prefix}-sigs-{ep}"
         )
+        t0 = _tick("commits", t0)
         from udata_datalake_service_spark.caching import adopted
 
-        for df in (survivors, sigs, batch, *adopted(in_pairs)):
+        extra = [cand] if cand is not None else []
+        for df in (survivors, sigs, batch, *extra, *adopted(in_pairs)):
             df.unpersist()
 
     writer = deduped.writeStream.foreachBatch(sink).option(
