@@ -85,3 +85,33 @@ def test_ingest_preserves_extra_columns_and_fp(spark, tmp_path):
     row = lake.read_log_table("corpus_docs").collect()[0]
     assert row["source"] == "web"
     assert len(row["fp"]) == 32  # md5 hex of the canonical token stream
+
+
+def test_ingest_keeps_seeing_legacy_rewrite_corpus(spark, tmp_path):
+    """ADVICE r11 (medium), end to end: a corpus table built by the
+    pre-r11 REWRITE append must keep its rows — and its fingerprint
+    anti-join power — after ingestion switches to the commit-log path.
+    Without the legacy fold, the first log append hid every old row and
+    previously-ingested content was re-admitted as 'new'."""
+    from udata_datalake_service_spark.llm.text import fingerprint
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    legacy = _docs(
+        spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    ).withColumn("fp", fingerprint(F.col("text")))
+    # the old rewrite-path table shape: rows at the version-dir root
+    assert lake.append_app_table_exactly_once(legacy, "corpus_docs", "old-0")
+
+    # overlapping re-crawl through the NEW path: doc 1's content is old
+    r = ingest_documents(
+        lake,
+        _docs(spark, [(10, "alpha beta gamma"), (11, "brand new words")]),
+        batch_id="new-0",
+    )
+    assert r["committed"] is True
+    assert r["n_new_content"] == 1, "legacy fingerprints must still gate"
+    assert r["n_corpus_total"] == 3  # 2 legacy + 1 genuinely new
+    got = sorted(
+        r["doc_id"] for r in lake.read_log_table("corpus_docs").collect()
+    )
+    assert got == [1, 2, 11]

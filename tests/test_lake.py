@@ -1491,3 +1491,53 @@ def test_log_bootstrap_cas_loser_adopts_winner(spark, tmp_path):
     finally:
         lake._replace_write = real_replace
     assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [1, 2]
+
+
+def test_moto_log_append_is_o_batch_no_data_download(spark, tmp_path, request):
+    """The commit-log append on the bucket backend must stay O(batch):
+    committing epoch N from a fresh host (empty local cache) must NOT
+    download the other batches' data bytes — only the control surface
+    (markers + root schema files). Before r12 the append materialized
+    the WHOLE version prefix, silently making every commit O(table)."""
+    import shutil as _shutil
+    from pathlib import Path
+
+    store = _make_store("moto-s3", request)
+    root = str(tmp_path / "lakeobatch")
+    lake_a = Lake(spark, root, store=store)
+    for ep in range(3):
+        assert lake_a.append_log_table_exactly_once(
+            spark.createDataFrame([(ep,)], "id long"), "t", f"ep-{ep}"
+        )
+    # fresh host: no local cache at all
+    _shutil.rmtree(root)
+    lake_b = Lake(spark, root, store=store)
+    assert lake_b.append_log_table_exactly_once(
+        spark.createDataFrame([(99,)], "id long"), "t", "ep-99"
+    ) is True
+    cur = lake_b._current_dir(Path(lake_b.app_table_path("t")))
+    cached_batches = {
+        d.name for d in cur.iterdir() if d.name.startswith("batch=")
+    }
+    # only the batch this host committed is in its local cache
+    assert cached_batches == {f"batch={lake_b._log_safe('ep-99')}"}, cached_batches
+    # markers for all PRIOR epochs were fetched (replay checks work);
+    # this host's own marker is a bucket-side conditional PUT
+    assert len(list((cur / "_commits").glob("*.json"))) == 3
+    marker_keys = [
+        o["Key"]
+        for o in store._iter_keys(store._key(cur / "_commits") + "/")
+    ]
+    assert len(marker_keys) == 4
+    # and a replay of an old epoch still no-ops without data downloads
+    assert lake_b.append_log_table_exactly_once(
+        spark.createDataFrame([(0,)], "id long"), "t", "ep-0"
+    ) is False
+    cached_batches = {
+        d.name for d in cur.iterdir() if d.name.startswith("batch=")
+    }
+    assert cached_batches == {f"batch={lake_b._log_safe('ep-99')}"}
+    # full read still sees every committed row (materialize_dir path)
+    assert sorted(r["id"] for r in lake_b.read_log_table("t").collect()) == [
+        0, 1, 2, 99,
+    ]

@@ -17,7 +17,16 @@ salting model — per-copy token vocabularies are disjoint, so the
 copy-0 probes' posting lists stay CONSTANT-size while the index grows;
 any probe-wall growth is scan cost, not list cost).
 
-Usage: python tools/soak_retrieval.py [sf_dir] [scale]
+Fixture arg (VERDICT r11 task 2): `zipf` (default) — the
+natural-statistics generator (llm/synthtext), on which the
+partitioned-probe comparison becomes honest in BOTH directions: a
+whole-document probe carries hundreds of distinct terms and hits ~all
+64 buckets (pruning rightly wins nothing), while a term-sparse probe
+(an eval question) keeps the ≤ min(q, 64)-bucket read bound. The old
+31-token fixture made even whole-doc probes "sparse" and overstated
+the prune win. `legacy` re-runs the documents-table fixture.
+
+Usage: python tools/soak_retrieval.py [sf_dir] [scale] [zipf|legacy]
 Prints a markdown table; paste into SOAK.md.
 """
 
@@ -32,6 +41,8 @@ sys.path.insert(0, ".")
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    fixture = sys.argv[3] if len(sys.argv) > 3 else "zipf"
+    assert fixture in ("zipf", "legacy"), fixture
 
     import os
     import shutil
@@ -57,7 +68,15 @@ def main() -> int:
     os.makedirs(shards_dir, exist_ok=True)
     lake = Lake(spark, f"{root}/lake")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fixture == "zipf":
+        from udata_datalake_service_spark.llm.synthtext import zipf_documents
+
+        zipf_documents(spark, 5000, seed="soak-zipf", num_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/base_docs")
+        docs = spark.read.parquet(f"{root}/base_docs")
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     probes = docs.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -193,14 +212,22 @@ def main() -> int:
         return f_s, p_s
 
     dense_full_s, dense_pruned_s = probe_wall(probes)
-    # term-sparse probes: 3 mid-frequency copy-0 tokens per query
-    # 3 real copy-0 tokens per query (the synthetic vocab is 31 tokens;
-    # the ×N salting makes per-copy vocabularies disjoint, so these hit
-    # only copy-0 posting lists and ≤3 of the 64 buckets each)
-    sparse = spark.createDataFrame(
-        [(0, "dup merge scan"), (1, "vector window batch")],
-        "query_id long, text string",
-    )
+    # term-sparse probes: 3 copy-0 content tokens per query (an eval
+    # question / keyword query) — ≤3 of the 64 buckets each. On the
+    # legacy fixture these are hand-picked from its 31-token vocab; on
+    # zipf they are drawn from real base docs (salting keeps copy-0
+    # content vocabularies disjoint from the other copies).
+    if fixture == "zipf":
+        srows = []
+        for r in probes.collect()[:2]:
+            ws = [w for w in r["text"].split() if len(w) >= 6][:3]
+            srows.append((r["query_id"], " ".join(ws)))
+        sparse = spark.createDataFrame(srows, "query_id long, text string")
+    else:
+        sparse = spark.createDataFrame(
+            [(0, "dup merge scan"), (1, "vector window batch")],
+            "query_id long, text string",
+        )
     sparse_full_s, sparse_pruned_s = probe_wall(sparse)
 
     print(f"\n{scale}×{n0} docs → {n_post} posting rows; "

@@ -55,6 +55,12 @@ def ingest_documents(
     False, counts recomputed for the report); invoking with a NEW
     batch_id over overlapping content lands only the genuinely new
     fingerprints.
+
+    A corpus table created by the pre-r11 REWRITE path keeps its rows
+    visible: the first commit-log append folds root-level legacy rows
+    into a marker-committed batch (``Lake._migrate_legacy_log_roots``,
+    ADVICE r11 medium), so the fingerprint anti-join above keeps seeing
+    previously-ingested content instead of re-admitting it.
     """
     n_in = docs.count()
     batch = docs.withColumn("fp", fingerprint(F.col(text)))

@@ -1099,7 +1099,10 @@ class Lake:
             except ConcurrentWriteError:
                 pass
             cur = self._current_dir(base)
-        cur = self.store.materialize_dir(cur)
+        # control surface only (markers + root files): materializing the
+        # batch data bytes too would make this O(table) per commit on a
+        # bucket backend — the exact cost model this verb exists to avoid
+        cur = self.store.materialize_control(cur)
         self._migrate_legacy_log_roots(cur)
         marker = cur / "_commits" / f"{safe}.json"
         if marker.exists():
@@ -1239,7 +1242,7 @@ class Lake:
         # lost-append check: a marker that landed while the fold was
         # staging has rows NOT in the fold but a marker that WOULD be
         # carried — flipping now loses them forever (replay no-ops).
-        self.store.materialize_dir(cur)
+        self.store.materialize_control(cur)
         live = {p.stem for p in cdir.glob("*.json")} if cdir.exists() else set()
         unfolded = live - set(safes)
         if unfolded:

@@ -156,6 +156,15 @@ class PosixStore:
         not hold yet (the in-place-append data path). POSIX: no-op — the
         local write IS the store."""
 
+    def materialize_control(self, path: Path) -> Path:
+        """Make only the CONTROL surface of a data dir locally readable:
+        commit markers (``_commits/``) and root-level files (ledger,
+        schema-bootstrap part files) — NOT the ``batch=*/`` data bytes.
+        The commit-log append needs exactly this surface (marker check,
+        legacy-root migration), and fetching the data too would make an
+        O(batch) commit O(table) on a bucket backend. POSIX: identity."""
+        return Path(path)
+
     def list_subdirs(self, base: Path) -> set[str]:
         """Immediate child directory names of ``base`` that hold data
         under this backend (version dirs, staging dirs)."""
@@ -511,6 +520,29 @@ class S3ObjectStore(PosixStore):
         prefix = self._key(path) + "/"
         for o in self._iter_keys(prefix):
             rel = o["Key"][len(prefix):]
+            dst = path / rel
+            if dst.is_file() and dst.stat().st_size == o["Size"]:
+                continue
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            body = self.c.get_object(Bucket=self.bucket, Key=o["Key"])["Body"]
+            tmp = dst.parent / f"_get-{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "wb") as f:
+                shutil.copyfileobj(body, f)
+            os.replace(tmp, dst)
+        return path
+
+    def materialize_control(self, path: Path) -> Path:
+        """GET only the control keys under the prefix: ``_commits/*``
+        and root-level objects (no ``/`` in the relative key — the
+        rewrite ledger and the schema-bootstrap/legacy root files).
+        ``batch=*/`` data bytes stay server-side, keeping the commit-log
+        append O(batch) however many batches the table holds."""
+        path = Path(path)
+        prefix = self._key(path) + "/"
+        for o in self._iter_keys(prefix):
+            rel = o["Key"][len(prefix):]
+            if "/" in rel and not rel.startswith("_commits/"):
+                continue
             dst = path / rel
             if dst.is_file() and dst.stat().st_size == o["Size"]:
                 continue
