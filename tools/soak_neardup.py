@@ -138,7 +138,8 @@ def main() -> int:
     print("| phase | cum s | % of attributed |")
     print("|---|---|---|")
     for name in ("ingest_fp_state", "signatures", "index_probe",
-                 "estimate_verify", "commits"):
+                 "estimate_verify", "commits_docs", "commits_index",
+                 "commits_sigs"):
         v = phase_acc.get(name, 0.0)
         print(f"| {name} | {v:.1f} | {100.0 * v / attributed:.0f}% |")
     shutil.rmtree(root, ignore_errors=True)

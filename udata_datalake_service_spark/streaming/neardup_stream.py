@@ -101,9 +101,10 @@ def near_dup_ingest_stream(
 
     ``phase_acc`` (measurement only): a dict that accumulates per-phase
     wall seconds across epochs (keys: ``ingest_fp_state, signatures,
-    index_probe, estimate_verify, commits``). Enabling it inserts
-    materialization barriers between phases, so throughput drops
-    slightly; leave None in production."""
+    index_probe, estimate_verify, commits_docs, commits_index,
+    commits_sigs``). Enabling it inserts materialization barriers
+    between phases, so throughput drops slightly; leave None in
+    production."""
     import hashlib
 
     if ledger_prefix is None:
@@ -126,9 +127,17 @@ def near_dup_ingest_stream(
             return
         ep = int(epoch_id)
         t0 = _time.monotonic()
-        batch = batch_df.persist()
-        if phase_acc is not None:
-            batch.count()  # barrier: source read + verbatim-fp state store
+        # localCheckpoint, not persist: the sink SELF-JOINS the micro-
+        # batch (docs_out = batch ⋈ f(batch)) and Spark's cache
+        # substitution does not survive the self-join attribute rewrite
+        # on a stateful streaming lineage — each epoch re-ran the whole
+        # candidate/verify pipeline inside the docs append (measured
+        # 30 s/epoch vs 0.4 s with a truncated lineage; batch-mode hits
+        # the cache either way). Checkpointing cuts the lineage at the
+        # micro-batch boundary; on failure Spark replays the epoch and
+        # the exactly-once ledgers no-op, so losing the checkpoint to a
+        # dead executor only costs a recompute.
+        batch = batch_df.localCheckpoint(eager=True)
         t0 = _tick("ingest_fp_state", t0)
         sigs = minhash_signatures(batch, num_hashes=num_hashes, k=k).persist()
         sigs.count()
@@ -224,12 +233,18 @@ def near_dup_ingest_stream(
             t0 = _tick("index_probe", t0)
 
         drops = in_drops if cross_drops is None else in_drops.unionByName(cross_drops)
+        # localCheckpoint for the same reason as the batch frame above:
+        # survivors feeds a SELF-join (docs_out = batch ⋈ survivors,
+        # both containing the micro-batch subtree) and the persisted
+        # subtree was not substituted through the self-join rewrite —
+        # the docs append silently re-ran candidate generation + verify
+        # a second (and third) time per epoch. The eager checkpoint IS
+        # the materialization barrier.
         survivors = (
             sigs.join(drops.distinct(), on="id", how="left_anti")
             .select("id", "sig")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        survivors.count()
         t0 = _tick("estimate_verify", t0)
 
         # ---- three exactly-once appends, all epoch-stamped -------------
@@ -239,17 +254,19 @@ def near_dup_ingest_stream(
         lake.append_log_table_exactly_once(
             docs_out, table, f"{ledger_prefix}-docs-{ep}"
         )
+        t0 = _tick("commits_docs", t0)
         band_out = lsh_band_table(survivors, num_bands, rows_per_band).withColumn(
             "batch_epoch", F.lit(ep)
         )
         lake.append_log_table_exactly_once(
             band_out, index_table, f"{ledger_prefix}-index-{ep}"
         )
+        t0 = _tick("commits_index", t0)
         sigs_out = survivors.withColumn("batch_epoch", F.lit(ep))
         lake.append_log_table_exactly_once(
             sigs_out, sigs_table, f"{ledger_prefix}-sigs-{ep}"
         )
-        t0 = _tick("commits", t0)
+        t0 = _tick("commits_sigs", t0)
         from udata_datalake_service_spark.caching import adopted
 
         extra = [cand] if cand is not None else []
