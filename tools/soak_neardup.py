@@ -99,7 +99,8 @@ def main() -> int:
             os.path.join(stage, part), os.path.join(shards_dir, f"shard-{i:02d}.parquet")
         )
         shutil.rmtree(stage)
-    print(f"fixture: {scale * n0} docs ({scale}x {sf_dir}), {scale} shards",
+    src = "zipf synthtext base" if fixture == "zipf" else sf_dir
+    print(f"fixture: {scale * n0} docs ({scale}x {src}), {scale} shards",
           flush=True)
 
     phase_acc: dict[str, float] = {}
