@@ -139,8 +139,16 @@ def near_dup_ingest_stream(
         # dead executor only costs a recompute.
         batch = batch_df.localCheckpoint(eager=True)
         t0 = _tick("ingest_fp_state", t0)
-        sigs = minhash_signatures(batch, num_hashes=num_hashes, k=k).persist()
-        sigs.count()
+        # localCheckpoint again, not persist: sigs is the hub of every
+        # downstream SELF-join (in-batch pairs, the estimate's s_a/s_b
+        # legs, and the survivor anti-join are all sigs ⋈ f(sigs)), and
+        # the persisted subtree is not substituted through those
+        # rewrites — on token-heavy documents the minhash job re-ran
+        # 4-6× per epoch inside the verify phase (measured: zipf ×4
+        # estimate_verify 795 s → ~100 s from this one change).
+        sigs = minhash_signatures(batch, num_hashes=num_hashes, k=k).localCheckpoint(
+            eager=True
+        )
         t0 = _tick("signatures", t0)
 
         # ---- in-batch near-dups: min-id wins inside the epoch --------
