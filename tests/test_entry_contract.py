@@ -51,6 +51,7 @@ def test_rotation_invariants():
         CURRENT_ROUND,
         LAST_DRIVER_ROUND,
         NEW_OR_CHANGED,
+        effective_gap,
         rotation_order,
     )
 
@@ -60,10 +61,15 @@ def test_rotation_invariants():
     present_new = NEW_OR_CHANGED & set(names)
     assert present_new <= window, sorted(present_new - window)
     period = -(-len(names) // 50)  # ceil(N/50): full-rotation rounds
+    # Staleness counts EFFECTIVE rounds: a frozen round (driver window
+    # identical to the previous round's — verified against artifacts by
+    # test_frozen_rounds_verified) offered no rotation slot, so it must
+    # not count toward the gap. With FROZEN_ROUNDS empty this reduces to
+    # the original bound LAST_DRIVER_ROUND >= CURRENT_ROUND - (period-1).
     stale = {
         n: LAST_DRIVER_ROUND.get(n, 0)
         for n in names[50:]
-        if LAST_DRIVER_ROUND.get(n, 0) < CURRENT_ROUND - (period - 1)
+        if effective_gap(LAST_DRIVER_ROUND.get(n, 0), CURRENT_ROUND) > period - 1
     }
     assert not stale, f"past-window entries too stale: {stale}"
     # 3b. the re-attestation period itself is capped. Round-10 decision
@@ -86,6 +92,111 @@ def test_rotation_invariants():
         n for n in names if n not in LAST_DRIVER_ROUND and n not in NEW_OR_CHANGED
     ]
     assert not unledgered, unledgered
+
+
+def test_round_was_opened():
+    """Round-start guard (VERDICT r12 task 2). The r12 failure mode —
+    CORRECTNESS_r{CURRENT_ROUND}.json already landed but the ledger
+    refresh (tools/round_open.py) never ran, silently freezing the
+    rotation — is undetectable from file state alone, because 'round end,
+    artifact just landed' and 'next round started stale' look identical
+    on disk. The distinguishing signal is BUILDER WORK happening after
+    the artifact landed: any commit after the artifact-introducing commit
+    that touches source paths, or any dirty source file in the working
+    tree, means a new round is underway and the refresh is overdue.
+
+    This test would have failed at round-12 start: CORRECTNESS_r11.json
+    existed, CURRENT_ROUND said 11, and the builder's first source edit
+    turned the tree dirty."""
+    from tools.round_open import builder_work_since_artifact, refresh_due
+
+    if not refresh_due():
+        return  # ledger already points past the latest artifact — green
+
+    from udata_datalake_service_spark.attestation import CURRENT_ROUND
+
+    artifact = f"CORRECTNESS_r{CURRENT_ROUND:02d}.json"
+    worked_on = builder_work_since_artifact(artifact)
+    assert not worked_on, (
+        f"round {CURRENT_ROUND}'s driver artifact ({artifact}) has landed but "
+        "the ledger refresh has not run — the rotation will freeze exactly "
+        "like round 12. Run `bash tools/round_open.sh` BEFORE editing: "
+        f"{worked_on[:10]}"
+    )
+
+
+def test_round_guard_would_have_caught_r12():
+    """Replay the round-12 failure against real git history: at r12
+    start, CURRENT_ROUND said 11 and CORRECTNESS_r11.json's commit was
+    already in history — once the r12 builder committed source work, the
+    guard's signal (source files touched after the artifact commit) was
+    non-empty. The r12 source commits are permanently in history, so
+    this asserts the detector fires on the exact state that slipped."""
+    from tools.round_open import builder_work_since_artifact
+
+    worked_on = builder_work_since_artifact("CORRECTNESS_r11.json")
+    if not worked_on:
+        import pytest
+        pytest.skip("git history unavailable (shallow clone or no git)")
+    assert any(f.startswith("udata_datalake_service_spark/") for f in worked_on)
+
+
+def test_round_open_rewrite_is_faithful():
+    """round_open.py's text rewrite must (a) round-trip the REAL
+    attestation.py — rewriting it to its own current round and ledger
+    reproduces semantically identical module state — and (b) raise, not
+    silently no-op, when an anchor is missing (a silent no-op is exactly
+    the r12 freeze)."""
+    import os
+
+    import pytest
+
+    from tools.attest_map import last_green_rounds
+    from tools.round_open import ATTESTATION, rewrite_attestation
+    from udata_datalake_service_spark.attestation import (
+        CURRENT_ROUND,
+        LAST_DRIVER_ROUND,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(ATTESTATION).read()
+    last = last_green_rounds(repo)
+    body = "".join(
+        f'    "{q}": {last[q]},\n' for q in sorted(LAST_DRIVER_ROUND) if q in last
+    )
+    out = rewrite_attestation(src, CURRENT_ROUND, body)
+    ns: dict = {}
+    exec(compile(out, "attestation_rewritten", "exec"), ns)
+    assert ns["CURRENT_ROUND"] == CURRENT_ROUND
+    assert ns["LAST_DRIVER_ROUND"] == LAST_DRIVER_ROUND
+    assert ns["NEW_OR_CHANGED"] == frozenset()  # reset on every open
+    with pytest.raises(ValueError):
+        rewrite_attestation("x = 1\n", 99, body)
+
+
+def test_frozen_rounds_verified():
+    """FROZEN_ROUNDS may only contain rounds whose driver window provably
+    did not advance: the CORRECTNESS key set must equal the previous
+    round's, AND at freeze time there must have been past-window entries
+    that needed the slot (otherwise a duplicate window is harmless and
+    must not be used to stretch the staleness bound)."""
+    import json
+    import os
+
+    from udata_datalake_service_spark.attestation import FROZEN_ROUNDS
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def keyset(r):
+        path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        assert os.path.exists(path), f"frozen round {r} has no artifact"
+        return set(json.load(open(path)))
+
+    for r in sorted(FROZEN_ROUNDS):
+        assert keyset(r) == keyset(r - 1), (
+            f"round {r} declared frozen but its window differs from "
+            f"round {r - 1}'s — remove it from FROZEN_ROUNDS"
+        )
 
 
 def test_attested_entries_pinned():

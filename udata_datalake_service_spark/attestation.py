@@ -30,20 +30,34 @@ CURRENT_ROUND - 2) so staleness can never silently regrow.
 from __future__ import annotations
 
 # Round currently being built (the driver will write CORRECTNESS_r{CURRENT_ROUND}).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 13
 
 # Queries that are new this round or whose source/oracle changed this
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
-    # round-11 changes (populated as queries are added/edited this round)
-    "ann_ivfpq_trained",  # NEW: IVFADC with trained (fixed-point label) centroids through ivf_pq_topk(centroids=) (VERDICT r10 task 4)
-    "rt_bm25_topk",  # NEW: distributed BM25 retrieval (llm/retrieval.py)
-    "rt_hybrid_rrf",  # NEW: BM25 × cosine reciprocal-rank fusion (llm/retrieval.py)
-    "rt_lake_bm25",  # NEW: lake-backed BM25 via exactly-once epoch appends (streaming/retrieval_stream.py)
-    "corpus_ingest",  # CHANGED: ingest_documents commits through the O(batch) commit-log path (append_log_table_exactly_once)
-    "rt_decontam",  # NEW: retrieval-gated decontamination triage (BM25 top-k ∩ k-gram flags)
-    "rt_hard_negatives",  # NEW: BM25-close, Jaccard-verified-not-dup negative mining
+    # round-13 changes (populated as queries are added/edited this round)
 })
+
+# Rounds whose driver window did NOT advance the rotation: the round-12
+# ledger refresh was skipped (attestation.py still said CURRENT_ROUND=11
+# at driver time), so CORRECTNESS_r12.json's key set is byte-identical to
+# r11's — the same 50 queries were attested twice and the 86 stalest got
+# no driver row.  A frozen round consumes no rotation progress, so the
+# staleness bound must not count it as an elapsed rotation opportunity
+# (see ``effective_gap``).  This set is NOT free-form: a test verifies
+# each member against the committed artifacts (key set equal to the
+# previous round's), so a round can only be declared frozen when the
+# artifacts prove the window really did not move.  tools/round_open.sh
+# (the round-start guard added this round) exists to keep this set from
+# ever growing again.
+FROZEN_ROUNDS: frozenset[int] = frozenset({12})
+
+
+def effective_gap(last_round: int, current_round: int) -> int:
+    """Rounds elapsed since ``last_round`` that actually offered a
+    rotation slot — i.e. the raw gap minus frozen rounds inside it."""
+    frozen_in_gap = sum(1 for f in FROZEN_ROUNDS if last_round < f <= current_round)
+    return current_round - last_round - frozen_in_gap
 
 # query name -> last round with a green driver row (regenerate with
 # tools/attest_map.py after each round's CORRECTNESS artifact lands).
@@ -55,25 +69,26 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "a7_count_over_all": 10,
     "a8_purge_returning_count": 10,
     "a9_profile": 10,
-    "a9_quantiles": 9,
-    "ann_centroid_assign": 9,
+    "a9_quantiles": 12,
+    "ann_centroid_assign": 12,
     "ann_ivfpq_topk": 10,
+    "ann_ivfpq_trained": 12,
     "ann_near_dups_exact": 10,
     "ann_pq_topk": 10,
-    "ann_recall": 9,
+    "ann_recall": 12,
     "ann_topk": 10,
-    "asof_join": 9,
-    "cohort": 9,
-    "contamination": 9,
+    "asof_join": 12,
+    "cohort": 12,
+    "contamination": 12,
     "corpus_datasheet": 10,
-    "corpus_ingest": 9,
-    "corpus_warc_ingest": 9,
+    "corpus_ingest": 12,
+    "corpus_warc_ingest": 12,
     "cube_rollup": 10,
-    "curriculum": 9,
-    "dd_dup_clusters": 9,
+    "curriculum": 12,
+    "dd_dup_clusters": 12,
     "dd_exact_prefix_groups": 10,
-    "dd_jaccard_prefix": 9,
-    "dd_lsh_capped": 9,
+    "dd_jaccard_prefix": 12,
+    "dd_lsh_capped": 12,
     "dd_lsh_eval": 10,
     "dd_lsh_incremental": 9,
     "dd_lsh_pairs": 9,
@@ -92,18 +107,18 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "dsir_weights": 10,
     "embed_standardize": 10,
     "event_transitions": 10,
-    "f3_smart_cast": 8,
-    "f4_date_parse_multi": 8,
-    "f_scalar_surface": 8,
+    "f3_smart_cast": 12,
+    "f4_date_parse_multi": 12,
+    "f_scalar_surface": 12,
     "flagship_pricing_summary": 10,
     "funnel": 10,
     "fuzzy_linkage": 10,
     "gopher_quality": 10,
     "html_extract": 10,
     "interval_join": 10,
-    "j1_current_state_join": 8,
-    "j2_history_join": 8,
-    "j3_u7_batch_select_claim": 8,
+    "j1_current_state_join": 12,
+    "j2_history_join": 12,
+    "j3_u7_batch_select_claim": 12,
     "j4_orphan_left_join": 9,
     "j5_latest_per_key": 9,
     "j6_status_dashboard": 9,
@@ -112,13 +127,13 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "k9_webhook_payload": 10,
     "k_lake_roundtrip": 9,
     "mix_shards": 10,
-    "mixture_plan": 8,
-    "mm_embed_vq": 8,
+    "mixture_plan": 12,
+    "mm_embed_vq": 12,
     "mm_exif_meta": 10,
     "mm_frame_sample": 9,
     "mm_jpeg_meta": 9,
-    "mm_media_meta": 8,
-    "nb_source_classifier": 8,
+    "mm_media_meta": 12,
+    "nb_source_classifier": 12,
     "o1_top2_per_key": 9,
     "o3_deterministic_sample": 9,
     "o4_csv_sample": 9,
@@ -131,51 +146,56 @@ LAST_DRIVER_ROUND: dict[str, int] = {
     "p6_range_predicate": 9,
     "p78_predicate_surface": 10,
     "p9_time_window": 9,
-    "pack_stream": 8,
-    "pack_waste": 8,
-    "pii_redact": 8,
-    "pivot_activity": 8,
+    "pack_stream": 12,
+    "pack_waste": 12,
+    "pii_redact": 12,
+    "pivot_activity": 12,
     "reduced_antijoin": 10,
+    "rt_bm25_topk": 12,
+    "rt_decontam": 12,
+    "rt_hard_negatives": 12,
+    "rt_hybrid_rrf": 12,
+    "rt_lake_bm25": 12,
     "s1_live_fetch": 10,
     "s4_excel_load": 9,
     "s5_catalog_load": 9,
     "s6_csv_ingest_inference": 9,
     "s7_mime_sniff": 10,
     "s9_f10_http_surface": 10,
-    "scd2_merge": 8,
-    "semantic_dedup": 8,
-    "sessionize": 8,
+    "scd2_merge": 12,
+    "semantic_dedup": 12,
+    "sessionize": 12,
     "sk_bloom_probe": 9,
-    "sk_countmin_hh": 8,
+    "sk_countmin_hh": 12,
     "sk_kmv_ndv": 9,
     "sk_lake_rollup": 10,
     "skew_salted_count": 10,
-    "sla_streaks": 8,
+    "sla_streaks": 12,
     "st1_microbatch_rates": 10,
     "st3_next_check_ladder": 9,
     "st45_change_trigger": 10,
     "temporal_split": 9,
-    "tfidf_vocab": 8,
+    "tfidf_vocab": 12,
     "tok_bpe_encode": 9,
-    "tx_bigram_surprisal": 8,
-    "tx_blocklist": 8,
-    "tx_chunks": 8,
-    "tx_clean": 8,
+    "tx_bigram_surprisal": 12,
+    "tx_blocklist": 12,
+    "tx_chunks": 12,
+    "tx_clean": 12,
     "tx_curate_pipeline": 10,
     "tx_fingerprint": 10,
-    "tx_hashed_features": 8,
-    "tx_lang_id": 8,
-    "tx_novelty": 8,
-    "tx_surprisal": 8,
+    "tx_hashed_features": 12,
+    "tx_lang_id": 12,
+    "tx_novelty": 12,
+    "tx_surprisal": 12,
     "tx_text_metrics": 10,
-    "tx_vocab_coverage": 8,
+    "tx_vocab_coverage": 12,
     "u1_union_tiers": 9,
     "u2_upsert_merge": 9,
     "u3_snapshot_diff": 9,
     "u456_point_dml": 10,
-    "url_canonical": 8,
-    "url_quality": 8,
-    "variant_props": 8,
+    "url_canonical": 12,
+    "url_quality": 12,
+    "variant_props": 12,
     "weighted_group_sample": 10,
     "window_surface": 10,
 }
