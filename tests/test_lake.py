@@ -1541,3 +1541,167 @@ def test_moto_log_append_is_o_batch_no_data_download(spark, tmp_path, request):
     assert sorted(r["id"] for r in lake_b.read_log_table("t").collect()) == [
         0, 1, 2, 99,
     ]
+
+
+def test_moto_partitioned_legacy_guard_survives_fresh_host(spark, tmp_path, request):
+    """ADVICE r12 (medium): the partitioned-legacy refusal in
+    _migrate_legacy_log_roots used local iterdir, but materialize_control
+    deliberately skips col=value/ data keys on the bucket backend — on a
+    FRESH host the guard silently passed and the first commit-log marker
+    hid the partitioned legacy rows. The guard must detect partition dirs
+    from the backend listing."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    store = _make_store("moto-s3", request)
+    root = str(tmp_path / "lakepartmoto")
+    lake_a = Lake(spark, root, store=store)
+    legacy = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id long, v string, day string"
+    )
+    lake_a.write_app_table(legacy, "t", partition_by=["day"])
+    # fresh host: empty local cache, rows live only in the bucket
+    _shutil.rmtree(root)
+    lake_b = Lake(spark, root, store=store)
+    with _pytest.raises(ValueError, match="partitioned rewrite-path data"):
+        lake_b.append_log_table_exactly_once(
+            spark.createDataFrame(
+                [(3, "c", "d3")], "id long, v string, day string"
+            ),
+            "t",
+            "ep-0",
+        )
+
+
+def test_compact_adopts_straggler_between_relist_and_flip(
+    spark, tmp_path, proto_store
+):
+    """ADVICE r12 (medium): a marker landing AFTER the fold's re-list but
+    BEFORE the manifest flip was silently lost (its producer already
+    returned True, so no replay ever comes). The post-flip straggler
+    sweep must adopt it into the new version."""
+    lake = Lake(spark, str(tmp_path / "lakestrag"), store=proto_store)
+    for ep in range(2):
+        assert lake.append_log_table_exactly_once(
+            spark.createDataFrame([(ep,)], "id long"), "t", f"ep-{ep}"
+        ) is True
+
+    real_commit = lake._commit_version
+    fired = {"done": False}
+
+    def commit_with_straggler(base, ver, expect=None, staging=None):
+        # lands AFTER the re-list (which runs before _commit_version),
+        # BEFORE the flip — the exact formerly-lost window
+        if not fired["done"]:
+            fired["done"] = True
+            assert lake.append_log_table_exactly_once(
+                spark.createDataFrame([(99,)], "id long"), "t", "ep-strag"
+            ) is True
+        return real_commit(base, ver, expect=expect, staging=staging)
+
+    lake._commit_version = commit_with_straggler
+    try:
+        stats = lake.compact_log_table("t")
+    finally:
+        lake._commit_version = real_commit
+    assert stats["stragglers_adopted"] == 1
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1, 99]
+    # the straggler's producer replay still no-ops (marker adopted)
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(99,)], "id long"), "t", "ep-strag"
+    ) is False
+    # a further compaction folds the adopted dir like any other batch
+    stats2 = lake.compact_log_table("t")
+    assert stats2["batches_folded"] == 2  # fold dir + adopt dir
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1, 99]
+
+
+def test_append_post_verify_survives_concurrent_compaction_flip(
+    spark, tmp_path, proto_store
+):
+    """Producer side of the lost-append fence: when the compaction's
+    re-list AND sweep both ran before this append's marker landed, the
+    append must notice the manifest moved and re-append into the new
+    version instead of reporting success for invisible rows."""
+    from pathlib import Path as _P
+
+    lake = Lake(spark, str(tmp_path / "lakefence"), store=proto_store)
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(0,)], "id long"), "t", "ep-0"
+    ) is True
+
+    target = f"{lake._log_safe('ep-late')}.json"
+    real_tce = proto_store.try_create_exclusive
+    fired = {"done": False}
+
+    def tce_with_flip(path, data):
+        # compaction completes (flip + sweep) just before the producer's
+        # marker becomes durable in the OLD version dir
+        if _P(path).name == target and not fired["done"]:
+            fired["done"] = True
+            lake.compact_log_table("t")
+        return real_tce(path, data)
+
+    proto_store.try_create_exclusive = tce_with_flip
+    try:
+        assert lake.append_log_table_exactly_once(
+            spark.createDataFrame([(7,)], "id long"), "t", "ep-late"
+        ) is True
+    finally:
+        proto_store.try_create_exclusive = real_tce
+    rows = [r["id"] for r in lake.read_log_table("t").collect()]
+    assert sorted(rows) == [0, 7]  # exactly once: no loss, no duplicate
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(7,)], "id long"), "t", "ep-late"
+    ) is False
+
+
+def test_recover_log_table_after_sweep_crash(spark, tmp_path, proto_store):
+    """The one residual window: compactor crashes between its flip and
+    its straggler sweep. recover_log_table (run automatically at the
+    next compaction) must adopt the stragglers from the swept-from
+    breadcrumb."""
+    import pytest as _pytest
+
+    lake = Lake(spark, str(tmp_path / "lakerec"), store=proto_store)
+    for ep in range(2):
+        assert lake.append_log_table_exactly_once(
+            spark.createDataFrame([(ep,)], "id long"), "t", f"ep-{ep}"
+        ) is True
+
+    real_commit = lake._commit_version
+    fired = {"done": False}
+
+    def commit_with_straggler(base, ver, expect=None, staging=None):
+        if not fired["done"]:
+            fired["done"] = True
+            assert lake.append_log_table_exactly_once(
+                spark.createDataFrame([(99,)], "id long"), "t", "ep-strag"
+            ) is True
+        return real_commit(base, ver, expect=expect, staging=staging)
+
+    real_sweep = lake._adopt_log_stragglers
+
+    def crashing_sweep(*a, **k):
+        raise RuntimeError("injected crash between flip and sweep")
+
+    lake._commit_version = commit_with_straggler
+    lake._adopt_log_stragglers = crashing_sweep
+    try:
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            lake.compact_log_table("t")
+    finally:
+        lake._commit_version = real_commit
+        lake._adopt_log_stragglers = real_sweep
+    # honest intermediate state: the flip happened, the straggler is
+    # invisible until recovery runs
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1]
+    out = lake.recover_log_table("t")
+    assert out["stragglers_adopted"] == 1
+    assert sorted(r["id"] for r in lake.read_log_table("t").collect()) == [0, 1, 99]
+    # recovery is idempotent
+    assert lake.recover_log_table("t")["stragglers_adopted"] == 0
+    assert lake.append_log_table_exactly_once(
+        spark.createDataFrame([(99,)], "id long"), "t", "ep-strag"
+    ) is False

@@ -124,7 +124,14 @@ def main() -> int:
         bm25_postings(corpus).write.mode("overwrite").parquet(f"{root}/postings")
         postings = spark.read.parquet(f"{root}/postings")
         n_post = postings.count()
-        stats = bm25_stats(corpus)
+        # ADVICE r12 medium: bm25_stats(corpus) is lazy — leaving it as a
+        # plan would make every timed rep re-scan and re-tokenize the
+        # whole corpus for the 1-row stats aggregate, silently adding an
+        # O(corpus) term to the "probe leg only" wall. Materialize the
+        # single row once per scale and rebuild it as a literal frame so
+        # the timed region contains ONLY the probe join.
+        stats_row = bm25_stats(corpus).collect()[0]
+        stats = spark.createDataFrame([stats_row], bm25_stats(corpus).schema)
         row = {"scale": scale, "n_post": n_post}
         for qname, qdf in (("sparse", sparse), ("dense", dense)):
             for cap in (None, 0.1):

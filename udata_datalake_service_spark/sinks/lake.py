@@ -1117,9 +1117,33 @@ class Lake:
         # O(batch): push only this batch's prefix, not the table dir
         self.store.upload_dir_delta(bdir)
         (cur / "_commits").mkdir(exist_ok=True)
-        return self.store.try_create_exclusive(
+        committed = self.store.try_create_exclusive(
             marker, json.dumps({"batch_id": str(batch_id)}).encode()
         )
+        if not committed:
+            return False
+        # Lost-append fence, producer side (ADVICE r12 medium): a
+        # compaction whose marker re-list ran BEFORE this marker landed
+        # may flip the manifest without carrying it — the fold has
+        # neither the rows nor the marker, and without this check the
+        # producer would report success for rows no reader can see.
+        # Re-read the manifest AFTER the marker is durable: if the
+        # version moved and the new version does not hold this batch's
+        # marker, re-append into the new version (the recursion's
+        # exclusive marker create races fairly with the compactor's
+        # post-flip straggler sweep — whichever wins, the rows are in).
+        # Ordering proof sketch (M = marker time, T1 = compactor's
+        # pre-flip re-list, T2 = flip, T3 = post-flip sweep list):
+        #   M < T1            -> re-list sees the marker, compactor aborts
+        #   T1 < M < T3       -> the sweep adopts the batch
+        #   M > T3 (=> M > T2)-> the manifest read below sees the flip
+        #                        and the recursion re-appends
+        # so every window is covered by at least one side.
+        if self._current_dir(base) != Path(cur):
+            new_cur = self.store.materialize_control(self._current_dir(base))
+            if not (new_cur / "_commits" / f"{safe}.json").exists():
+                self.append_log_table_exactly_once(df, name, batch_id)
+        return True
 
     def _migrate_legacy_log_roots(self, cur: Path) -> None:
         """Fold legacy rewrite-path rows into the commit log (ADVICE r11
@@ -1139,10 +1163,16 @@ class Lake:
         cdir = cur / "_commits"
         if cdir.exists() and any(cdir.glob("*.json")):
             return  # already a commit-log table
-        part_dirs = [
-            d for d in cur.iterdir()
-            if d.is_dir() and "=" in d.name and not d.name.startswith("batch=")
-        ]
+        # Partition detection must go THROUGH the backend (ADVICE r12
+        # medium): materialize_control deliberately skips col=value/ data
+        # keys, so on a bucket backend a fresh process has no local dirs
+        # to iterdir — list_subdirs merges local dirs with the bucket's
+        # CommonPrefixes, so server-side-only partitioned layouts are
+        # seen too.
+        part_dirs = sorted(
+            d for d in self.store.list_subdirs(cur)
+            if "=" in d and not d.startswith("batch=")
+        )
         if part_dirs:
             # Hive-partitioned legacy layout: rows live under col=value/
             # dirs the root fold below cannot carry (a batch dir read
@@ -1150,7 +1180,7 @@ class Lake:
             # depth). Refuse loudly rather than migrate partially.
             raise ValueError(
                 "table holds partitioned rewrite-path data "
-                f"({part_dirs[0].name}, …); commit-log appends would hide "
+                f"({part_dirs[0]}, …); commit-log appends would hide "
                 "it — compact/rewrite it unpartitioned first, or keep "
                 "using append_app_table_exactly_once for this table"
             )
@@ -1174,6 +1204,21 @@ class Lake:
             cdir / f"{lsafe}.json", json.dumps({"batch_id": legacy_id}).encode()
         )
 
+    @staticmethod
+    def _marker_dir(marker: Path) -> str:
+        """Data-dir name a commit marker points at. Markers written by
+        the normal append carry no ``dir`` field and resolve to
+        ``batch=<stem>``; markers written by the straggler sweep point
+        at their ``-adopt`` dir (the adoption copies into a DISTINCT dir
+        so a racing producer re-append can never interleave part files
+        with it — the marker's exclusive create picks exactly one
+        winner, and the marker says whose dir holds the rows)."""
+        try:
+            d = json.loads(marker.read_text()).get("dir")
+        except (OSError, ValueError):
+            d = None
+        return d or f"batch={marker.stem}"
+
     def read_log_table(self, name: str) -> DataFrame:
         """Exactly the committed batches — marker-listed dirs only, so
         torn appends never surface. Markers whose dir was folded away by
@@ -1185,8 +1230,8 @@ class Lake:
             raise FileNotFoundError(f"log table {name!r} does not exist")
         cur = self.store.materialize_dir(cur)
         cdir = cur / "_commits"
-        safes = sorted(p.stem for p in cdir.glob("*.json")) if cdir.exists() else []
-        dirs = [cur / f"batch={s}" for s in safes]
+        markers = sorted(cdir.glob("*.json")) if cdir.exists() else []
+        dirs = [cur / self._marker_dir(m) for m in markers]
         dirs = [d for d in dirs if d.exists()]
         if not dirs:
             # bootstrap schema: the version dir's root part files
@@ -1204,14 +1249,38 @@ class Lake:
         `carry_exactly_once_ledger` discipline, marker-file form).
 
         Log appends don't bump the manifest, so the version CAS alone
-        cannot see an append that commits between this fold's read and
-        its flip — and because the append's MARKER would still be
-        carried, the producer's replay would no-op and the rows would be
-        silently lost (ADVICE r11). Closed by a second look: after
-        staging is fully written, re-list the live ``_commits`` and
-        abort with `ConcurrentWriteError` if any marker appeared that
-        the fold didn't carry — the caller retries, now folding it."""
+        cannot see an append that commits during the fold. Three layers
+        close the lost-append race (ADVICE r11 high → r12 medium):
+
+        1. pre-flip re-list — after staging is fully written, re-list
+           the live ``_commits`` and abort with `ConcurrentWriteError`
+           if any marker appeared that the fold didn't carry;
+        2. post-flip straggler sweep — markers that landed between the
+           re-list and the flip are adopted into the new version
+           (`_adopt_log_stragglers`: data copied under a distinct
+           ``batch=<safe>-adopt`` dir, committed by the same exclusive
+           marker key the producer would race for, so exactly one side
+           wins and no part files ever interleave);
+        3. producer post-verify — `append_log_table_exactly_once`
+           re-reads the manifest after its marker lands and re-appends
+           into the new version when neither the carry nor the sweep
+           covered it.
+
+        Every window is covered by at least one layer (see the ordering
+        proof in the append). The one residual dependency: if THIS
+        process crashes between the flip and the sweep, the stragglers
+        whose producers already returned True are recovered by
+        `recover_log_table` — which runs automatically at the start of
+        the next compaction, reading the ``swept-from.json`` breadcrumb
+        staged with the fold — so vacuum retention of the previous
+        version dir must outlast that recovery (the default retention
+        does). Operationally, quiescing producers during compaction
+        remains the zero-moving-parts posture; the protocol above is
+        for when you can't."""
         base = Path(self.app_table_path(name))
+        # recover any stragglers a previously-crashed sweep left behind
+        # BEFORE folding, so this fold's read includes them
+        self.recover_log_table(name)
         snapshot = self._manifest_version(base)
         cur = self._current_dir(base)
         if cur is None:
@@ -1220,7 +1289,10 @@ class Lake:
         cdir = cur / "_commits"
         safes = sorted(p.stem for p in cdir.glob("*.json")) if cdir.exists() else []
         rows = self.read_log_table(name)
-        n_dirs_before = sum(1 for s in safes if (cur / f"batch={s}").exists())
+        n_dirs_before = sum(
+            1 for p in (cdir.glob("*.json") if cdir.exists() else [])
+            if (cur / self._marker_dir(p)).exists()
+        )
         fold_id = "fold-" + self._log_safe("|".join(safes))
         fold_safe = self._log_safe(fold_id)
         ver = self._new_version()
@@ -1235,10 +1307,19 @@ class Lake:
         shutil.rmtree(staging / "_schema_tmp")
         sc = staging / "_commits"
         sc.mkdir(parents=True, exist_ok=True)
+        carried: set[str] = set()
         if cdir.exists():
             for p in cdir.glob("*.json"):
                 shutil.copy2(p, sc / p.name)
+                carried.add(p.stem)
         (sc / f"{fold_safe}.json").write_text(json.dumps({"batch_id": fold_id}))
+        carried.add(fold_safe)
+        # breadcrumb for crash recovery: if this process dies between
+        # the flip below and the straggler sweep, recover_log_table can
+        # re-run the sweep from the previous version dir
+        (staging / "swept-from.json").write_text(
+            json.dumps({"prev": cur.name, "carried": sorted(carried)})
+        )
         # lost-append check: a marker that landed while the fold was
         # staging has rows NOT in the fold but a marker that WOULD be
         # carried — flipping now loses them forever (replay no-ops).
@@ -1252,8 +1333,87 @@ class Lake:
                 "compaction; aborting the flip — retry to fold them"
             )
         self._commit_version(base, ver, expect=snapshot, staging=staging)
+        # post-flip straggler sweep: markers that landed between the
+        # re-list above and the flip are adopted into the new version
+        adopted = self._adopt_log_stragglers(base, cur, carried)
         return {
             "batches_folded": int(n_dirs_before),
             "markers_carried": len(safes),
+            "stragglers_adopted": adopted,
             "fold_id": fold_id,
         }
+
+    def _adopt_log_stragglers(
+        self, base: Path, old_cur: Path, carried: set[str]
+    ) -> int:
+        """Adopt committed batches whose markers landed in ``old_cur``
+        after the fold's re-list (so they were neither folded nor
+        carried) into the CURRENT version. The adoption copies the
+        batch's part files under ``batch=<safe>-adopt`` — a dir no
+        producer ever writes — then races the producer's own re-append
+        on the single exclusive marker key; the loser deletes its dir,
+        so the committed marker always names exactly one complete
+        attempt's files. Idempotent: re-running after a crash re-copies
+        and loses the marker race to its own earlier success (or wins
+        if the earlier attempt died pre-marker)."""
+        ocdir = Path(old_cur) / "_commits"
+        self.store.materialize_control(Path(old_cur))
+        if not ocdir.exists():
+            return 0
+        stragglers = [p for p in ocdir.glob("*.json") if p.stem not in carried]
+        if not stragglers:
+            return 0
+        new_cur = self._current_dir(base)
+        new_cur = self.store.materialize_control(new_cur)
+        adopted = 0
+        for m in stragglers:
+            s = m.stem
+            if (new_cur / "_commits" / f"{s}.json").exists():
+                continue  # producer's post-verify re-append beat us
+            src = Path(old_cur) / self._marker_dir(m)
+            self.store.materialize_dir(src)
+            if not src.is_dir():
+                continue  # marker without data cannot happen post-commit
+            adir = new_cur / f"batch={s}-adopt"
+            self.store.delete_dir(adir)
+            adir.mkdir(parents=True, exist_ok=True)
+            for f in sorted(src.glob("*.parquet")):
+                shutil.copy2(f, adir / f.name)
+            self.store.upload_dir_delta(adir)
+            (new_cur / "_commits").mkdir(exist_ok=True)
+            try:
+                payload = json.loads(m.read_text())
+            except (OSError, ValueError):
+                payload = {}
+            payload["dir"] = f"batch={s}-adopt"
+            payload["adopted_from"] = Path(old_cur).name
+            won = self.store.try_create_exclusive(
+                new_cur / "_commits" / f"{s}.json", json.dumps(payload).encode()
+            )
+            if won:
+                adopted += 1
+            else:
+                self.store.delete_dir(adir)
+        return adopted
+
+    def recover_log_table(self, name: str) -> dict:
+        """Re-run the post-flip straggler sweep from the ``swept-from``
+        breadcrumb — the recovery path for a compactor that crashed
+        between its manifest flip and its sweep. Safe to call any time
+        (idempotent, no-op when the previous version dir is gone or had
+        no stragglers); `compact_log_table` calls it automatically
+        before folding."""
+        base = Path(self.app_table_path(name))
+        cur = self._current_dir(base)
+        if cur is None:
+            raise FileNotFoundError(f"log table {name!r} does not exist")
+        cur = self.store.materialize_control(cur)
+        crumb = cur / "swept-from.json"
+        if not crumb.exists():
+            return {"stragglers_adopted": 0}
+        info = json.loads(crumb.read_text())
+        old = base / info["prev"]
+        if not self.store.data_dir_exists(old):
+            return {"stragglers_adopted": 0}
+        n = self._adopt_log_stragglers(base, old, set(info["carried"]))
+        return {"stragglers_adopted": n}

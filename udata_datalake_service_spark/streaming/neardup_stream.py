@@ -277,9 +277,24 @@ def near_dup_ingest_stream(
         t0 = _tick("commits_sigs", t0)
         from udata_datalake_service_spark.caching import adopted
 
+        # unpersist() frees only the PERSISTED frames (cand and the
+        # pair-stage caches). survivors/sigs/batch are localCheckpoints,
+        # whose blocks unpersist() cannot touch (ADVICE r12 low): a
+        # checkpoint RDD's blocks are released by the ContextCleaner
+        # once the driver drops its last reference. We rely on that
+        # deliberately — the frames are epoch-scoped locals, so the
+        # references die when this closure returns — and give the
+        # cleaner a periodic nudge: py4j detaches JVM refs lazily, so
+        # without an occasional driver gc a long soak accumulates
+        # checkpoint blocks for epochs that are long gone (observed as
+        # monotonically-growing executor storage in the ×16 soak).
         extra = [cand] if cand is not None else []
-        for df in (survivors, sigs, batch, *extra, *adopted(in_pairs)):
+        for df in (*extra, *adopted(in_pairs)):
             df.unpersist()
+        if ep % 8 == 7:
+            import gc as _gc
+
+            _gc.collect()
 
     writer = deduped.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
