@@ -1039,3 +1039,85 @@ def test_streaming_bm25_index_matches_whole_corpus(spark, tmp_path):
     lake.compact_log_table("bm25_postings")
     got_c = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
     assert got_c == want81
+
+
+def test_bm25_recrawl_dedup_at_compaction_and_probe(spark, tmp_path):
+    """VERDICT r12 task 5: the unique-doc contract's escape hatch is
+    enforced code, not a docstring. A raw-crawl feed re-ingests docs in
+    later epochs; the naive lake probe then drifts (df/n_docs/tf double-
+    counted — asserted, so this test bites). `compact_bm25_index` folds
+    postings to each doc's latest epoch and rewrites the stats table to
+    the exact post-dedup counters, after which a PLAIN probe matches a
+    single-ingest index of the latest doc versions; replays still no-op
+    (ledger carried + markers carried). `bm25_from_lake(
+    dedup_recrawls=True)` gives the same exactness WITHOUT compaction,
+    including for re-crawls landed after the last fold."""
+    from udata_datalake_service_spark.caching import settle
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+    from udata_datalake_service_spark.sinks.lake import Lake
+    from udata_datalake_service_spark.streaming.dedup_stream import DOCUMENTS_SCHEMA
+    from udata_datalake_service_spark.streaming.retrieval_stream import (
+        bm25_from_lake,
+        bm25_index_stream,
+        compact_bm25_index,
+    )
+
+    src = str(tmp_path / "crawl")
+    ckpt = str(tmp_path / "ckpt")
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    def shard(rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    v1 = [(i, f"alpha w{i % 5} old{i} stale", "en", "web", 5) for i in range(20)]
+    shard(v1)
+    q = bm25_index_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+
+    # re-crawl: docs 0-9 change text (term 'stale' disappears, 'fresh'
+    # appears), docs 20-24 are brand new
+    v2 = [(i, f"alpha w{i % 5} new{i} fresh", "en", "web", 5) for i in range(10)]
+    v2 += [(i, f"alpha w{i % 5} old{i} stale", "en", "web", 5) for i in range(20, 25)]
+    shard(v2)
+    q = bm25_index_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+
+    latest = {r[0]: r for r in v1}
+    latest.update({r[0]: r for r in v2})
+    single_ingest = spark.createDataFrame(
+        sorted(latest.values()), DOCUMENTS_SCHEMA
+    )
+    queries = spark.createDataFrame(
+        [(1000, "alpha w3"), (1001, "stale old7"), (1002, "fresh new3")],
+        "query_id long, text string",
+    )
+    want = sorted(map(tuple, settle(bm25_topk(single_ingest, queries, k=5)).collect()))
+
+    # the naive probe DRIFTS on a re-crawled feed — prove the hazard is real
+    naive = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
+    assert naive != want
+
+    # probe-time fold: exact without any compaction
+    got_probe = sorted(
+        map(tuple, bm25_from_lake(lake, queries, k=5, dedup_recrawls=True).collect())
+    )
+    assert got_probe == want
+
+    # compact-time fold: a PLAIN probe is exact afterwards
+    compact_bm25_index(lake)
+    got_plain = sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect()))
+    assert got_plain == want
+    # stats were rewritten to the post-dedup counters
+    stats = lake.read_app_table("bm25_stats").collect()
+    assert len(stats) == 1 and stats[0]["n_docs"] == 25
+
+    # replays still no-op: restart on the same checkpoint, nothing new
+    q = bm25_index_stream(spark, src, lake, ckpt)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect())) == want
+
+    # idempotent: folding again changes nothing
+    compact_bm25_index(lake)
+    assert sorted(map(tuple, bm25_from_lake(lake, queries, k=5).collect())) == want

@@ -93,3 +93,21 @@ def test_strict_gopher_pass_fraction_is_honest(spark):
     n = g.count()
     n_pass = g.filter(F.col("gopher_pass")).count()
     assert 0.5 < n_pass / n < 1.0, f"{n_pass}/{n}"
+
+
+def test_pure_python_twin_matches_distributed_generator(spark):
+    """zipf_corpus_rows must be row-for-row byte-identical to
+    zipf_documents for the same parameters — fixtures written driver-side
+    (the curate_zipf oracle corpus) then mean exactly what the
+    distributed plane generates."""
+    from udata_datalake_service_spark.llm.synthtext import (
+        zipf_corpus_rows,
+        zipf_documents,
+    )
+
+    kw = dict(vocab_size=500, seed="twin-test", median_words=40, max_words=400)
+    dist = sorted(
+        map(tuple, zipf_documents(spark, 60, num_partitions=7, **kw).collect())
+    )
+    pure = sorted(zipf_corpus_rows(60, **kw))
+    assert dist == pure

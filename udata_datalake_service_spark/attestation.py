@@ -36,6 +36,7 @@ CURRENT_ROUND = 13
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-13 changes (populated as queries are added/edited this round)
+    "curate_zipf",  # NEW: composed curation pipeline (gate -> exact dedup -> retrieval decontam -> mixture) on the natural-statistics zipf fixture (VERDICT r12 task 6)
 })
 
 # Rounds whose driver window did NOT advance the rotation: the round-12

@@ -108,6 +108,9 @@ def _dsum(col) -> F.Column:
 _SQL_TOKS = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
 
 
+_CONTAM_K = 3  # k-gram size for the contamination/decontam evidence plane
+
+
 def _sql_shingles(k: int) -> str:
     return (
         f"case when len(t) >= {k} then list_distinct(list_transform("
@@ -1818,6 +1821,242 @@ FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM drops)
 """
 
 
+# ---- curate_zipf: the soak pipeline on the natural-statistics fixture ----
+# (VERDICT r12 task 6): the ×64 curation soak's flagship composition —
+# gate → exact dedup → retrieval-gated decontamination → mixture report —
+# had no oracle-attested binding at its natural-fixture (Zipf-Mandelbrot)
+# shape; the registry twin tx_curate_pipeline runs on the driver testdata,
+# whose 31-token vocabulary round 12 proved distorts probe behavior. The
+# corpus here is a deterministic synthtext slice written ONCE to /tmp by
+# the pure-python twin of the distributed generator (row-equality pinned
+# in tests/test_synthtext.py), so DuckDB replays the identical pipeline
+# over the identical bytes.
+_ZIPF_FIXTURE_PATH = "/tmp/spark_hydra_zipf_curate.parquet"
+_ZIPF_N_BASE, _ZIPF_N_DUP = 800, 80
+
+
+def ensure_zipf_fixture() -> str:
+    """Write the curate_zipf corpus if absent: 800 Zipf-Mandelbrot docs
+    (seed-pure, vocab 2000, lognormal lengths median 120) plus 80 planted
+    exact duplicates (ids 800..879 carry the text of ids 0..79). Pure
+    python + pyarrow — callable from the oracle side too, so whichever
+    engine runs first materializes it."""
+    import os
+
+    if os.path.exists(_ZIPF_FIXTURE_PATH):
+        return _ZIPF_FIXTURE_PATH
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udata_datalake_service_spark.llm.synthtext import zipf_corpus_rows
+
+    rows = zipf_corpus_rows(
+        _ZIPF_N_BASE, vocab_size=2000, seed="curate-r13",
+        median_words=120, max_words=2000,
+    )
+    langs, sources = ("en", "fr", "es", "de"), ("web", "news", "wiki", "forum")
+    for j in range(_ZIPF_N_DUP):
+        i = _ZIPF_N_BASE + j
+        text = rows[j][1]
+        rows.append((i, text, langs[i % 4], sources[i // 7 % 4], len(text)))
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    tmp = _ZIPF_FIXTURE_PATH + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _ZIPF_FIXTURE_PATH)
+    return _ZIPF_FIXTURE_PATH
+
+
+def q_curate_zipf(spark, sf_dir):
+    """The composed curation pipeline at its natural-statistics shape —
+    the same stage order the ×64 soak runs (SOAK.md), oracle-bound:
+    (1) gate: detected language, quality ≥ 0.55, AND the Gopher-style
+    50-token floor (which genuinely bites on lognormal lengths);
+    (2) exact dedup keeping the lowest doc_id per token fingerprint
+    (drops the 80 planted copies); (3) retrieval-gated decontamination:
+    8 eval probes are 12-token spans cut from corpus docs (the
+    GPT-3-report scenario — eval items excerpted from crawl pages), a
+    survivor drops when it lands in a probe's BM25 top-20 AND shares
+    ≥ 2 verbatim 3-grams with it; (4) mixture report: per (source,
+    lang) survivor counts, token mass, and normalized sampling weight.
+
+    Scale shape: every stage is the pinned operator the standalone
+    queries use — hash-partitioned dedup, broadcast-bounded BM25 probe
+    (8 queries), candidate-bounded n-gram evidence; nothing all-pairs,
+    nothing driver-side beyond the 8-probe limit."""
+    path = ensure_zipf_fixture()
+    from udata_datalake_service_spark.llm.contamination import _exploded_ngrams
+    from udata_datalake_service_spark.llm.dedup import exact_dedup
+    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+
+    d = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    x = d.select(
+        "doc_id", "text", "source", "lang",
+        tokens(F.col("text")).alias("t"),
+        detect_language(F.col("text")).alias("lang_detected"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    gated = x.filter(
+        (F.col("lang_detected") != "und")
+        & (F.col("quality") >= 0.55)
+        & (F.size("t") >= 50)
+    )
+    deduped = exact_dedup(
+        gated.select("doc_id", "text", "source", "lang", "t"),
+        text="text", id_col="doc_id",
+    ).persist()
+    # eval probes: 12-token spans (tokens 6..17) of the first 8 raw docs
+    # with ≥ 80 tokens and doc_id ≡ 2 (mod 5) — self-contamination by
+    # construction, plus whatever natural overlap the Zipf head causes
+    ev = (
+        x.filter((F.size("t") >= 80) & (F.col("doc_id") % 5 == 2))
+        .select("doc_id", F.slice("t", 6, 12).alias("qt"))
+        .orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join("qt", " ").alias("text"),
+        )
+    )
+    bm = bm25_topk(deduped, ev, k=20)
+    ev_ng = _exploded_ngrams(ev, "text", "query_id", _CONTAM_K)
+    c_ng = _exploded_ngrams(deduped, "text", "doc_id", _CONTAM_K)
+    shared = (
+        c_ng.join(F.broadcast(ev_ng), "ngram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("ngram").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    drops = (
+        shared.join(F.broadcast(bm), ["query_id", "doc_id"])
+        .select("doc_id")
+        .distinct()
+    )
+    surv = deduped.join(drops, on="doc_id", how="left_anti")
+    out = (
+        surv.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum(F.size("t")).alias("sum_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.round(
+                F.col("n_survivors")
+                / F.sum("n_survivors").over(Window.partitionBy()),
+                6,
+            ),
+        )
+    )
+    return settle(out, deduped)
+
+
+_SQL_CURATE_ZIPF = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_ZIPF_FIXTURE_PATH}')),
+x0 AS (
+  SELECT doc_id, source, lang, text, {_SQL_TOKS} AS t,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS npunct,
+    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS nalpha
+  FROM docs
+), feats AS (
+  SELECT doc_id, source, lang, t, len(t) AS n_tokens,
+    CASE WHEN nc > 0 THEN npunct / nc ELSE 0.0 END AS praw,
+    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS DOUBLE) / len(t) ELSE 0.0 END AS sraw,
+    CASE WHEN len(t) > 0 THEN nalpha / len(t) ELSE 0.0 END AS mean_wlen,
+    {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('en')} AS h_en,
+    {_sql_lang_hits('es')} AS h_es, {_sql_lang_hits('fr')} AS h_fr
+  FROM x0
+), scored AS (
+  SELECT doc_id, source, lang, t, n_tokens,
+    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) < 1 THEN 'und'
+         WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_detected,
+    CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+      + CASE WHEN praw <= 0.2 THEN 0.2 ELSE 0.0 END
+      + CASE WHEN sraw >= 0.01 THEN 0.2 ELSE 0.0 END
+      + CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality
+  FROM feats
+), gated AS (
+  SELECT doc_id, source, lang, t FROM scored
+  WHERE lang_detected <> 'und' AND quality >= 0.55 AND n_tokens >= 50
+), deduped AS (
+  SELECT doc_id, source, lang, t FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(array_to_string(t, ' ')) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), ev AS (
+  SELECT doc_id AS query_id, t[6:17] AS qt
+  FROM x0 WHERE len(t) >= 80 AND doc_id % 5 = 2
+  ORDER BY doc_id LIMIT 8
+), dt AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM deduped
+), tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM dt GROUP BY doc_id, term, dl
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM deduped
+), idx AS (
+  SELECT tf.term, tf.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+      * ((tf.tf * 2.2) /
+         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (s.total_dl / s.n_docs)))))
+      * 1000000, 0) AS BIGINT) AS w_fp
+  FROM tf JOIN dfr USING (term) CROSS JOIN stats s
+), qt AS (
+  SELECT query_id, unnest(list_distinct(qt)) AS term FROM ev
+), bm_scored AS (
+  SELECT qt.query_id, idx.doc_id, round(SUM(idx.w_fp) / 1000000.0, 6) AS score
+  FROM idx JOIN qt USING (term)
+  GROUP BY qt.query_id, idx.doc_id
+), bm_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM bm_scored
+), ev_ng AS (
+  SELECT query_id, unnest(
+    CASE WHEN len(qt) >= {_CONTAM_K} THEN list_distinct(list_transform(
+      range(1, len(qt)-{_CONTAM_K}+2),
+      i -> array_to_string(qt[i:i+{_CONTAM_K}-1],' ')))
+    ELSE [array_to_string(qt,' ')] END) AS ngram
+  FROM ev
+), c_ng AS (
+  SELECT doc_id, unnest({_sql_shingles(_CONTAM_K)}) AS ngram
+  FROM deduped WHERE len(t) >= {_CONTAM_K}
+), shared AS (
+  SELECT e.query_id, c.doc_id, COUNT(DISTINCT c.ngram) AS n_shared
+  FROM c_ng c JOIN ev_ng e USING (ngram)
+  GROUP BY e.query_id, c.doc_id
+  HAVING COUNT(DISTINCT c.ngram) >= 2
+), drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM bm_ranked b JOIN shared s
+    ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+  WHERE b.rnk <= 20
+), surv AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT source, lang, COUNT(*) AS n_survivors, SUM(len(t)) AS sum_tokens,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS weight
+FROM surv GROUP BY source, lang
+"""
+
+
 def q_dd_exact_prefix_groups(spark, sf_dir):
     """Exact dedup via hash-groupBy on a canonical key (5-token prefix —
     catches the planted near-identical docs); emits dup groups."""
@@ -3148,7 +3387,8 @@ FROM c
 # =========================================================================
 # Round-4 operators: benchmark contamination
 # =========================================================================
-_CONTAM_K = 3
+# (_CONTAM_K moved next to _SQL_TOKS — curate_zipf's oracle, defined
+# earlier in the file, interpolates it at module-eval time)
 
 
 def q_contamination(spark, sf_dir):
@@ -7690,6 +7930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # unchanged r4-green entries' window slots so their new source gets a
     # driver row; the displaced four are pinned past-window.
     "tx_curate_pipeline": q_tx_curate_pipeline,
+    "curate_zipf": q_curate_zipf,
     "dd_lsh_pairs": q_dd_lsh_pairs,
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_ngram_jaccard": q_dd_ngram_jaccard_both,
@@ -7875,6 +8116,7 @@ ORACLES: dict[str, str] = {
     "tx_text_metrics": _SQL_TX_METRICS,
     "tx_fingerprint": _SQL_TX_FP_BOTH,
     "tx_curate_pipeline": _SQL_TX_CURATE,
+    "curate_zipf": _SQL_CURATE_ZIPF,
     "dd_exact_prefix_groups": _SQL_DD_EXACT,
     "dd_minhash_signature": _SQL_DD_MINHASH,
     "dd_lsh_pairs": _SQL_DD_LSH,

@@ -95,6 +95,55 @@ def _doc_rng(seed: str, doc_id: int) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "big"))
 
 
+def doc_text(
+    vocab: np.ndarray,
+    cum: np.ndarray,
+    seed: str,
+    doc_id: int,
+    log_median: float,
+    sigma: float,
+    min_words: int,
+    max_words: int,
+) -> str:
+    """One document's text — the single source of truth for BOTH the
+    distributed generator (`zipf_documents`) and the pure-python twin
+    (`zipf_corpus_rows`), so a fixture written driver-side is
+    byte-identical to the mapInPandas output for the same (seed, id)."""
+    rng = _doc_rng(seed, doc_id)
+    n = int(np.clip(rng.lognormal(log_median, sigma), min_words, max_words))
+    idx = np.searchsorted(cum, rng.random(n), side="left")
+    return " ".join(vocab[np.minimum(idx, len(vocab) - 1)])
+
+
+def zipf_corpus_rows(
+    n_docs: int,
+    vocab_size: int = 10_000,
+    seed: str = "zipf0",
+    median_words: int = 180,
+    sigma: float = 1.0,
+    min_words: int = 5,
+    max_words: int = 20_000,
+    langs: tuple[str, ...] = ("en", "fr", "es", "de"),
+    sources: tuple[str, ...] = ("web", "news", "wiki", "forum"),
+) -> list[tuple]:
+    """Pure-python twin of `zipf_documents`: the same rows, no Spark —
+    for writing small deterministic fixtures (e.g. the `curate_zipf`
+    oracle corpus) that a SQL engine can read next to the Spark run.
+    `tests/test_synthtext.py` pins row-for-row equality with the
+    distributed generator."""
+    vseed = int.from_bytes(hashlib.sha256(f"v:{seed}".encode()).digest()[:4], "big")
+    vocab = np.array(zipf_vocab(vocab_size, seed=vseed))
+    cum = zipf_cumprobs(vocab_size)
+    log_median = float(np.log(median_words))
+    out = []
+    for i in range(n_docs):
+        t = doc_text(vocab, cum, seed, i, log_median, sigma, min_words, max_words)
+        out.append(
+            (i, t, langs[i % len(langs)], sources[i // 7 % len(sources)], len(t))
+        )
+    return out
+
+
 def zipf_documents(
     spark: SparkSession,
     n_docs: int,
@@ -124,16 +173,13 @@ def zipf_documents(
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            texts = []
-            for i in ids:
-                rng = _doc_rng(seed, int(i))
-                n = int(
-                    np.clip(
-                        rng.lognormal(log_median, sigma), min_words, max_words
-                    )
+            texts = [
+                doc_text(
+                    vocab, cum, seed, int(i), log_median, sigma,
+                    min_words, max_words,
                 )
-                idx = np.searchsorted(cum, rng.random(n), side="left")
-                texts.append(" ".join(vocab[np.minimum(idx, vocab_size - 1)]))
+                for i in ids
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -1241,7 +1241,7 @@ class Lake:
             *[str(d) for d in dirs]
         )
 
-    def compact_log_table(self, name: str) -> dict:
+    def compact_log_table(self, name: str, transform=None) -> dict:
         """Fold every committed batch dir into ONE, as a new version
         behind the atomic manifest flip — readers see pre- or post-fold,
         never both — CARRYING every marker, so crash-replayed producers
@@ -1276,7 +1276,16 @@ class Lake:
         version dir must outlast that recovery (the default retention
         does). Operationally, quiescing producers during compaction
         remains the zero-moving-parts posture; the protocol above is
-        for when you can't."""
+        for when you can't.
+
+        ``transform`` (optional, DataFrame -> DataFrame) rewrites the
+        folded rows — the hook domain-specific compactions use to fold
+        semantics, not just files (e.g. `compact_bm25_index` drops
+        superseded re-crawl postings by keeping each doc's latest
+        epoch). The transform applies to the FOLDED rows only; batches
+        committed after this fold (including adopted stragglers) are
+        untransformed until the next compaction, so a transform must be
+        idempotent and order-insensitive across repeated folds."""
         base = Path(self.app_table_path(name))
         # recover any stragglers a previously-crashed sweep left behind
         # BEFORE folding, so this fold's read includes them
@@ -1289,6 +1298,8 @@ class Lake:
         cdir = cur / "_commits"
         safes = sorted(p.stem for p in cdir.glob("*.json")) if cdir.exists() else []
         rows = self.read_log_table(name)
+        if transform is not None:
+            rows = transform(rows)
         n_dirs_before = sum(
             1 for p in (cdir.glob("*.json") if cdir.exists() else [])
             if (cur / self._marker_dir(p)).exists()

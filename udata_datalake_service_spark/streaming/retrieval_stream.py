@@ -34,7 +34,7 @@ probe time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -62,17 +62,21 @@ def bm25_index_stream(
     ``checkpoint_dir`` (replays of the same checkpoint no-op; a fresh
     checkpoint commits independently).
 
-    **Unique-doc contract (ADVICE r11):** the stream performs no
-    doc-identity dedup — epochs must carry DISJOINT doc ids. A re-crawl
-    of a doc arriving in a LATER epoch gets a new epoch id, so the
-    exactly-once ledger rightly does not no-op it: its (term, doc)
-    postings append a second time and its stats row contributes again,
-    inflating df / n_docs / per-doc tf — every score drifts. Feed this
-    stream from a fingerprint-deduped source (the `neardup_stream` /
-    `ingest_documents` corpus table, whose fp anti-join guarantees
-    exactly this) rather than a raw crawl. If upstream dedup is ever
-    impossible, dedup (doc, term) keeping the max ``batch_epoch`` at
-    compact/probe time — the column is persisted for precisely that."""
+    **Unique-doc contract (ADVICE r11, enforced at compaction since
+    r13):** the stream performs no doc-identity dedup — epochs SHOULD
+    carry disjoint doc ids (feed it from a fingerprint-deduped source:
+    the `neardup_stream` / `ingest_documents` corpus table). When the
+    feed IS a raw crawl, a re-crawled doc's postings append a second
+    time under a later epoch and its stats row contributes again —
+    every score drifts. The escape hatch is now real code, in two
+    strengths: `compact_bm25_index` folds the postings table keeping
+    only each doc's LATEST epoch (per-doc, not per-(doc, term): a term
+    the re-crawl dropped must vanish, not linger at its old tf) and
+    rewrites the stats table to the exact post-dedup counters; and
+    ``bm25_from_lake(dedup_recrawls=True)`` applies the same fold at
+    probe time, exact even for re-crawls committed after the last
+    compaction. The ``batch_epoch`` column is persisted for precisely
+    this."""
     import hashlib
 
     if ledger_prefix is None:
@@ -111,6 +115,61 @@ def bm25_index_stream(
     return writer.start()
 
 
+def latest_crawl_postings(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep only each doc's LATEST-epoch postings — the re-crawl fold.
+
+    Per-doc, not per-(doc, term): a re-crawl REPLACES the document, so a
+    term absent from the new text must disappear entirely (a
+    per-(doc, term) max-epoch would keep it at its stale tf). One
+    hash-partitioned window over ``id_col`` — doc ids are high-
+    cardinality and uniform, so the shuffle is skew-free and the fold
+    scales with the index, never with the re-crawl rate."""
+    w = Window.partitionBy(id_col)
+    return (
+        postings.withColumn("__ep_max", F.max("batch_epoch").over(w))
+        .filter(F.col("batch_epoch") == F.col("__ep_max"))
+        .drop("__ep_max")
+    )
+
+
+def stats_from_postings(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact (n_docs, total_dl) recomputed from a postings frame — the
+    corrected counters after a re-crawl fold (the per-epoch stats rows
+    double-count re-crawled docs and cannot be un-summed). ``dl`` is
+    constant within a doc's posting rows, so max-per-doc then sum is
+    exact; both aggregates partial-combine map-side."""
+    per_doc = postings.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+
+def compact_bm25_index(
+    lake: Lake,
+    postings_table: str = "bm25_postings",
+    stats_table: str = "bm25_stats",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold the streamed BM25 index, enforcing the unique-doc contract:
+    postings keep each doc's latest epoch (`latest_crawl_postings` as
+    `compact_log_table`'s transform — idempotent, so repeated folds and
+    post-fold re-crawls converge on the next run), and the stats table
+    is REWRITTEN to the exact post-dedup counters (ledger carried, so a
+    crash-replayed stats epoch still no-ops). After this, a plain
+    ``bm25_from_lake`` scores a re-crawled corpus identically to a
+    single-ingest index of the latest versions."""
+    res = lake.compact_log_table(
+        postings_table, transform=lambda rows: latest_crawl_postings(rows, id_col)
+    )
+    folded = lake.read_log_table(postings_table)
+    max_ep = folded.agg(F.max("batch_epoch")).collect()[0][0]
+    corrected = stats_from_postings(folded, id_col).withColumn(
+        "batch_epoch", F.lit(-1 if max_ep is None else int(max_ep))
+    )
+    lake.rewrite_app_table(corrected, stats_table, carry_exactly_once_ledger=True)
+    return res
+
+
 def bm25_from_lake(
     lake: Lake,
     queries: DataFrame,
@@ -122,16 +181,29 @@ def bm25_from_lake(
     k1: float = 1.2,
     b: float = 0.75,
     exclude_self: bool = False,
+    dedup_recrawls: bool = False,
 ) -> DataFrame:
     """Top-``k`` per query from the persisted index ALONE — no raw
     documents touched, however many epochs the stream has committed.
     Stats rows are summed (the mergeable-counter law); postings feed
     ``bm25_topk`` unchanged, since epoch boundaries are invisible to
-    per-(doc, term) facts."""
-    postings = lake.read_log_table(postings_table).select("term", id_col, "tf", "dl")
-    stats = lake.read_app_table(stats_table).agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
-    )
+    per-(doc, term) facts.
+
+    ``dedup_recrawls=True`` applies the re-crawl fold at probe time
+    (latest epoch per doc + stats recomputed from the folded postings)
+    — exact even when re-crawls landed after the last
+    `compact_bm25_index`, at the cost of a doc-partitioned window over
+    the matched index scan."""
+    raw = lake.read_log_table(postings_table)
+    if dedup_recrawls:
+        folded = latest_crawl_postings(raw, id_col)
+        postings = folded.select("term", id_col, "tf", "dl")
+        stats = stats_from_postings(folded, id_col)
+    else:
+        postings = raw.select("term", id_col, "tf", "dl")
+        stats = lake.read_app_table(stats_table).agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+        )
     return bm25_topk(
         corpus=None,
         queries=queries,
