@@ -58,6 +58,8 @@ def main() -> int:
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE.md"
     if len(sys.argv) > 3:  # e.g. "1,16,64" for a deeper spot-check
         SCALES = tuple(int(x) for x in sys.argv[3].split(","))
+    fixture = sys.argv[4] if len(sys.argv) > 4 else "legacy"
+    assert fixture in ("legacy", "zipf"), fixture
 
     from pyspark.sql import functions as F
 
@@ -67,7 +69,21 @@ def main() -> int:
     root = "/tmp/spark_hydra_scale_probe"
     shutil.rmtree(root, ignore_errors=True)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fixture == "zipf":
+        # natural-statistics base corpus (VERDICT r12 task 4): round 12
+        # proved the sf documents fixture's ~31-token vocabulary distorts
+        # probe/prune behavior in both directions, so the dd/nb/sketch
+        # alphas are re-fit on synthtext the way the BM25 probe leg was.
+        # Same doc count as the legacy base; embeddings stay the sf table
+        # (ANN probes scale the vector count, not the text).
+        from udata_datalake_service_spark.llm.synthtext import zipf_documents
+
+        zipf_documents(spark, 5000, seed="scale-zipf", num_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/base_docs")
+        docs = spark.read.parquet(f"{root}/base_docs")
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_docs = docs.count()
     n_emb = emb.count()
@@ -223,9 +239,10 @@ def main() -> int:
 
     ops = list(results[SCALES[0]])
     with open(out_md, "w") as f:
+        base_tag = "zipf synthtext" if fixture == "zipf" else sf_dir
         f.write(
             "# SCALE — measured operator scaling (`tools/scale_probe.py`, "
-            f"base={sf_dir}, {n_docs} docs ×{{{','.join(map(str, SCALES))}}})\n\n"
+            f"base={base_tag}, {n_docs} docs ×{{{','.join(map(str, SCALES))}}})\n\n"
             "Fitted growth exponent alpha from t ∝ n^alpha over the full probed "
             "span, warm session, cache cleared + JVM GC quiesce per probe "
             "(r8: without the quiesce, shuffle debris from the ~100 s "
