@@ -32,5 +32,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query — every query has one
     (the approximate ANN paths are deterministic, so their oracles replay
-    the same bucketing/probing math in SQL)."""
+    the same bucketing/probing math in SQL).
+
+    curate_zipf's oracle reads a parquet fixture written by the PURE-
+    PYTHON twin of the distributed generator; materialize it here so the
+    oracle set is self-sufficient even when the SQL binds before the
+    Spark query has run (e.g. type-binding tests, oracle-first runs)."""
+    from udata_datalake_service_spark.entry_queries import ensure_zipf_fixture
+
+    ensure_zipf_fixture()
     return dict(ORACLES)

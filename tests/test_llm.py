@@ -228,6 +228,67 @@ def test_minhash_lsh_pipeline(spark, docs):
     assert (1, 2) in got and got[(1, 2)] == 1.0  # identical token streams
 
 
+def test_minhash_xxh64_family(spark, docs):
+    """The throughput family (SOAK round-13: signatures were 65 % of the
+    near-dup stream's wall on md5, pure hash arithmetic): each distinct
+    shingle hashed ONCE to a long, permutations are fixed-width seeded
+    xxhash64 re-hashes. Same estimator semantics, array<bigint> sigs,
+    long band keys; downstream banding/estimate/probe are type-agnostic."""
+    from pyspark.sql.types import LongType
+
+    from udata_datalake_service_spark.llm.dedup import (
+        incremental_lsh_pairs,
+        lsh_band_table,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=16, k=2, hash_family="xxh64")
+    assert isinstance(sigs.schema["sig"].dataType.elementType, LongType)
+    assert sigs.select(F.size("sig")).distinct().collect()[0][0] == 16
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, rows_per_band=4)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est.collect()}
+    # identical shingle sets -> identical signatures under ANY min-wise
+    # family: est exactly 1.0 is family-independent, not luck
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    bt = lsh_band_table(sigs, num_bands=4, rows_per_band=4)
+    assert isinstance(bt.schema["bkey"].dataType, LongType)
+    # probe shape follows the family too (both sides banded through
+    # lsh_band_table, so key types always agree)
+    inc = incremental_lsh_pairs(
+        sigs.filter("id <= 2"), sigs.filter("id > 2"), 4, 4, max_bucket=16
+    )
+    assert inc.count() >= 0  # executes: no key-type mismatch
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, hash_family="fnv")
+
+
+def test_minhash_families_agree_on_near_dups(spark):
+    """Cross-family behavioral agreement: on a corpus with clear
+    separation (identical-shingle pairs vs disjoint-vocabulary docs),
+    both families find exactly the planted pairs at threshold 0.5 —
+    the md5->xxh64 swap changes the hash arithmetic, not the verdicts."""
+    rows = []
+    for i in range(8):
+        text = " ".join(f"w{i}t{j}" for j in range(15))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))  # identical twin
+    for i in range(8):
+        rows.append((100 + i, " ".join(f"u{i}z{j}" for j in range(15))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(2 * i, 2 * i + 1) for i in range(8)}
+    for family in ("md5", "xxh64"):
+        sigs = minhash_signatures(df, num_hashes=8, k=2, hash_family=family)
+        pairs = lsh_candidate_pairs(sigs, num_bands=4, rows_per_band=2)
+        verified = (
+            minhash_jaccard_estimate(sigs, pairs)
+            .filter(F.col("jaccard_est") >= 0.5)
+            .collect()
+        )
+        got = {(r["id_a"], r["id_b"]) for r in verified}
+        assert got == want, (family, sorted(got ^ want))
+        assert all(r["jaccard_est"] == 1.0 for r in verified)
+
+
 _TEMPLATE = "terms of service page copyright all rights reserved legal notice"
 
 

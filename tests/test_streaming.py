@@ -775,15 +775,20 @@ def test_neardup_stream_verified_dedup_across_epochs(spark, tmp_path):
 
     * shard 0 — 30 distinct docs (disjoint vocab)       -> 30 survive
     * shard 1 — 10 near-dup copies of shard-0 docs (one word changed in
-      twelve, NEW ids), 10 fresh distinct docs, plus an in-batch
+      thirty, NEW ids), 10 fresh distinct docs, plus an in-batch
       near-dup pair (min id wins)                        -> 11 survive
     * shard 2 — verbatim copy of shard 0: the exact-fingerprint state
       store empties the batch before the sink            -> 0 survive
 
     Every drop is estimate-VERIFIED (>= 0.5), never a raw band
-    collision; the survivor ID SET is asserted exactly. Restart with
-    nothing new is a no-op, and all three lake ledgers (docs / band
-    index / sigs) no-op a manual epoch replay."""
+    collision; the survivor ID SET is asserted exactly. The near tier's
+    one-in-30 edit keeps true Jaccard ≈ 0.87; under the r13 xxh64
+    default's fixed draw every near pair matches ≥ 2 of 4 bands and
+    estimates ≥ 0.75 — clear margins on both cuts (the original
+    one-in-12 / J ≈ 0.69 fixture sat on the knife edge: the md5→xxh64
+    switch re-rolled the draw and two near docs escaped banding
+    entirely). Restart with nothing new is a no-op, and all three lake
+    ledgers (docs / band index / sigs) no-op a manual epoch replay."""
     import hashlib as _h
 
     from udata_datalake_service_spark.sinks.lake import Lake
@@ -797,9 +802,9 @@ def test_neardup_stream_verified_dedup_across_epochs(spark, tmp_path):
     lake = Lake(spark, str(tmp_path / "lake"))
 
     def words(i, alt=False):
-        w = [f"tok{i}x{j}" for j in range(12)]
+        w = [f"tok{i}x{j}" for j in range(30)]
         if alt:
-            w[5] = f"alt{i}"  # one word changed in twelve -> est >= 0.5
+            w[11] = f"alt{i}"  # one word changed in 30 -> J ~= 0.87
         return " ".join(w)
 
     def shard(rows, name):
@@ -911,7 +916,9 @@ def test_neardup_stream_crash_replay_heals(spark, tmp_path):
     # appends leaves behind
     rows2 = [(100 + i, words(50 + i), "en", "web", 60) for i in range(10)]
     df2 = spark.createDataFrame(rows2, DOCUMENTS_SCHEMA)
-    sigs2 = minhash_signatures(df2, num_hashes=8, k=2)
+    # the pre-committed torn rows must be the ones the sink itself would
+    # produce: same hash family as the stream default (xxh64)
+    sigs2 = minhash_signatures(df2, num_hashes=8, k=2, hash_family="xxh64")
     band2 = lsh_band_table(sigs2, 4, 2).withColumn("batch_epoch", F.lit(1))
     assert lake.append_log_table_exactly_once(
         band2, "lsh_band_index", f"{prefix}-index-1"

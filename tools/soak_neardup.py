@@ -21,7 +21,9 @@ instrumented run, so compare like with like across rounds.
 Fixture arg: `zipf` (default — natural-statistics generator, see
 llm/synthtext.py) or `legacy` (the sf documents table).
 
-Usage: python tools/soak_neardup.py [sf_dir] [scale] [zipf|legacy]
+Usage: python tools/soak_neardup.py [sf_dir] [scale] [zipf|legacy] [xxh64|md5]
+The 4th arg picks the MinHash hash family (default xxh64 = the stream's
+default; md5 is the r12-and-earlier baseline for A/B).
 Prints a markdown table; paste into SOAK.md §streaming.
 """
 
@@ -38,6 +40,8 @@ def main() -> int:
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     fixture = sys.argv[3] if len(sys.argv) > 3 else "zipf"
     assert fixture in ("zipf", "legacy"), fixture
+    hash_family = sys.argv[4] if len(sys.argv) > 4 else "xxh64"
+    assert hash_family in ("xxh64", "md5"), hash_family
 
     import os
     import shutil
@@ -100,13 +104,14 @@ def main() -> int:
         )
         shutil.rmtree(stage)
     src = "zipf synthtext base" if fixture == "zipf" else sf_dir
-    print(f"fixture: {scale * n0} docs ({scale}x {src}), {scale} shards",
-          flush=True)
+    print(f"fixture: {scale * n0} docs ({scale}x {src}), {scale} shards, "
+          f"hash_family={hash_family}", flush=True)
 
     phase_acc: dict[str, float] = {}
     t0 = time.monotonic()
     q = near_dup_ingest_stream(
-        spark, shards_dir, lake, f"{root}/ckpt", phase_acc=phase_acc
+        spark, shards_dir, lake, f"{root}/ckpt", phase_acc=phase_acc,
+        hash_family=hash_family,
     )
     q.awaitTermination(3600)
     wall = time.monotonic() - t0

@@ -37,6 +37,7 @@ CURRENT_ROUND = 13
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-13 changes (populated as queries are added/edited this round)
     "curate_zipf",  # NEW: composed curation pipeline (gate -> exact dedup -> retrieval decontam -> mixture) on the natural-statistics zipf fixture (VERDICT r12 task 6)
+    "dd_minhash_xxh",  # NEW: xxh64-family MinHash end-to-end under the identical-shingle-set invariant (the near-dup stream's r13 throughput family)
 })
 
 # Rounds whose driver window did NOT advance the rotation: the round-12

@@ -2051,7 +2051,8 @@ x0 AS (
 ), surv AS (
   SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 )
-SELECT source, lang, COUNT(*) AS n_survivors, SUM(len(t)) AS sum_tokens,
+SELECT source, lang, COUNT(*) AS n_survivors,
+       CAST(SUM(len(t)) AS BIGINT) AS sum_tokens,
   ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS weight
 FROM surv GROUP BY source, lang
 """
@@ -2104,6 +2105,57 @@ _SQL_DD_MINHASH = f"""
 WITH x AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 s AS (SELECT doc_id, {_sql_shingles(_MINHASH_K)} AS sh FROM x)
 SELECT doc_id, concat_ws('|', {', '.join(_sql_minhash_mins())}) AS signature FROM s
+"""
+
+
+_XXH_TWIN_OFFSET = 1_000_000
+
+
+def q_dd_minhash_xxh(spark, sf_dir):
+    """xxh64-family MinHash end-to-end (sigs → long band keys →
+    candidates → estimate; ``llm/dedup.minhash_signatures`` with
+    ``hash_family='xxh64'`` — the near-dup stream's throughput family,
+    SOAK.md round-13).
+
+    xxhash64 is not replayable in DuckDB, so the binding uses the
+    family-independent invariant instead of value replay: every
+    ``doc_id % 5 == 0`` document gets a planted twin (same text,
+    id + offset). Identical shingle sets ⇒ identical signatures under
+    ANY min-wise family ⇒ the twin pair is a guaranteed band collision
+    with estimate exactly 1.0. The returned twin-aligned verified pairs
+    are therefore exactly the selected documents — which the oracle
+    states directly. A missed candidate, a wrong estimate, or a
+    band-key type mismatch each break the row set."""
+    d = _tw(spark, sf_dir, "documents")
+    twins = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_XXH_TWIN_OFFSET)
+    )
+    sigs = minhash_signatures(
+        d.unionByName(twins),
+        num_hashes=_MINHASH_N,
+        k=_MINHASH_K,
+        hash_family="xxh64",
+    ).persist()
+    pairs = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    out = (
+        minhash_jaccard_estimate(sigs, pairs)
+        .filter(
+            (F.col("id_b") - F.col("id_a") == _XXH_TWIN_OFFSET)
+            & (F.col("jaccard_est") == 1.0)
+        )
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("twin_id"),
+            "jaccard_est",
+        )
+    )
+    return settle(out, sigs)
+
+
+_SQL_DD_MINHASH_XXH = f"""
+SELECT doc_id, doc_id + {_XXH_TWIN_OFFSET} AS twin_id,
+       CAST(1.0 AS DOUBLE) AS jaccard_est
+FROM documents WHERE doc_id % 5 = 0
 """
 
 
@@ -8036,6 +8088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_linkage": q_fuzzy_linkage,
     "dd_exact_prefix_groups": q_dd_exact_prefix_groups,
     "dd_minhash_signature": q_dd_minhash_signature,
+    "dd_minhash_xxh": q_dd_minhash_xxh,
     "o3_deterministic_sample": q_o3_deterministic_sample,
     "p10_retention_survivors": q_p10_retention_survivors,
     "st3_next_check_ladder": q_st3_next_check_ladder,
@@ -8119,6 +8172,7 @@ ORACLES: dict[str, str] = {
     "curate_zipf": _SQL_CURATE_ZIPF,
     "dd_exact_prefix_groups": _SQL_DD_EXACT,
     "dd_minhash_signature": _SQL_DD_MINHASH,
+    "dd_minhash_xxh": _SQL_DD_MINHASH_XXH,
     "dd_lsh_pairs": _SQL_DD_LSH,
     "dd_dup_clusters": _SQL_DD_CLUSTERS,
     "dd_ngram_jaccard": _SQL_DD_NGRAM_BOTH,

@@ -8,10 +8,12 @@ Five operators, ordered by cost/recall trade-off:
    index (explode → self-join on shingle → per-pair intersection counts).
    Quadratic only within shingle posting lists, not the corpus.
 3. ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash+LSH: the
-   scalable near-dup path. Hash family = lexicographic MIN of seeded md5
-   digests (a valid min-wise family, and bit-identical in any engine, so
-   the DuckDB oracle can replay it). Banding turns all-pairs into
-   equi-joins on band keys.
+   scalable near-dup path. Two hash families: seeded-md5 string MINs
+   (bit-identical in any engine, so the DuckDB oracle can replay it)
+   and seeded-``xxhash64`` long MINs (non-crypto, fixed-width — the
+   throughput family the near-dup stream runs on; see
+   ``minhash_signatures``). Banding turns all-pairs into equi-joins on
+   band keys and adapts its key type to the family.
 4. ``simhash64`` — 64-bit SimHash from md5-derived token hashes; near-dups
    = small Hamming distance. Pure column expressions.
 5. ``embedding_near_dups`` — cosine over an embedding column (see
@@ -296,28 +298,70 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     k: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """id → array<string> MinHash signature.
+    """id → MinHash signature (array<string> or array<bigint>).
 
-    Permutation *i* = lexicographic MIN over md5(i || '|' || shingle). md5
-    is uniform on hex strings, so string-min is a faithful min-wise hash;
-    using hex strings (not ints) keeps the oracle SQL trivial and
-    engine-portable.
+    Two hash families, identical estimator semantics, different cost
+    profiles:
 
-    Physical shape: explode(distinct shingles) → groupBy(id).agg(num_hashes
-    MINs). All md5/min work runs in whole-stage codegen with map-side
-    partial aggregation (each task emits one row per doc) — the shuffle
-    carries only signatures, and nothing is evaluated through interpreted
-    higher-order functions.
+    * ``"md5"`` (default) — permutation *i* = lexicographic MIN over
+      md5(i || '|' || shingle). md5 is uniform on hex strings, so
+      string-min is a faithful min-wise hash; hex strings keep the
+      DuckDB oracle trivial and engine-portable. The oracle-bound
+      registry queries stay on this family.
+    * ``"xxh64"`` — shingle STRINGS are never built: each k-token
+      window is hashed directly off the token-array slice
+      (``xxhash64(slice(toks, i, k))`` — Spark's xxhash64 hashes array
+      values natively), and permutation *i* = MIN over
+      ``xxhash64(i, shingle_hash)``, a fixed-width 12-byte hash per
+      permutation instead of a fresh digest over a ~40-char shingle
+      string. The signature is array<bigint>: ~8× smaller on the wire
+      and in the sig/index tables, and the per-doc arithmetic the zipf
+      ×16 soak measured at 65 % of the near-dup stream's wall
+      (SOAK.md round-13) drops to non-crypto fixed-width hashing with
+      zero per-shingle string allocation. Shingle identity becomes
+      hash identity (two distinct shingles colliding in 64 bits merge
+      — ~n²/2⁶⁵ per doc, negligible). Not DuckDB-reproducible —
+      bindings for this family assert structure + the identical-
+      shingle-set invariant, not md5-replayable values.
+
+    The two families must never be mixed against one state table: a
+    signature/band index built by one family is meaningless to probes
+    from the other (same contract as changing ``num_hashes``/``k``).
+
+    Physical shape (both families): explode(distinct shingles) →
+    groupBy(id).agg(num_hashes MINs). All hash/min work runs in
+    whole-stage codegen with map-side partial aggregation (each task
+    emits one row per doc) — the shuffle carries only signatures, and
+    nothing is evaluated through interpreted higher-order functions.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
-    )
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family not in ("md5", "xxh64"):
+        raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
+    if hash_family == "xxh64":
+        toks = tokens(F.col(text))
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh64s = F.when(
+            n >= k, F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i + 1, k)))
+        ).otherwise(F.array(F.xxhash64(toks)))
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(sh64s)).alias("sh64"),
+        )
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("sh64"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
+        )
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     return (
         sh.groupBy("id")
         .agg(*mins)
@@ -427,8 +471,18 @@ def lsh_band_table(
     (``Lake.write_bucketed_table``), and every future batch probes it
     with an equi-join that never re-shuffles the corpus side
     (``incremental_lsh_pairs``). Same validation as the pair join: bands
-    must fit the signature or trailing bands alias to one md5('') key.
+    must fit the signature or trailing bands alias to one empty-slice key.
+
+    Band-key derivation follows the signature's hash family (element
+    type): md5-family string signatures get md5(array_join(slice)) hex
+    keys; xxh64-family bigint signatures get ``xxhash64(slice)`` long
+    keys (Spark's xxhash64 hashes array values natively — no string
+    round-trip, and the stored index key is 8 bytes instead of 32 hex
+    chars). Both sides of any band equi-join derive keys through this
+    one function, so the key type always agrees.
     """
+    from pyspark.sql.types import LongType
+
     probe = signatures.select("sig").head(1)
     if probe:
         sig_len = len(probe[0]["sig"])
@@ -437,16 +491,17 @@ def lsh_band_table(
                 f"banding needs num_bands*rows_per_band <= len(signature): "
                 f"{num_bands}*{rows_per_band} > {sig_len}"
             )
-    keys = F.array(
-        *[
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
-                )
-            )
-            for b in range(num_bands)
-        ]
-    )
+    elem = signatures.schema["sig"].dataType.elementType
+
+    def _slice(b: int) -> Column:
+        return F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+
+    if isinstance(elem, LongType):
+        keys = F.array(*[F.xxhash64(_slice(b)) for b in range(num_bands)])
+    else:
+        keys = F.array(
+            *[F.md5(F.array_join(_slice(b), "|")) for b in range(num_bands)]
+        )
     return signatures.select("id", F.posexplode(keys).alias("band", "bkey"))
 
 

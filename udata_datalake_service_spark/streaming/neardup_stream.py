@@ -81,8 +81,18 @@ def near_dup_ingest_stream(
     available_now: bool = True,
     ledger_prefix: str | None = None,
     phase_acc: dict | None = None,
+    hash_family: str = "xxh64",
 ) -> StreamingQuery:
     """Start the verified near-dup ingest stream; returns the query.
+
+    ``hash_family`` selects the MinHash family (see
+    ``minhash_signatures``). Default is ``"xxh64"``: the zipf ×16 soak
+    measured the signatures phase at 65 % of total wall on the md5
+    family, and it is pure per-doc hash arithmetic — the non-crypto
+    fixed-width family is the named lever. The family is STATE-BINDING:
+    the sigs/index tables a run creates only mean anything to probes
+    using the same family (and the same ``num_hashes``/``k``/banding),
+    so never restart an existing deployment with a different value.
 
     First arrival wins: a batch document whose estimated Jaccard vs any
     EARLIER-epoch survivor (or a lower-id survivor in its own batch)
@@ -146,9 +156,9 @@ def near_dup_ingest_stream(
         # rewrites — on token-heavy documents the minhash job re-ran
         # 4-6× per epoch inside the verify phase (measured: zipf ×4
         # estimate_verify 795 s → ~100 s from this one change).
-        sigs = minhash_signatures(batch, num_hashes=num_hashes, k=k).localCheckpoint(
-            eager=True
-        )
+        sigs = minhash_signatures(
+            batch, num_hashes=num_hashes, k=k, hash_family=hash_family
+        ).localCheckpoint(eager=True)
         t0 = _tick("signatures", t0)
 
         # ---- in-batch near-dups: min-id wins inside the epoch --------
