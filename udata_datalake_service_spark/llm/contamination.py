@@ -20,22 +20,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from udata_datalake_service_spark.llm.dedup import word_shingles
+from udata_datalake_service_spark.llm.dedup import shingles_of_tokens
 
 
 def _exploded_ngrams(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
     """(id, ngram) pairs, distinct per document, only from docs with >= k
-    tokens (shorter docs have no k-gram — word_shingles' whole-doc fallback
-    is for dedup, not contamination, and is excluded here)."""
-    from udata_datalake_service_spark.llm.text import token_count
+    tokens (shorter docs have no k-gram — the shingle whole-doc fallback
+    is for dedup, not contamination, and is excluded here).
+
+    Tokens are projected to a real column before the shingle transform —
+    see shingles_of_tokens for the per-element re-evaluation hazard."""
+    from udata_datalake_service_spark.llm.text import tokens
 
     return (
-        df.filter(token_count(F.col(text)) >= k)
+        df.select(F.col(id_col), tokens(F.col(text)).alias("__t"))
+        .filter(F.size("__t") >= k)
         .select(
             F.col(id_col),
-            F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias(
-                "ngram"
-            ),
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__t"), k))
+            ).alias("ngram"),
         )
     )
 

@@ -65,7 +65,10 @@ def ngram_novelty(
     corpus-sized join back to the exploded grams. The only joins are the
     two vocabulary/doc-sized left joins onto the id spine.
     """
-    toks = tokens(F.col(text))
+    # tokens land in a real column first: an inline tokens() subtree
+    # referenced inside the transform lambda is re-split PER WINDOW on
+    # the interpreted higher-order path (llm/dedup.shingles_of_tokens)
+    toks = F.col("__t")
     # guard: F.sequence(0, n) DESCENDS for n < 0, so short docs need an
     # explicit empty-gram branch. The gram strings hash AFTER the explode:
     # xxhash64 inside the transform lambda runs on the interpreted
@@ -81,7 +84,8 @@ def ngram_novelty(
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
+        .select("id", F.explode(grams).alias("g"))
         .select("id", F.xxhash64("g").alias("g"))
         .persist()
     )
@@ -154,7 +158,10 @@ def paragraph_dedup(
             lambda p: F.length(p) > 0,
         )
     else:
-        toks = tokens(F.col(text))
+        # attribute reference, not an inline tokens() subtree: the
+        # lambda would re-split the whole doc per chunk otherwise
+        # (llm/dedup.shingles_of_tokens)
+        toks = F.col("__t")
         n_chunks = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
         # guard: F.sequence(0, n-1) DESCENDS for n = 0, fabricating two
         # bogus empty paragraphs on token-less docs (caught by the
@@ -168,8 +175,15 @@ def paragraph_dedup(
                 ),
             ),
         ).otherwise(F.expr("array()").cast("array<string>"))
-    ex = df.select(
-        F.col(id_col).alias("id"), F.posexplode(paras).alias("pidx", "ptext")
+    pre = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(text), tokens(F.col(text)).alias("__t")
+        )
+        if split_regex is None
+        else df.select(F.col(id_col).alias("id"), F.col(text))
+    )
+    ex = pre.select(
+        "id", F.posexplode(paras).alias("pidx", "ptext")
     ).withColumn("ph", F.xxhash64("ptext"))
     first = ex.groupBy("ph").agg(
         F.min(F.struct("id", "pidx")).alias("f")

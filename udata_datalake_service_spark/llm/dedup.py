@@ -77,14 +77,36 @@ def duplicate_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") 
 
 
 # ------------------------------------------------------------- shingles ----
-def word_shingles(text_col: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined token windows)."""
-    toks = tokens(text_col)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined windows) from a token-array
+    column.
+
+    ``toks`` should be a MATERIALIZED column (projected in a prior
+    select), not an inline ``tokens(text)`` expression tree: Spark's
+    higher-order functions are CodegenFallback, and an outer expression
+    referenced inside the lambda is re-evaluated PER ELEMENT — with an
+    inline tokens() the full-document regex split ran once per shingle
+    window (~176× per doc on natural text). Measured on 5 000 zipf docs
+    (tools/minhash_family_probe.py): the whole 8-hash MinHash job went
+    67 s → 8.9 s from this one projection. An attribute reference is
+    per-element cheap; the slice-copy that remains is the irreducible
+    window cost."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles straight from a text column.
+
+    Convenience form for one-off expressions; the hot paths project
+    ``tokens(text)`` into a real column first and call
+    ``shingles_of_tokens`` on the attribute — see its docstring for why
+    (per-element re-evaluation of the inline tokens() subtree)."""
+    return shingles_of_tokens(tokens(text_col), k)
 
 
 def shingle_index(
@@ -95,10 +117,16 @@ def shingle_index(
     Build + persist it once when several variants (e.g. exact and
     ``max_df``-capped) scan the same corpus — the shingling pass is the
     corpus scan, everything downstream is index-sized."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
-    ).select("id", F.xxhash64("sh").alias("sh"))
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
+        .select(
+            "id",
+            F.explode(F.array_distinct(shingles_of_tokens(F.col("__t"), k))).alias(
+                "sh"
+            ),
+        )
+        .select("id", F.xxhash64("sh").alias("sh"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -338,25 +366,28 @@ def minhash_signatures(
     """
     if hash_family not in ("md5", "xxh64"):
         raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
+    # project the token array into a REAL column before any per-window
+    # lambda touches it — an inline tokens(text) subtree inside the
+    # transform re-runs the full-document regex split per shingle
+    # window (see shingles_of_tokens; measured 67 s → 8.9 s on the
+    # 5 000-doc probe)
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
+    toks = F.col("__t")
     if hash_family == "xxh64":
-        toks = tokens(F.col(text))
         n = F.size(toks)
         idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
         sh64s = F.when(
             n >= k, F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i + 1, k)))
         ).otherwise(F.array(F.xxhash64(toks)))
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(sh64s)).alias("sh64"),
-        )
+        sh = base.select("id", F.explode(F.array_distinct(sh64s)).alias("sh64"))
         mins = [
             F.min(F.xxhash64(F.lit(i), F.col("sh64"))).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     else:
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(F.col(text), k))).alias("sh"),
+        sh = base.select(
+            "id",
+            F.explode(F.array_distinct(shingles_of_tokens(toks, k))).alias("sh"),
         )
         mins = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"__h{i}")

@@ -341,7 +341,8 @@ def hard_negatives(
     Result: (query_id, doc_id, score, rnk, jac) with ``jac`` rounded
     to 6 (integer intersection/size arithmetic — engine-exact).
     """
-    from udata_datalake_service_spark.llm.dedup import word_shingles
+    from udata_datalake_service_spark.llm.dedup import shingles_of_tokens
+    from udata_datalake_service_spark.llm.text import tokens
 
     bm = bm25_topk(
         corpus,
@@ -353,19 +354,27 @@ def hard_negatives(
         exclude_self=True,
         **bm25_kwargs,
     )
+    # tokens projected to a column before the shingle transform on both
+    # legs (shingles_of_tokens: inline tokens() re-splits per element)
     q_sh = queries.select(
+        F.col(query_id), tokens(F.col(text)).alias("__t")
+    ).select(
         F.col(query_id),
-        F.explode(F.array_distinct(word_shingles(F.col(text), shingle_k))).alias(
-            "sh"
-        ),
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("__t"), shingle_k))
+        ).alias("sh"),
     )
     q_size = q_sh.groupBy(query_id).agg(F.count(F.lit(1)).alias("q_n"))
     cand_ids = bm.select(id_col).distinct()
-    c_sh = corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text), shingle_k))).alias(
-            "sh"
-        ),
+    c_sh = (
+        corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), tokens(F.col(text)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__t"), shingle_k))
+            ).alias("sh"),
+        )
     )
     c_size = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_n"))
     inter = (
