@@ -26,9 +26,44 @@ composition, only where the result is about to be collected/written.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_adopted_caches"
+
+_CACHED_AQE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+@contextmanager
+def cached_plan_aqe(spark):
+    """Let AQE re-optimize CACHED plans inside this block (r13 opt).
+
+    By default Spark pins a persisted plan's output partitioning, so a
+    persist downstream of a shuffle materializes at the full
+    ``spark.sql.shuffle.partitions`` ceiling — dozens of near-empty
+    cache blocks locally, and at cluster scale cache partitions sized
+    by the pre-AQE ceiling instead of by bytes. Every action planned
+    while this flag is on coalesces cached shuffle output exactly like
+    uncached shuffles (advisory partition size, parallelism-first).
+
+    Deliberately NOT a session default: a cache that feeds compute-
+    heavy per-row work with no shuffle in between (the shingle/LSH
+    self-join planes) would lose its parallelism to the byte-based
+    coalesce — measured 3× slower on dd_jaccard_prefix. Scope it to
+    pipelines whose caches feed joins/aggregates/writes (the lake
+    ingest plane), where fewer right-sized partitions win on both the
+    cache scan and the files written from it.
+    """
+    prev = spark.conf.get(_CACHED_AQE, None)
+    spark.conf.set(_CACHED_AQE, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_CACHED_AQE)
+        else:
+            spark.conf.set(_CACHED_AQE, prev)
 
 
 def adopt(result: DataFrame, *caches: DataFrame) -> DataFrame:

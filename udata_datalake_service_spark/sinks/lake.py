@@ -1019,6 +1019,14 @@ class Lake:
         # would flatten e.g. checks' check_date dirs on the first
         # idempotent append)
         pcols = self._detect_partition_cols(cur) if cur is not None else []
+        # r13 opt (guide §6): AQE-rebalance before the write so output
+        # files track advisoryPartitionSizeInBytes instead of however
+        # many partitions the union arrived with — each epoch's rewrite
+        # was accumulating near-empty part files that every read-back
+        # (mergeSchema footers) and the next rewrite re-paid. Keyed by
+        # the partition columns when the table is partitioned so each
+        # dir gets coherent files (AQE still splits skewed keys).
+        new = new.hint("rebalance", *pcols) if pcols else new.hint("rebalance")
         w = new.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
@@ -1113,7 +1121,12 @@ class Lake:
         # (markerless ⇒ invisible ⇒ safe to drop at any point) so the
         # add-only delta upload below cannot accumulate two attempts.
         self.store.delete_dir(bdir)
-        df.write.mode("overwrite").parquet(str(bdir))
+        # r13 opt (guide §6): size the batch dir's files by bytes (AQE
+        # rebalance → advisory partition size) rather than by the
+        # producer's shuffle ceiling — a micro-batch cached at 64
+        # near-empty partitions was landing as 64 near-empty part files
+        # that every read_log_table mergeSchema pass re-paid per epoch.
+        df.hint("rebalance").write.mode("overwrite").parquet(str(bdir))
         # O(batch): push only this batch's prefix, not the table dir
         self.store.upload_dir_delta(bdir)
         (cur / "_commits").mkdir(exist_ok=True)
