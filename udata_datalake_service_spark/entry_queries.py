@@ -1743,18 +1743,41 @@ def q_tx_curate_pipeline(spark, sf_dir):
     shingle inverted index on the gated survivors) + an anti-join — every
     stage is the same operator the standalone queries pin, composed."""
     from udata_datalake_service_spark.llm.dedup import exact_dedup, ngram_jaccard_pairs
+    from udata_datalake_service_spark.llm.text import (
+        detect_language_from,
+        fingerprint_from,
+        quality_score_from,
+    )
+    from udata_datalake_service_spark.planshape import pinned_filter
 
     d = _tw(spark, sf_dir, "documents")
-    gated = (
-        d.select(
-            "doc_id",
-            "text",
-            detect_language(F.col("text")).alias("lang_detected"),
-            quality_score(F.col("text")).alias("quality"),
-        )
-        .filter((F.col("lang_detected") != "und") & (F.col("quality") >= 0.55))
+    # r13 opt (guide §4): ONE staged tokenize serves the language gate,
+    # the quality gate and the dedup fingerprint. The inline form
+    # re-tokenized per helper, and the gate filter — pushed below the
+    # staging projection by PushPredicateThroughNonJoin — re-inlined the
+    # whole score tree into the predicate below the repartition Exchange
+    # (single-threaded tokenize of the full corpus); pinned_filter keeps
+    # it above. The token array is dropped before the dedup window so
+    # the fingerprint shuffle carries no extra bytes.
+    staged = d.select("doc_id", "text", tokens(F.col("text")).alias("__t"))
+    scored = staged.select(
+        "doc_id",
+        "text",
+        "__t",
+        detect_language_from(F.col("__t")).alias("lang_detected"),
+        quality_score_from(F.col("text"), F.col("__t")).alias("quality"),
     )
-    deduped = exact_dedup(gated, text="text", id_col="doc_id")
+    gated = pinned_filter(
+        scored, (F.col("lang_detected") != "und") & (F.col("quality") >= 0.55)
+    )
+    keyed = gated.select(
+        "doc_id",
+        "text",
+        "lang_detected",
+        "quality",
+        fingerprint_from(F.col("__t")).alias("__fp"),
+    )
+    deduped = exact_dedup(keyed, text="text", id_col="doc_id", fp_col="__fp")
     # deduped feeds BOTH the shingle index and the final anti-join left
     # side — without a persist the gate+fingerprint+window subtree executes
     # twice (measured ~2 s at sf0.1; at 100 TB this is a full extra corpus
@@ -1897,29 +1920,52 @@ def q_curate_zipf(spark, sf_dir):
     from udata_datalake_service_spark.llm.dedup import exact_dedup
     from udata_datalake_service_spark.llm.retrieval import bm25_topk
 
+    from udata_datalake_service_spark.llm.text import (
+        detect_language_from,
+        fingerprint_from,
+        quality_score_from,
+    )
+    from udata_datalake_service_spark.planshape import pinned_filter
+
     d = spark.read.parquet(path).repartition(
         spark.sparkContext.defaultParallelism
     )
-    x = d.select(
-        "doc_id", "text", "source", "lang",
-        tokens(F.col("text")).alias("t"),
-        detect_language(F.col("text")).alias("lang_detected"),
-        quality_score(F.col("text")).alias("quality"),
+    # r13 opt: staged tokenize + pinned gate (see q_tx_curate_pipeline);
+    # the staged `t` column also feeds the dedup fingerprint, the BM25
+    # postings/stats and the corpus n-grams below — ONE tokenize for the
+    # whole gate→dedup→decontam flow instead of one per helper.
+    x0 = d.select(
+        "doc_id", "text", "source", "lang", tokens(F.col("text")).alias("t")
     )
-    gated = x.filter(
+    x = x0.select(
+        "doc_id", "text", "source", "lang", "t",
+        detect_language_from(F.col("t")).alias("lang_detected"),
+        quality_score_from(F.col("text"), F.col("t")).alias("quality"),
+    )
+    gated = pinned_filter(
+        x,
         (F.col("lang_detected") != "und")
         & (F.col("quality") >= 0.55)
-        & (F.size("t") >= 50)
+        & (F.size("t") >= 50),
     )
     deduped = exact_dedup(
-        gated.select("doc_id", "text", "source", "lang", "t"),
-        text="text", id_col="doc_id",
+        gated.select(
+            "doc_id", "text", "source", "lang", "t",
+            fingerprint_from(F.col("t")).alias("__fp"),
+        ),
+        id_col="doc_id",
+        fp_col="__fp",
     ).persist()
     # eval probes: 12-token spans (tokens 6..17) of the first 8 raw docs
     # with ≥ 80 tokens and doc_id ≡ 2 (mod 5) — self-contamination by
     # construction, plus whatever natural overlap the Zipf head causes
     ev = (
-        x.filter((F.size("t") >= 80) & (F.col("doc_id") % 5 == 2))
+        pinned_filter(
+            d.filter(F.col("doc_id") % 5 == 2).select(
+                "doc_id", tokens(F.col("text")).alias("t")
+            ),
+            F.size("t") >= 80,
+        )
         .select("doc_id", F.slice("t", 6, 12).alias("qt"))
         .orderBy("doc_id")
         .limit(8)
@@ -1928,9 +1974,29 @@ def q_curate_zipf(spark, sf_dir):
             F.array_join("qt", " ").alias("text"),
         )
     )
-    bm = bm25_topk(deduped, ev, k=20)
+    # postings/stats derived from the staged token column of the
+    # persisted survivors — identical to bm25_postings/bm25_stats on
+    # (deduped, "text") since `t` IS tokens(text), minus two tokenizes
+    dt = (
+        deduped.select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = deduped.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.size("t")).alias("total_dl"),
+    )
+    bm = bm25_topk(
+        deduped,
+        ev,
+        k=20,
+        postings=dt.select("term", "doc_id", "tf", "dl"),
+        stats=stats,
+    )
     ev_ng = _exploded_ngrams(ev, "text", "query_id", _CONTAM_K)
-    c_ng = _exploded_ngrams(deduped, "text", "doc_id", _CONTAM_K)
+    c_ng = _exploded_ngrams(deduped, "text", "doc_id", _CONTAM_K, toks_col="t")
     shared = (
         c_ng.join(F.broadcast(ev_ng), "ngram")
         .groupBy("query_id", "doc_id")
@@ -2945,26 +3011,77 @@ SELECT id_a, id_b, jaccard, 'maxdf100' AS variant FROM ({_SQL_DD_NGRAM_MAXDF})
 def q_tx_text_metrics(spark, sf_dir):
     """Language ID + quality block + BPE-ish piece count + duplicated-
     bigram repetition ratio in ONE projection over one documents scan —
-    folding four per-doc text queries actually removes three scans."""
+    folding four per-doc text queries actually removes three scans.
+
+    r13 opt (guide §4 "pay the expensive expression once"): the token
+    array and every count derived from it are STAGED projections —
+    inline, each of detect_language/quality_score/stopword_ratio/
+    repetition_ratio re-ran the full-document tokenize (higher-order
+    functions are outside codegen subexpression elimination), ~10
+    tokenizes per row. Values are expression-for-expression identical
+    to the inline helpers (same oracle)."""
     from udata_datalake_service_spark.llm.text import (
         bpe_token_count,
+        detect_language_from_hits,
         email_count,
-        repetition_ratio,
         url_count,
+        word_bigrams,
     )
 
     d = _tw(spark, sf_dir, "documents")
     c = F.col("text")
-    return d.select(
+    t = F.col("__t")
+    s1 = d.select("doc_id", "lang", "text", tokens(c).alias("__t"))
+    # F.filter invokes the lambda eagerly, so the loop-variable closure
+    # is safe (and it must stay 1-arg: a second parameter would be read
+    # as the positional-index signature)
+    hit_cols = [
+        F.size(F.filter(t, lambda x: x.isin(*markers))).alias(f"__h_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    s2 = s1.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(t).alias("__n"),
+        F.length(F.array_join(t, "")).alias("__alen"),
+        F.size(F.array_distinct(word_bigrams(t))).alias("__nbd"),
+        F.length(c).alias("__len"),
+        F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")).alias("__npunct"),
+        *hit_cols,
+    )
+    n = F.col("__n")
+    # the raw (unrounded) ratios quality_score thresholds on, rebuilt
+    # from the staged integers with the identical expression shapes
+    praw = F.when(
+        F.col("__len") > 0, F.col("__npunct").cast("double") / F.col("__len")
+    ).otherwise(F.lit(0.0))
+    sraw = F.when(n > 0, F.col("__h_en").cast("double") / n).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n > 0, F.col("__alen").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    quality = F.round(
+        ((n >= 5) & (n <= 100000)).cast("double") * 0.4
+        + (praw <= 0.2).cast("double") * 0.2
+        + (sraw >= 0.01).cast("double") * 0.2
+        + ((mean_wlen >= 2.0) & (mean_wlen <= 12.0)).cast("double") * 0.2,
+        4,
+    )
+    rep = F.when(
+        n >= 2, (n - 1 - F.col("__nbd")).cast("double") / (n - 1)
+    ).otherwise(F.lit(0.0))
+    return s2.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        detect_language(c).alias("lang_detected"),
-        token_count(c).cast("long").alias("n_tokens"),
-        F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
-        quality_score(c).alias("quality"),
+        detect_language_from_hits(
+            {lang: F.col(f"__h_{lang}") for lang in LANG_MARKERS}
+        ).alias("lang_detected"),
+        n.cast("long").alias("n_tokens"),
+        F.round(praw, 4).alias("punct_ratio"),
+        F.round(sraw, 4).alias("stopword_ratio"),
+        quality.alias("quality"),
         bpe_token_count(c).alias("n_bpe_pieces"),
-        F.round(repetition_ratio(c), 4).alias("rep_ratio"),
+        F.round(rep, 4).alias("rep_ratio"),
         url_count(c).cast("long").alias("n_urls"),
         email_count(c).cast("long").alias("n_emails"),
     )

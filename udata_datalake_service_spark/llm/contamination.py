@@ -21,26 +21,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udata_datalake_service_spark.llm.dedup import shingles_of_tokens
+from udata_datalake_service_spark.planshape import pinned_filter
 
 
-def _exploded_ngrams(df: DataFrame, text: str, id_col: str, k: int) -> DataFrame:
+def _exploded_ngrams(
+    df: DataFrame, text: str, id_col: str, k: int, toks_col: str | None = None
+) -> DataFrame:
     """(id, ngram) pairs, distinct per document, only from docs with >= k
     tokens (shorter docs have no k-gram — the shingle whole-doc fallback
     is for dedup, not contamination, and is excluded here).
 
     Tokens are projected to a real column before the shingle transform —
-    see shingles_of_tokens for the per-element re-evaluation hazard."""
+    see shingles_of_tokens for the per-element re-evaluation hazard — and
+    the length gate is a `pinned_filter`: pushed below the staging
+    projection it would re-tokenize every document inside the predicate
+    (r13 opt). ``toks_col`` reuses an already-staged token-array column
+    instead of re-deriving it from ``text``."""
     from udata_datalake_service_spark.llm.text import tokens
 
-    return (
-        df.select(F.col(id_col), tokens(F.col(text)).alias("__t"))
-        .filter(F.size("__t") >= k)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(shingles_of_tokens(F.col("__t"), k))
-            ).alias("ngram"),
-        )
+    staged = (
+        df.select(F.col(id_col), F.col(toks_col).alias("__t"))
+        if toks_col is not None
+        else df.select(F.col(id_col), tokens(F.col(text)).alias("__t"))
+    )
+    return pinned_filter(staged, F.size("__t") >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("__t"), k))
+        ).alias("ngram"),
     )
 
 

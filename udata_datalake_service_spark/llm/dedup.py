@@ -43,20 +43,33 @@ from udata_datalake_service_spark.llm.text import TOKEN_SPLIT_RE, tokens
 
 
 # ---------------------------------------------------------------- exact ----
-def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str | None = None,
+) -> DataFrame:
     """Keep the lowest-id document per canonical fingerprint.
 
     groupBy(min) + semi-join back would scan twice; the window form is one
     shuffle on the fingerprint and keeps all columns.
-    """
-    from udata_datalake_service_spark.llm.text import fingerprint
 
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    ``fp_col`` names an already-computed fingerprint column to dedup on
+    (r13 opt: a pipeline that has the token array staged derives the
+    fingerprint with ``fingerprint_from`` instead of re-tokenizing here);
+    the column is consumed — dropped from the result like the internally
+    derived one.
+    """
+    if fp_col is None:
+        from udata_datalake_service_spark.llm.text import fingerprint
+
+        df = df.withColumn("__fp", fingerprint(F.col(text)))
+        fp_col = "__fp"
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("__fp", fingerprint(F.col(text)))
-        .withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .drop(fp_col, "__rn")
     )
 
 

@@ -51,7 +51,13 @@ def punct_ratio(text_col: Column) -> Column:
 
 
 def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = tokens(text_col)
+    return stopword_ratio_from(tokens(text_col), stopwords)
+
+
+def stopword_ratio_from(
+    toks: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """`stopword_ratio` from a staged token-array column (r13 opt)."""
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     n = F.size(toks)
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
@@ -155,9 +161,54 @@ def quality_score(text_col: Column) -> Column:
     return F.round(score, 4)
 
 
+def quality_score_from(text_col: Column, toks: Column) -> Column:
+    """`quality_score` from a staged token-array column (r13 opt).
+
+    Value-identical to `quality_score`: the alphanumeric character count
+    it derives mean word length from is ``length(regexp_replace(lower(
+    text), '[^a-z0-9]', ''))`` there and ``length(array_join(toks, ''))``
+    here — the token array is exactly the maximal ``[a-z0-9]+`` runs of
+    ``lower(text)``, so their concatenation is the same string (pinned by
+    test). The punctuation leg still reads ``text`` (it counts characters
+    the tokenizer discards).
+    """
+    n_tok = F.size(toks)
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.length(F.array_join(toks, "")).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    length_ok = (n_tok >= 5) & (n_tok <= 100000)
+    punct_ok = punct_ratio(text_col) <= 0.2
+    stop_ok = stopword_ratio_from(toks) >= 0.01
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.2
+        + stop_ok.cast("double") * 0.2
+        + wlen_ok.cast("double") * 0.2
+    )
+    return F.round(score, 4)
+
+
+def fingerprint_from(toks: Column) -> Column:
+    """`fingerprint` from a staged token-array column (r13 opt)."""
+    return F.md5(F.array_join(toks, " "))
+
+
 def language_scores(text_col: Column) -> dict[str, Column]:
     """Per-language marker-hit counts (the core of n-gram language ID)."""
-    toks = tokens(text_col)
+    return language_scores_from(tokens(text_col))
+
+
+def language_scores_from(toks: Column) -> dict[str, Column]:
+    """`language_scores` from a STAGED token-array column (r13 opt).
+
+    Tokenizing is the dominant text-plane expression and higher-order
+    functions are excluded from codegen subexpression elimination, so an
+    inline ``tokens(text)`` here re-runs the full-document regex split
+    once per language. Call-sites on the hot path project the token
+    array first and pass the attribute.
+    """
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -167,21 +218,45 @@ def language_scores(text_col: Column) -> dict[str, Column]:
 def detect_language(text_col: Column, min_hits: int = 1) -> Column:
     """argmax over language marker counts; 'und' when nothing matches.
     Deterministic tie-break: language name order."""
-    scores = language_scores(text_col)
-    pairs = sorted(scores.items())  # fixed evaluation order → stable argmax
-    best_lang: Column = F.lit("und")
-    best_score: Column = F.lit(min_hits - 1)
-    for lang, score in pairs:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    return detect_language_from(tokens(text_col), min_hits=min_hits)
+
+
+def detect_language_from(toks: Column, min_hits: int = 1) -> Column:
+    """`detect_language` from a staged token-array column (r13 opt).
+
+    The argmax is a single ``array_max`` over (score, -rank, lang)
+    structs instead of a CASE-WHEN fold: the fold references each
+    per-language hit count ~3× (comparison + both branches), and each
+    reference re-evaluates the marker-filter lambda over the whole token
+    array; the struct form evaluates each hit count exactly once.
+    Identical result: struct ordering compares score first, then -rank,
+    so ties resolve to the earliest language in sorted-name order —
+    exactly the fold's strict-``>`` tie-break.
+    """
+    return detect_language_from_hits(language_scores_from(toks), min_hits=min_hits)
+
+
+def detect_language_from_hits(
+    hits: dict[str, Column], min_hits: int = 1
+) -> Column:
+    """The `detect_language` argmax over already-computed per-language
+    hit-count columns (r13 opt — see `detect_language_from`): max of
+    (score, -rank, lang) structs, ties to the earliest sorted language."""
+    entries = []
+    for i, (lang, hit) in enumerate(sorted(hits.items())):
+        entries.append(
+            F.struct(
+                hit.alias("s"), F.lit(-i).alias("ni"), F.lit(lang).alias("l")
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] >= F.lit(min_hits), best["l"]).otherwise(F.lit("und"))
 
 
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 over the normalized token stream — the
     canonical-form content hash used for exact dedup."""
-    return F.md5(F.array_join(tokens(text_col), " "))
+    return fingerprint_from(tokens(text_col))
 
 
 def rolling_fingerprint(
@@ -206,15 +281,19 @@ def rolling_fingerprint(
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
-    """One projection adding the full text-analysis block."""
+    """One projection adding the full text-analysis block (staged: the
+    token array is computed once and shared — see the *_from helpers)."""
     c = F.col(text)
+    t = F.col("__t")
     return (
-        df.withColumn("n_tokens", token_count(c))
+        df.withColumn("__t", tokens(c))
+        .withColumn("n_tokens", F.size(t))
         .withColumn("punct_ratio", F.round(punct_ratio(c), 4))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 4))
-        .withColumn("quality", quality_score(c))
-        .withColumn("lang_detected", detect_language(c))
-        .withColumn("fingerprint", fingerprint(c))
+        .withColumn("stopword_ratio", F.round(stopword_ratio_from(t), 4))
+        .withColumn("quality", quality_score_from(c, t))
+        .withColumn("lang_detected", detect_language_from(t))
+        .withColumn("fingerprint", fingerprint_from(t))
+        .drop("__t")
     )
 
 
