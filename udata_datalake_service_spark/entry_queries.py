@@ -5022,7 +5022,7 @@ def q_mm_embed_vq(spark, sf_dir):
         F.col("embedding"),
         F.col("source").alias("label"),
     )
-    cents = label_centroids(labeled)
+    cents = label_centroids(labeled, dim=8)
     out = assign_nearest_centroid(labeled, cents)
     truth = labeled.select("vec_id", F.col("label").alias("true_source"))
     return out.join(truth, on="vec_id").select(
@@ -7741,6 +7741,11 @@ def q_rt_bm25_topk(spark, sf_dir):
     probes = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
+    # r13 note: sharing one persisted token pass across the two legs
+    # (bm25_epoch + settle) was tried and MEASURED SLOWER (4.84 → 5.87 s
+    # at sf0.1, 5 reps): the legs' postings/stats subtrees are
+    # canonically identical, so AQE's runtime stage cache already
+    # dedupes them; the persist only added cache-write + settle cost.
     full = bm25_topk(d, probes, k=10, exclude_self=True).select(
         F.lit("all").alias("leg"), "query_id", "doc_id", "score", "rnk"
     )
@@ -7896,20 +7901,26 @@ def q_rt_decontam(spark, sf_dir):
     what a human (or a drop rule) reviews. Output per (eval, doc) pair:
     BM25 score + rank and the shared-n-gram count."""
     from udata_datalake_service_spark.llm.contamination import _exploded_ngrams
-    from udata_datalake_service_spark.llm.retrieval import bm25_topk
+    from udata_datalake_service_spark.llm.retrieval import bm25_epoch, bm25_topk
 
     d = _tw(spark, sf_dir, "documents")
     evalset = d.filter(F.col("doc_id") < 5)
     corpus = d.filter(F.col("doc_id") >= 5)
+    # r13 opt (guide §2.3): ONE persisted corpus tokenize feeds the BM25
+    # postings, the BM25 stats AND the corpus n-gram leg (before: three
+    # independent tokenize passes of the corpus in one plan).
+    postings, stats, toks = bm25_epoch(corpus)
     bm = bm25_topk(
         corpus,
         evalset.select(F.col("doc_id").alias("query_id"), "text"),
         k=20,
+        postings=postings,
+        stats=stats,
     )
     ev_ng = _exploded_ngrams(evalset, "text", "doc_id", _CONTAM_K).withColumnRenamed(
         "doc_id", "query_id"
     )
-    c_ng = _exploded_ngrams(corpus, "text", "doc_id", _CONTAM_K)
+    c_ng = _exploded_ngrams(toks, "text", "doc_id", _CONTAM_K, toks_col="__t")
     shared = (
         c_ng.join(F.broadcast(ev_ng), "ngram")
         .groupBy("query_id", "doc_id")
@@ -7917,9 +7928,10 @@ def q_rt_decontam(spark, sf_dir):
     )
     # the BM25 side is rank-bounded (≤ k·|eval items| rows) — broadcast
     # it so the pair-grain n-gram aggregate never sort-merge-shuffles
-    return shared.join(F.broadcast(bm), ["query_id", "doc_id"]).select(
+    out = shared.join(F.broadcast(bm), ["query_id", "doc_id"]).select(
         "query_id", "doc_id", "score", "rnk", "n_shared_ngrams"
     )
+    return settle(out, toks)
 
 
 _SQL_RT_DECONTAM = f"""
@@ -7986,6 +7998,11 @@ def q_rt_hard_negatives(spark, sf_dir):
     probes = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
+    # r13 note: a shared persisted token pass for the BM25 probe was
+    # tried and MEASURED 2× SLOWER (4.71 → 9.38 s at sf0.1, 5 reps) —
+    # the rank-bounded bm frame is consumed several times and AQE's
+    # stage cache already dedupes the identical postings subtrees; the
+    # cache materialization serialized what ran concurrently before.
     return hard_negatives(d, probes, k=20, shingle_k=3, max_jaccard=0.5)
 
 

@@ -1011,8 +1011,10 @@ def near_dup_clusters(
     # the edge set is re-joined every round — materialize it once.
     # (localCheckpoint, not persist: iterative algorithms MUST truncate
     # lineage each round or the plan re-analyzed at round N contains all
-    # N-1 previous rounds — exponential planning, then stack overflow.)
-    sym = sym.localCheckpoint(eager=True)
+    # N-1 previous rounds — exponential planning, then stack overflow.
+    # Lazy + the next action as materializer = one driver-synchronized
+    # job instead of two, the same round-7 device the loop body uses.)
+    sym = sym.localCheckpoint(eager=False)
 
     def _star_on_sym() -> DataFrame:
         # reuse the checkpointed edges: the pair-generator plan (often an
@@ -1028,9 +1030,11 @@ def near_dup_clusters(
         return _star_on_sym()
     # only nodes with ≥1 edge take part in propagation — in a dedup
     # workload that's a tiny fraction of the corpus; everyone else is a
-    # singleton and joins back at the end, never entering the loop
+    # singleton and joins back at the end, never entering the loop.
+    # Lazy checkpoint: round 1's materializing action computes (and
+    # truncates) it together with sym — no separate init job.
     labels = sym.select("a").distinct().withColumn("label", F.col("a")).localCheckpoint(
-        eager=True
+        eager=False
     )
     converged = False
     for _ in range(max_iterations):
@@ -1120,11 +1124,13 @@ def star_clusters(
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    # canonical directed big→small edges (the small-star invariant)
+    # canonical directed big→small edges (the small-star invariant);
+    # lazy checkpoint — the _sig aggregate right below is the
+    # materializing action (one job, not two)
     edges = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple:

@@ -527,6 +527,7 @@ def label_centroids(
     vec: str = "embedding",
     label_col: str = "label",
     quantum: int = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-label centroid vectors — the E-step of k-means / the class
     prototype a vector-quality or VQ pass needs.
@@ -542,7 +543,40 @@ def label_centroids(
     Shape: posexplode → groupBy(label, pos) integer sums (map-side
     combined) → per-label ordered collect. Shuffles carry (label, pos)
     longs, never vectors. Returns (label_col, centroid, n_vectors).
+
+    ``dim`` (r13 opt) switches to a single-shuffle wide aggregate — one
+    groupBy(label) with dim integer sums + a non-null-vector count,
+    skipping the dim× row explode and the second shuffle. Identical
+    values for fixed-``dim`` vectors (the ragged-safe exploded form
+    stays the default). Measured guidance: a WIN for small dims (the
+    dim=8 media embeddings: −20% on mm_embed_vq, 7-rep A/B) but a LOSS
+    at dim=64 (+40% on ann_centroid_assign — the 64-buffer hash
+    aggregate runs slower than the exploded two-stage form, whose
+    map-side partial agg already bounds shuffle bytes at
+    labels × dim × partitions) — so 64-dim callers deliberately stay on
+    the default.
     """
+    if dim is not None:
+        v = _as_double(F.col(vec))
+        base = df.select(F.col(label_col).alias("label"), v.alias("__v"))
+        sums = [
+            F.sum(F.round(F.get(F.col("__v"), i) * quantum, 0).cast("long")).alias(
+                f"__s{i}"
+            )
+            for i in range(dim)
+        ]
+        g = base.groupBy("label").agg(*sums, F.count(F.col("__v")).alias("__n"))
+        centroid = F.array(
+            *[
+                F.col(f"__s{i}") / (F.col("__n") * F.lit(float(quantum)))
+                for i in range(dim)
+            ]
+        )
+        return g.select(
+            F.col("label").alias(label_col),
+            centroid.alias("centroid"),
+            F.col("__n").alias("n_vectors"),
+        )
     ex = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(_as_double(F.col(vec))).alias("pos", "x"),
@@ -703,6 +737,7 @@ def semantic_dedup(
     label_col: str = "label",
     threshold: float = 0.9,
     method: str = "matmul",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     cluster-bucketed pairwise cosine — the embedding-space complement to
@@ -736,7 +771,7 @@ def semantic_dedup(
     cluster's members must fit one task's memory for ``"matmul"`` (n/k
     vectors — the same bound SemDeDup's own pair matrices need).
     """
-    cents = label_centroids(df, vec=vec, label_col=label_col)
+    cents = label_centroids(df, vec=vec, label_col=label_col, dim=dim)
     assigned = assign_nearest_centroid(
         df, cents, vec=vec, id_col=id_col, label_col=label_col
     )
@@ -940,12 +975,41 @@ def pq_codebooks(
     cells = pq_codes(df, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
         "sub", "code", "sv"
     )
-    return _cell_means(cells, quantum)
+    return _cell_means(cells, quantum, d=dim // m)
 
 
-def _cell_means(cells: DataFrame, quantum: int = 1_000_000) -> DataFrame:
+def _cell_means(
+    cells: DataFrame, quantum: int = 1_000_000, d: int | None = None
+) -> DataFrame:
     """(sub, code, sv) rows → (sub, code, cw): fixed-point per-component
-    means (exact integer sums → partition-order-independent)."""
+    means (exact integer sums → partition-order-independent).
+
+    ``d`` (the subvector length, known by every PQ caller as dim/m)
+    switches to the single-shuffle wide-aggregate form (r13 opt): one
+    groupBy(sub, code) with d integer sums + a count, instead of
+    posexplode to component grain (d× the rows) plus TWO shuffles
+    ((sub, code, pos) sums, then the per-cell collect). Identical values
+    — same per-component rounds, sums and divisions; requires every sv
+    to have exactly d non-null slots, which `pq_codes` guarantees by
+    construction. ``d=None`` keeps the ragged-safe exploded form.
+    """
+    if d is not None:
+        sums = [
+            F.sum(F.round(F.get(F.col("sv"), i) * quantum, 0).cast("long")).alias(
+                f"__s{i}"
+            )
+            for i in range(d)
+        ]
+        g = cells.groupBy("sub", "code").agg(
+            *sums, F.count(F.lit(1)).alias("__n")
+        )
+        cw = F.array(
+            *[
+                F.col(f"__s{i}") / (F.col("__n") * F.lit(float(quantum)))
+                for i in range(d)
+            ]
+        )
+        return g.select("sub", "code", cw.alias("cw"))
     comp = cells.select(
         "sub",
         "code",
@@ -1028,10 +1092,11 @@ def pq_codebooks_refined(
             "sub", "code", "sv"
         ),
         quantum,
+        d=dim // m,
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
         assigned = pq_assign(subvecs, cb, id_col=id_col)
-        cb = _cell_means(assigned, quantum).localCheckpoint(eager=True)
+        cb = _cell_means(assigned, quantum, d=dim // m).localCheckpoint(eager=True)
     return cb
 
 

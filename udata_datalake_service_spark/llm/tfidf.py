@@ -337,13 +337,18 @@ def dsir_log_weights(
     """
     from udata_datalake_service_spark.llm.text import word_bigrams
 
-    toks = tokens(F.col(text))
-    feats = F.concat(toks, word_bigrams(toks)) if use_bigrams else toks
-    ex = df.select(
+    # stage the token array before deriving features from it: inline,
+    # concat(toks, word_bigrams(toks)) re-runs the full-document tokenize
+    # ~4× per row (word_bigrams references toks three times and lambdas
+    # are outside codegen CSE — r13 opt, same device as llm/text.py)
+    staged = df.select(
         F.col(id_col).alias("id"),
         is_target.alias("tgt"),
-        F.explode(feats).alias("f"),
+        tokens(F.col(text)).alias("__t"),
     )
+    t = F.col("__t")
+    feats = F.concat(t, word_bigrams(t)) if use_bigrams else t
+    ex = staged.select("id", "tgt", F.explode(feats).alias("f"))
     from udata_datalake_service_spark.functions.hashing import md5_32
 
     ex = ex.select("id", "tgt", (md5_32(F.col("f")) % n_buckets).alias("bucket"))
