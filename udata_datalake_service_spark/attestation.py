@@ -38,6 +38,32 @@ NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-13 changes (populated as queries are added/edited this round)
     "curate_zipf",  # NEW: composed curation pipeline (gate -> exact dedup -> retrieval decontam -> mixture) on the natural-statistics zipf fixture (VERDICT r12 task 6)
     "dd_minhash_xxh",  # NEW: xxh64-family MinHash end-to-end under the identical-shingle-set invariant (the near-dup stream's r13 throughput family)
+    # r13 optimization round: queries whose plan/source changed (results
+    # oracle-identical; see OPTIMIZATION_r13.md for the per-query A/Bs).
+    # CAPACITY NOTE: the round-12 freeze left 35 r9-attested entries that
+    # MUST rotate into the 50-slot window this round, so NEW_OR_CHANGED is
+    # capped at 15 (35 + 15 = 50).  The deepest restructurings get the
+    # driver slot; the remaining r13-edited queries were re-attested
+    # locally (tools/parity.py at sf0.01, logged in OPTIMIZATION_r13.md)
+    # and re-pinned via tools/pin_hashes.py — the pin-gate path
+    # test_attested_entries_pinned prescribes for edits that cannot fit
+    # the window: sk_lake_rollup, corpus_warc_ingest, contamination,
+    # ann_ivfpq_topk, dsir_select, tx_fingerprint, curriculum,
+    # corpus_datasheet (+ the reverted-with-comments rt_bm25_topk /
+    # rt_hard_negatives).
+    "corpus_ingest",  # one fingerprint pass serves both audit counts; rebalance-hinted batch files
+    "st1_microbatch_rates",  # lake-plane batch-file right-sizing
+    "rt_lake_bm25",  # lake-plane batch-file right-sizing
+    "k_lake_roundtrip",  # lake-plane batch-file right-sizing (r9-attested: window slot was due anyway)
+    "tx_text_metrics",  # staged tokenize (86 -> 6 lambda nodes)
+    "tx_curate_pipeline",  # staged gate + pinned filter + fp_col dedup
+    "rt_decontam",  # shared persisted token pass across postings/stats/n-grams
+    "ann_pq_topk",  # single-shuffle PQ cell means
+    "ann_ivfpq_trained",  # single-shuffle PQ cell means (covers the _cell_means family)
+    "mm_embed_vq",  # wide-aggregate dim=8 centroids
+    "dd_dup_clusters",  # lazy cluster-loop init checkpoints
+    "dd_star_clusters",  # lazy cluster-loop init checkpoints
+    "dsir_weights",  # staged token array before feature explode
 })
 
 # Rounds whose driver window did NOT advance the rotation: the round-12

@@ -3111,14 +3111,17 @@ JOIN (
 
 def q_tx_fingerprint_both(spark, sf_dir):
     """Stream-md5 canonical fingerprint + Karp-Rabin rolling fingerprint,
-    one scan."""
-    from udata_datalake_service_spark.llm.text import rolling_fingerprint
+    one scan (r13 opt: one staged tokenize serves both — see llm/text.py)."""
+    from udata_datalake_service_spark.llm.text import (
+        fingerprint_from,
+        rolling_fingerprint_from,
+    )
 
     d = _tw(spark, sf_dir, "documents")
-    return d.select(
+    return d.select("doc_id", tokens(F.col("text")).alias("__t")).select(
         "doc_id",
-        fingerprint(F.col("text")).alias("fp"),
-        rolling_fingerprint(F.col("text")).alias("rfp"),
+        fingerprint_from(F.col("__t")).alias("fp"),
+        rolling_fingerprint_from(F.col("__t")).alias("rfp"),
     )
 
 
@@ -3233,9 +3236,11 @@ def q_curriculum(spark, sf_dir):
 
     d = _tw(spark, sf_dir, "documents")
     scored = d.select(
+        "doc_id", token_count(F.col("text")).alias("__n")
+    ).select(
         "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        token_count(F.col("text")).cast("double").alias("len_score"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__n").cast("double").alias("len_score"),
     )
     return curriculum_buckets(
         scored, score="len_score", n_buckets=4, token_col="n_tokens"

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udata_datalake_service_spark.llm.gopher import gopher_quality
-from udata_datalake_service_spark.llm.text import fingerprint, token_count
+from udata_datalake_service_spark.llm.text import fingerprint_from, tokens
 
 
 def corpus_datasheet(
@@ -31,19 +31,24 @@ def corpus_datasheet(
     quantile_mode: str = "exact",
 ) -> DataFrame:
     """Returns (section, metric, value: double), deterministic row set."""
+    # token array staged once — the inline form tokenized twice per row
+    # (token_count + fingerprint; r13 opt, same device as llm/text.py)
+    facts = df.select(
+        id_col,
+        F.col(lang_col).alias("__lang"),
+        F.length(text).cast("long").alias("__nchar"),
+        tokens(F.col(text)).alias("__t"),
+    ).select(
+        id_col,
+        "__lang",
+        "__nchar",
+        F.size("__t").alias("__ntok"),
+        fingerprint_from(F.col("__t")).alias("__fp"),
+    )
     per_doc = (
         gopher_quality(df, text=text, id_col=id_col)
         .select(id_col, "gopher_pass")
-        .join(
-            df.select(
-                id_col,
-                F.col(lang_col).alias("__lang"),
-                token_count(F.col(text)).alias("__ntok"),
-                F.length(text).cast("long").alias("__nchar"),
-                fingerprint(F.col(text)).alias("__fp"),
-            ),
-            on=id_col,
-        )
+        .join(facts, on=id_col)
     )
     row = lambda section, metric, value: F.struct(  # noqa: E731
         F.lit(section).alias("section"),

@@ -269,8 +269,15 @@ def rolling_fingerprint(
     prefix hashes of a sliding variant extend it to substring matching.
     Int64-safe (m·base + 2³² ≪ 2⁶³) and replayable as DuckDB
     ``list_reduce`` for the oracle."""
+    return rolling_fingerprint_from(tokens(text_col), base=base, mod=mod)
+
+
+def rolling_fingerprint_from(
+    toks: Column, base: int = 257, mod: int = 2_147_483_647
+) -> Column:
+    """`rolling_fingerprint` from a staged token-array column (r13 opt)."""
     th = F.transform(
-        tokens(text_col),
+        toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
     return F.aggregate(
