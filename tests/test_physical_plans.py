@@ -689,8 +689,18 @@ def test_rrf_fusion_stays_leg_bounded(spark):
 def test_rt_decontam_joins_stay_broadcast(spark):
     """rt_decontam's scale contract: the eval-side n-gram table and the
     rank-bounded BM25 result are both broadcast — the corpus-sized
-    n-gram explode never sort-merge-shuffles into either join."""
-    t = tree(formatted_plan(QUERIES["rt_decontam"](spark, SF_DIR)))
+    n-gram explode never sort-merge-shuffles into either join.
+
+    The registered query settles (localCheckpoint) its result, which
+    collapses the declared plan to `Scan ExistingRDD`; assert on the
+    lazy pre-settle frame instead."""
+    from udata_datalake_service_spark.entry_queries import _rt_decontam_frames
+
+    out, toks = _rt_decontam_frames(spark, SF_DIR)
+    try:
+        t = tree(formatted_plan(out))
+    finally:
+        toks.unpersist()
     assert "SortMergeJoin" not in t
     assert "CartesianProduct" not in t
     assert "WindowGroupLimit" in t  # the BM25 top-20 cut

@@ -7894,17 +7894,11 @@ SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf, rnk FROM (
 """
 
 
-def q_rt_decontam(spark, sf_dir):
-    """Retrieval-gated decontamination triage — the two planes composed:
-    for each eval item (doc_id < 5) the corpus docs that BOTH retrieve
-    in its BM25 top-20 (over the eval-free corpus, so eval items never
-    score each other) AND share verbatim 3-grams with it (the
-    contamination plane's k-gram evidence, k=8-13 in production). This
-    is the fuzzy-decontam review queue GPT-3/PaLM-style reports
-    describe: the k-gram hit alone has no notion of "how close", the
-    retrieval rank alone has no verbatim evidence; the intersection is
-    what a human (or a drop rule) reviews. Output per (eval, doc) pair:
-    BM25 score + rank and the shared-n-gram count."""
+def _rt_decontam_frames(spark, sf_dir):
+    """Lazy (result, token_cache) pair for `q_rt_decontam`: the plan-shape
+    contract test needs the un-settled frame (settle's localCheckpoint
+    collapses the declared plan to `Scan ExistingRDD`), and the query
+    wrapper settles it. Callers of the lazy form own the token cache."""
     from udata_datalake_service_spark.llm.contamination import _exploded_ngrams
     from udata_datalake_service_spark.llm.retrieval import bm25_epoch, bm25_topk
 
@@ -7936,6 +7930,21 @@ def q_rt_decontam(spark, sf_dir):
     out = shared.join(F.broadcast(bm), ["query_id", "doc_id"]).select(
         "query_id", "doc_id", "score", "rnk", "n_shared_ngrams"
     )
+    return out, toks
+
+
+def q_rt_decontam(spark, sf_dir):
+    """Retrieval-gated decontamination triage — the two planes composed:
+    for each eval item (doc_id < 5) the corpus docs that BOTH retrieve
+    in its BM25 top-20 (over the eval-free corpus, so eval items never
+    score each other) AND share verbatim 3-grams with it (the
+    contamination plane's k-gram evidence, k=8-13 in production). This
+    is the fuzzy-decontam review queue GPT-3/PaLM-style reports
+    describe: the k-gram hit alone has no notion of "how close", the
+    retrieval rank alone has no verbatim evidence; the intersection is
+    what a human (or a drop rule) reviews. Output per (eval, doc) pair:
+    BM25 score + rank and the shared-n-gram count."""
+    out, toks = _rt_decontam_frames(spark, sf_dir)
     return settle(out, toks)
 
 
