@@ -1071,3 +1071,64 @@ def test_countmin_weighted_build(spark):
     assert as_map(sk_w) == as_map(sk_f)
     est = countmin_estimate(sk_w, w.select("t"), "t", depth=2, width=64)
     assert {r["t"]: r["est"] for r in est.collect()} == {"a": 5, "b": 2}
+
+
+def test_sketch_explode_build_matches_literal_row_buckets(spark):
+    """r13 single-scan explode build: the row index fed to md5 as a CAST
+    COLUMN must render the exact bytes the literal-row form fed
+    ("0".."d-1") — buckets are pinned against a pure-Python md5
+    reference so the one-scan rewrite can never drift."""
+    import hashlib
+
+    from udata_datalake_service_spark.operators.sketch import (
+        bloom_build,
+        countmin_build,
+    )
+
+    items = ["alpha", "béta", "x:y", ""]
+    df = spark.createDataFrame([(t,) for t in items], "t string")
+    depth, width = 4, 16
+
+    def ref_bucket(r: int, t: str) -> int:
+        return int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:15], 16) % width
+
+    expected = {(r, ref_bucket(r, t)) for r in range(depth) for t in items}
+    bl = {(x["row"], x["bucket"]) for x in bloom_build(df, "t", depth, width).collect()}
+    assert bl == expected
+
+    exp_counts: dict[tuple[int, int], int] = {}
+    for r in range(depth):
+        for t in items:
+            key = (r, ref_bucket(r, t))
+            exp_counts[key] = exp_counts.get(key, 0) + 1
+    got = {
+        (x["row"], x["bucket"]): x["c"]
+        for x in countmin_build(df, "t", depth, width).collect()
+    }
+    assert got == exp_counts
+
+
+def test_expectations_report_hostile_rule_names_and_empty_frame(spark):
+    """Rule names are data, not SQL: quotes/backslashes in a name must
+    flow through the one-row report unpivot untouched; an empty frame
+    reports 0 violations at rate 0.0 (no divide-by-zero)."""
+    from pyspark.sql import functions as F
+
+    from udata_datalake_service_spark.operators.expectations import report
+
+    df = spark.createDataFrame([(1,), (-2,), (3,)], "v long")
+    name = "v 'positive' \\ check"
+    rep = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in report(df, {name: F.col("v") > 0}).collect()
+    }
+    assert rep[name] == (1, 0.333333)
+    assert rep["_any_"] == (1, 0.333333)
+
+    empty = df.filter(F.col("v") > 100)
+    rep0 = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in report(empty, {name: F.col("v") > 0}).collect()
+    }
+    assert rep0[name] == (0, 0.0)
+    assert rep0["_any_"] == (0, 0.0)

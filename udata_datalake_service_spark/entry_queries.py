@@ -7326,11 +7326,26 @@ def q_sk_countmin_hh(spark, sf_dir):
 
     d = _tw(spark, sf_dir, "documents")
     tok = d.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("t"))
-    sk = countmin_merge(
-        countmin_build(tok.filter(F.col("doc_id") % 2 == 0), "t", 4, 16),
-        countmin_build(tok.filter(F.col("doc_id") % 2 == 1), "t", 4, 16),
+    # r13 opt (guide §2.3, one corpus pass): collapse the token stream to
+    # the (shard, token) count grain FIRST — the two per-shard sketches
+    # are then WEIGHTED builds over the vocab-grain frame
+    # (Σ_t count(t)·[bucket(t)=b] ≡ the per-occurrence count, exact
+    # integer equality) and the exact top-20 is a re-aggregate of the
+    # same grain. Before: the sketch legs and the exact leg each re-ran
+    # the corpus tokenize (and the union-shaped build multiplied that by
+    # depth). No persist: the three consumers share the canonically
+    # identical (even, t) aggregate subtree, which AQE stage reuse
+    # materializes once (measured — see OPTIMIZATION_r13.md retrieval
+    # section for the persist-vs-stage-cache lesson). The merge path
+    # stays real: the shards are still built independently and merged.
+    per_shard = tok.groupBy((F.col("doc_id") % 2 == 0).alias("even"), "t").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact"))
+    sk = countmin_merge(
+        countmin_build(per_shard.filter(F.col("even")), "t", 4, 16, weight="n"),
+        countmin_build(per_shard.filter(~F.col("even")), "t", 4, 16, weight="n"),
+    )
+    exact = per_shard.groupBy("t").agg(F.sum("n").alias("exact"))
     top = exact.orderBy(F.desc("exact"), F.asc("t")).limit(20)
     est = countmin_estimate(sk, top.select("t"), "t", 4, 16)
     return top.join(est, on="t").select(

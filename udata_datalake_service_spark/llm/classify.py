@@ -103,10 +103,23 @@ def nb_train(
             .alias("llh_q"),
         )
     )
-    n_docs = train.count()
-    priors = (
+    # r13 opt (guide §2.3/§5): ONE label-count job replaces the separate
+    # n_docs count() scan AND the lazy priors re-scan of the train set —
+    # the collected table is |labels| rows (a few dozen at most: the
+    # bounded-collect class documented in VERDICT's anti-pattern sweep),
+    # and n_docs is its sum. Prior values are computed with the same
+    # float(n_docs) literal division, so prior_q is bit-identical.
+    lbl_rows = (
         train.groupBy(F.col(label).alias("l"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n_docs = sum(int(r["cnt"]) for r in lbl_rows)
+    priors = (
+        train.sparkSession.createDataFrame(
+            [(r["l"], int(r["cnt"])) for r in lbl_rows],
+            f"l {train.schema[label].dataType.simpleString()}, cnt long",
+        )
         .select(
             "l",
             F.round(F.log(F.col("cnt") / F.lit(float(n_docs))) * quantum, 0)

@@ -13,10 +13,11 @@ its Postgres schema got implicitly from column types and the service
 never re-checked.
 
 Shape: one map-only pass builds the violation array (whole-stage
-codegen: each rule is a column predicate); the report is a single
-explode+groupBy over rule NAMES (bounded by #rules × partitions after
-map-side combine). Splitting re-uses the same annotated frame — callers
-that consume both halves should persist it (adopt/settle).
+codegen: each rule is a column predicate); the report is ONE aggregate
+row (row count + one counter per rule name, partially combined map-side)
+unpivoted to the per-rule grain — a single corpus pass, no eager jobs.
+Splitting re-uses the same annotated frame — callers that consume both
+halves should persist it (adopt/settle).
 """
 
 from __future__ import annotations
@@ -61,27 +62,45 @@ def report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     full frame, plus the ``_any_`` roll-up row (rows failing ≥1 rule) —
     one pass, rule-name-bounded shuffle."""
     annotated = annotate(df, rules)
-    n_rows = annotated.count()
-    per_rule = (
-        annotated.select(F.explode(VIOLATIONS_COL).alias("rule"))
-        .groupBy("rule")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-    )
-    any_row = annotated.filter(F.size(VIOLATIONS_COL) > 0).agg(
-        F.lit("_any_").alias("rule"), F.count(F.lit(1)).alias("n_violations")
-    )
-    spine = df.sparkSession.createDataFrame(
-        [(r,) for r in sorted(rules)] + [("_any_",)], "rule string"
-    )
-    return (
-        spine.join(per_rule.unionByName(any_row), on="rule", how="left")
-        .select(
-            "rule",
-            F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
-            F.round(
-                F.coalesce("n_violations", F.lit(0))
-                / F.lit(float(n_rows if n_rows else 1)),
-                6,
-            ).alias("violation_rate"),
+    # r13 opt (guide §2.3, one pass): the previous shape paid THREE scans
+    # of `df` — an eager count() job at build time, the explode+groupBy,
+    # and the `_any_` filter+agg. One aggregate row now carries the total
+    # row count, every per-rule violation count and the `_any_` roll-up
+    # (rule-name-bounded width), and a stack() unpivots it — zero eager
+    # jobs, one corpus pass, all map-side combined.
+    names = sorted(rules)
+    agg_cols = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, name in enumerate(names):
+        agg_cols.append(
+            F.sum(
+                F.array_contains(F.col(VIOLATIONS_COL), name).cast("long")
+            ).alias(f"__v{i}")
         )
+    agg_cols.append(
+        F.sum((F.size(VIOLATIONS_COL) > 0).cast("long")).alias("__v_any")
+    )
+    one = annotated.agg(*agg_cols)
+    # Column-API unpivot (explode over a literal struct array) rather
+    # than a stack() SQL string, so rule names with quotes/backslashes
+    # can never break or inject into the expression.
+    entries = [
+        F.struct(F.lit(n).alias("rule"), F.col(f"__v{i}").alias("__v"))
+        for i, n in enumerate(names)
+    ] + [F.struct(F.lit("_any_").alias("rule"), F.col("__v_any").alias("__v"))]
+    return one.select(
+        F.explode(F.array(*entries)).alias("__kv"), "__n_rows"
+    ).select(
+        F.col("__kv.rule").alias("rule"),
+        F.col("__kv.__v").alias("__v"),
+        "__n_rows",
+    ).select(
+        "rule",
+        F.coalesce("__v", F.lit(0)).cast("long").alias("n_violations"),
+        F.round(
+            F.coalesce("__v", F.lit(0))
+            / F.when(F.col("__n_rows") > 0, F.col("__n_rows").cast("double")).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("violation_rate"),
     )

@@ -33,12 +33,29 @@ def _bucket(col, row: int, width: int):
     """Engine-portable bucket id: first 15 md5 hex chars of "row:item"
     as a 60-bit int, mod width. DuckDB replay:
     ('0x' || substr(md5(row || ':' || x), 1, 15))::UBIGINT % width."""
+    return _bucket_expr(col, F.lit(str(row)), width)
+
+
+def _bucket_expr(col, row_col, width: int):
+    """`_bucket` with the row index as a COLUMN (string-typed or castable):
+    lets a build explode the d rows from one scan instead of unioning d
+    re-scans of the input. cast(int row) renders "0".."d-1" — the same
+    bytes F.lit(str(row)) fed md5, so buckets are bit-identical."""
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), col)), 1, 15),
+        F.substring(F.md5(F.concat_ws(":", row_col.cast("string"), col)), 1, 15),
         16,
         10,
     ).cast("long")
     return (h % width).cast("int")
+
+
+def _rows_exploded(depth: int):
+    """explode([0..depth-1]) — the single-scan replacement for the
+    union-of-depth-branches build shape (guide §2.3: the union form
+    re-scanned — and for token streams re-tokenized — the input once
+    per hash row; the explode emits the same (row, item) pairs from ONE
+    pass, map-side combined by the downstream aggregate)."""
+    return F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
 
 
 def countmin_build(
@@ -53,18 +70,18 @@ def countmin_build(
     implicitly zero. One shuffle at the (row, bucket) grain, counts
     combined map-side."""
     w_expr = F.col(weight) if weight else F.lit(1).cast("long")
-    per_row = [
-        items.select(
-            F.lit(r).alias("row"),
-            _bucket(F.col(col), r, width).alias("bucket"),
-            w_expr.alias("w"),
-        )
-        for r in range(depth)
-    ]
-    all_rows = per_row[0]
-    for p in per_row[1:]:
-        all_rows = all_rows.unionByName(p)
-    return all_rows.groupBy("row", "bucket").agg(F.sum("w").alias("c"))
+    # ONE scan of `items` exploding the d hash rows (r13 opt, guide §2.3:
+    # the previous union-of-d-branches form re-scanned the input — and
+    # re-tokenized upstream token streams — once per row); buckets and
+    # sums are bit-identical to the union form.
+    ex = items.select(
+        _rows_exploded(depth), F.col(col).alias("__i"), w_expr.alias("w")
+    )
+    return (
+        ex.select("row", _bucket_expr(F.col("__i"), F.col("row"), width).alias("bucket"), "w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").alias("c"))
+    )
 
 
 def countmin_merge(*sketches: DataFrame) -> DataFrame:
@@ -96,17 +113,11 @@ def bloom_build(
     exactly downstream, so false positives cost work, never
     correctness). Mergeable by construction: union + distinct, so
     per-day / per-shard filters roll up without touching raw data."""
-    per_row = [
-        items.select(
-            F.lit(r).alias("row"),
-            _bucket(F.col(col), r, width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    all_rows = per_row[0]
-    for p in per_row[1:]:
-        all_rows = all_rows.unionByName(p)
-    return all_rows.distinct()
+    # single-scan explode form — see countmin_build (r13 opt, guide §2.3)
+    ex = items.select(_rows_exploded(depth), F.col(col).alias("__i"))
+    return ex.select(
+        "row", _bucket_expr(F.col("__i"), F.col("row"), width).alias("bucket")
+    ).distinct()
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
@@ -132,17 +143,10 @@ def bloom_probe(
     (col, bloom_hit) — no member is ever rejected (one-sided error);
     non-members pass with probability ~(fill)^d, visible in the data."""
     coords_src = probes.select(col).distinct()
-    per_row = [
-        coords_src.select(
-            col,
-            F.lit(r).alias("row"),
-            _bucket(F.col(col), r, width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    all_rows = per_row[0]
-    for p in per_row[1:]:
-        all_rows = all_rows.unionByName(p)
+    # single-scan explode form — see countmin_build (r13 opt, guide §2.3)
+    all_rows = coords_src.select(col, _rows_exploded(depth)).select(
+        col, "row", _bucket_expr(F.col(col), F.col("row"), width).alias("bucket")
+    )
     return (
         all_rows.join(
             F.broadcast(bloom.withColumn("_set", F.lit(1))),
@@ -245,17 +249,12 @@ def countmin_estimate(
     probe. Probes absent from every bucket estimate 0 (cannot happen for
     items that were actually inserted). Returns (col, est)."""
     coords = probes.select(col).distinct()
-    per_row = [
-        coords.select(
-            col,
-            F.lit(r).alias("row"),
-            _bucket(F.col(col), r, width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    all_rows = per_row[0]
-    for p in per_row[1:]:
-        all_rows = all_rows.unionByName(p)
+    # single-scan explode form — see countmin_build (r13 opt: the union
+    # form re-ran the probe subtree — often an agg+limit pipeline —
+    # once per hash row)
+    all_rows = coords.select(col, _rows_exploded(depth)).select(
+        col, "row", _bucket_expr(F.col(col), F.col("row"), width).alias("bucket")
+    )
     return (
         all_rows.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
         .groupBy(col)
