@@ -109,9 +109,24 @@ def base_signals(
     # total over NULL text: size(NULL) would propagate to a NULL verdict
     # that belongs to neither the pass nor the fail partition, breaking
     # survivorship reconciliation — NULL reads as the empty document
-    t = F.coalesce(F.col(text), F.lit(""))
-    w = _words(t)
-    lines = _lines(t)
+    t0 = F.coalesce(F.col(text), F.lit(""))
+    # r13 opt (guide §1.3/§4): stage the word/line arrays ONCE. Inlined,
+    # every signal expression below re-ran the full regex split —
+    # higher-order lambdas sit outside codegen subexpression elimination,
+    # so the single Project evaluated split(text, WS) ~12× and
+    # split(text, \r?\n) ~12× per row (plans/r13/gopher_quality_before.txt),
+    # plus one more line-split per DISTINCT line inside the dup_line_chars
+    # nested aggregate. CollapseProject keeps the staging projection: the
+    # aliases are non-cheap and multiply referenced.
+    staged = df.select(
+        F.col(id_col),
+        _words(t0).alias("__w"),
+        _lines(t0).alias("__lines"),
+        t0.alias("__t"),
+    )
+    t = F.col("__t")
+    w = F.col("__w")
+    lines = F.col("__lines")
     nw = F.size(w)
     nl = F.size(lines)
     word_chars = F.aggregate(
@@ -134,7 +149,7 @@ def base_signals(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         nw.cast("long").alias("n_words"),
         frac(word_chars, nw).alias("mean_word_len"),
