@@ -291,28 +291,34 @@ def ngram_jaccard_pairs_prefix(
         - F.expr(f"(CAST(sz AS BIGINT) * {num} + 999999999) div 1000000000")
         + 1
     ).cast("int")
-    pre = docs.select("id", F.explode(F.slice("shs", 1, pre_len)).alias("sh"))
-    cand = (
-        pre.select(F.col("id").alias("id_a"), "sh")
-        .join(pre.select(F.col("id").alias("id_b"), "sh"), on="sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # r13 opt (guide §2.3/§2.4): the set size rides the prefix explode
+    # (one extra int per posting row), so the AllPairs LENGTH filter runs
+    # right at the candidate join and the old two join-backs to an
+    # (id, sz) projection — two whole shuffles — disappear; the distinct
+    # then sees only length-compatible pairs. Same pair set: the length
+    # predicate is deterministic per (id_a, id_b), so filtering before
+    # the distinct is identical to after.
+    pre = docs.select("id", "sz", F.explode(F.slice("shs", 1, pre_len)).alias("sh"))
     # AllPairs LENGTH filter before any array moves: J(A,B) ≤ min/max of
     # the set sizes, so a candidate with min·10⁹ < num·max can never reach
-    # the (slack-adjusted) threshold. The size probe joins the tiny
-    # (id, sz) projection; only surviving pairs pull the full shingle
-    # arrays for the exact intersect (lossless — same `num` slack as the
-    # prefix bound covers the rounded-jaccard final filter).
-    sizes = docs.select("id", "sz")
+    # the (slack-adjusted) threshold; only surviving pairs pull the full
+    # shingle arrays for the exact intersect (lossless — same `num` slack
+    # as the prefix bound covers the rounded-jaccard final filter).
     survivors = (
-        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
-        .filter(
-            F.least("sz_a", "sz_b").cast("long") * F.lit(1_000_000_000)
-            >= F.lit(num) * F.greatest("sz_a", "sz_b").cast("long")
+        pre.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh")
+        .join(
+            pre.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"),
+            on="sh",
         )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b").cast("long") * F.lit(1_000_000_000)
+                >= F.lit(num) * F.greatest("sz_a", "sz_b").cast("long")
+            )
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
     )
     a = docs.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = docs.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
