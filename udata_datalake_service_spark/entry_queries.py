@@ -2960,16 +2960,33 @@ def q_a9_profile(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     numeric = profile_df(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     ev = _t(spark, sf_dir, "events")
-    pieces = []
-    for name in ("event_type", "user_id"):
-        pieces.append(
-            ev.groupBy(F.col(name).cast("string").alias("value"))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), F.asc_nulls_last("value"))
-            .limit(10)
-            .withColumn("column", F.lit(name))
-        )
-    tops = union_tiers(*pieces)
+    # r13 opt (guide §2.3 one pass): both per-column top-10s come from ONE
+    # events scan — unpivot to (column, value) rows, one count aggregate,
+    # then a per-column rank that Spark 4 plans as WindowGroupLimit
+    # (map-side partial top-10, so the rank shuffle carries ≤10 rows per
+    # column per map task). The old per-column orderBy().limit(10) pair
+    # scanned events twice. Row_number over the identical total order
+    # (count DESC, value ASC NULLS LAST) selects the identical 10 rows.
+    unpivoted = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        F.col(name).cast("string").alias("value"),
+                    )
+                    for name in ("event_type", "user_id")
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.column", "cv.value")
+    counts = unpivoted.groupBy("column", "value").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.partitionBy("column").orderBy(F.desc("count"), F.asc_nulls_last("value"))
+    tops = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("value", "count", "column")
+    )
     return numeric.unionByName(tops, allowMissingColumns=True)
 
 
