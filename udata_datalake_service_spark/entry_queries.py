@@ -7578,14 +7578,20 @@ def q_sk_lake_rollup(spark, sf_dir):
     root = f"/tmp/spark_hydra_skroll_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     shutil.rmtree(root, ignore_errors=True)
     lake = Lake(spark, root)
+    # r13 opt (guide §2.3 one pass): ONE lineitem scan builds both day
+    # sketches — kmv_build grouped by (group ∪ day) then filtered to a day
+    # is row-identical to building on the day-filtered input (the rank
+    # partitions are the same (flag, day) sets either way; distinct over
+    # (flag, day, h) restricted to a day ≡ per-day distinct). The persist
+    # only spans the two appends; the returned frame reads the LAKE.
+    sk_all = kmv_build(li, "l_orderkey", [*g, "day"], _KMV_K).persist()
     commits = []
     for day in (0, 1):
-        sk_day = kmv_build(
-            li.filter(F.col("day") == day), "l_orderkey", g, _KMV_K
-        ).withColumn("day", F.lit(day))
+        sk_day = sk_all.filter(F.col("day") == day).select(*g, "h", "rn", "day")
         commits.append(
             lake.append_app_table_exactly_once(sk_day, "kmv_daily", f"day-{day}")
         )
+    sk_all.unpersist()
     # crash-retry rehearsal: re-submitting an already-committed batch id
     # must be a no-op (False), leaving the persisted row count unchanged
     retry_committed = lake.append_app_table_exactly_once(
