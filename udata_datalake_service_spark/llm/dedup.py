@@ -1152,11 +1152,15 @@ def star_clusters(
     prev = _sig(edges)
     for _ in range(max_iterations):
         # ---- large-star over the symmetric neighborhood view
-        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        swapped = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = edges.union(swapped)
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("u", "mn").alias("m"))
+        # r13 opt: sym's strictly-bigger-neighbor rows ARE the swapped
+        # copies (edges is canonically big→small, u > v), so the
+        # large-star probe side skips the 2|E|-row union+filter scan
         large = (
-            sym.filter(F.col("v") > F.col("u"))
+            swapped
             .join(mins, on="u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
