@@ -107,10 +107,19 @@ def main() -> int:
     # order-stable.
     names = sorted(qs)
 
-    def run_once(name: str) -> float:
+    def run_once(name: str, job_group: str | None = None) -> float:
+        if job_group is not None:
+            # a unique job group per counted execution so the status
+            # tracker can attribute every Spark job this query ran
+            # (deterministic counters — VERDICT r13 item 2: the wall-clock
+            # noise floor is ±16-29% on the cluster/retrieval family, so
+            # sub-20% claims need a drift-free signal).
+            spark.sparkContext.setJobGroup(job_group, name)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        if job_group is not None:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         # settling wrappers release their own adopted caches (caching.py),
         # but localCheckpoint blocks and any un-settled persist would
         # still linger; clearing between executions keeps sequential
@@ -118,6 +127,24 @@ def main() -> int:
         # makes per-execution numbers isolation-honest.
         spark.catalog.clearCache()
         return dt
+
+    def job_stage_counts(job_group: str) -> tuple[int, int]:
+        """Deterministic per-execution counters from the status tracker.
+
+        n_jobs = Spark jobs submitted under the group; n_stages = distinct
+        stages those jobs planned (incl. skipped/reused ones — stable
+        across runs, unlike wall clock). Best-effort: retention limits
+        (spark.ui.retainedJobs) could in principle evict entries, but we
+        read immediately after the execution so in practice all are live.
+        """
+        tracker = spark.sparkContext.statusTracker()
+        job_ids = tracker.getJobIdsForGroup(job_group)
+        stage_ids: set[int] = set()
+        for jid in job_ids:
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        return len(job_ids), len(stage_ids)
 
     # suite-wide warm-up pass (untimed headline; recorded for reference)
     warm_pass: dict[str, float] = {}
@@ -137,9 +164,16 @@ def main() -> int:
             timings[name] = -1.0
             continue
         samples: list[float] = []
-        for _ in range(reps):
+        counts: tuple[int, int] | None = None
+        for rep in range(reps):
             try:
-                samples.append(run_once(name))
+                # count jobs/stages on the LAST rep (cache state is
+                # identical across reps — clearCache between executions —
+                # so any rep's counters are the steady-state ones).
+                group = f"bench:{name}:{rep}" if rep == reps - 1 else None
+                samples.append(run_once(name, job_group=group))
+                if group is not None:
+                    counts = job_stage_counts(group)
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 break
@@ -152,6 +186,8 @@ def main() -> int:
             "min": round(min(samples), 3),
             "max": round(max(samples), 3),
         }
+        if counts is not None:
+            detail[name]["n_jobs"], detail[name]["n_stages"] = counts
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
@@ -189,7 +225,14 @@ def main() -> int:
             ],
             default=0,
         )
+        # never clobber an existing local artifact (VERDICT r13 item 9:
+        # the driver's own run overwrote the builder's committed
+        # round-close record) — suffix with the first free counter.
         local = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}.json")
+        k = 2
+        while os.path.exists(local):
+            local = os.path.join(here, f"BENCH_LOCAL_r{n_round:02d}_{k}.json")
+            k += 1
         with open(local, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as e:
