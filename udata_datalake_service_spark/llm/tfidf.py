@@ -433,29 +433,47 @@ def bigram_surprisal(
     rounded to 1/quantum and summed as exact integers — the same
     partition-order-independence device as `unigram_surprisal`).
 
-    Shape at 100 TB: TWO map-only tokenize passes over the corpus scan —
-    one collapsed to the persisted (doc, bigram) grain, one to the
-    unigram counts (persisted; deriving unigrams from the bigram grain
-    would need a position window, i.e. a corpus-sized shuffle — strictly
-    worse than re-tokenizing in the scan stage). The LM tables are
-    vocabulary-bounded; the LM joins hit the (doc, bigram) grain, never
-    raw positions; one groupBy(doc) finishes. Returns (id_col, n_tokens,
-    mean_nll) with mean over ALL tokens (first-token unigram event
-    included), rounded to 6.
+    Shape at 100 TB (r14 opt): ONE tokenize feeds BOTH grains — the
+    persisted (doc, bigram) grain and a tiny persisted per-doc header
+    (n_tokens, first token, LAST token). Unigram counts never re-tokenize
+    and never shuffle raw positions: every token occurrence is the FIRST
+    word of exactly one bigram occurrence except each document's last
+    token, so ``c(w) = Σ_bg first-word occurrences + #{docs whose last
+    token is w}`` — both legs are derived from the two cached grains
+    (exact integer identity; the prior shape re-tokenized the corpus for
+    the unigram counts AND for the first-token/n_tokens legs, up to 4
+    tokenize passes per run). The LM tables are vocabulary-bounded; the
+    LM joins hit the (doc, bigram) grain, never raw positions; one
+    groupBy(doc) finishes. Returns (id_col, n_tokens, mean_nll) with
+    mean over ALL tokens (first-token unigram event included), rounded
+    to 6.
     """
     toks = tokens(F.col(text))
     from udata_datalake_service_spark.llm.text import word_bigrams
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("t"),
-    ).select(
-        "id",
-        F.size("t").alias("n_tokens"),
-        F.when(F.size("t") >= 1, F.element_at("t", 1)).alias("t1"),
-        word_bigrams(F.col("t")).alias("bg"),
+    # ONE persisted tokenize pass: header scalars + the bigram array ride
+    # the same cache, so the grain explode, the unigram legs and the
+    # final n_tokens/t1 joins all read the cache — the corpus text is
+    # split exactly once per run (the bg-array cache is released at
+    # settle; MEMORY_AND_DISK spills at scale, which is still cheaper
+    # than a second full regex tokenize of the corpus)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("t"),
+        )
+        .select(
+            "id",
+            F.size("t").alias("n_tokens"),
+            F.when(F.size("t") >= 1, F.element_at("t", 1)).alias("t1"),
+            F.when(F.size("t") >= 1, F.element_at("t", -1)).alias("tl"),
+            word_bigrams(F.col("t")).alias("bg"),
+        )
+        .persist()
     )
-    # (doc, bigram) grain — the single expensive pass, persisted
+    # per-doc header — 4 scalars/doc, column-pruned off the cache
+    header = base.select("id", "n_tokens", "t1", "tl")
+    # (doc, bigram) grain — persisted (two aggregate consumers)
     per_doc_bg = (
         base.select("id", F.explode("bg").alias("bg"))
         .groupBy("id", "bg")
@@ -464,9 +482,6 @@ def bigram_surprisal(
     )
     # LM tables: bigram counts, first-word counts, unigram counts + total
     bg_counts = per_doc_bg.groupBy("bg").agg(F.sum("n").alias("cbg"))
-    tok_ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
-    uni = tok_ex.groupBy("tk").agg(F.count(F.lit(1)).alias("cu")).persist()
-    total = int(uni.agg(F.sum("cu")).collect()[0][0] or 0)
     prev_counts = (
         bg_counts.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("tk"),
@@ -475,6 +490,29 @@ def bigram_surprisal(
         .groupBy("tk")
         .agg(F.sum("cbg").alias("cprev"))
     )
+    # unigram counts from the grains alone (no second tokenize): first-word
+    # occurrences (≡ prev_counts) ⊕ one occurrence per doc's last token.
+    # Exact: for tokens w1..wn the bigram first words are w1..w(n-1) and
+    # the header contributes wn — n occurrences total, identical integers
+    # to counting the exploded token stream. tokens() yields space-free
+    # strings (split on TOKEN_SPLIT_RE), so the split_part round-trip is
+    # lossless — the same invariant prev_counts/lm already rely on.
+    # not persisted: both consumers (lm, first_nll) reference the
+    # canonically identical subtree off the two caches, so AQE exchange
+    # reuse materializes it once (the r13 retrieval-plane lesson —
+    # a persist here only adds a cache-fill barrier)
+    uni = (
+        prev_counts.select("tk", F.col("cprev").alias("n"))
+        .union(
+            header.filter(F.col("tl").isNotNull())
+            .groupBy(F.col("tl").alias("tk"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        .groupBy("tk")
+        .agg(F.sum("n").alias("cu"))
+    )
+    # Σ cu ≡ Σ n_tokens — read it from the tiny header cache
+    total = int(header.agg(F.sum("n_tokens")).collect()[0][0] or 0)
     # per-bigram interpolated nll, quantized once at the TYPE grain
     lm = (
         bg_counts.select("bg", "cbg", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("pk"),
@@ -502,7 +540,7 @@ def bigram_surprisal(
     )
     # first-token unigram event
     first_nll = (
-        base.filter(F.col("t1").isNotNull())
+        header.filter(F.col("t1").isNotNull())
         .join(uni.select(F.col("tk").alias("t1"), "cu"), on="t1")
         .select(
             "id",
@@ -512,7 +550,7 @@ def bigram_surprisal(
         )
     )
     out = (
-        base.select("id", "n_tokens")
+        header.select("id", "n_tokens")
         .join(scored_bg, on="id", how="left")
         .join(first_nll, on="id", how="left")
         .select(
@@ -530,4 +568,4 @@ def bigram_surprisal(
             .alias("mean_nll"),
         )
     )
-    return adopt(out, per_doc_bg, uni)
+    return adopt(out, per_doc_bg, base)

@@ -46,6 +46,15 @@ def pinned_filter(df: DataFrame, cond: Column) -> DataFrame:
     references evaluate exactly once, above any repartition. The pin
     column is dropped immediately; schema and row set are identical to
     ``df.filter(cond)``.
+
+    RULE (VERDICT r13 item 8): never pin a predicate on a RAW scannable
+    column. The pin blocks pushdown of EVERYTHING bundled into ``cond``,
+    so a cheap predicate on a column that exists in the parquet scan
+    (ids, dates, sources) would lose its PushedFilters row for nothing —
+    apply such predicates with a plain ``.filter`` BEFORE the staging
+    projection and pin only staged-column-derived conditions.
+    ``tests/test_text_staged.py::test_pinned_conditions_reference_only_staged_columns``
+    enforces this for every call site.
     """
     pinned = df.withColumn(_PIN, F.monotonically_increasing_id())
     return pinned.filter(cond | (F.col(_PIN) < F.lit(0))).drop(_PIN)
