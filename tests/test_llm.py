@@ -136,6 +136,36 @@ def test_near_dup_clusters_long_chain_converges(spark):
     assert (got["k"], got["m"]) == (1, 0)
 
 
+def test_near_dup_clusters_paired_rounds_match_single(spark):
+    """r14 adaptive pairing: pair_threshold=0 forces two-rounds-per-
+    collect from round 2 onward; results must be identical to the
+    single-round default on a shape that exercises both odd and even
+    convergence rounds (path graphs of different lengths + singleton),
+    and the budget must still be enforced exactly in paired mode."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(9, 10)], "id_a long, id_b long"
+    )
+    single = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(
+            ids, pairs, method="minlabel", pair_threshold=10**9
+        ).collect()
+    }
+    paired = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(
+            ids, pairs, method="minlabel", pair_threshold=0
+        ).collect()
+    }
+    assert single == paired
+    assert paired[7] == 0 and paired[10] == 9 and paired[11] == 11
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(
+            ids, pairs, max_iterations=2, method="minlabel", pair_threshold=0
+        )
+
+
 def test_near_dup_clusters_raises_on_exhausted_budget(spark):
     """Explicit method='minlabel' exhausting max_iterations with labels
     still changing must raise, not silently split one component into

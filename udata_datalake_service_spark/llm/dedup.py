@@ -966,6 +966,18 @@ def duplicated_span_coverage(
 # star method's ~2× heavier per-round plan. Overridable per call.
 AUTO_STAR_EDGES = 1 << 20
 
+# Min-label loop: pair two propagation rounds per driver collect only
+# while the previous round changed MORE labels than this. Far above
+# anything a local bench sees (its rounds stay individually checked —
+# the measured-faster shape there) and far below the first rounds of a
+# production-scale graph, where changed counts are in the billions and
+# halving the driver barriers is pure win: with changed ≫ threshold the
+# next round cannot plausibly be the fixed point, so the pair's second
+# (eagerly computed) round is never wasted work. Scheduling heuristic
+# only — the zero-change termination rule is checked exactly in both
+# modes.
+PAIR_ROUNDS_MIN_CHANGED = 1 << 17
+
 
 def near_dup_clusters(
     ids: DataFrame,
@@ -974,6 +986,7 @@ def near_dup_clusters(
     max_iterations: int = 50,
     method: str = "auto",
     star_threshold: int = AUTO_STAR_EDGES,
+    pair_threshold: int = PAIR_ROUNDS_MIN_CHANGED,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS — the capstone every
     pair-producing operator above feeds: connected components over the
@@ -988,12 +1001,14 @@ def near_dup_clusters(
       node takes the min label over itself and its neighbors; converges
       in graph-diameter rounds (near-dup components are overwhelmingly
       tiny — diameter ≤ a few hops — so 3-4 rounds in practice). ONE
-      Spark job per TWO rounds (round-7 fix + r14 pairing): labels
-      localCheckpoint lazily, round k+1 is built on round k's
-      checkpoint, and a single collect of the unioned changed-count
-      aggregates materializes both. Raises if the budget is
-      exhausted (returning intermediate labels would silently split a
-      cluster).
+      Spark job per round (round-7 fix: labels localCheckpoint lazily
+      and the changed-count aggregate is the materializing action), and
+      ONE job per TWO rounds while the loop is far from convergence
+      (r14 adaptive pairing, ``pair_threshold``): round k+1 is built on
+      round k's checkpoint and a single collect of the unioned
+      changed-count aggregates materializes both. Raises if the budget
+      is exhausted (returning intermediate labels would silently split
+      a cluster).
     * ``"star"`` — alternating large-star/small-star rounds
       (``star_clusters``, Kiveris et al. "Connected Components in
       MapReduce and Beyond"): O(log²n) rounds regardless of diameter.
@@ -1068,22 +1083,38 @@ def near_dup_clusters(
             F.sum(F.when(F.col("__chg"), 1).otherwise(0)).alias("n"),
         )
 
-    # TWO rounds per driver round-trip (r14, VERDICT item 3): round k+1
-    # is built on round k's lazy checkpoint and ONE collect of the
-    # unioned 1-row changed-count aggregates materializes both — the
-    # termination rule is unchanged (stop at the first round with zero
-    # changes; a zero-change round is an exact fixed point, so the
-    # eagerly-built next round equals it and is simply discarded). At
-    # 1000 executors the loop's wall is driver-synchronized barriers,
-    # and this halves them; the round budget is respected exactly.
+    # ADAPTIVE round pairing (r14, VERDICT item 3, measured): when the
+    # loop is provably far from convergence (the previous round changed
+    # more than ``pair_threshold`` labels), round k+1 is built on round
+    # k's lazy checkpoint and ONE collect of the unioned 1-row
+    # changed-count aggregates materializes both — half the
+    # driver-synchronized barriers. Near convergence (small changed
+    # count) every round is checked individually, because a pair whose
+    # FIRST round hits zero changes has eagerly computed a wasted
+    # full-size round (labels never shrink — each round is a whole
+    # label-set join), and the tail is exactly where that happens.
+    # Unconditional pairing measured SLOWER locally for this reason
+    # (loop-isolated probe, sf0.1, median of 5: 2.47 s/22 jobs
+    # single-round vs 2.85 s/26 jobs always-paired). The termination
+    # rule is unchanged either way — stop at the first round with zero
+    # changes (counts[1] in paired mode); a zero-change round is an
+    # exact fixed point, so the eagerly-built next round equals it and
+    # is simply discarded. The round budget is respected exactly.
     converged = False
     rounds_left = max_iterations
+    last_changed: int | None = None  # unknown before round 1 → single
     while rounds_left > 0:
-        if rounds_left == 1:
+        pair = (
+            rounds_left >= 2
+            and last_changed is not None
+            and last_changed > pair_threshold
+        )
+        if not pair:
             n1 = _propagate(labels)
             changed = _chg(1, n1).collect()[0]["n"] or 0
             labels = n1.drop("__chg")
             rounds_left -= 1
+            last_changed = changed
             if changed == 0:
                 converged = True
                 break
@@ -1097,6 +1128,7 @@ def near_dup_clusters(
             converged = True
             break
         labels = n2.drop("__chg")
+        last_changed = counts[2]
         if counts[2] == 0:
             converged = True
             break
