@@ -258,6 +258,41 @@ def test_minhash_lsh_pipeline(spark, docs):
     assert (1, 2) in got and got[(1, 2)] == 1.0  # identical token streams
 
 
+def test_minhash_signatures_prebuilt_shingles_identical(spark, docs):
+    """r14 shared-shingle-pass opt (dd_lsh_eval): signatures built from a
+    prebuilt exploded (id, shingle-string) frame must be bit-identical to
+    the internal path — same distinct-shingle grain, same md5 mins —
+    including single-token docs (n < k fallback shingle). xxh64 must
+    refuse prebuilt shingles (that family never builds strings)."""
+    from udata_datalake_service_spark.llm.dedup import shingles_of_tokens
+    from udata_datalake_service_spark.llm.text import tokens
+
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(7, "solo", "en")], "doc_id long, text string, lang string"
+        )
+    )
+    shs = docs.select(
+        F.col("doc_id").alias("id"), tokens(F.col("text")).alias("__t")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("__t"), 2))).alias(
+            "sh"
+        ),
+    )
+    via_shingles = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(docs, num_hashes=8, k=2, shingles=shs).collect()
+    }
+    internal = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(docs, num_hashes=8, k=2).collect()
+    }
+    assert via_shingles == internal and len(internal) > 0
+    with pytest.raises(ValueError, match="md5"):
+        minhash_signatures(docs, hash_family="xxh64", shingles=shs)
+
+
 def test_minhash_xxh64_family(spark, docs):
     """The throughput family (SOAK round-13: signatures were 65 % of the
     near-dup stream's wall on md5, pure hash arithmetic): each distinct

@@ -36,6 +36,7 @@ CURRENT_ROUND = 14
 # round; forced to the head of the attestation window.
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-14 changes (populated as queries are added/edited this round)
+    "dd_lsh_eval",  # shared shingle pass for both scorecard sides
 })
 
 # Rounds whose driver window did NOT advance the rotation: the round-12

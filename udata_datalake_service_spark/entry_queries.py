@@ -5813,16 +5813,40 @@ def q_dd_lsh_eval(spark, sf_dir):
     exact n-gram Jaccard pairs at the same threshold — precision / recall
     / F1, the gate before trusting a (hashes, bands) configuration at
     scale (the dedup twin of ann_recall)."""
-    from udata_datalake_service_spark.llm.dedup import pair_set_eval
+    from udata_datalake_service_spark.llm.dedup import (
+        pair_set_eval,
+        shingles_of_tokens,
+    )
 
     d = _tw(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=_MINHASH_N, k=_MINHASH_K).persist()
+    # r14 (guide §2.3, VERDICT item 6): ONE tokenize+shingle corpus pass
+    # for BOTH scorecard sides. The exploded distinct (id, shingle
+    # STRING) grain is the shared parent of the MinHash signature build
+    # (md5 mins over it) and the exact-Jaccard inverted index (xxhash64
+    # over it) — previously minhash_signatures and ngram_jaccard_pairs'
+    # internal shingle_index each re-ran the full pass. Values are
+    # identical by construction: both helpers built exactly this grain
+    # internally (explode(array_distinct(shingles_of_tokens(t, k)))).
+    shs = (
+        d.select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("__t"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__t"), _MINHASH_K))
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    sigs = minhash_signatures(
+        d, num_hashes=_MINHASH_N, k=_MINHASH_K, shingles=shs
+    ).persist()
     cand = lsh_candidate_pairs(sigs, num_bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
     approx = minhash_jaccard_estimate(sigs, cand).filter(
         F.col("jaccard_est") >= 0.35
     )
-    exact = ngram_jaccard_pairs(d, k=_MINHASH_K, threshold=0.35)
-    return settle(pair_set_eval(approx, exact), sigs, *adopted(exact))
+    idx = shs.select("id", F.xxhash64("sh").alias("sh"))
+    exact = ngram_jaccard_pairs(d, k=_MINHASH_K, threshold=0.35, index=idx)
+    return settle(pair_set_eval(approx, exact), sigs, shs, *adopted(exact))
 
 
 _SQL_DD_LSH_EVAL = f"""

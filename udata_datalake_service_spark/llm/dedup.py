@@ -346,6 +346,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 3,
     hash_family: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """id → MinHash signature (array<string> or array<bigint>).
 
@@ -382,9 +383,32 @@ def minhash_signatures(
     whole-stage codegen with map-side partial aggregation (each task
     emits one row per doc) — the shuffle carries only signatures, and
     nothing is evaluated through interpreted higher-order functions.
+
+    ``shingles`` optionally supplies a prebuilt (id, sh) frame of
+    exploded DISTINCT shingle STRINGS per doc (the grain this function
+    builds internally for the md5 family) so several consumers — e.g.
+    the signature build and `shingle_index`'s xxhash64 inverted index —
+    share ONE tokenize+shingle corpus pass (r14 opt, guide §2.3).
+    md5 family only: the xxh64 family never materializes shingle
+    strings, which is its whole point.
     """
     if hash_family not in ("md5", "xxh64"):
         raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
+    if shingles is not None:
+        if hash_family != "md5":
+            raise ValueError("prebuilt shingles require hash_family='md5'")
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+        return (
+            shingles.groupBy("id")
+            .agg(*mins)
+            .select(
+                "id",
+                F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+            )
+        )
     # project the token array into a REAL column before any per-window
     # lambda touches it — an inline tokens(text) subtree inside the
     # transform re-runs the full-document regex split per shingle
