@@ -37,6 +37,14 @@ CURRENT_ROUND = 14
 NEW_OR_CHANGED: frozenset[str] = frozenset({
     # round-14 changes (populated as queries are added/edited this round)
     "dd_lsh_eval",  # shared shingle pass for both scorecard sides
+    "tx_text_metrics",  # STOPWORDS ≡ LANG_MARKERS['en'] guard assert
+    # entry source unchanged but EXECUTED plans changed via library
+    # edits (llm/dedup.py loop pairing, llm/tfidf.py single-tokenize) —
+    # flagged per ADVICE r13: a library edit must not bypass driver
+    # re-attestation just because the pin gate hashes only entry source
+    "dd_dup_clusters",
+    "dd_star_clusters",
+    "tx_bigram_surprisal",
 })
 
 # Rounds whose driver window did NOT advance the rotation: the round-12

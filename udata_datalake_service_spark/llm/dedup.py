@@ -1212,9 +1212,14 @@ def star_clusters(
     e = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    # canonical directed big→small edges (the small-star invariant);
-    # lazy checkpoint — the _sig aggregate right below is the
-    # materializing action (one job, not two)
+    # canonical directed big→small edges. TWO consumers depend on this
+    # strict u > v invariant (ADVICE r13): the small-star rule, and the
+    # large-star probe in _round, which uses `swapped` directly as the
+    # strictly-bigger-neighbor view instead of re-filtering sym — a
+    # u <= v or self-loop row here would silently corrupt clusters
+    # (the star certificate at the end catches it loudly). Lazy
+    # checkpoint — the _sig aggregate right below is the materializing
+    # action (one job, not two).
     edges = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
